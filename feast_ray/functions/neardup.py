@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+These extend the reference's latest-per-key dedup (SURVEY.md §2.1 #7)
+to the content-level dedup a training-data pipeline needs. All hashes
+are process-stable (zlib.crc32 / blake2b — never Python ``hash()``).
+
+Scale shapes (per the Ray Data guide's sketch pattern):
+- exact: content-hash column in a vectorized ``map_batches`` →
+  ``groupby(hash)`` keep-min-id. Shuffle carries only (hash, id).
+- MinHash-LSH: per-batch signatures → explode to (band, band_hash, id,
+  sig) rows → ``groupby(band, band_hash)`` buckets → verified candidate
+  pairs (estimated Jaccard from signatures) → drop the larger id.
+  One LSH pass approximates connected components by representative
+  min-id — documented approximation, same as common web-dedup practice.
+- SimHash: 64-bit signature; 4×16-bit chunk LSH buckets guarantee
+  recall for Hamming distance ≤ 3 within ≤ 4 buckets; verify by popcount.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+# ---------------------------------------------------------------- exact
+
+def add_content_hash(tbl: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    vals = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 1
+            for t in tbl[text_col].to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    return tbl.append_column(out_col, pa.array(vals, pa.int64()))
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
+    """Keep the min-id row per distinct text (hash-partitioned)."""
+    hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
+
+    def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="stable").head(1)
+
+    # per-block combiner then global group — same two-step as keep_latest
+    pre = hashed.map_batches(
+        lambda df: df.sort_values(id_col, kind="stable").drop_duplicates("content_hash", keep="first"),
+        batch_format="pandas",
+    )
+    out = pre.groupby("content_hash").map_groups(_keep_min, batch_format="pandas")
+    return out.map_batches(lambda t: t.drop_columns(["content_hash"]), batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- minhash
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(1234567)
+_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """crc32 of word k-shingles (stable, C-speed)."""
+    words = text.split()
+    if len(words) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    return np.array(
+        [zlib.crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    sh = _shingle_hashes(text, k)
+    # (a*x + b) mod p, min over shingles, per permutation
+    with np.errstate(over="ignore"):
+        vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+class MinHasher:
+    """Actor-pool stage: text → minhash signature (binary column)."""
+
+    def __init__(self, text_col: str = "text", k: int = 3):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["minhash_sig"] = [
+            minhash_signature(t, self.k).tobytes() for t in batch[self.text_col].tolist()
+        ]
+        return batch
+
+
+def _explode_bands(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """signature rows → (band, band_hash, id, sig) rows."""
+    ids, bands, bhs, sigs = [], [], [], []
+    for rid, sig_bytes in zip(df[id_col].tolist(), df["minhash_sig"].tolist()):
+        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            bh = zlib.crc32(chunk.tobytes())
+            ids.append(rid)
+            bands.append(b)
+            bhs.append(bh)
+            sigs.append(sig_bytes)
+    return pd.DataFrame(
+        {id_col: ids, "band": bands, "band_hash": bhs, "minhash_sig": sigs}
+    )
+
+
+def minhash_candidate_dups(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Return ids to DROP: any doc whose estimated Jaccard similarity
+    (from signatures) to a lower-id doc in a shared LSH bucket is
+    ≥ threshold. Output: one column ``{id_col}`` of dropped ids."""
+    sigged = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"text_col": text_col, "k": k},
+        batch_format="pandas", concurrency=(1, 8),
+    )
+    band_rows = sigged.map_batches(
+        lambda df: _explode_bands(df[[id_col, "minhash_sig"]], id_col),
+        batch_format="pandas",
+    )
+
+    def _bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
+        g = g.sort_values(id_col, kind="stable")
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["minhash_sig"].tolist()]
+        ids = g[id_col].tolist()
+        drops = []
+        for j in range(1, len(ids)):
+            for i in range(j):
+                if estimated_jaccard(sigs[i], sigs[j]) >= threshold:
+                    drops.append(ids[j])
+                    break
+        return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
+
+    dups = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _bucket_dups, batch_format="pandas"
+    )
+    from feast_ray.stages.relational import distinct
+
+    return distinct(dups, [id_col])
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Filter out near-duplicate docs (keeps the min-id representative).
+
+    The dropped-id set is collected to the driver and broadcast — valid
+    because it is bounded by the duplicate count, not the corpus size;
+    at extreme scale swap the broadcast for an anti-join on id."""
+    dropped = set(
+        minhash_candidate_dups(ds, id_col, text_col, threshold, k)
+        .to_pandas()[id_col]
+        .tolist()
+    )
+    ref = ray.put(dropped)
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(ref)
+        return df[~df[id_col].isin(d)]
+
+    return ds.map_batches(_filter, batch_format="pandas")
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    words = text.split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class SimHasher:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["simhash"] = np.array(
+            [np.int64(np.uint64(simhash64(t)).astype(np.int64)) for t in batch[self.text_col].tolist()],
+            dtype=np.int64,
+        )
+        return batch
+
+
+def simhash_dups(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Ids to drop under SimHash near-dup (Hamming ≤ max_hamming).
+    LSH: bucket by each of the four 16-bit chunks — any pair within
+    Hamming ≤ 3 collides in ≥ 1 chunk (pigeonhole); verify exactly."""
+    hashed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=(1, 8),
+    )
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        ids = df[id_col].to_numpy()
+        out_ids = np.repeat(ids, 4)
+        out_sh = np.repeat(sh, 4)
+        chunks = np.tile(np.arange(4, dtype=np.int64), len(df))
+        chunk_vals = ((out_sh >> (chunks.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: out_ids, "chunk": chunks, "chunk_val": chunk_vals,
+             "simhash": out_sh.astype(np.int64)}
+        )
+
+    band_rows = hashed.map_batches(_explode, batch_format="pandas")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].tolist()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        drops = []
+        for j in range(1, len(ids)):
+            for i in range(j):
+                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
+                    drops.append(ids[j])
+                    break
+        return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
+
+    dups = band_rows.groupby(["chunk", "chunk_val"]).map_groups(_bucket, batch_format="pandas")
+    from feast_ray.stages.relational import distinct
+
+    return distinct(dups, [id_col])
+
+
+# ------------------------------------------------- n-gram Jaccard (exact)
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact word-k-gram Jaccard similar pairs (i<j, sim ≥ threshold),
+    brute force per batch against a broadcast shingle-set table.
+    O(n²/B) — the exactness baseline the sketch variants approximate;
+    use only when one side fits in memory."""
+    pdf = ds.select_columns([id_col, text_col]).to_pandas()
+    pdf = pdf.sort_values(id_col, kind="stable")
+    all_ids = pdf[id_col].to_numpy()
+    all_sets = [set(map(int, _shingle_hashes(t, k))) for t in pdf[text_col].tolist()]
+    ref = ray.put((all_ids, all_sets))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_r, sets_r = ray.get(ref)
+        ia, ib, sims = [], [], []
+        for rid, text in zip(df[id_col].tolist(), df[text_col].tolist()):
+            s = set(map(int, _shingle_hashes(text, k)))
+            for oid, oset in zip(ids_r, sets_r):
+                if oid <= rid:
+                    continue
+                inter = len(s & oset)
+                if inter == 0:
+                    continue
+                sim = inter / len(s | oset)
+                if sim >= threshold:
+                    ia.append(rid)
+                    ib.append(int(oid))
+                    sims.append(sim)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": sims})
+
+    return ds.select_columns([id_col, text_col]).map_batches(_pairs, batch_format="pandas")

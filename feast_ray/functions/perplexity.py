@@ -1,0 +1,71 @@
+"""KenLM-style n-gram perplexity — stateful actor-pool stage.
+
+KenLM itself is not in the sandbox; the stand-in is a byte-trigram
+language model with add-one smoothing trained once per actor on a
+fixed, embedded English seed corpus — deterministic across processes
+and rounds. Scoring is fully vectorized: UTF-8 bytes → uint32 trigram
+ids → log-prob lookup via a dense (sorted-key searchsorted) table, so
+the hot loop is numpy, not Python.
+
+Execution shape = the reference's model-holding batch transform
+(feast/embedder.py:49-120, ray_transformation.py:30-74): build in
+``__init__``, score in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_SEED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog and the small stream runs "
+    "down to the wide river where the old mill stands by the stone bridge "
+    "data systems read and write large tables of rows and columns while the "
+    "query engine sorts filters joins and aggregates the values in each "
+    "partition of the distributed store the workers scan blocks in parallel "
+    "and merge partial results into a final answer that the user can read "
+    "a good sentence has common words like the and of to in is it that for "
+    "language models assign high probability to fluent text and low "
+    "probability to random strings of rare symbols or repeated noise "
+    "the pipeline keeps documents whose text looks like natural language "
+    "and drops pages full of markup fragments numbers or gibberish tokens"
+)
+
+
+class PerplexityModel:
+    """Callable actor class: appends a ``ppl`` float column (byte-level
+    perplexity; lower = more fluent relative to the seed corpus)."""
+
+    def __init__(self, text_col: str = "text", corpus: str = _SEED_CORPUS, add_k: float = 1.0):
+        self.text_col = text_col
+        data = np.frombuffer(corpus.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+        tri = (data[:-2] << 16) | (data[1:-1] << 8) | data[2:]
+        bi = (data[:-1] << 8) | data[1:]
+        tri_keys, tri_counts = np.unique(tri, return_counts=True)
+        bi_keys, bi_counts = np.unique(bi, return_counts=True)
+        self.V = 256.0
+        self.add_k = add_k
+        self.tri_keys, self.tri_counts = tri_keys, tri_counts.astype(np.float64)
+        self.bi_keys, self.bi_counts = bi_keys, bi_counts.astype(np.float64)
+
+    def _lookup(self, keys: np.ndarray, table_keys: np.ndarray, table_vals: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(table_keys, keys)
+        idx = np.clip(idx, 0, len(table_keys) - 1)
+        hit = table_keys[idx] == keys
+        return np.where(hit, table_vals[idx], 0.0)
+
+    def score(self, text: str) -> float:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
+        if len(b) < 3:
+            return float(self.V)
+        tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+        bi = (b[:-2] << 8) | b[1:-1]
+        c_tri = self._lookup(tri, self.tri_keys, self.tri_counts)
+        c_bi = self._lookup(bi, self.bi_keys, self.bi_counts)
+        logp = np.log((c_tri + self.add_k) / (c_bi + self.add_k * self.V))
+        return float(np.exp(-logp.mean()))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["ppl"] = np.array([self.score(t) for t in batch[self.text_col].tolist()])
+        return batch

@@ -1,0 +1,55 @@
+"""PII / toxicity scrubbing — compiled-regex actor-pool stage.
+
+The regex set is compiled once per actor in ``__init__`` (the
+reference's stateful-transform pattern, ray_transformation.py:30-74)
+and applied per batch. Patterns are RE2-compatible (no lookaround /
+backrefs) so the DuckDB oracle (`regexp_replace(..., 'g')`) produces
+byte-identical output — that equivalence is the scrub half of the
+north rule's per-row invariant.
+
+Pattern application order is part of the contract (EMAIL before PHONE
+before IP before long digit runs) and must match the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# (name, pattern, replacement) — ORDER MATTERS and is mirrored in SQL.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("longnum", r"\b[0-9]{9,}\b", "<NUM>"),
+]
+
+TOXIC_WORDS = ["badword1", "badword2", "slur1"]  # placeholder lexicon
+_TOXIC_PATTERN = r"\b(" + "|".join(TOXIC_WORDS) + r")\b"
+
+
+class Scrubber:
+    """Callable actor class: rewrites ``text_col`` into ``out_col`` with
+    PII masked and lexicon words redacted."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_scrubbed",
+                 include_toxic: bool = True):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.patterns = [
+            (re.compile(pat), repl) for _, pat, repl in PII_PATTERNS
+        ]
+        if include_toxic:
+            self.patterns.append((re.compile(_TOXIC_PATTERN, re.IGNORECASE), "<TOX>"))
+
+    def scrub(self, text: str) -> str:
+        for rx, repl in self.patterns:
+            text = rx.sub(repl, text)
+        return text
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.out_col] = [self.scrub(t) for t in batch[self.text_col].tolist()]
+        return batch

@@ -1,0 +1,108 @@
+"""Vectorized per-document text statistics + quality-rule decisions.
+
+The Gopher/C4-style heuristic rules of the north rule, computed with
+``pyarrow.compute`` RE2 kernels only — no Python loop over rows. Every
+stat here has an exact DuckDB-SQL equivalent (both engines use RE2),
+which is what the driver's oracle compares against.
+
+This is the quality-filter analog of the reference's on-demand feature
+transformations (on_demand_feature_view.py:116-210): derived columns
+computed from raw features at read time, fixed declared schema.
+
+Rules (priority order decides ``drop_reason``):
+  too_short      n_words < 20
+  too_long       n_words > 5000
+  word_len       mean_word_len outside [2.5, 8]
+  no_stopwords   stop_count < 2
+  too_many_digits digit_frac > 0.2
+  too_many_symbols symbol_frac > 0.1
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORD_PATTERN = r"\b(the|a|and|of|to|in|is|it)\b"
+
+MIN_WORDS = 20
+MAX_WORDS = 5000
+MIN_MEAN_WORD_LEN = 2.5
+MAX_MEAN_WORD_LEN = 8.0
+MIN_STOPWORDS = 2
+MAX_DIGIT_FRAC = 0.2
+MAX_SYMBOL_FRAC = 0.1
+
+
+def compute_textstats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars, n_words, mean_word_len, digit_frac, symbol_frac,
+    stop_count columns. All pyarrow.compute — zero Python per row."""
+    text = tbl[text_col]
+    n_chars = pc.utf8_length(text)
+    n_words = pc.count_substring_regex(text, r"\S+")
+    n_nonws = pc.count_substring_regex(text, r"\S")
+    n_digit = pc.count_substring_regex(text, "[0-9]")
+    n_sym = pc.count_substring_regex(text, r"[^0-9A-Za-z\s]")
+    stop_count = pc.count_substring_regex(pc.utf8_lower(text), STOPWORD_PATTERN)
+
+    nw = pc.cast(n_words, pa.float64())
+    nc = pc.cast(n_chars, pa.float64())
+    safe_nw = pc.if_else(pc.equal(n_words, 0), pa.scalar(1.0), nw)
+    safe_nc = pc.if_else(pc.equal(n_chars, 0), pa.scalar(1.0), nc)
+    mean_word_len = pc.divide(pc.cast(n_nonws, pa.float64()), safe_nw)
+    digit_frac = pc.divide(pc.cast(n_digit, pa.float64()), safe_nc)
+    symbol_frac = pc.divide(pc.cast(n_sym, pa.float64()), safe_nc)
+
+    for name, col in [
+        ("n_chars", pc.cast(n_chars, pa.int64())),
+        ("n_words", pc.cast(n_words, pa.int64())),
+        ("mean_word_len", mean_word_len),
+        ("digit_frac", digit_frac),
+        ("symbol_frac", symbol_frac),
+        ("stop_count", pc.cast(stop_count, pa.int64())),
+    ]:
+        tbl = tbl.append_column(name, col)
+    return tbl
+
+
+def apply_quality_rules(tbl: pa.Table) -> pa.Table:
+    """Append keep (bool) + drop_reason (string, null when kept) from
+    the stat columns. Rule priority fixed; mirrored in oracle SQL."""
+    n_words = tbl["n_words"]
+    mwl = tbl["mean_word_len"]
+    rules = [
+        ("too_short", pc.less(n_words, MIN_WORDS)),
+        ("too_long", pc.greater(n_words, MAX_WORDS)),
+        (
+            "word_len",
+            pc.or_(pc.less(mwl, MIN_MEAN_WORD_LEN), pc.greater(mwl, MAX_MEAN_WORD_LEN)),
+        ),
+        ("no_stopwords", pc.less(tbl["stop_count"], MIN_STOPWORDS)),
+        ("too_many_digits", pc.greater(tbl["digit_frac"], MAX_DIGIT_FRAC)),
+        ("too_many_symbols", pc.greater(tbl["symbol_frac"], MAX_SYMBOL_FRAC)),
+    ]
+    reason = pa.nulls(len(tbl), pa.string())
+    # apply in reverse so earlier rules take priority
+    for name, mask in reversed(rules):
+        reason = pc.if_else(mask, pa.scalar(name), reason)
+    keep = pc.is_null(reason)
+    tbl = tbl.append_column("keep", keep)
+    tbl = tbl.append_column("drop_reason", reason)
+    return tbl
+
+
+def repetition_stats(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc repetition metrics (Gopher-style, not SQL-expressible):
+    duplicate word-2gram fraction and top-word fraction."""
+    dup2 = np.zeros(len(texts))
+    topw = np.zeros(len(texts))
+    for i, t in enumerate(texts):
+        words = t.split()
+        if len(words) < 2:
+            continue
+        grams = list(zip(words[:-1], words[1:]))
+        dup2[i] = 1.0 - len(set(grams)) / len(grams)
+        vals, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+        topw[i] = counts.max() / len(words)
+    return dup2, topw

@@ -1,0 +1,201 @@
+"""The flagship pipeline: web-text quality filter.
+
+Recasts the reference's materialization loop (feature_store.py:2788,
+compute_engines/base.py:113 → Source→Transform→Filter→Dedup→Validate→
+Output, feature_builder.py:81-142) as per-document feature computation
+per the north rule:
+
+    read pages → validate → extract (html→text, byte-stable) →
+    drop html payload → dedup latest crawl per url →
+    textstats (vectorized Arrow) → langid (actor pool) →
+    perplexity (actor pool) → decide keep/drop →
+    scrub kept text (actor pool) → output
+
+Everything is one lazy Ray Dataset chain (the reference's DerivedRead
+chaining, ray/nodes.py:769-834, without the disk round-trip). Scale
+notes inline; the fat ``html`` column is dropped immediately after
+extraction so the shuffle (url dedup) never carries it twice.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from feast_ray.functions.extract import EXTRACTOR_VERSION, extract_batch
+from feast_ray.functions.langid import LangIdModel
+from feast_ray.functions.perplexity import PerplexityModel
+from feast_ray.functions.scrub import Scrubber
+from feast_ray.functions.textstats import apply_quality_rules, compute_textstats
+from feast_ray.schema import WEBPAGE_SCHEMA, Schema
+from feast_ray.stages.aggregate import AggSpec, grouped_agg
+from feast_ray.stages.dedup import keep_latest
+from feast_ray.stages.validate import validate_stage
+
+# additional (non-SQL) rules on top of textstats' heuristic set
+MAX_PPL = 160.0          # byte-trigram perplexity vs seed corpus
+MIN_LANG_CONF = 0.0      # lang rule: drop only 'und' by default
+
+OUTPUT_SCHEMA = Schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("lang_pred", pa.string()),
+        ("lang_conf", pa.float64()),
+        ("n_chars", pa.int64()),
+        ("n_words", pa.int64()),
+        ("mean_word_len", pa.float64()),
+        ("digit_frac", pa.float64()),
+        ("symbol_frac", pa.float64()),
+        ("stop_count", pa.int64()),
+        ("ppl", pa.float64()),
+        ("keep", pa.bool_()),
+        ("drop_reason", pa.string()),
+        ("text_scrubbed", pa.string()),
+    ]
+)
+
+
+def domain_of(urls: "pa.ChunkedArray | pa.Array"):
+    """Vectorized url → domain (for per-domain metrics / salting)."""
+    stripped = pc.replace_substring_regex(urls, r"^https?://", "")
+    return pc.replace_substring_regex(stripped, r"/.*$", "")
+
+
+def _model_rules(tbl: pa.Table) -> pa.Table:
+    """Fold the model-based rules (perplexity, language) into
+    keep/drop_reason, after the heuristic rules. Priority: heuristic
+    reasons stay; then 'lang_unknown'; then 'high_perplexity'."""
+    reason = tbl["drop_reason"]
+    lang_bad = pc.or_(
+        pc.equal(tbl["lang_pred"], "und"),
+        pc.less(tbl["lang_conf"], MIN_LANG_CONF),
+    )
+    ppl_bad = pc.greater(tbl["ppl"], MAX_PPL)
+    reason = pc.if_else(
+        pc.is_null(reason),
+        pc.if_else(
+            lang_bad,
+            pa.scalar("lang_unknown"),
+            pc.if_else(ppl_bad, pa.scalar("high_perplexity"), pa.nulls(len(tbl), pa.string())),
+        ),
+        reason,
+    )
+    keep = pc.is_null(reason)
+    tbl = tbl.set_column(tbl.schema.get_field_index("keep"), "keep", keep)
+    tbl = tbl.set_column(tbl.schema.get_field_index("drop_reason"), "drop_reason", reason)
+    return tbl
+
+
+def quality_filter(
+    pages: ray.data.Dataset,
+    *,
+    dedup: bool = True,
+    keep_only: bool = False,
+    model_concurrency=(1, 8),
+    validate_input: bool = True,
+) -> ray.data.Dataset:
+    """Build the full lazy pipeline over a pages Dataset with schema
+    (url, warc_ts, html, text, lang). Returns one row per (deduped)
+    url with features, decision and scrubbed text (OUTPUT_SCHEMA).
+
+    ``keep_only=True`` filters to kept docs (the production corpus
+    output); the default keeps drop rows too so metrics/F1 can be
+    computed downstream from the same stream.
+    """
+    ds = pages
+    if validate_input:
+        ds = validate_stage(ds, WEBPAGE_SCHEMA, strict=False)
+
+    # extract, then drop the fat payload column immediately: the url
+    # dedup below is a shuffle and must not carry html bytes
+    ds = ds.map_batches(
+        lambda t: extract_batch(t, "html", "extracted_text").drop_columns(["html", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if dedup:
+        # latest crawl per url — PIT invariant analog (SURVEY.md §2.2)
+        ds = keep_latest(ds, ["url"], "warc_ts", mode="global")
+
+    ds = ds.map_batches(
+        lambda t: compute_textstats(t, "extracted_text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        LangIdModel,
+        fn_constructor_kwargs={"text_col": "extracted_text"},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=model_concurrency,
+    )
+    ds = ds.map_batches(
+        PerplexityModel,
+        fn_constructor_kwargs={"text_col": "extracted_text"},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=model_concurrency,
+    )
+    ds = ds.map_batches(apply_quality_rules, batch_format="pyarrow")
+    ds = ds.map_batches(_model_rules, batch_format="pyarrow")
+
+    if keep_only:
+        ds = ds.map_batches(
+            lambda t: t.filter(t["keep"]), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # scrub only kept rows' text (dropped rows get null scrubbed text)
+    class _KeptScrubber(Scrubber):
+        def __call__(self, batch):
+            import numpy as np
+
+            out = super().__call__(batch)
+            if "keep" in out.columns:
+                out.loc[~out["keep"].astype(bool), self.out_col] = None
+            return out
+
+    ds = ds.map_batches(
+        _KeptScrubber,
+        fn_constructor_kwargs={"text_col": "extracted_text", "out_col": "text_scrubbed"},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=model_concurrency,
+    )
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        cols = {name: tbl[name] for name in OUTPUT_SCHEMA.names if name in tbl.column_names}
+        return pa.table(cols)
+
+    return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def quality_metrics(result: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-(domain, drop_reason) lineage metrics over the pipeline
+    output — the reference's monitoring/registry records
+    (monitoring_utils.py:24-60) as a grouped aggregate. Two-phase agg
+    makes the hot domain cost one partial row per block (skew-safe)."""
+
+    def _add_domain(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.append_column("domain", domain_of(tbl["url"]))
+        reason = pc.fill_null(tbl["drop_reason"], "kept")
+        return tbl.set_column(
+            tbl.schema.get_field_index("drop_reason"), "drop_reason", reason
+        )
+
+    with_domain = result.map_batches(_add_domain, batch_format="pyarrow")
+    return grouped_agg(
+        with_domain,
+        ["domain", "drop_reason"],
+        [
+            AggSpec(None, "count", "n_docs"),
+            AggSpec("n_words", "sum", "total_words"),
+            AggSpec("ppl", "mean", "avg_ppl"),
+        ],
+    )
+
+
+PIPELINE_VERSION = f"quality_filter/1.0.0+extractor-{EXTRACTOR_VERSION}"

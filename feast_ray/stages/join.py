@@ -1,0 +1,273 @@
+"""Join stages: broadcast hash join, as-of (point-in-time) join,
+partitioned hash join, cross join.
+
+Semantics reproduced:
+- entity point-in-time join, backward as-of with optional TTL and
+  (event_ts, created_ts) tie-breaking (dask.py:146-365 & :1093-1270;
+  ray/nodes.py:104-211; broadcast variant ray_shared_utils.py:329-465,
+  windowed co-partitioned variant :468-550);
+- cross join for keyless/dummy-entity views via a constant ``__tmp``
+  key (dask.py:1093-1120);
+- entity mapping (join_key_map) = rename-before-join
+  (SURVEY.md §2.6) — pass ``field_mapping`` at the source instead.
+
+Scale design:
+- **small right side → broadcast**: the right table is ``ray.put`` once
+  and joined per batch with pyarrow's C++ hash join — no shuffle, the
+  canonical dimension-table pattern. The reference uses a 100 MB
+  threshold (ray/nodes.py:182-199); callers here choose explicitly.
+- **both sides large → partitioned**: add ``bucket = hash(key) % B`` to
+  both sides, union tagged, ``groupby(bucket)`` and join per bucket.
+  Partitioning assumption (documented per SURVEY.md): all rows of one
+  bucket fit in a worker's heap; raise B for bigger data. As-of joins
+  co-partition on the `by` key itself (assumption: one key's rows fit).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
+
+
+def _to_arrow(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    if isinstance(obj, ray.data.Dataset):
+        # only for small sides — this materializes
+        return pa.Table.from_pandas(obj.to_pandas(), preserve_index=False)
+    raise TypeError(type(obj))
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right,
+    on: list[str] | str,
+    *,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Join a Dataset against a SMALL in-memory right side (pa.Table /
+    pandas / small Dataset). The right side is put in the object store
+    once and read zero-copy by every task; the per-batch join is
+    pyarrow's C++ hash join."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_keys = [right_on] if isinstance(right_on, str) else list(right_on or on)
+    rt = _to_arrow(right)
+    if right_keys != on:
+        rename = dict(zip(right_keys, on))
+        rt = rt.rename_columns([rename.get(c, c) for c in rt.column_names])
+    ref = ray.put(rt)
+    join_type = _JOIN_TYPE[how]
+
+    def _join(tbl: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        # harmonize key dtypes (e.g. int32 vs int64) and dodge
+        # non-key name collisions
+        for k in on:
+            lt = tbl.schema.field(k).type
+            if not r.schema.field(k).type.equals(lt):
+                r = r.set_column(r.schema.get_field_index(k), k, r[k].cast(lt))
+        overlap = (set(tbl.column_names) & set(r.column_names)) - set(on)
+        if overlap:
+            r = r.rename_columns(
+                [c + right_suffix if c in overlap else c for c in r.column_names]
+            )
+        return tbl.join(r, keys=on, join_type=join_type)
+
+    return left.map_batches(_join, batch_format="pyarrow")
+
+
+def cross_join(left: ray.data.Dataset, right) -> ray.data.Dataset:
+    """Cartesian product with a small right side (keyless-view pattern,
+    dask.py:1093-1120)."""
+    rt = _to_arrow(right)
+    ref = ray.put(rt)
+
+    def _cross(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref).to_pandas()
+        df = df.copy()
+        df["__tmp"] = 1
+        r = r.copy()
+        r["__tmp"] = 1
+        out = df.merge(r, on="__tmp")
+        return out.drop(columns="__tmp")
+
+    return left.map_batches(_cross, batch_format="pandas")
+
+
+def _prep_asof_right(rdf: pd.DataFrame, right_ts: str, created_ts: str | None) -> pd.DataFrame:
+    order = [right_ts] + ([created_ts] if created_ts else [])
+    rdf = rdf.sort_values(order, kind="stable", na_position="first")
+    if created_ts:
+        rdf = rdf.drop(columns=[created_ts])
+    return rdf.reset_index(drop=True)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right,
+    *,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | str,
+    ttl: timedelta | None = None,
+    created_ts: str | None = None,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Broadcast backward as-of join: for each left row, the newest
+    right row with ``right_ts <= left_ts`` (and ``>= left_ts - ttl``
+    when ttl is set), per `by` key; ties on right_ts broken by
+    created_ts (PIT semantics, dask.py:1167-1270).
+
+    The right side must be small (broadcast). For two large sides use
+    :func:`copartitioned_asof_join`.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    rdf = _to_arrow(right).to_pandas()
+    rdf = _prep_asof_right(rdf, right_ts, created_ts)
+    ref = ray.put(rdf)
+    same_ts_name = left_ts == right_ts
+
+    def _asof(df: pd.DataFrame) -> pd.DataFrame:
+        r: pd.DataFrame = ray.get(ref)
+        overlap = (set(df.columns) & set(r.columns)) - set(by)
+        if same_ts_name:
+            overlap -= {right_ts}
+        if overlap:
+            r = r.rename(columns={c: c + right_suffix for c in overlap})
+        df = df.sort_values(left_ts, kind="stable").reset_index(drop=True)
+        out = pd.merge_asof(
+            df,
+            r,
+            left_on=left_ts,
+            right_on=right_ts if not same_ts_name else None,
+            on=left_ts if same_ts_name else None,
+            by=by,
+            direction="backward",
+            tolerance=ttl,
+            allow_exact_matches=True,
+            suffixes=("", right_suffix),
+        )
+        return out
+
+    return left.map_batches(_asof, batch_format="pandas")
+
+
+def copartitioned_asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | str,
+    ttl: timedelta | None = None,
+    created_ts: str | None = None,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Distributed as-of join for two large sides: tag rows with their
+    side, align columns, union, shuffle by the `by` key(s), and run the
+    per-group merge_asof (ray_shared_utils.py:468-550 recast).
+
+    Partitioning assumption: all rows of one `by` key fit in one
+    worker's heap (bucket by (key, time-window) if that breaks).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    side = "__side"
+
+    def _tag(val):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[side] = val
+            return df
+
+        return _t
+
+    lt = left.map_batches(_tag("L"), batch_format="pandas")
+    rt = right.map_batches(_tag("R"), batch_format="pandas")
+    from feast_ray.stages.relational import union_align
+
+    both = union_align([lt, rt])
+
+    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g[side] == "L"].dropna(axis=1, how="all")
+        rdf = g[g[side] == "R"].dropna(axis=1, how="all")
+        ldf = ldf.drop(columns=[side])
+        rdf = rdf.drop(columns=[side])
+        if len(ldf) == 0:
+            return ldf
+        rdf = _prep_asof_right(rdf, right_ts, created_ts) if len(rdf) else rdf
+        overlap = (set(ldf.columns) & set(rdf.columns)) - set(by)
+        same = left_ts == right_ts
+        if same:
+            overlap -= {right_ts}
+        if overlap:
+            rdf = rdf.rename(columns={c: c + right_suffix for c in overlap})
+        ldf = ldf.sort_values(left_ts, kind="stable").reset_index(drop=True)
+        if len(rdf) == 0:
+            return ldf
+        return pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts if not same else None,
+            on=left_ts if same else None,
+            by=by,
+            direction="backward",
+            tolerance=ttl,
+            allow_exact_matches=True,
+            suffixes=("", right_suffix),
+        )
+
+    return both.groupby(by).map_groups(_per_key, batch_format="pandas")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 32,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Partitioned hash join for two LARGE sides: co-partition both on
+    ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
+    assumption: one bucket (both sides) fits in a worker's heap —
+    raise ``num_buckets`` with data size; salt hot keys upstream."""
+    on = [on] if isinstance(on, str) else list(on)
+    bucket, side = "__bucket", "__side"
+
+    def _tag(val):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(df[on].astype(str), index=False).to_numpy()
+            df[bucket] = (h % num_buckets).astype(np.int64)
+            df[side] = val
+            return df
+
+        return _t
+
+    lt = left.map_batches(_tag("L"), batch_format="pandas")
+    rt = right.map_batches(_tag("R"), batch_format="pandas")
+    from feast_ray.stages.relational import union_align
+
+    both = union_align([lt, rt])
+
+    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ldf = g[g[side] == "L"].dropna(axis=1, how="all").drop(columns=[side, bucket])
+        rdf = g[g[side] == "R"].dropna(axis=1, how="all").drop(columns=[side, bucket])
+        if len(ldf) == 0:
+            return ldf
+        return ldf.merge(rdf, on=on, how=how, suffixes=("", right_suffix))
+
+    return both.groupby(bucket).map_groups(_per_bucket, batch_format="pandas")

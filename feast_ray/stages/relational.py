@@ -1,0 +1,94 @@
+"""Distinct / top-k / union-align — the reference's set-op surface
+(SURVEY.md §2.7): `_make_distinct_by_keys`
+(contrib/ray_offline_store/ray.py:1357), `_align_and_union_entities_ray`
+(:1341-1398), sort/limit wrappers (ray_shared_utils.py:133-191), top-n
+categorical frequencies (dask.py:857).
+
+Scale design: distinct and top-k both pre-reduce inside each block
+before any shuffle — distinct rows per block, per-block top-k — so the
+wide step only sees the reduced stream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distinct rows of ``cols``: per-block dedup (Arrow C++ group_by)
+    then a grouped reduce."""
+
+    def _block_distinct(tbl: pa.Table) -> pa.Table:
+        return tbl.select(cols).group_by(cols).aggregate([])
+
+    pre = ds.map_batches(_block_distinct, batch_format="pyarrow")
+    agg = pre.groupby(cols).aggregate(Count(alias_name="__cnt"))
+    return agg.map_batches(
+        lambda t: t.drop_columns(["__cnt"]), batch_format="pyarrow"
+    )
+
+
+def topk(
+    ds: ray.data.Dataset,
+    by: list[str] | str,
+    k: int,
+    descending: bool | list[bool] = True,
+) -> ray.data.Dataset:
+    """Top-k rows by ``by``: per-block top-k, coalesce the (tiny)
+    survivors, final top-k. Avoids a global sort shuffle."""
+    by = [by] if isinstance(by, str) else list(by)
+    asc = (
+        [not descending] * len(by)
+        if isinstance(descending, bool)
+        else [not d for d in descending]
+    )
+
+    def _block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="stable").head(k)
+
+    pre = ds.map_batches(_block_topk, batch_format="pandas")
+    return pre.repartition(1).map_batches(_block_topk, batch_format="pandas")
+
+
+def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
+    """Union datasets after aligning their column sets (missing columns
+    become nulls), mirroring `_align_and_union_entities_ray`."""
+    import numpy as np
+
+    def _to_pa_type(typ) -> pa.DataType:
+        if isinstance(typ, pa.DataType):
+            return typ
+        # pandas-backed blocks report numpy dtypes; object ≈ string
+        if isinstance(typ, np.dtype):
+            if typ == np.dtype("O"):
+                return pa.string()
+            return pa.from_numpy_dtype(typ)
+        return pa.string()
+
+    schemas = [ds.schema() for ds in datasets]
+    all_fields: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            all_fields.setdefault(name, _to_pa_type(typ))
+    order = list(all_fields)
+
+    def _align(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        cols = []
+        for name in order:
+            if name in tbl.column_names:
+                cols.append(tbl[name])
+            else:
+                cols.append(pa.nulls(n, all_fields[name]))
+        return pa.table(dict(zip(order, cols)))
+
+    aligned = [
+        ds.map_batches(_align, batch_format="pyarrow") for ds in datasets
+    ]
+    out = aligned[0]
+    for other in aligned[1:]:
+        out = out.union(other)
+    return out

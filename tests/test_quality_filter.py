@@ -1,0 +1,101 @@
+"""Flagship-pipeline correctness: golden-oracle comparison + the north
+rule's two invariants (byte-identical extracted text per url; keep/drop
+F1 ≥ 0.99 vs reference labels)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_ray.pipelines import quality_filter, quality_metrics
+from feast_ray.sources import synth_webpages
+from feast_ray.sources.webpages import webpages_table
+from tests.oracle_quality import oracle_quality_filter
+
+
+@pytest.fixture(scope="module")
+def result_and_oracle(sf_small):
+    pages = synth_webpages(sf_small)
+    got = quality_filter(pages).to_pandas().sort_values("url").reset_index(drop=True)
+    exp = (
+        oracle_quality_filter(webpages_table(sf_small).to_pandas())
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    return got, exp
+
+
+def test_one_row_per_url_latest(result_and_oracle, sf_small):
+    got, exp = result_and_oracle
+    assert got["url"].is_unique
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got["warc_ts"], exp["warc_ts"], check_names=False, check_dtype=False
+    )
+
+
+def test_keep_drop_f1(result_and_oracle):
+    got, exp = result_and_oracle
+    y_true = exp["keep"].to_numpy(dtype=bool)
+    y_pred = got["keep"].to_numpy(dtype=bool)
+    tp = (y_true & y_pred).sum()
+    fp = (~y_true & y_pred).sum()
+    fn = (y_true & ~y_pred).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1}: disagreements={np.flatnonzero(y_true != y_pred)[:10]}"
+    # and drop reasons agree exactly
+    assert (
+        got["drop_reason"].fillna("kept") == exp["drop_reason"].fillna("kept")
+    ).all()
+
+
+def test_scrubbed_text_byte_identical(result_and_oracle):
+    got, exp = result_and_oracle
+    kept = exp["keep"].to_numpy(dtype=bool)
+    assert (got.loc[kept, "text_scrubbed"] == exp.loc[kept, "text_scrubbed"]).all()
+    assert got.loc[~kept, "text_scrubbed"].isna().all()
+
+
+def test_extraction_byte_identity_roundtrip(sf_small):
+    """extract(make_html(text)) == text, byte for byte, for every doc
+    — checked against the INDEPENDENT oracle extractor too."""
+    from feast_ray.functions.extract import extract_text
+    from tests.oracle_quality import oracle_extract
+
+    wt = webpages_table(sf_small).to_pandas()
+    for h, t in zip(wt["html"], wt["text"]):
+        e1 = extract_text(h)
+        e2 = oracle_extract(h)
+        assert e1 == t
+        assert e2 == t
+
+
+def test_scrubber_patterns():
+    from feast_ray.functions.scrub import Scrubber
+
+    s = Scrubber()
+    assert s.scrub("mail me at bob.smith+x@foo-bar.example.com now") == "mail me at <EMAIL> now"
+    assert s.scrub("call +1-555-123-4567 ok") == "call <PHONE> ok"
+    assert s.scrub("host 192.168.10.1 up") == "host <IP> up"
+    assert s.scrub("ssn 123-45-6789 .") == "ssn <SSN> ."
+    assert s.scrub("card 4111111111111111 x") == "card <NUM> x"
+    assert s.scrub("you badword1 person") == "you <TOX> person"
+
+
+def test_metrics(sf_small):
+    pages = synth_webpages(sf_small)
+    res = quality_filter(pages)
+    m = quality_metrics(res).to_pandas()
+    assert {"domain", "drop_reason", "n_docs", "total_words", "avg_ppl"} <= set(m.columns)
+    # hot domain must be present (skew fixture) and totals must add up
+    assert (m["domain"] == "big-portal.example.com").any()
+    assert m["n_docs"].sum() == res.count()
+
+
+def test_dedup_picks_edited_recrawl(sf_small):
+    """Urls with an edited second crawl must surface the edited text."""
+    got = quality_filter(synth_webpages(sf_small)).to_pandas()
+    wt = webpages_table(sf_small).to_pandas()
+    edited_urls = wt[wt["text"].str.endswith("updated edition")]["url"].unique()
+    assert len(edited_urls) > 0
+    sub = got[got["url"].isin(edited_urls) & got["keep"]]
+    assert sub["text_scrubbed"].str.endswith("updated edition").all()

@@ -1,0 +1,318 @@
+"""Operator tests against DuckDB / pandas oracles (the reference's
+golden-oracle pattern, tests/utils/feature_records.py)."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_ray.sources import read_table
+from feast_ray.stages import (
+    AggSpec,
+    asof_join,
+    broadcast_join,
+    cross_join,
+    distinct,
+    grouped_agg,
+    hash_join,
+    keep_latest,
+    topk,
+    ttl_filter,
+    union_align,
+    windowed_agg,
+)
+from feast_ray.stages.join import copartitioned_asof_join
+
+
+def test_grouped_agg_matches_duckdb(sf_small, duck):
+    li = read_table(sf_small, "lineitem")
+    out = (
+        grouped_agg(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            [
+                AggSpec("l_quantity", "sum", "sum_qty"),
+                AggSpec("l_quantity", "mean", "avg_qty"),
+                AggSpec("l_quantity", "std", "std_qty"),
+                AggSpec("l_quantity", "var", "var_qty"),
+                AggSpec("l_quantity", "min", "min_qty"),
+                AggSpec("l_quantity", "max", "max_qty"),
+                AggSpec(None, "count", "n"),
+                AggSpec("l_extendedprice", "count_distinct", "n_prices"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """select l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+           avg(l_quantity) avg_qty, stddev_samp(l_quantity) std_qty,
+           var_samp(l_quantity) var_qty, min(l_quantity) min_qty,
+           max(l_quantity) max_qty, count(*) n,
+           count(distinct l_extendedprice) n_prices
+           from lineitem group by 1,2 order by 1,2"""
+    ).fetchdf()
+    for c in ["sum_qty", "avg_qty", "std_qty", "var_qty", "min_qty", "max_qty"]:
+        np.testing.assert_allclose(out[c], exp[c], err_msg=c)
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (out["n_prices"].to_numpy() == exp["n_prices"].to_numpy()).all()
+
+
+def test_global_agg(sf_small, duck):
+    li = read_table(sf_small, "lineitem", columns=["l_quantity"])
+    out = grouped_agg(li, [], [AggSpec("l_quantity", "sum", "s"), AggSpec(None, "count", "n")]).to_pandas()
+    s, n = duck.execute("select sum(l_quantity), count(*) from lineitem").fetchone()
+    assert len(out) == 1
+    assert out["s"][0] == pytest.approx(s)
+    assert out["n"][0] == n
+
+
+def test_keep_latest_matches_duckdb(sf_small, duck):
+    ev = read_table(sf_small, "events")
+    out = keep_latest(ev, ["user_id"], "ts").to_pandas().sort_values("user_id")
+    exp = duck.execute(
+        """select * exclude(rn) from (select *, row_number() over
+           (partition by user_id order by ts desc, event_id desc) rn from events)
+           where rn=1 order by user_id"""
+    ).fetchdf()
+    # ts ties broken arbitrarily in ours; compare the (user_id, ts) pairs
+    assert (out["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (out["ts"].to_numpy() == exp["ts"].to_numpy()).all()
+
+
+def test_keep_latest_tiebreak_created():
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "event_ts": pd.to_datetime(["2024-01-02", "2024-01-02", "2024-01-01", "2024-01-01"]),
+            "created_ts": pd.to_datetime(["2024-02-01", "2024-02-02", "2024-03-01", None]),
+            "v": [10, 20, 30, 40],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = keep_latest(ds, ["k"], "event_ts", "created_ts").to_pandas().sort_values("k")
+    # k=1: event ties on 01-02 → created 02-02 wins → v=20; null created loses
+    assert out["v"].tolist() == [20, 40]
+
+
+def test_broadcast_join_matches_duckdb(sf_small, duck):
+    cust = read_table(sf_small, "customer")
+    nat = read_table(sf_small, "nation").to_pandas()
+    out = (
+        broadcast_join(cust, nat, on="c_nationkey", right_on="n_nationkey", how="left")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """select c.*, n.n_nationkey, n.n_name, n.n_regionkey from customer c
+           left join nation n on c.c_nationkey = n.n_nationkey order by c_custkey"""
+    ).fetchdf()
+    assert len(out) == len(exp)
+    assert (out["n_name"].to_numpy() == exp["n_name"].to_numpy()).all()
+
+
+def test_hash_join_matches_duckdb(sf_small, duck):
+    orders = read_table(sf_small, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_small, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    out = hash_join(orders, cust, on="o_custkey", how="inner", num_buckets=8).to_pandas()
+    exp = duck.execute(
+        """select count(*), sum(o_totalprice) from orders o join customer c
+           on o.o_custkey = c.c_custkey"""
+    ).fetchone()
+    assert len(out) == exp[0]
+    assert out["o_totalprice"].sum() == pytest.approx(exp[1])
+
+
+def test_asof_join_pandas_oracle(sf_small):
+    ev = read_table(sf_small, "events").to_pandas()
+    purchases = ev[ev.event_type == "purchase"][["user_id", "ts", "event_id"]]
+    clicks = ev[ev.event_type == "click"][["user_id", "ts", "value"]].rename(
+        columns={"ts": "click_ts", "value": "click_value"}
+    )
+    import ray.data
+
+    left = ray.data.from_pandas(purchases.reset_index(drop=True))
+    out = (
+        asof_join(left, clicks, left_ts="ts", right_ts="click_ts", by="user_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        purchases.sort_values("ts"),
+        clicks.sort_values("click_ts"),
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["click_value"], exp["click_value"])
+
+
+def test_asof_join_ttl(sf_small):
+    ev = read_table(sf_small, "events").to_pandas()
+    purchases = ev[ev.event_type == "purchase"][["user_id", "ts", "event_id"]]
+    clicks = ev[ev.event_type == "click"][["user_id", "ts", "value"]].rename(
+        columns={"ts": "click_ts", "value": "click_value"}
+    )
+    import ray.data
+
+    ttl = timedelta(hours=2)
+    left = ray.data.from_pandas(purchases.reset_index(drop=True))
+    out = (
+        asof_join(left, clicks, left_ts="ts", right_ts="click_ts", by="user_id", ttl=ttl)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        purchases.sort_values("ts"),
+        clicks.sort_values("click_ts"),
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        direction="backward",
+        tolerance=ttl,
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["click_value"], exp["click_value"])
+
+
+def test_copartitioned_asof_equals_broadcast(sf_small):
+    import ray.data
+
+    ev = read_table(sf_small, "events").to_pandas()
+    purchases = ev[ev.event_type == "purchase"][["user_id", "ts", "event_id"]]
+    clicks = ev[ev.event_type == "click"][["user_id", "ts", "value"]].rename(
+        columns={"ts": "click_ts", "value": "click_value"}
+    )
+    left = ray.data.from_pandas(purchases.reset_index(drop=True))
+    right = ray.data.from_pandas(clicks.reset_index(drop=True))
+    out_b = (
+        asof_join(left, clicks, left_ts="ts", right_ts="click_ts", by="user_id")
+        .to_pandas()
+        .sort_values("event_id")["click_value"]
+        .reset_index(drop=True)
+    )
+    out_c = (
+        copartitioned_asof_join(
+            left, right, left_ts="ts", right_ts="click_ts", by="user_id"
+        )
+        .to_pandas()
+        .sort_values("event_id")["click_value"]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(out_b, out_c)
+
+
+def test_ttl_filter(sf_small):
+    import pandas as pd
+
+    ev = read_table(sf_small, "events")
+    bound = pd.Timestamp("2024-01-10")
+    out = ttl_filter(ev, "ts", bound, ttl=timedelta(days=3), keep_null_ts=False).to_pandas()
+    assert (out["ts"] <= bound).all()
+    assert (out["ts"] >= bound - timedelta(days=3)).all()
+    assert len(out) > 0
+
+
+def test_distinct(sf_small, duck):
+    ev = read_table(sf_small, "events")
+    out = distinct(ev, ["event_type"]).to_pandas()
+    exp = duck.execute("select distinct event_type from events").fetchdf()
+    assert sorted(out["event_type"]) == sorted(exp["event_type"])
+
+
+def test_topk(sf_small, duck):
+    orders = read_table(sf_small, "orders")
+    out = topk(orders, "o_totalprice", 10).to_pandas()
+    exp = duck.execute(
+        "select o_totalprice from orders order by o_totalprice desc limit 10"
+    ).fetchdf()
+    np.testing.assert_allclose(
+        np.sort(out["o_totalprice"]), np.sort(exp["o_totalprice"])
+    )
+
+
+def test_union_align(sf_small):
+    import ray.data
+
+    a = ray.data.from_pandas(pd.DataFrame({"x": [1, 2], "y": ["a", "b"]}))
+    b = ray.data.from_pandas(pd.DataFrame({"x": [3], "z": [9.5]}))
+    out = union_align([a, b]).to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(out.columns) == ["x", "y", "z"]
+    assert out["x"].tolist() == [1, 2, 3]
+    assert out["z"].isna().tolist() == [True, True, False]
+
+
+def test_windowed_agg_tumbling(sf_small, duck):
+    ev = read_table(sf_small, "events")
+    out = (
+        windowed_agg(
+            ev,
+            ["user_id"],
+            "ts",
+            timedelta(hours=1),
+            [AggSpec("value", "sum", "sum_value"), AggSpec(None, "count", "n")],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """select user_id, time_bucket(interval '1 hour', ts) window_start,
+           sum(value) sum_value, count(*) n from events
+           group by 1,2 order by 1,2"""
+    ).fetchdf()
+    assert len(out) == len(exp)
+    np.testing.assert_allclose(out["sum_value"], exp["sum_value"])
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_windowed_agg_sliding(sf_small):
+    """Sliding window: every row appears in window//slide hops; check
+    against a pandas re-derivation."""
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "k": [1] * 6,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 00:35",
+                 "2024-01-01 00:50", "2024-01-01 01:05", "2024-01-01 01:20"]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        windowed_agg(ds, ["k"], "ts", timedelta(hours=1), [AggSpec("v", "sum", "s")],
+                     slide=timedelta(minutes=30))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # oracle: for each slide-aligned start, sum rows in [start, start+1h)
+    starts = sorted(out["window_start"].unique())
+    for st in starts:
+        mask = (df["ts"] >= st) & (df["ts"] < st + timedelta(hours=1))
+        expected = df.loc[mask, "v"].sum()
+        got = out.loc[out["window_start"] == st, "s"].iloc[0]
+        assert got == pytest.approx(expected), st
+
+
+def test_cross_join(sf_small):
+    import ray.data
+
+    left = ray.data.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+    right = pd.DataFrame({"b": ["x", "y"]})
+    out = cross_join(left, right).to_pandas()
+    assert len(out) == 6
+    assert set(map(tuple, out.values)) == {(i, c) for i in [1, 2, 3] for c in ["x", "y"]}
