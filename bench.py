@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "pages": ...}
+
+``--scaling``: runs the same bench twice in fresh subprocesses at 8 and
+32 CPUs on the same input and prints both throughputs + scaling
+efficiency (the sandbox stand-in for the north rule's N vs 4N-node
+clusters; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# pages are replicated so the flagship processes a non-trivial corpus
+# (sf0.1 documents is only 5k rows); factor fixed for comparability
+PAGE_REPLICATE = int(os.environ.get("GRAFT_PAGE_REPLICATE", "20"))
+
+
+def _consume(ds) -> int:
+    """Stream the dataset to completion without driver materialization."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data
+
+    from feast_ray.pipelines.quality_filter import quality_filter
+    from feast_ray.pipelines.queries import QUERIES
+    from feast_ray.sources.webpages import webpages_parquet_dir
+
+    # materialize the synthetic page corpus to parquet once (cached) and
+    # warm the page cache so we measure compute, not first disk read
+    pages_dir = webpages_parquet_dir(SF_DIR, replicate=PAGE_REPLICATE)
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship quality filter, read → ... → streamed consume
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(pages_dir)
+    n_pages = _consume(quality_filter(pages, validate_input=False))
+    headline = time.perf_counter() - t0
+    timings["quality_filter"] = round(headline, 3)
+
+    bench_queries = [
+        "q01_pricing_summary",
+        "q02_revenue_by_nation",
+        "q03_top_customers",
+        "q07_latest_event_per_user",
+        "q08_asof_click_before_purchase",
+        "q10_hourly_user_activity",
+        "q12_users_per_type",
+        "q16_quality_filter_docs",
+        "q19_exact_dedup_docs",
+        "q21_ann_cosine_topk",
+        "q25_minhash_dedup_docs",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "quality_filter_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = _run(lo), _run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -197,16 +197,14 @@ def simhash64(text: str) -> int:
     words = text.split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in words:
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    digests = np.frombuffer(
+        b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in words),
+        dtype=np.uint8,
+    ).reshape(len(words), 8)
+    bits = np.unpackbits(digests, axis=1)  # (n_words, 64)
+    acc = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
+    out_bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
 
 
 def hamming64(a: int, b: int) -> int:
@@ -220,9 +218,8 @@ class SimHasher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["simhash"] = np.array(
-            [np.int64(np.uint64(simhash64(t)).astype(np.int64)) for t in batch[self.text_col].tolist()],
-            dtype=np.int64,
-        )
+            [simhash64(t) for t in batch[self.text_col].tolist()], dtype=np.uint64
+        ).view(np.int64)
         return batch
 
 

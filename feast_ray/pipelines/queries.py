@@ -1,0 +1,858 @@
+"""The engine's query catalog: every implemented operator/pipeline as a
+callable over an sf_dir, each paired (where SQL-expressible) with a
+DuckDB oracle in ``oracle_sql()`` — the reference's golden-oracle test
+pattern (tests/utils/feature_records.py) wired into the driver contract.
+
+Float determinism convention (bit-exact across engines): aggregate
+sums over decimal columns are computed on integer "cents"
+(``floor(x*SCALE + 0.5)`` as int64) and divided back once at the end —
+integer sums are order-independent, so Ray's distributed partial sums
+and DuckDB's sequential sums produce identical doubles. Derived stats
+(mean/std) are then computed from those identical ints with identical
+formulas on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from feast_ray.sources import read_table, synth_webpages
+from feast_ray.stages import (
+    AggSpec,
+    asof_join,
+    broadcast_join,
+    distinct,
+    grouped_agg,
+    keep_latest,
+    topk,
+    union_align,
+    windowed_agg,
+)
+from feast_ray.functions.textstats import (
+    MAX_DIGIT_FRAC,
+    MAX_MEAN_WORD_LEN,
+    MAX_SYMBOL_FRAC,
+    MAX_WORDS,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORDS,
+    MIN_WORDS,
+    STOPWORD_PATTERN,
+    compute_textstats,
+    apply_quality_rules,
+)
+
+
+def _cents(tbl: pa.Table, col: str, out: str, scale: float = 10000.0) -> pa.Table:
+    v = pc.floor(pc.add(pc.multiply(tbl[col], pa.scalar(scale)), pa.scalar(0.5)))
+    return tbl.append_column(out, pc.cast(v, pa.int64()))
+
+
+_SQL_CENTS = "cast(floor({expr} * {scale} + 0.5) as bigint)"
+
+
+# --------------------------------------------------------------------- q01
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (Aggregate node, SURVEY §2.1 #5)."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = _cents(t, "l_quantity", "qty_c")
+        t = _cents(t, "l_extendedprice", "price_c")
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        t = _cents(t, "disc_price", "disc_price_c")
+        return t
+
+    agg = grouped_agg(
+        li.map_batches(_prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("qty_c", "sum", "qty_sum_c"),
+            AggSpec("price_c", "sum", "price_sum_c"),
+            AggSpec("disc_price_c", "sum", "disc_sum_c"),
+            AggSpec(None, "count", "count_order"),
+        ],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].astype("float64")
+        out = df[["l_returnflag", "l_linestatus", "count_order"]].copy()
+        out["sum_qty"] = df["qty_sum_c"] / 10000.0
+        out["sum_base_price"] = df["price_sum_c"] / 10000.0
+        out["sum_disc_price"] = df["disc_sum_c"] / 10000.0
+        out["avg_qty"] = (df["qty_sum_c"] / 10000.0) / n
+        out["avg_price"] = (df["price_sum_c"] / 10000.0) / n
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q01_SQL = f"""
+select l_returnflag, l_linestatus, count(*) as count_order,
+  sum({_SQL_CENTS.format(expr='l_quantity', scale=10000)}) / 10000.0 as sum_qty,
+  sum({_SQL_CENTS.format(expr='l_extendedprice', scale=10000)}) / 10000.0 as sum_base_price,
+  sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000)}) / 10000.0 as sum_disc_price,
+  (sum({_SQL_CENTS.format(expr='l_quantity', scale=10000)}) / 10000.0) / cast(count(*) as double) as avg_qty,
+  (sum({_SQL_CENTS.format(expr='l_extendedprice', scale=10000)}) / 10000.0) / cast(count(*) as double) as avg_price
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- q02
+
+def q02_revenue_by_nation(sf_dir: str):
+    """Multi-way join + grouped agg (Join node + dimension broadcast,
+    SURVEY §2.1 #4/#5). orders/customer/nation are the small sides —
+    broadcast; lineitem streams."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+
+    ds = broadcast_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    ds = broadcast_join(ds, cust, on="o_custkey", right_on="c_custkey")
+    ds = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c")
+
+    agg = grouped_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        ["n_name"],
+        [AggSpec("rev_c", "sum", "rev_sum_c"), AggSpec(None, "count", "n_items")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["n_name", "n_items"]].copy()
+        out["revenue"] = df["rev_sum_c"] / 10000.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q02_SQL = f"""
+select n_name, count(*) as n_items,
+  sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000)}) / 10000.0 as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# --------------------------------------------------------------------- q03
+
+def q03_top_customers(sf_dir: str):
+    """Grouped agg + top-k without a global sort (SURVEY §2.7)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    prepped = orders.map_batches(lambda t: _cents(t, "o_totalprice", "tp_c"), batch_format="pyarrow")
+    agg = grouped_agg(prepped, ["o_custkey"], [AggSpec("tp_c", "sum", "tp_sum_c"), AggSpec(None, "count", "n_orders")])
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_custkey", "n_orders"]].copy()
+        out["total_price"] = df["tp_sum_c"] / 10000.0
+        return out
+
+    return topk(agg.map_batches(_final, batch_format="pandas"),
+                ["total_price", "o_custkey"], 10, descending=[True, False])
+
+
+_Q03_SQL = f"""
+select o_custkey, count(*) as n_orders,
+  sum({_SQL_CENTS.format(expr='o_totalprice', scale=10000)}) / 10000.0 as total_price
+from orders group by o_custkey
+order by total_price desc, o_custkey asc limit 10
+"""
+
+
+# --------------------------------------------------------------------- q04
+
+def q04_filter_orders(sf_dir: str):
+    """Source read with predicate pushdown + projection (SourceRead +
+    Filter nodes, SURVEY §2.1 #1/#3)."""
+    return read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        filter_expr=(pc.field("o_totalprice") > 400000.0) & (pc.field("o_orderstatus") == "O"),
+    )
+
+
+_Q04_SQL = """
+select o_orderkey, o_custkey, o_totalprice, o_orderstatus from orders
+where o_totalprice > 400000.0 and o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------- q05
+
+def q05_distinct_segments(sf_dir: str):
+    return distinct(read_table(sf_dir, "customer", columns=["c_mktsegment"]), ["c_mktsegment"])
+
+
+_Q05_SQL = "select distinct c_mktsegment from customer"
+
+
+# --------------------------------------------------------------------- q06
+
+def q06_union_nationkeys(sf_dir: str):
+    """union + distinct across two sources (SURVEY §2.7 union_align)."""
+    c = read_table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    s = read_table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    return distinct(union_align([c, s]), ["nationkey"])
+
+
+_Q06_SQL = """
+select distinct nationkey from (
+  select c_nationkey as nationkey from customer
+  union all select s_nationkey from supplier)
+"""
+
+
+# --------------------------------------------------------------------- q07
+
+def q07_latest_event_per_user(sf_dir: str):
+    """Dedup latest-per-key (Dedup node, SURVEY §2.1 #7); event_id is
+    the created_ts-style tiebreaker."""
+    ev = read_table(sf_dir, "events")
+    return keep_latest(ev, ["user_id"], "ts", created_ts="event_id")
+
+
+_Q07_SQL = """
+select event_id, ts, user_id, event_type, value, props from (
+  select *, row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+  from events) where rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q08
+
+def q08_asof_click_before_purchase(sf_dir: str):
+    """Backward as-of join (PIT join, SURVEY §2.2/§2.6)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+    clicks_pdf = (
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"ts": "click_ts", "value": "click_value"})
+    )
+    out = asof_join(purchases, clicks_pdf, left_ts="ts", right_ts="click_ts", by="user_id")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
+        batch_format="pandas",
+    )
+
+
+_Q08_SQL = """
+select p.event_id, p.user_id, p.ts, c.ts as click_ts, c.value as click_value
+from (select * from events where event_type = 'purchase') p
+asof left join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------- q09
+
+def q09_pit_ttl_join(sf_dir: str):
+    """As-of join with a TTL window (Filter TTL semantics folded into
+    the join, dask.py:1167-1200)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+    clicks_pdf = (
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(["user_id", "ts", "value"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"ts": "click_ts", "value": "click_value"})
+    )
+    out = asof_join(
+        purchases, clicks_pdf, left_ts="ts", right_ts="click_ts", by="user_id",
+        ttl=timedelta(hours=24),
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
+        batch_format="pandas",
+    )
+
+
+_Q09_SQL = """
+select p.event_id, p.user_id, p.ts,
+  case when c.ts >= p.ts - interval 24 hours then c.ts end as click_ts,
+  case when c.ts >= p.ts - interval 24 hours then c.value end as click_value
+from (select * from events where event_type = 'purchase') p
+asof left join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------- q10
+
+def q10_hourly_user_activity(sf_dir: str):
+    """Tumbling-window aggregate (windowed agg / tiling, SURVEY §2.1 #6)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    prepped = ev.map_batches(
+        lambda t: _cents(t, "value", "value_c", 100.0), batch_format="pyarrow"
+    )
+    agg = windowed_agg(
+        prepped, ["user_id"], "ts", timedelta(hours=1),
+        [AggSpec("value_c", "sum", "value_sum_c"), AggSpec(None, "count", "n_events")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "window_start", "n_events"]].copy()
+        out["sum_value"] = df["value_sum_c"] / 100.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q10_SQL = f"""
+select user_id, time_bucket(interval '1 hour', ts) as window_start, count(*) as n_events,
+  sum({_SQL_CENTS.format(expr='value', scale=100)}) / 100.0 as sum_value
+from events group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q11
+
+def q11_event_type_stats(sf_dir: str):
+    """mean/std/min/max from integer-cent IRs (holistic aggregates via
+    mergeable partials — the reference's tiling IR idea, SURVEY §2.1 #6)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = _cents(t, "value", "v_c", 100.0)
+        sq = pc.multiply(t["v_c"], t["v_c"])
+        return t.append_column("v_c2", sq)
+
+    agg = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            AggSpec("v_c", "sum", "s_c"),
+            AggSpec("v_c2", "sum", "ss_c"),
+            AggSpec("value", "min", "min_value"),
+            AggSpec("value", "max", "max_value"),
+            AggSpec(None, "count", "n"),
+        ],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("float64")
+        s = df["s_c"] / 100.0
+        ss = df["ss_c"] / 10000.0
+        out = df[["event_type", "n", "min_value", "max_value"]].copy()
+        out["mean_value"] = s / n
+        out["std_value"] = np.sqrt((ss - s * s / n) / (n - 1.0))
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q11_SQL = f"""
+with c as (select event_type, value,
+    {_SQL_CENTS.format(expr='value', scale=100)} as v_c from events)
+select event_type, count(*) as n, min(value) as min_value, max(value) as max_value,
+  (sum(v_c) / 100.0) / cast(count(*) as double) as mean_value,
+  sqrt((sum(v_c * v_c) / 10000.0 - (sum(v_c) / 100.0) * (sum(v_c) / 100.0) / cast(count(*) as double))
+       / (cast(count(*) as double) - 1.0)) as std_value
+from c group by event_type
+"""
+
+
+# --------------------------------------------------------------------- q12
+
+def q12_users_per_type(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_agg(ev, ["event_type"], [AggSpec("user_id", "count_distinct", "n_users")])
+
+
+_Q12_SQL = "select event_type, count(distinct user_id) as n_users from events group by event_type"
+
+
+# --------------------------------------------------------------------- q13
+
+def q13_sliding_activity(sf_dir: str):
+    """Sliding-window aggregate, 2h window / 1h slide, keyless (the
+    dummy-entity global window, SURVEY §1.1)."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    prepped = ev.map_batches(lambda t: _cents(t, "value", "value_c", 100.0), batch_format="pyarrow")
+    agg = windowed_agg(
+        prepped, [], "ts", timedelta(hours=2),
+        [AggSpec("value_c", "sum", "value_sum_c"), AggSpec(None, "count", "n_events")],
+        slide=timedelta(hours=1),
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["window_start", "n_events"]].copy()
+        out["sum_value"] = df["value_sum_c"] / 100.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q13_SQL = f"""
+with e as (select time_bucket(interval '1 hour', ts) as w0,
+    {_SQL_CENTS.format(expr='value', scale=100)} as v_c from events),
+exploded as (
+  select w0 as window_start, v_c from e
+  union all
+  select w0 - interval '1 hour' as window_start, v_c from e)
+select window_start, count(*) as n_events, sum(v_c) / 100.0 as sum_value
+from exploded group by window_start
+"""
+
+
+# --------------------------------------------------------------------- q14
+
+def q14_revenue_by_region_segment(sf_dir: str):
+    """Deep dimension chain: region⋈nation⋈customer⋈orders, grouped on
+    two keys (entity-mapping/join-chain coverage, SURVEY §2.6)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    ds = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    ds = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey")
+    ds = broadcast_join(ds, region, on="n_regionkey", right_on="r_regionkey")
+    prepped = ds.map_batches(lambda t: _cents(t, "o_totalprice", "tp_c"), batch_format="pyarrow")
+    agg = grouped_agg(
+        prepped, ["r_name", "c_mktsegment"],
+        [AggSpec("tp_c", "sum", "tp_sum_c"), AggSpec(None, "count", "n_orders")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["r_name", "c_mktsegment", "n_orders"]].copy()
+        out["total_price"] = df["tp_sum_c"] / 10000.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q14_SQL = f"""
+select r_name, c_mktsegment, count(*) as n_orders,
+  sum({_SQL_CENTS.format(expr='o_totalprice', scale=10000)}) / 10000.0 as total_price
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------- q15
+
+def q15_doc_stats(sf_dir: str):
+    """Per-document text statistics — pure pyarrow RE2 kernels; the
+    DuckDB oracle uses the same RE2 patterns, so values are identical
+    doubles (same numerator/denominator division)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(lambda t: compute_textstats(t, "text"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars", "n_words", "mean_word_len", "digit_frac", "symbol_frac", "stop_count"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_Q15_SQL = rf"""
+select doc_id,
+  length(text) as n_chars,
+  len(regexp_extract_all(text, '\S+')) as n_words,
+  cast(len(regexp_extract_all(text, '\S')) as double)
+    / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double) as mean_word_len,
+  cast(len(regexp_extract_all(text, '[0-9]')) as double)
+    / cast(greatest(length(text), 1) as double) as digit_frac,
+  cast(len(regexp_extract_all(text, '[^0-9A-Za-z\s]')) as double)
+    / cast(greatest(length(text), 1) as double) as symbol_frac,
+  len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+from documents
+"""
+
+
+# --------------------------------------------------------------------- q16
+
+def q16_quality_filter_docs(sf_dir: str):
+    """Heuristic keep/drop over documents (the SQL-expressible core of
+    the quality rules; model rules are covered by q23/q24/q28)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(lambda t: compute_textstats(t, "text"), batch_format="pyarrow")
+    out = out.map_batches(apply_quality_rules, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "keep", "drop_reason"]), batch_format="pyarrow"
+    )
+
+
+_Q16_SQL = rf"""
+with s as (
+  select doc_id,
+    len(regexp_extract_all(text, '\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+  from documents)
+select doc_id, n_words,
+  case
+    when n_words < {MIN_WORDS} then 'too_short'
+    when n_words > {MAX_WORDS} then 'too_long'
+    when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'word_len'
+    when stop_count < {MIN_STOPWORDS} then 'no_stopwords'
+    when digit_frac > {MAX_DIGIT_FRAC} then 'too_many_digits'
+    when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
+  end as drop_reason,
+  (case
+    when n_words < {MIN_WORDS} then 'too_short'
+    when n_words > {MAX_WORDS} then 'too_long'
+    when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'word_len'
+    when stop_count < {MIN_STOPWORDS} then 'no_stopwords'
+    when digit_frac > {MAX_DIGIT_FRAC} then 'too_many_digits'
+    when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
+  end) is null as keep
+from s
+"""
+
+
+# --------------------------------------------------------------------- q17
+
+def q17_tokens_by_source(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_tokens", pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        )
+
+    return grouped_agg(
+        docs.map_batches(_prep, batch_format="pyarrow"),
+        ["source"],
+        [AggSpec("n_tokens", "sum", "total_tokens"), AggSpec(None, "count", "n_docs")],
+    )
+
+
+_Q17_SQL = r"""
+select source, cast(sum(len(regexp_extract_all(text, '\S+'))) as bigint) as total_tokens,
+  count(*) as n_docs
+from documents group by source
+"""
+
+
+# --------------------------------------------------------------------- q18
+
+def q18_lang_stats(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = grouped_agg(
+        docs, ["lang"],
+        [AggSpec("n_chars", "sum", "chars_sum"), AggSpec(None, "count", "n_docs")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "n_docs"]].copy()
+        out["avg_chars"] = df["chars_sum"].astype("float64") / df["n_docs"].astype("float64")
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q18_SQL = """
+select lang, count(*) as n_docs,
+  cast(sum(n_chars) as double) / cast(count(*) as double) as avg_chars
+from documents group by lang
+"""
+
+
+# --------------------------------------------------------------------- q19
+
+def q19_exact_dedup_docs(sf_dir: str):
+    """Exact content dedup: min doc_id per distinct text (SURVEY §7 —
+    content-hash partition + per-group first)."""
+    from feast_ray.functions.neardup import exact_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(docs, "text", "doc_id")
+
+
+_Q19_SQL = """
+select doc_id, text from (
+  select doc_id, text, row_number() over (partition by text order by doc_id) as rn
+  from documents) where rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q20
+
+def q20_pii_scrub_docs(sf_dir: str):
+    """Regex PII scrub; the oracle applies the identical RE2 patterns in
+    the identical order via nested regexp_replace."""
+    from feast_ray.functions.scrub import Scrubber
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        Scrubber,
+        fn_constructor_kwargs={"text_col": "text", "out_col": "text_scrubbed", "include_toxic": False},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).map_batches(lambda df: df[["doc_id", "text_scrubbed"]], batch_format="pandas")
+
+
+def _q20_sql() -> str:
+    from feast_ray.functions.scrub import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return f"select doc_id, {expr} as text_scrubbed from documents"
+
+
+# --------------------------------------------------------------------- q21
+
+def q21_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-k (ANN baseline, SURVEY §2.5 vector
+    search). Queries = vec_id < 5; corpus = the rest."""
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
+    return ann_topk_bruteforce(
+        corpus, queries, k=10, query_ids=qdf["vec_id"].to_numpy(), round_to=4
+    )
+
+
+_Q21_SQL = """
+with q as (select vec_id as qid, cast(embedding as double[]) as qe from embeddings where vec_id < 5),
+c as (select vec_id, cast(embedding as double[]) as e from embeddings where vec_id >= 5),
+scored as (
+  select q.qid as query_id, c.vec_id,
+    list_cosine_similarity(c.e, q.qe) as raw_score,
+    row_number() over (partition by q.qid
+        order by list_cosine_similarity(c.e, q.qe) desc, c.vec_id asc) as rn
+  from q cross join c)
+select query_id, vec_id, round(raw_score, 4) as score from scored where rn <= 10
+"""
+
+
+# --------------------------------------------------------------------- q22
+
+def q22_embedding_neardup(sf_dir: str):
+    """Exact cosine near-dup pairs ≥ 0.4 (embedding near-dup baseline;
+    threshold chosen to produce a non-trivial pair set on the synthetic
+    embeddings, whose max off-diagonal cosine is ≈0.48)."""
+    from feast_ray.functions.similarity import cosine_neardup_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(emb, threshold=0.4, round_to=4)
+
+
+_Q22_SQL = """
+with e as (select vec_id, cast(embedding as double[]) as v from embeddings)
+select a.vec_id as id_a, b.vec_id as id_b,
+  round(list_cosine_similarity(a.v, b.v), 4) as cosine
+from e a join e b on b.vec_id > a.vec_id
+where list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+# ------------------------------------------------- oracle-less pipelines
+
+def q23_langid_docs(sf_dir: str):
+    from feast_ray.functions.langid import LangIdModel
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        LangIdModel, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pandas", concurrency=(1, 4),
+    ).map_batches(lambda df: df[["doc_id", "lang_pred", "lang_conf"]], batch_format="pandas")
+
+
+def q24_perplexity_docs(sf_dir: str):
+    from feast_ray.functions.perplexity import PerplexityModel
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        PerplexityModel, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pandas", concurrency=(1, 4),
+    ).map_batches(lambda df: df[["doc_id", "ppl"]], batch_format="pandas")
+
+
+def q25_minhash_dedup_docs(sf_dir: str):
+    from feast_ray.functions.neardup import minhash_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.8).map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
+
+
+def q26_simhash_dups_docs(sf_dir: str):
+    from feast_ray.functions.neardup import simhash_dups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+def q27_fingerprints_docs(sf_dir: str):
+    from feast_ray.functions.fingerprint import fingerprint_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = fingerprint_batch(t["text"].to_pylist())
+        t = t.append_column("content_hash", pa.array(fps["content_hash"].astype(np.int64) >> 1))
+        t = t.append_column("rolling_min_hash", pa.array(fps["rolling_min_hash"].astype(np.int64) >> 1))
+        return t.select(["doc_id", "content_hash", "rolling_min_hash"])
+
+    return docs.map_batches(_fp, batch_format="pyarrow")
+
+
+def q28_quality_pipeline_pages(sf_dir: str):
+    """The flagship pipeline over the synthesized web-pages table."""
+    from feast_ray.pipelines.quality_filter import quality_filter
+
+    pages = synth_webpages(sf_dir)
+    res = quality_filter(pages)
+    return res.map_batches(
+        lambda t: t.select(["url", "lang_pred", "n_words", "ppl", "keep", "drop_reason"]),
+        batch_format="pyarrow",
+    )
+
+
+def q29_ann_ivf(sf_dir: str):
+    from feast_ray.functions.similarity import ann_topk_ivf
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
+    return ann_topk_ivf(corpus, queries, k=10)
+
+
+def q30_multimodal_decode(sf_dir: str):
+    """Media-column plumbing: text bytes stand in for image payloads;
+    decode stage runs in fake mode (real codecs unavailable — stubbed)."""
+    from feast_ray.functions.multimodal import decode_media
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _to_media(t: pa.Table) -> pa.Table:
+        payload = pa.array([s.encode("utf-8") for s in t["text"].to_pylist()], pa.binary())
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": payload,
+                "media_type": pa.array(["image/fake"] * len(t), pa.string()),
+            }
+        )
+
+    media = docs.map_batches(_to_media, batch_format="pyarrow")
+    return decode_media(media, mode="fake")
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_customers": q03_top_customers,
+    "q04_filter_orders": q04_filter_orders,
+    "q05_distinct_segments": q05_distinct_segments,
+    "q06_union_nationkeys": q06_union_nationkeys,
+    "q07_latest_event_per_user": q07_latest_event_per_user,
+    "q08_asof_click_before_purchase": q08_asof_click_before_purchase,
+    "q09_pit_ttl_join": q09_pit_ttl_join,
+    "q10_hourly_user_activity": q10_hourly_user_activity,
+    "q11_event_type_stats": q11_event_type_stats,
+    "q12_users_per_type": q12_users_per_type,
+    "q13_sliding_activity": q13_sliding_activity,
+    "q14_revenue_by_region_segment": q14_revenue_by_region_segment,
+    "q15_doc_stats": q15_doc_stats,
+    "q16_quality_filter_docs": q16_quality_filter_docs,
+    "q17_tokens_by_source": q17_tokens_by_source,
+    "q18_lang_stats": q18_lang_stats,
+    "q19_exact_dedup_docs": q19_exact_dedup_docs,
+    "q20_pii_scrub_docs": q20_pii_scrub_docs,
+    "q21_ann_cosine_topk": q21_ann_cosine_topk,
+    "q22_embedding_neardup": q22_embedding_neardup,
+    "q23_langid_docs": q23_langid_docs,
+    "q24_perplexity_docs": q24_perplexity_docs,
+    "q25_minhash_dedup_docs": q25_minhash_dedup_docs,
+    "q26_simhash_dups_docs": q26_simhash_dups_docs,
+    "q27_fingerprints_docs": q27_fingerprints_docs,
+    "q28_quality_pipeline_pages": q28_quality_pipeline_pages,
+    "q29_ann_ivf": q29_ann_ivf,
+    "q30_multimodal_decode": q30_multimodal_decode,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_revenue_by_nation": _Q02_SQL,
+        "q03_top_customers": _Q03_SQL,
+        "q04_filter_orders": _Q04_SQL,
+        "q05_distinct_segments": _Q05_SQL,
+        "q06_union_nationkeys": _Q06_SQL,
+        "q07_latest_event_per_user": _Q07_SQL,
+        "q08_asof_click_before_purchase": _Q08_SQL,
+        "q09_pit_ttl_join": _Q09_SQL,
+        "q10_hourly_user_activity": _Q10_SQL,
+        "q11_event_type_stats": _Q11_SQL,
+        "q12_users_per_type": _Q12_SQL,
+        "q13_sliding_activity": _Q13_SQL,
+        "q14_revenue_by_region_segment": _Q14_SQL,
+        "q15_doc_stats": _Q15_SQL,
+        "q16_quality_filter_docs": _Q16_SQL,
+        "q17_tokens_by_source": _Q17_SQL,
+        "q18_lang_stats": _Q18_SQL,
+        "q19_exact_dedup_docs": _Q19_SQL,
+        "q20_pii_scrub_docs": _q20_sql(),
+        "q21_ann_cosine_topk": _Q21_SQL,
+        "q22_embedding_neardup": _Q22_SQL,
+        # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
+        # the driver records rows-only checks for these.
+    }

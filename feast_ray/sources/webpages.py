@@ -76,27 +76,32 @@ def make_html(doc_id: int, source: str, text: str) -> bytes:
     return page.encode("utf-8")
 
 
-def pages_from_documents(batch: pa.Table) -> pa.Table:
+def pages_from_documents(batch: pa.Table, replicate: int = 1) -> pa.Table:
     """map_batches kernel: documents batch → web-pages batch (with the
-    deterministic recrawl rows appended)."""
+    deterministic recrawl rows appended). ``replicate`` > 1 emits that
+    many distinct-url variants per document (benchmark corpora only —
+    correctness fixtures use 1)."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
     sources = batch["source"].to_pylist()
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
-    for d, t, l, s in zip(doc_ids, texts, langs, sources):
-        urls.append(page_url(d, s))
-        tss.append(page_ts(d))
-        htmls.append(make_html(d, s, t))
-        out_texts.append(t)
-        out_langs.append(l)
-        if d % RECRAWL_EVERY == 0:
-            t2 = t + EDIT_SUFFIX if d % EDIT_EVERY == 0 else t
+    for d0, t0, l, s in zip(doc_ids, texts, langs, sources):
+        for j in range(replicate):
+            d = d0 if j == 0 else d0 * 1_000_003 + j
+            t = t0 if j == 0 else f"{t0} variant {j}"
             urls.append(page_url(d, s))
-            tss.append(page_ts(d) + timedelta(hours=6))
-            htmls.append(make_html(d, s, t2))
-            out_texts.append(t2)
+            tss.append(page_ts(d))
+            htmls.append(make_html(d, s, t))
+            out_texts.append(t)
             out_langs.append(l)
+            if d % RECRAWL_EVERY == 0:
+                t2 = t + EDIT_SUFFIX if d % EDIT_EVERY == 0 else t
+                urls.append(page_url(d, s))
+                tss.append(page_ts(d) + timedelta(hours=6))
+                htmls.append(make_html(d, s, t2))
+                out_texts.append(t2)
+                out_langs.append(l)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -108,10 +113,13 @@ def pages_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def synth_webpages(sf_dir: str) -> ray.data.Dataset:
+def synth_webpages(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
     """Lazy Dataset of synthetic web pages for one scale factor."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return ds.map_batches(pages_from_documents, batch_format="pyarrow")
+    return ds.map_batches(
+        pages_from_documents, batch_format="pyarrow",
+        fn_kwargs={"replicate": replicate},
+    )
 
 
 def webpages_table(sf_dir: str) -> pa.Table:
@@ -122,14 +130,18 @@ def webpages_table(sf_dir: str) -> pa.Table:
     return pages_from_documents(docs)
 
 
-def webpages_parquet_dir(sf_dir: str, cache_root: str = "/tmp/feast_ray_cache") -> str:
+def webpages_parquet_dir(
+    sf_dir: str, cache_root: str = "/tmp/feast_ray_cache", replicate: int = 1
+) -> str:
     """Materialize the synthetic pages as a parquet directory (cached),
     so benchmarks exercise the real ``read_parquet`` path."""
-    out = os.path.join(cache_root, f"webpages_{os.path.basename(os.path.normpath(sf_dir))}")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    suffix = f"_x{replicate}" if replicate != 1 else ""
+    out = os.path.join(cache_root, f"webpages_{base}{suffix}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        synth_webpages(sf_dir).write_parquet(out)
+        synth_webpages(sf_dir, replicate=replicate).write_parquet(out)
         with open(marker, "w") as f:
             f.write("ok")
     return out
