@@ -6,8 +6,12 @@ model is a deterministic function-word / script profile classifier
 the *execution shape*, which follows the reference's documented
 stateful-transform pattern (transformation/ray_transformation.py:30-74;
 embedder actors feast/embedder.py:49-120): model tables are built ONCE
-per actor in ``__init__`` and applied per batch in ``__call__`` —
-``ds.map_batches(LangIdModel, concurrency=(lo,hi), batch_size=B)``.
+per actor in ``__init__`` and applied per batch in ``__call__``.
+
+The batch path is fully vectorized: per-language function-word counts
+are RE2 ``count_substring_regex`` kernels over the whole Arrow column
+(no Python per row); the scalar ``predict()`` applies the identical
+formula record-at-a-time for the test oracle.
 """
 
 from __future__ import annotations
@@ -15,66 +19,92 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
-_PROFILES: dict[str, frozenset[str]] = {
-    "en": frozenset(
-        "the a and of to in is it that for on with as are this be at or from".split()
-    ),
-    "de": frozenset(
-        "der die das und ist nicht ein eine zu den von mit sich auf für im".split()
-    ),
-    "fr": frozenset(
-        "le la les et de des un une est pas que pour dans sur avec au du".split()
-    ),
-    "es": frozenset(
-        "el la los las y de que en un una es no por con para su al como".split()
-    ),
+_PROFILES: dict[str, str] = {
+    "en": "the|and|of|to|in|is|it|that|for|on|with|as|are|this|be|at|or|from",
+    "de": "der|die|das|und|ist|nicht|ein|eine|zu|den|von|mit|sich|auf|für|im",
+    "fr": "le|la|les|et|de|des|un|une|est|pas|que|pour|dans|sur|avec|au|du",
+    "es": "el|la|los|las|y|de|que|en|un|una|es|no|por|con|para|su|al|como",
 }
-_CJK_RE = re.compile(r"[一-鿿]")
-_TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_LANG_ORDER = list(_PROFILES)  # tie-break order is part of the model
+_CJK_PATTERN = r"[一-鿿]"
+
+
+def _lang_pattern(profile: str) -> str:
+    return r"\b(" + profile + r")\b"
 
 
 class LangIdModel:
     """Callable class for an actor-pool ``map_batches`` stage.
 
-    Emits ``lang_pred`` (one of en/de/fr/es/zh/und) and
-    ``lang_conf`` in [0,1]. Deterministic: ties resolve in fixed
-    profile order, zh wins on CJK-character ratio > 0.15.
+    Emits ``lang_pred`` (en/de/fr/es/zh/und) and ``lang_conf`` in
+    [0,1] (function-word hits / token count). Deterministic: ties
+    resolve in fixed profile order; zh wins on CJK char ratio > 0.15.
     """
 
     CJK_THRESHOLD = 0.15
 
     def __init__(self, text_col: str = "text"):
-        # once per actor: "load the model" (compile regexes, freeze
-        # profile tables into fast lookup sets)
+        # once per actor: "load the model" — freeze patterns (RE2 for
+        # the vectorized path, re for the scalar oracle path)
         self.text_col = text_col
-        self.token_re = _TOKEN_RE
-        self.cjk_re = _CJK_RE
-        self.profiles = list(_PROFILES.items())
+        self.patterns = {l: _lang_pattern(p) for l, p in _PROFILES.items()}
+        self.re_patterns = {l: re.compile(p) for l, p in self.patterns.items()}
+        self.re_cjk = re.compile(_CJK_PATTERN)
+        self.re_tokens = re.compile(r"\S+")
 
     def predict(self, text: str) -> tuple[str, float]:
+        """Record-at-a-time scoring — same formula as the batch path."""
         n_chars = len(text)
         if n_chars == 0:
             return "und", 0.0
-        cjk = len(self.cjk_re.findall(text))
+        cjk = len(self.re_cjk.findall(text))
         if cjk / n_chars > self.CJK_THRESHOLD:
             return "zh", min(1.0, cjk / n_chars)
-        toks = self.token_re.findall(text.lower())
-        if not toks:
+        n_tokens = len(self.re_tokens.findall(text))
+        if n_tokens == 0:
             return "und", 0.0
+        lower = text.lower()
         best_lang, best = "und", 0
-        for lang, prof in self.profiles:
-            score = sum(1 for t in toks if t in prof)
+        for lang in _LANG_ORDER:
+            score = len(self.re_patterns[lang].findall(lower))
             if score > best:
                 best_lang, best = lang, score
         if best == 0:
             return "und", 0.0
-        return best_lang, best / len(toks)
+        return best_lang, min(1.0, best / n_tokens)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = [self.predict(t) for t in batch[self.text_col].tolist()]
-        batch = batch.copy()
-        batch["lang_pred"] = np.array([p[0] for p in preds], dtype=object)
-        batch["lang_conf"] = np.array([p[1] for p in preds], dtype=np.float64)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_tokens = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
+        cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False).astype(np.float64)
+        lower = pc.utf8_lower(text)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(lower, self.patterns[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for lang in _LANG_ORDER
+            ]
+        )  # (n_langs, n)
+
+        best_idx = scores.argmax(axis=0)  # first max wins (profile order)
+        best = scores[best_idx, np.arange(scores.shape[1])]
+        safe_chars = np.maximum(n_chars, 1.0)
+        safe_tokens = np.maximum(n_tokens, 1.0)
+        cjk_ratio = cjk / safe_chars
+        is_zh = cjk_ratio > self.CJK_THRESHOLD
+        is_und = (~is_zh) & ((best == 0) | (n_chars == 0) | (n_tokens == 0))
+
+        langs = np.array(_LANG_ORDER, dtype=object)[best_idx]
+        langs = np.where(is_zh, "zh", langs)
+        langs = np.where(is_und, "und", langs)
+        conf = np.minimum(1.0, best / safe_tokens)
+        conf = np.where(is_zh, np.minimum(1.0, cjk_ratio), conf)
+        conf = np.where(is_und, 0.0, conf)
+
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        return batch.append_column("lang_conf", pa.array(conf))

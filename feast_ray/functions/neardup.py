@@ -41,20 +41,34 @@ def add_content_hash(tbl: pa.Table, text_col: str = "text", out_col: str = "cont
     return tbl.append_column(out_col, pa.array(vals, pa.int64()))
 
 
-def exact_dedup(ds: ray.data.Dataset, text_col: str, id_col: str) -> ray.data.Dataset:
-    """Keep the min-id row per distinct text (hash-partitioned)."""
+def exact_dedup(
+    ds: ray.data.Dataset, text_col: str, id_col: str, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Keep the min-id row per distinct text: content-hash column →
+    per-block combine → hash-bucket shuffle (small int key — cheap
+    sort, vectorized per-bucket reduce)."""
+    import pyarrow.compute as pc
+
     hashed = ds.map_batches(lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
 
-    def _keep_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="stable").head(1)
+    def _combine(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        df = df.sort_values(id_col, kind="stable").drop_duplicates("content_hash", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
 
-    # per-block combiner then global group — same two-step as keep_latest
-    pre = hashed.map_batches(
-        lambda df: df.sort_values(id_col, kind="stable").drop_duplicates("content_hash", keep="first"),
-        batch_format="pandas",
+    pre = hashed.map_batches(_combine, batch_format="pyarrow")
+    bucketed = pre.map_batches(
+        lambda t: t.append_column(
+            "__bucket", pc.cast(pc.bit_wise_and(t["content_hash"], num_buckets - 1), pa.int64())
+        ),
+        batch_format="pyarrow",
     )
-    out = pre.groupby("content_hash").map_groups(_keep_min, batch_format="pandas")
-    return out.map_batches(lambda t: t.drop_columns(["content_hash"]), batch_format="pyarrow")
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").drop_duplicates("content_hash", keep="first")
+        return df.drop(columns=["__bucket", "content_hash"])
+
+    return bucketed.groupby("__bucket").map_groups(_per_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------- minhash
@@ -98,18 +112,18 @@ class MinHasher:
         self.text_col = text_col
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["minhash_sig"] = [
-            minhash_signature(t, self.k).tobytes() for t in batch[self.text_col].tolist()
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        sigs = [
+            minhash_signature(t, self.k).tobytes()
+            for t in batch[self.text_col].to_pylist()
         ]
-        return batch
+        return batch.append_column("minhash_sig", pa.array(sigs, pa.binary()))
 
 
-def _explode_bands(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+def _explode_bands(tbl: "pa.Table", id_col: str) -> "pa.Table":
     """signature rows → (band, band_hash, id, sig) rows."""
     ids, bands, bhs, sigs = [], [], [], []
-    for rid, sig_bytes in zip(df[id_col].tolist(), df["minhash_sig"].tolist()):
+    for rid, sig_bytes in zip(tbl[id_col].to_pylist(), tbl["minhash_sig"].to_pylist()):
         sig = np.frombuffer(sig_bytes, dtype=np.uint64)
         for b in range(BANDS):
             chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
@@ -118,8 +132,11 @@ def _explode_bands(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
             bands.append(b)
             bhs.append(bh)
             sigs.append(sig_bytes)
-    return pd.DataFrame(
-        {id_col: ids, "band": bands, "band_hash": bhs, "minhash_sig": sigs}
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            {id_col: ids, "band": bands, "band_hash": bhs, "minhash_sig": sigs}
+        ),
+        preserve_index=False,
     )
 
 
@@ -135,29 +152,48 @@ def minhash_candidate_dups(
     ≥ threshold. Output: one column ``{id_col}`` of dropped ids."""
     sigged = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"text_col": text_col, "k": k},
-        batch_format="pandas", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, 8),
     )
     band_rows = sigged.map_batches(
-        lambda df: _explode_bands(df[[id_col, "minhash_sig"]], id_col),
-        batch_format="pandas",
+        lambda t: _explode_bands(t.select([id_col, "minhash_sig"]), id_col),
+        batch_format="pyarrow",
     )
 
+    # shuffle by a SMALL INT bucket of the band hash (not the raw
+    # (band, band_hash) pair — that would mean one Python call per
+    # bucket of which there are ~16x n_docs); inside each bucket a
+    # vectorized pandas groupby visits only multi-member LSH buckets
+    num_buckets = 64
+
+    def _add_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pc.add(
+            pc.multiply(tbl["band_hash"], pa.scalar(31, pa.int64())), tbl["band"]
+        )
+        return tbl.append_column(
+            "__bucket", pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int64())
+        )
+
     def _bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
-        g = g.sort_values(id_col, kind="stable")
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["minhash_sig"].tolist()]
-        ids = g[id_col].tolist()
-        drops = []
-        for j in range(1, len(ids)):
-            for i in range(j):
-                if estimated_jaccard(sigs[i], sigs[j]) >= threshold:
-                    drops.append(ids[j])
-                    break
+        drops: list = []
+        sizes = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("size")
+        multi = g[sizes > 1]
+        for _, grp in multi.groupby(["band", "band_hash"], sort=False):
+            grp = grp.sort_values(id_col, kind="stable")
+            sigs = [np.frombuffer(s, dtype=np.uint64) for s in grp["minhash_sig"].tolist()]
+            ids = grp[id_col].tolist()
+            for j in range(1, len(ids)):
+                for i in range(j):
+                    if estimated_jaccard(sigs[i], sigs[j]) >= threshold:
+                        drops.append(ids[j])
+                        break
         return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
 
-    dups = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_dups, batch_format="pandas"
+    dups = (
+        band_rows.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_dups, batch_format="pandas")
     )
     from feast_ray.stages.relational import distinct
 
@@ -215,12 +251,11 @@ class SimHasher:
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["simhash"] = np.array(
-            [simhash64(t) for t in batch[self.text_col].tolist()], dtype=np.uint64
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        sh = np.array(
+            [simhash64(t) for t in batch[self.text_col].to_pylist()], dtype=np.uint64
         ).view(np.int64)
-        return batch
+        return batch.append_column("simhash", pa.array(sh))
 
 
 def simhash_dups(
@@ -234,38 +269,58 @@ def simhash_dups(
     Hamming ≤ 3 collides in ≥ 1 chunk (pigeonhole); verify exactly."""
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, 8),
     )
 
-    def _explode(df: pd.DataFrame) -> pd.DataFrame:
-        sh = df["simhash"].to_numpy().astype(np.uint64)
-        ids = df[id_col].to_numpy()
+    def _explode(tbl: pa.Table) -> pa.Table:
+        sh = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
         out_ids = np.repeat(ids, 4)
         out_sh = np.repeat(sh, 4)
-        chunks = np.tile(np.arange(4, dtype=np.int64), len(df))
+        chunks = np.tile(np.arange(4, dtype=np.int64), len(tbl))
         chunk_vals = ((out_sh >> (chunks.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int64)
-        return pd.DataFrame(
-            {id_col: out_ids, "chunk": chunks, "chunk_val": chunk_vals,
-             "simhash": out_sh.astype(np.int64)}
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {id_col: out_ids, "chunk": chunks, "chunk_val": chunk_vals,
+                 "simhash": out_sh.astype(np.int64)}
+            ),
+            preserve_index=False,
         )
 
-    band_rows = hashed.map_batches(_explode, batch_format="pandas")
+    band_rows = hashed.map_batches(_explode, batch_format="pyarrow")
+
+    num_buckets = 64
+
+    def _add_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = pc.add(
+            pc.multiply(tbl["chunk_val"], pa.scalar(7, pa.int64())), tbl["chunk"]
+        )
+        return tbl.append_column(
+            "__bucket", pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int64())
+        )
 
     def _bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype=g[id_col].dtype)})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].tolist()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        drops = []
-        for j in range(1, len(ids)):
-            for i in range(j):
-                if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                    drops.append(ids[j])
-                    break
+        drops: list = []
+        sizes = g.groupby(["chunk", "chunk_val"], sort=False)[id_col].transform("size")
+        multi = g[sizes > 1]
+        for _, grp in multi.groupby(["chunk", "chunk_val"], sort=False):
+            grp = grp.sort_values(id_col, kind="stable")
+            ids = grp[id_col].tolist()
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            for j in range(1, len(ids)):
+                for i in range(j):
+                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
+                        drops.append(ids[j])
+                        break
         return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
 
-    dups = band_rows.groupby(["chunk", "chunk_val"]).map_groups(_bucket, batch_format="pandas")
+    dups = (
+        band_rows.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket, batch_format="pandas")
+    )
     from feast_ray.stages.relational import distinct
 
     return distinct(dups, [id_col])

@@ -15,7 +15,7 @@ Execution shape = the reference's model-holding batch transform
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 _SEED_CORPUS = (
     "the quick brown fox jumps over the lazy dog and the small stream runs "
@@ -65,7 +65,7 @@ class PerplexityModel:
         logp = np.log((c_tri + self.add_k) / (c_bi + self.add_k * self.V))
         return float(np.exp(-logp.mean()))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["ppl"] = np.array([self.score(t) for t in batch[self.text_col].tolist()])
-        return batch
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        # Arrow in / Arrow out (see langid.py note)
+        ppl = np.array([self.score(t) for t in batch[self.text_col].to_pylist()])
+        return batch.append_column("ppl", pa.array(ppl))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
+import pyarrow as pa
 
 # (name, pattern, replacement) — ORDER MATTERS and is mirrored in SQL.
 PII_PATTERNS: list[tuple[str, str, str]] = [
@@ -32,12 +32,16 @@ _TOXIC_PATTERN = r"\b(" + "|".join(TOXIC_WORDS) + r")\b"
 
 class Scrubber:
     """Callable actor class: rewrites ``text_col`` into ``out_col`` with
-    PII masked and lexicon words redacted."""
+    PII masked and lexicon words redacted. Arrow in / Arrow out.
+
+    ``only_where`` names a boolean column: rows where it is false get a
+    null ``out_col`` (scrub effort is spent on kept docs only)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "text_scrubbed",
-                 include_toxic: bool = True):
+                 include_toxic: bool = True, only_where: str | None = None):
         self.text_col = text_col
         self.out_col = out_col
+        self.only_where = only_where
         self.patterns = [
             (re.compile(pat), repl) for _, pat, repl in PII_PATTERNS
         ]
@@ -49,7 +53,11 @@ class Scrubber:
             text = rx.sub(repl, text)
         return text
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[self.out_col] = [self.scrub(t) for t in batch[self.text_col].tolist()]
-        return batch
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        texts = batch[self.text_col].to_pylist()
+        if self.only_where is not None:
+            mask = batch[self.only_where].to_pylist()
+            out = [self.scrub(t) if m else None for t, m in zip(texts, mask)]
+        else:
+            out = [self.scrub(t) for t in texts]
+        return batch.append_column(self.out_col, pa.array(out, pa.string()))

@@ -129,14 +129,14 @@ def quality_filter(
     ds = ds.map_batches(
         LangIdModel,
         fn_constructor_kwargs={"text_col": "extracted_text"},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=2048,
         concurrency=model_concurrency,
     )
     ds = ds.map_batches(
         PerplexityModel,
         fn_constructor_kwargs={"text_col": "extracted_text"},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=2048,
         concurrency=model_concurrency,
     )
@@ -149,19 +149,14 @@ def quality_filter(
         )
 
     # scrub only kept rows' text (dropped rows get null scrubbed text)
-    class _KeptScrubber(Scrubber):
-        def __call__(self, batch):
-            import numpy as np
-
-            out = super().__call__(batch)
-            if "keep" in out.columns:
-                out.loc[~out["keep"].astype(bool), self.out_col] = None
-            return out
-
     ds = ds.map_batches(
-        _KeptScrubber,
-        fn_constructor_kwargs={"text_col": "extracted_text", "out_col": "text_scrubbed"},
-        batch_format="pandas",
+        Scrubber,
+        fn_constructor_kwargs={
+            "text_col": "extracted_text",
+            "out_col": "text_scrubbed",
+            "only_where": "keep",
+        },
+        batch_format="pyarrow",
         batch_size=2048,
         concurrency=model_concurrency,
     )

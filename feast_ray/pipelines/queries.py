@@ -623,9 +623,9 @@ def q20_pii_scrub_docs(sf_dir: str):
     return docs.map_batches(
         Scrubber,
         fn_constructor_kwargs={"text_col": "text", "out_col": "text_scrubbed", "include_toxic": False},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 4),
-    ).map_batches(lambda df: df[["doc_id", "text_scrubbed"]], batch_format="pandas")
+    ).map_batches(lambda t: t.select(["doc_id", "text_scrubbed"]), batch_format="pyarrow")
 
 
 def _q20_sql() -> str:
@@ -702,8 +702,8 @@ def q23_langid_docs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
         LangIdModel, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pandas", concurrency=(1, 4),
-    ).map_batches(lambda df: df[["doc_id", "lang_pred", "lang_conf"]], batch_format="pandas")
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_conf"]), batch_format="pyarrow")
 
 
 def q24_perplexity_docs(sf_dir: str):
@@ -712,8 +712,8 @@ def q24_perplexity_docs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
         PerplexityModel, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pandas", concurrency=(1, 4),
-    ).map_batches(lambda df: df[["doc_id", "ppl"]], batch_format="pandas")
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(lambda t: t.select(["doc_id", "ppl"]), batch_format="pyarrow")
 
 
 def q25_minhash_dedup_docs(sf_dir: str):

@@ -38,6 +38,7 @@ from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -79,9 +80,11 @@ def _partial_cols(spec: AggSpec, i: int) -> dict[str, str]:
 def _make_partial_fn(keys: list[str], specs: list[AggSpec]):
     sq_specs = [i for i, s in enumerate(specs) if s.fn in ("std", "var")]
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame()
+    def _partial(tbl: pa.Table) -> "pa.Table | pd.DataFrame":
+        # Arrow in/out; pandas used internally for the grouped partial
+        if len(tbl) == 0:
+            return tbl
+        df = tbl.to_pandas()
         if sq_specs:
             df = df.copy()
             for i in sq_specs:
@@ -103,7 +106,7 @@ def _make_partial_fn(keys: list[str], specs: list[AggSpec]):
                     s = g[spec.col].max()
                 out[pname] = s
         res = pd.DataFrame(out).reset_index()
-        return res
+        return pa.Table.from_pandas(res, preserve_index=False)
 
     return _partial
 
@@ -156,7 +159,7 @@ def grouped_agg(
                 lambda t: t.append_column(_GLOBAL_KEY, [np.zeros(len(t), dtype=np.int8)]),
                 batch_format="pyarrow",
             )
-        partial = d.map_batches(_make_partial_fn(gkeys, main_specs), batch_format="pandas")
+        partial = d.map_batches(_make_partial_fn(gkeys, main_specs), batch_format="pyarrow")
         aggs = []
         for i, spec in enumerate(main_specs):
             for pname, kind in _partial_cols(spec, i).items():
@@ -224,13 +227,14 @@ def windowed_agg(
         raise ValueError("window must be a multiple of slide")
     n_hops = win_us // slide_us
 
-    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+    def _assign(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
         ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         last_start = (ts // slide_us) * slide_us
         if n_hops == 1:
             df = df.copy()
             df[window_col] = last_start.astype("datetime64[us]")
-            return df
+            return pa.Table.from_pandas(df, preserve_index=False)
         # row belongs to windows starting at last_start - j*slide, j in [0, n_hops)
         # (window covers [start, start+window)); explode
         idx = np.repeat(np.arange(len(df)), n_hops)
@@ -240,7 +244,7 @@ def windowed_agg(
         )
         out = df.iloc[idx].copy()
         out[window_col] = starts.astype("datetime64[us]")
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    exploded = ds.map_batches(_assign, batch_format="pandas")
+    exploded = ds.map_batches(_assign, batch_format="pyarrow")
     return grouped_agg(exploded, keys + [window_col], specs)

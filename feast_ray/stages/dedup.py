@@ -21,27 +21,38 @@ skew-resistant without explicit salting.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
-
-def _argmax_reducer(order_by: list[str]):
-    def _keep_last(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) <= 1:
-            return df
-        df = df.sort_values(order_by, kind="stable", na_position="first")
-        return df.tail(1)
-
-    return _keep_last
+BUCKET_COL = "__kl_bucket"
 
 
 def _block_combiner(keys: list[str], order_by: list[str]):
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) <= 1:
-            return df
+    # Arrow in/out (pandas only inside): a pandas-FORMAT stage would
+    # turn all downstream blocks pandas, which Ray's sort shuffle
+    # handles 5-10x slower than Arrow blocks
+    def _combine(tbl: pa.Table) -> pa.Table:
+        if len(tbl) <= 1:
+            return tbl
+        df = tbl.to_pandas()
         df = df.sort_values(order_by, kind="stable", na_position="first")
-        return df.drop_duplicates(subset=keys, keep="last")
+        df = df.drop_duplicates(subset=keys, keep="last")
+        return pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
 
     return _combine
+
+
+def add_hash_bucket(tbl: pa.Table, keys: list[str], num_buckets: int,
+                    col: str = BUCKET_COL) -> pa.Table:
+    """Stable int bucket from key columns (pandas siphash — process-
+    stable, unlike Python's hash())."""
+    import numpy as np
+
+    h = np.zeros(len(tbl), dtype=np.uint64)
+    for k in keys:
+        s = tbl.column(k).to_pandas()
+        h ^= pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return tbl.append_column(col, pa.array((h % num_buckets).astype(np.int64)))
 
 
 def keep_latest(
@@ -50,13 +61,30 @@ def keep_latest(
     event_ts: str,
     created_ts: str | None = None,
     mode: str = "global",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
+    """Exact global dedup: per-block combiner (≤ 1 row per key per
+    block) → hash-bucket shuffle → per-bucket vectorized combine.
+
+    Grouping by a SMALL INT bucket instead of the raw key keeps the
+    shuffle sort cheap and the reducer vectorized (one pandas
+    drop_duplicates per bucket) — never one Python call per key.
+    Partitioning assumption: the surviving rows of one bucket fit in a
+    worker's heap; scale ``num_buckets`` with key cardinality."""
     order_by = [event_ts] + ([created_ts] if created_ts else [])
     combined = ds.map_batches(
-        _block_combiner(keys, order_by), batch_format="pandas"
+        _block_combiner(keys, order_by), batch_format="pyarrow"
     )
     if mode == "block":
         return combined
-    return combined.groupby(keys).map_groups(
-        _argmax_reducer(order_by), batch_format="pandas"
+
+    bucketed = combined.map_batches(
+        lambda t: add_hash_bucket(t, keys, num_buckets), batch_format="pyarrow"
     )
+    combine = _block_combiner(keys, order_by)
+
+    def _per_bucket(df: pd.DataFrame) -> pa.Table:
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        return combine(tbl).drop_columns([BUCKET_COL])
+
+    return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")

@@ -138,7 +138,8 @@ def asof_join(
     ref = ray.put(rdf)
     same_ts_name = left_ts == right_ts
 
-    def _asof(df: pd.DataFrame) -> pd.DataFrame:
+    def _asof(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
         r: pd.DataFrame = ray.get(ref)
         overlap = (set(df.columns) & set(r.columns)) - set(by)
         if same_ts_name:
@@ -158,9 +159,9 @@ def asof_join(
             allow_exact_matches=True,
             suffixes=("", right_suffix),
         )
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return left.map_batches(_asof, batch_format="pandas")
+    return left.map_batches(_asof, batch_format="pyarrow")
 
 
 def copartitioned_asof_join(
@@ -185,15 +186,13 @@ def copartitioned_asof_join(
     side = "__side"
 
     def _tag(val):
-        def _t(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df[side] = val
-            return df
+        def _t(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(side, pa.array([val] * len(tbl), pa.string()))
 
         return _t
 
-    lt = left.map_batches(_tag("L"), batch_format="pandas")
-    rt = right.map_batches(_tag("R"), batch_format="pandas")
+    lt = left.map_batches(_tag("L"), batch_format="pyarrow")
+    rt = right.map_batches(_tag("R"), batch_format="pyarrow")
     from feast_ray.stages.relational import union_align
 
     both = union_align([lt, rt])
@@ -248,17 +247,16 @@ def hash_join(
     bucket, side = "__bucket", "__side"
 
     def _tag(val):
-        def _t(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            h = pd.util.hash_pandas_object(df[on].astype(str), index=False).to_numpy()
-            df[bucket] = (h % num_buckets).astype(np.int64)
-            df[side] = val
-            return df
+        def _t(tbl: pa.Table) -> pa.Table:
+            df = tbl.select(on).to_pandas()
+            h = pd.util.hash_pandas_object(df.astype(str), index=False).to_numpy()
+            tbl = tbl.append_column(bucket, pa.array((h % num_buckets).astype(np.int64)))
+            return tbl.append_column(side, pa.array([val] * len(tbl), pa.string()))
 
         return _t
 
-    lt = left.map_batches(_tag("L"), batch_format="pandas")
-    rt = right.map_batches(_tag("R"), batch_format="pandas")
+    lt = left.map_batches(_tag("L"), batch_format="pyarrow")
+    rt = right.map_batches(_tag("R"), batch_format="pyarrow")
     from feast_ray.stages.relational import union_align
 
     both = union_align([lt, rt])

@@ -94,11 +94,17 @@ class Registry:
 
 
 def _partition_by_key(key_col: str, num_partitions: int):
-    def _add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_pandas_object(df[key_col].astype(str), index=False).to_numpy()
-        df["part_id"] = (h % num_partitions).astype(np.int64)
-        return df
+    # Arrow in/out — keeps downstream blocks Arrow (shuffles are much
+    # slower over pandas blocks) and never round-trips binary columns
+    # (html payloads) through pandas
+    def _add(tbl):
+        import pyarrow as pa
+
+        keys = pd.Series(tbl[key_col].to_pylist(), dtype=str)
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        return tbl.append_column(
+            "part_id", pa.array((h % num_partitions).astype(np.int64))
+        )
 
     return _add
 
@@ -128,18 +134,22 @@ def materialize_resumable(
     if not pending:
         return {"skipped": sorted(done), "written": [], "rows": 0}
 
-    ds = source_ds.map_batches(_partition_by_key(key_col, num_partitions), batch_format="pandas")
+    ds = source_ds.map_batches(_partition_by_key(key_col, num_partitions), batch_format="pyarrow")
     if done:
         done_arr = sorted(done)
 
-        def _prune(df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df["part_id"].isin(done_arr)]
+        def _prune(tbl):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        ds = ds.map_batches(_prune, batch_format="pandas")
+            mask = pc.is_in(tbl["part_id"], value_set=pa.array(done_arr, pa.int64()))
+            return tbl.filter(pc.invert(mask))
+
+        ds = ds.map_batches(_prune, batch_format="pyarrow")
 
     result = build_pipeline(ds)
     result = result.map_batches(
-        _partition_by_key(key_col, num_partitions), batch_format="pandas"
+        _partition_by_key(key_col, num_partitions), batch_format="pyarrow"
     )
     data_dir = os.path.join(out_dir, "data")
     # idempotence: a partition is rewritten WHOLE — clear any orphan
