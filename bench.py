@@ -29,8 +29,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # pages are replicated so the flagship processes a non-trivial corpus
-# (sf0.1 documents is only 5k rows); factor fixed for comparability
-PAGE_REPLICATE = int(os.environ.get("GRAFT_PAGE_REPLICATE", "20"))
+# (sf0.1 documents is only 5k rows). 60 ≈ 360k pages ≈ 6 min of
+# single-CPU model compute — large enough that per-run fixed costs
+# (session init, actor startup, shuffle barrier) stop dominating, the
+# regime a 100 TB run actually lives in. Fixed for comparability.
+PAGE_REPLICATE = int(os.environ.get("GRAFT_PAGE_REPLICATE", "60"))
 
 
 def _consume(ds) -> int:

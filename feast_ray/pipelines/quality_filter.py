@@ -89,12 +89,35 @@ def _model_rules(tbl: pa.Table) -> pa.Table:
     return tbl
 
 
+class QualityScorer:
+    """One actor-pool stage fusing every per-row model step: text
+    stats → langid → perplexity → rules → scrub. They have no shuffle
+    between them, so fusing removes three pool hand-offs and lets a
+    single pool own all CPUs (the reference materializes per-view
+    chains the same way — one worker pass per row set, ray/nodes.py
+    Transform→Filter fusion via lazy Datasets)."""
+
+    def __init__(self, text_col: str = "extracted_text"):
+        self.text_col = text_col
+        self.langid = LangIdModel(text_col=text_col)
+        self.ppl = PerplexityModel(text_col=text_col)
+        self.scrub = Scrubber(text_col=text_col, out_col="text_scrubbed", only_where="keep")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = compute_textstats(tbl, self.text_col)
+        tbl = self.langid(tbl)
+        tbl = self.ppl(tbl)
+        tbl = apply_quality_rules(tbl)
+        tbl = _model_rules(tbl)
+        return self.scrub(tbl)
+
+
 def quality_filter(
     pages: ray.data.Dataset,
     *,
     dedup: bool = True,
     keep_only: bool = False,
-    model_concurrency=(1, 8),
+    model_concurrency=None,
     validate_input: bool = True,
 ) -> ray.data.Dataset:
     """Build the full lazy pipeline over a pages Dataset with schema
@@ -105,6 +128,16 @@ def quality_filter(
     output); the default keeps drop rows too so metrics/F1 can be
     computed downstream from the same stream.
     """
+    if model_concurrency is None:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        # FIXED pool size (autoscaling from 1 actor costs seconds of
+        # ramp-up on short streams); leave CPUs for the read/extract
+        # tasks ahead of the dedup barrier — a pool reserving every
+        # CPU deadlocks the streaming executor
+        model_concurrency = min(max(2, (3 * ncpu) // 4), max(1, ncpu - 2))
+
     ds = pages
     if validate_input:
         ds = validate_stage(ds, WEBPAGE_SCHEMA, strict=False)
@@ -121,45 +154,20 @@ def quality_filter(
         # latest crawl per url — PIT invariant analog (SURVEY.md §2.2)
         ds = keep_latest(ds, ["url"], "warc_ts", mode="global")
 
+    # one fused model stage: stats + langid + ppl + rules + scrub
+    # (scrub skips dropped rows via only_where="keep")
     ds = ds.map_batches(
-        lambda t: compute_textstats(t, "extracted_text"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        LangIdModel,
+        QualityScorer,
         fn_constructor_kwargs={"text_col": "extracted_text"},
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=model_concurrency,
     )
-    ds = ds.map_batches(
-        PerplexityModel,
-        fn_constructor_kwargs={"text_col": "extracted_text"},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=model_concurrency,
-    )
-    ds = ds.map_batches(apply_quality_rules, batch_format="pyarrow")
-    ds = ds.map_batches(_model_rules, batch_format="pyarrow")
 
     if keep_only:
         ds = ds.map_batches(
             lambda t: t.filter(t["keep"]), batch_format="pyarrow", zero_copy_batch=True
         )
-
-    # scrub only kept rows' text (dropped rows get null scrubbed text)
-    ds = ds.map_batches(
-        Scrubber,
-        fn_constructor_kwargs={
-            "text_col": "extracted_text",
-            "out_col": "text_scrubbed",
-            "only_where": "keep",
-        },
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=model_concurrency,
-    )
 
     def _project(tbl: pa.Table) -> pa.Table:
         cols = {name: tbl[name] for name in OUTPUT_SCHEMA.names if name in tbl.column_names}

@@ -105,7 +105,19 @@ def cross_join(left: ray.data.Dataset, right) -> ray.data.Dataset:
     return left.map_batches(_cross, batch_format="pandas")
 
 
+def _norm_ts(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Normalize a timestamp column to ns (the reference normalizes all
+    timestamps before PIT logic for exactly this reason —
+    dask.py:1123-1164 `_normalize_timestamp`; merge_asof refuses
+    mixed-unit keys)."""
+    if str(df[col].dtype).startswith("datetime64") and str(df[col].dtype) != "datetime64[ns]":
+        df = df.copy()
+        df[col] = df[col].astype("datetime64[ns]")
+    return df
+
+
 def _prep_asof_right(rdf: pd.DataFrame, right_ts: str, created_ts: str | None) -> pd.DataFrame:
+    rdf = _norm_ts(rdf, right_ts)
     order = [right_ts] + ([created_ts] if created_ts else [])
     rdf = rdf.sort_values(order, kind="stable", na_position="first")
     if created_ts:
@@ -146,6 +158,7 @@ def asof_join(
             overlap -= {right_ts}
         if overlap:
             r = r.rename(columns={c: c + right_suffix for c in overlap})
+        df = _norm_ts(df, left_ts)
         df = df.sort_values(left_ts, kind="stable").reset_index(drop=True)
         out = pd.merge_asof(
             df,
@@ -211,6 +224,7 @@ def copartitioned_asof_join(
             overlap -= {right_ts}
         if overlap:
             rdf = rdf.rename(columns={c: c + right_suffix for c in overlap})
+        ldf = _norm_ts(ldf, left_ts)
         ldf = ldf.sort_values(left_ts, kind="stable").reset_index(drop=True)
         if len(rdf) == 0:
             return ldf

@@ -1,0 +1,303 @@
+"""Store — the FeatureStore entry-point surface, Ray-Data-native.
+
+Reproduces the reference's three primary entry points (SURVEY.md §3):
+
+- ``materialize(start, end)`` (feature_store.py:2788-2930 →
+  ray/compute.py:92-139): per view, compile Source→[Transform]→
+  [Filter]→(Agg|Dedup) as ONE lazy Dataset, keep latest row per
+  entity, upsert into the online plane, record the watermark interval
+  in the registry (feature_view.py:482-491). ``materialize_incremental``
+  resumes from the last watermark (feature_store.py:2546-2630).
+- ``get_historical_features(entity_df, features)``
+  (feature_store.py:1942-2142; Dask spec dask.py:146-365): per view, a
+  backward as-of join of features onto the entity frame with TTL
+  window and (event_ts, created_ts) tie-breaks; keyless views cross
+  join (dask.py:1093-1120); output columns optionally prefixed
+  ``view__feature`` (ray_shared_utils.py:456-461).
+- ``push(view, df)`` / ``get_online_features``
+  (feature_store.py:3338-3404, :3622): ingest rows → latest-per-key
+  upsert into the online plane; point lookups assemble values per key
+  (online_store.py:107-155).
+
+The "online store" here is the engine's KV analog per SURVEY §1.3: a
+partitioned Parquet directory per view keyed by join key, rewritten by
+latest-wins upsert — queryable both as a Dataset and by point lookup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from feast_ray.sources.parquet import read_table
+from feast_ray.stages.aggregate import grouped_agg, windowed_agg
+from feast_ray.stages.dedup import keep_latest
+from feast_ray.stages.filters import filter_mask
+from feast_ray.stages.join import asof_join, cross_join
+from feast_ray.views import FeatureService, TableSource, View
+
+
+class OnlineParquetStore:
+    """Latest-per-key KV plane as partitioned Parquet (one dir per
+    view). Upsert = union existing + new, keep max (event_ts,
+    created_ts) per key — last-write-wins, the reference's online
+    semantics (online_store.py:44-130)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, view: str) -> str:
+        return os.path.join(self.root, view)
+
+    def upsert(self, view: View, ds: ray.data.Dataset) -> int:
+        out = self._dir(view.name)
+        # aggregation views carry no event timestamp — order upserts by
+        # a per-call generation counter instead (still last-write-wins)
+        has_ts = view.timestamp_field is not None and not view.aggregations
+        ts = view.timestamp_field if has_ts else "__mat_gen"
+        created = view.created_timestamp_column if has_ts else None
+        def _stamp(g):
+            def _s(tbl: pa.Table) -> pa.Table:
+                import numpy as np
+
+                return tbl.append_column(
+                    "__mat_gen", pa.array(np.full(len(tbl), g, dtype=np.int64))
+                )
+
+            return _s
+
+        if not has_ts:
+            ds = ds.map_batches(_stamp(1), batch_format="pyarrow")
+        if os.path.isdir(out) and any(f.endswith(".parquet") for f in os.listdir(out)):
+            existing = ray.data.read_parquet(out)
+            if not has_ts:
+                # stored rows lost their generation stamp — they are by
+                # definition older than this upsert
+                existing = existing.map_batches(_stamp(0), batch_format="pyarrow")
+            ds = existing.union(ds)
+        if view.join_keys:
+            ds = keep_latest(ds, view.join_keys, ts, created_ts=created)
+        if not has_ts:
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["__mat_gen"]) if "__mat_gen" in t.column_names else t,
+                batch_format="pyarrow",
+            )
+        tmp = out + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        return sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+
+    def read(self, view_name: str) -> pa.Table:
+        return pq.read_table(self._dir(view_name))
+
+    def lookup(self, view: View, entity_rows: list[dict]) -> pd.DataFrame:
+        """Point lookup: entity key dicts → latest feature values."""
+        tbl = self.read(view.name).to_pandas()
+        req = pd.DataFrame(entity_rows)
+        return req.merge(tbl, on=view.join_keys, how="left")
+
+
+class Store:
+    """Registry + offline/online planes rooted at ``repo_dir``;
+    source tables resolve against ``data_dir`` (an sf_dir)."""
+
+    def __init__(self, repo_dir: str, data_dir: str):
+        self.repo_dir = repo_dir
+        self.data_dir = data_dir
+        os.makedirs(repo_dir, exist_ok=True)
+        self.online = OnlineParquetStore(os.path.join(repo_dir, "online"))
+        self.registry_path = os.path.join(repo_dir, "registry.json")
+        self.views: dict[str, View] = {}
+        self.services: dict[str, FeatureService] = {}
+
+    # ------------------------------------------------------------ apply
+
+    def apply(self, objects: list) -> None:
+        """Register views/services (the reference's `feast apply`,
+        feature_store.py:1556 — declarative catalog update)."""
+        for obj in objects:
+            if isinstance(obj, View):
+                self.views[obj.name] = obj
+            elif isinstance(obj, FeatureService):
+                self.services[obj.name] = obj
+        self._save_registry()
+
+    def _save_registry(self) -> None:
+        reg = self._load_registry()
+        reg["views"] = sorted(self.views)
+        reg["services"] = sorted(self.services)
+        with open(self.registry_path, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+
+    def _load_registry(self) -> dict:
+        if os.path.exists(self.registry_path):
+            with open(self.registry_path) as f:
+                return json.load(f)
+        return {"views": [], "services": [], "watermarks": {}}
+
+    # ----------------------------------------------------------- compile
+
+    def build_view_ds(
+        self,
+        view: View,
+        start: datetime | None = None,
+        end: datetime | None = None,
+    ) -> ray.data.Dataset:
+        """Compile a view to a lazy Dataset: Source → [Transform] →
+        [time Filter] → (Aggregate | passthrough). Derived views chain
+        datasets directly (no disk round trip)."""
+        src = view.source
+        if isinstance(src, View):
+            ds = self.build_view_ds(src, start, end)
+        else:
+            ts_range = (start, end) if (start or end) and src.timestamp_field else None
+            ds = read_table(
+                self.data_dir,
+                src.table or src.name,
+                field_mapping=src.field_mapping or None,
+                ts_col=src.timestamp_field,
+                ts_range=ts_range,
+            )
+        if view.udf is not None:
+            ds = ds.map_batches(view.udf, batch_format="pyarrow")
+        if view.aggregations:
+            ts = view.timestamp_field
+            if view.window and ts:
+                ds = windowed_agg(
+                    ds, view.join_keys, ts, view.window, view.aggregations,
+                    slide=view.slide,
+                )
+            else:
+                ds = grouped_agg(ds, view.join_keys, view.aggregations)
+        return ds
+
+    # ------------------------------------------------------- materialize
+
+    def materialize(
+        self,
+        start: datetime | None = None,
+        end: datetime | None = None,
+        views: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Offline→online load per view; records watermarks."""
+        out = {}
+        for name in views or list(self.views):
+            view = self.views[name]
+            if not view.online:
+                continue
+            ds = self.build_view_ds(view, start, end)
+            self.online.upsert(view, ds)
+            tbl = self.online.read(name)
+            out[name] = tbl.num_rows
+            reg = self._load_registry()
+            reg.setdefault("watermarks", {}).setdefault(name, []).append(
+                [str(start), str(end)]
+            )
+            with open(self.registry_path, "w") as f:
+                json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        return out
+
+    def materialize_incremental(self, end: datetime, views: list[str] | None = None) -> dict[str, int]:
+        """Resume each view from its most recent watermark end
+        (feature_store.py:2546-2630)."""
+        reg = self._load_registry()
+        out = {}
+        for name in views or list(self.views):
+            marks = reg.get("watermarks", {}).get(name, [])
+            start = None
+            if marks:
+                last_end = marks[-1][1]
+                if last_end not in ("None", None):
+                    start = datetime.fromisoformat(last_end)
+            out.update(self.materialize(start, end, [name]))
+        return out
+
+    # --------------------------------------------- historical retrieval
+
+    def get_historical_features(
+        self,
+        entity_df: pd.DataFrame,
+        features: list[str] | FeatureService,
+        entity_ts_col: str = "event_timestamp",
+        full_feature_names: bool = False,
+    ) -> ray.data.Dataset:
+        """Point-in-time correct retrieval: for each referenced view,
+        as-of join its rows (≤ entity ts, within ttl) onto the entity
+        frame. ``features`` are "view:feature" refs or a FeatureService."""
+        if isinstance(features, FeatureService):
+            features = list(features.features)
+        by_view: dict[str, list[str]] = {}
+        for ref in features:
+            v, f = ref.split(":")
+            by_view.setdefault(v, []).append(f)
+
+        result = ray.data.from_pandas(entity_df)
+        for vname, feats in by_view.items():
+            view = self.views[vname]
+            ts = view.timestamp_field
+            created = view.created_timestamp_column
+            cols = view.join_keys + [ts] + ([created] if created else []) + feats
+            vds = self.build_view_ds(view)
+            vdf = vds.to_pandas()[[c for c in cols if c is not None]]
+            rename = {}
+            prefix = f"{vname}__" if full_feature_names else ""
+            for f in feats:
+                rename[f] = prefix + f
+            vdf = vdf.rename(columns=rename)
+            if view.join_keys:
+                result = asof_join(
+                    result,
+                    vdf,
+                    left_ts=entity_ts_col,
+                    right_ts=ts,
+                    by=view.join_keys,
+                    ttl=view.ttl,
+                    created_ts=created,
+                    right_suffix=f"__{vname}_ts",
+                )
+                drop = [ts] if ts != entity_ts_col else []
+                if drop:
+                    result = result.map_batches(
+                        lambda t, d=tuple(drop): t.drop_columns(
+                            [c for c in d if c in t.column_names]
+                        ),
+                        batch_format="pyarrow",
+                    )
+            else:
+                # keyless/global view: cross join the (single-row) table
+                result = cross_join(result, vdf.drop(columns=[c for c in [ts, created] if c]))
+        return result
+
+    # ----------------------------------------------------- online plane
+
+    def push(self, view_name: str, df: pd.DataFrame) -> None:
+        """Stream/push ingest: latest-per-key upsert of new rows
+        (feature_store.py:3338-3404 push path)."""
+        view = self.views[view_name]
+        self.online.upsert(view, ray.data.from_pandas(df))
+
+    def get_online_features(
+        self, features: list[str], entity_rows: list[dict]
+    ) -> pd.DataFrame:
+        by_view: dict[str, list[str]] = {}
+        for ref in features:
+            v, f = ref.split(":")
+            by_view.setdefault(v, []).append(f)
+        out = pd.DataFrame(entity_rows)
+        for vname, feats in by_view.items():
+            view = self.views[vname]
+            looked = self.online.lookup(view, entity_rows)
+            for f in feats:
+                out[f] = looked[f].to_numpy()
+        return out

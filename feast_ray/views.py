@@ -1,0 +1,90 @@
+"""Declarative view layer — the reference's registry object model
+recast for Ray Data.
+
+Semantics reproduced (SURVEY.md §1.1):
+- ``Entity`` (feast/entity.py:28-90) — named join key.
+- ``TableSource`` ≈ FileSource (infra/offline_stores/file_source.py:32):
+  parquet path/table + timestamp_field + created_timestamp_column +
+  field_mapping renames.
+- ``View`` ≈ FeatureView / BatchFeatureView (feast/feature_view.py:111-341,
+  batch_feature_view.py:31): entities, schema, ttl, optional ``udf``
+  batch transform, optional ``aggregations``, source (a TableSource or
+  another View — the derived-view chain, ray/nodes.py:769-834).
+- ``FeatureService`` (feast/feature_service.py:33) — a named bundle of
+  "view:feature" references.
+
+A view COMPILES to a lazy Ray Dataset via ``feast_ray.store.Store``:
+Source → [Transform] → [Filter] → (Aggregate | passthrough), the
+reference's canonical node order (feature_builder.py:81-142).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Callable
+
+from feast_ray.schema import Schema
+from feast_ray.stages.aggregate import AggSpec
+
+
+@dataclass(frozen=True)
+class Entity:
+    name: str
+    join_key: str | None = None
+
+    @property
+    def key(self) -> str:
+        return self.join_key or self.name
+
+
+@dataclass(frozen=True)
+class TableSource:
+    """Parquet table source. ``table`` resolves to {sf_dir}/{table}.parquet
+    under the store's data dir; ``path`` overrides with an explicit path."""
+
+    name: str
+    table: str | None = None
+    path: str | None = None
+    timestamp_field: str | None = None
+    created_timestamp_column: str | None = None
+    field_mapping: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class View:
+    name: str
+    source: "TableSource | View"
+    entities: list[Entity] = field(default_factory=list)
+    schema: Schema | None = None
+    ttl: timedelta | None = None
+    udf: Callable | None = None          # batch transform: pa.Table -> pa.Table
+    aggregations: list[AggSpec] = field(default_factory=list)
+    window: timedelta | None = None      # with aggregations: tumbling window
+    slide: timedelta | None = None       # with window: sliding hop
+    features: list[str] = field(default_factory=list)  # feature column names
+    online: bool = True
+
+    @property
+    def join_keys(self) -> list[str]:
+        return [e.key for e in self.entities]
+
+    @property
+    def timestamp_field(self) -> str | None:
+        src = self.source
+        while isinstance(src, View):
+            src = src.source
+        return src.timestamp_field
+
+    @property
+    def created_timestamp_column(self) -> str | None:
+        src = self.source
+        while isinstance(src, View):
+            src = src.source
+        return src.created_timestamp_column
+
+
+@dataclass(frozen=True)
+class FeatureService:
+    name: str
+    features: tuple[str, ...]  # "view:feature" refs

@@ -1,0 +1,193 @@
+"""Feature-store surface tests: apply → materialize → PIT historical
+retrieval → online lookup → push, with the record-at-a-time pandas
+oracle of the reference (tests/utils/feature_records.py:50-200
+`find_latest_record`) re-derived here."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from feast_ray.stages.aggregate import AggSpec
+from feast_ray.store import Store
+from feast_ray.views import Entity, FeatureService, TableSource, View
+
+USER = Entity("user", "user_id")
+
+
+def _events_source():
+    return TableSource(name="events", table="events", timestamp_field="ts")
+
+
+def _value_view():
+    return View(
+        name="user_values",
+        source=_events_source(),
+        entities=[USER],
+        ttl=timedelta(days=2),
+        features=["value"],
+    )
+
+
+def _stats_view():
+    return View(
+        name="user_stats",
+        source=_events_source(),
+        entities=[USER],
+        aggregations=[
+            AggSpec("value", "sum", "total_value"),
+            AggSpec(None, "count", "n_events"),
+        ],
+        features=["total_value", "n_events"],
+    )
+
+
+@pytest.fixture()
+def store(tmp_path, sf_small):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply([_value_view(), _stats_view(),
+             FeatureService("svc", ("user_values:value",))])
+    return s
+
+
+def find_latest_record(df, user_id, ts, ttl):
+    """Record-at-a-time PIT oracle (reference pattern)."""
+    sub = df[(df.user_id == user_id) & (df.ts <= ts)]
+    if ttl is not None:
+        sub = sub[sub.ts >= ts - ttl]
+    if len(sub) == 0:
+        return None
+    return sub.sort_values("ts", kind="stable").iloc[-1]["value"]
+
+
+def test_historical_retrieval_pit(store, sf_small):
+    import pyarrow.parquet as pq
+
+    events = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    rng = np.random.RandomState(7)
+    users = rng.choice(events.user_id.unique(), 20)
+    tss = pd.to_datetime(rng.choice(events.ts.to_numpy(), 20))
+    entity_df = pd.DataFrame({"user_id": users, "event_timestamp": tss})
+
+    out = (
+        store.get_historical_features(entity_df, ["user_values:value"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(entity_df)
+    merged = entity_df.merge(out, on=["user_id", "event_timestamp"], how="left")
+    for _, r in merged.iterrows():
+        exp = find_latest_record(events, r.user_id, r.event_timestamp, timedelta(days=2))
+        got = r["value"]
+        if exp is None:
+            assert pd.isna(got)
+        else:
+            assert got == pytest.approx(exp)
+
+
+def test_historical_full_feature_names(store):
+    entity_df = pd.DataFrame(
+        {"user_id": [1, 2], "event_timestamp": pd.to_datetime(["2024-01-20", "2024-01-20"])}
+    )
+    out = store.get_historical_features(
+        entity_df, ["user_values:value"], full_feature_names=True
+    ).to_pandas()
+    assert "user_values__value" in out.columns
+
+
+def test_materialize_and_online_lookup(store, sf_small):
+    import pyarrow.parquet as pq
+
+    res = store.materialize()
+    assert res["user_values"] > 0
+    events = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    latest = events.sort_values("ts").drop_duplicates("user_id", keep="last")
+    some_users = latest.user_id.head(5).tolist()
+    out = store.get_online_features(
+        ["user_values:value"], [{"user_id": u} for u in some_users]
+    )
+    exp = latest.set_index("user_id").loc[some_users, "value"].to_numpy()
+    np.testing.assert_allclose(out["value"].to_numpy(), exp)
+
+
+def test_materialize_agg_view(store, sf_small, duck):
+    store.materialize(views=["user_stats"])
+    got = (
+        store.online.read("user_stats")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        "select user_id, sum(value) total_value, count(*) n_events from events group by 1 order by 1"
+    ).fetchdf()
+    np.testing.assert_allclose(got["total_value"], exp["total_value"])
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+
+
+def test_push_upserts_latest(store):
+    store.materialize(views=["user_values"])
+    before = store.get_online_features(["user_values:value"], [{"user_id": 1}])
+    new_ts = pd.Timestamp("2030-01-01")
+    store.push(
+        "user_values",
+        pd.DataFrame(
+            {"event_id": [999999], "ts": [new_ts], "user_id": [1],
+             "event_type": ["push"], "value": [123.45], "props": ["{}"]}
+        ),
+    )
+    after = store.get_online_features(["user_values:value"], [{"user_id": 1}])
+    assert after["value"][0] == pytest.approx(123.45)
+    # stale push (older ts) must NOT win
+    store.push(
+        "user_values",
+        pd.DataFrame(
+            {"event_id": [999998], "ts": [pd.Timestamp("2000-01-01")], "user_id": [1],
+             "event_type": ["push"], "value": [0.0], "props": ["{}"]}
+        ),
+    )
+    again = store.get_online_features(["user_values:value"], [{"user_id": 1}])
+    assert again["value"][0] == pytest.approx(123.45)
+
+
+def test_materialize_incremental_watermark(store):
+    from datetime import datetime
+
+    store.materialize(end=datetime(2024, 1, 10), views=["user_values"])
+    reg = store._load_registry()
+    assert reg["watermarks"]["user_values"][-1][1] == str(datetime(2024, 1, 10))
+    store.materialize_incremental(datetime(2024, 2, 1), views=["user_values"])
+    reg = store._load_registry()
+    assert reg["watermarks"]["user_values"][-1] == [
+        str(datetime(2024, 1, 10)), str(datetime(2024, 2, 1))
+    ]
+
+
+def test_derived_view_chain(store, sf_small, duck):
+    """Derived view: parent transform feeds child aggregation without a
+    disk round trip (reference sink_source chain, ray/nodes.py:769-834)."""
+    parent = View(
+        name="doubled",
+        source=_events_source(),
+        entities=[USER],
+        udf=lambda t: t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pa.compute.multiply(t["value"], pa.scalar(2.0)),
+        ),
+    )
+    child = View(
+        name="doubled_stats",
+        source=parent,
+        entities=[USER],
+        aggregations=[AggSpec("value", "sum", "total2")],
+    )
+    store.apply([parent, child])
+    got = (
+        store.build_view_ds(child).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    exp = duck.execute(
+        "select user_id, sum(value*2.0) total2 from events group by 1 order by 1"
+    ).fetchdf()
+    np.testing.assert_allclose(got["total2"], exp["total2"])
