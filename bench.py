@@ -79,14 +79,29 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: flagship quality filter, read → ... → streamed consume
+    # headline: flagship quality filter, read → ... → worker-parallel
+    # parquet sink (the production consumption path; an iter_batches
+    # loop would funnel all output through the single driver process
+    # and pollute the scaling measurement)
+    import shutil
+
+    out_dir = f"/tmp/feast_ray_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(pages_dir)
-    n_pages = _consume(quality_filter(pages, validate_input=False))
+    result = quality_filter(pages, validate_input=False)
+    result.write_parquet(out_dir)
     headline = time.perf_counter() - t0
     timings["quality_filter"] = round(headline, 3)
+    import pyarrow.parquet as pq_meta
 
-    bench_queries = [
+    n_pages = sum(
+        pq_meta.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+    bench_queries = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else [
         "q01_pricing_summary",
         "q02_revenue_by_nation",
         "q03_top_customers",
@@ -118,8 +133,19 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # longer run than the headline (same input at BOTH levels) so the
+    # per-run fixed costs — session init, actor-pool startup, shuffle
+    # coordination, ~6s on this box — are amortized the way a real
+    # multi-hour 100 TB job amortizes them
+    scaling_replicate = os.environ.get("GRAFT_SCALING_REPLICATE", "150")
+
     def _run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_PAGE_REPLICATE=scaling_replicate,
+            GRAFT_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

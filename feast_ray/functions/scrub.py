@@ -47,17 +47,45 @@ class Scrubber:
         ]
         if include_toxic:
             self.patterns.append((re.compile(_TOXIC_PATTERN, re.IGNORECASE), "<TOX>"))
+        # fast path: one combined scan decides whether ANY pattern can
+        # match; clean documents (the common case) skip the per-pattern
+        # passes entirely. Replacement still applies patterns
+        # SEQUENTIALLY — that order is the contract the SQL oracle's
+        # nested regexp_replace mirrors.
+        parts = [p for _, p, _ in PII_PATTERNS]
+        if include_toxic:
+            parts.append(f"(?i:{_TOXIC_PATTERN})")
+        self.prescan = re.compile("|".join(f"(?:{p})" for p in parts))
 
     def scrub(self, text: str) -> str:
+        if self.prescan.search(text) is None:
+            return text
         for rx, repl in self.patterns:
             text = rx.sub(repl, text)
         return text
 
+    # every PII pattern requires a digit or '@'; toxic needs a lexicon
+    # word — one vectorized RE2 kernel finds the candidate rows and
+    # clean documents (the common case) never enter Python at all
+    _CANDIDATE_RE = r"[0-9@]"
+
     def __call__(self, batch: "pa.Table") -> "pa.Table":
-        texts = batch[self.text_col].to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        cand = pc.match_substring_regex(col, self._CANDIDATE_RE).to_numpy(
+            zero_copy_only=False
+        )
+        if any(repl == "<TOX>" for _, repl in self.patterns):
+            cand = cand | pc.match_substring_regex(
+                col, f"(?i:{_TOXIC_PATTERN})"
+            ).to_numpy(zero_copy_only=False)
+        texts = col.to_pylist()
+        out: list = list(texts)
+        for i in np.flatnonzero(cand):
+            out[i] = self.scrub(texts[i])
         if self.only_where is not None:
-            mask = batch[self.only_where].to_pylist()
-            out = [self.scrub(t) if m else None for t, m in zip(texts, mask)]
-        else:
-            out = [self.scrub(t) for t in texts]
+            keep = batch[self.only_where].to_pylist()
+            out = [t if m else None for t, m in zip(out, keep)]
         return batch.append_column(self.out_col, pa.array(out, pa.string()))

@@ -36,8 +36,15 @@ def _batch_matrix(tbl: pa.Table, col: str) -> np.ndarray:
     arr = tbl[col].combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.chunk(0)
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(len(tbl), -1)
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(tbl), -1)
+    # Ray tensor-extension array (from_pandas of ndarray cells) or
+    # anything else exposing a 2-D to_numpy
+    mat = arr.to_numpy(zero_copy_only=False)
+    if mat.dtype == object:
+        mat = np.stack(mat)
+    return np.asarray(mat, dtype=np.float64)
 
 
 def ann_topk_bruteforce(
