@@ -112,6 +112,23 @@ class QualityScorer:
         return self.scrub(tbl)
 
 
+# per-worker-process model cache for the stateless-task execution mode:
+# Ray reuses worker processes across tasks, so the scorer (regexes,
+# dense LM tables) is built once per process — the same amortization an
+# actor pool gives, WITHOUT statically reserving CPUs. A fixed actor
+# pool held 3/4 of the cluster from pipeline start and capped the
+# pre-shuffle read/extract phase at the leftover CPUs (measured ~2-10
+# concurrent tasks); elastic tasks let every phase use every CPU.
+_SCORER_CACHE: dict = {}
+
+
+def _scorer_task(tbl: pa.Table, text_col: str = "extracted_text") -> pa.Table:
+    scorer = _SCORER_CACHE.get(text_col)
+    if scorer is None:
+        scorer = _SCORER_CACHE[text_col] = QualityScorer(text_col=text_col)
+    return scorer(tbl)
+
+
 def quality_filter(
     pages: ray.data.Dataset,
     *,
@@ -128,16 +145,6 @@ def quality_filter(
     output); the default keeps drop rows too so metrics/F1 can be
     computed downstream from the same stream.
     """
-    if model_concurrency is None:
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        # FIXED pool size (autoscaling from 1 actor costs seconds of
-        # ramp-up on short streams); leave CPUs for the read/extract
-        # tasks ahead of the dedup barrier — a pool reserving every
-        # CPU deadlocks the streaming executor
-        model_concurrency = min(max(2, (3 * ncpu) // 4), max(1, ncpu - 2))
-
     ds = pages
     if validate_input:
         ds = validate_stage(ds, WEBPAGE_SCHEMA, strict=False)
@@ -155,14 +162,19 @@ def quality_filter(
         ds = keep_latest(ds, ["url"], "warc_ts", mode="global")
 
     # one fused model stage: stats + langid + ppl + rules + scrub
-    # (scrub skips dropped rows via only_where="keep")
-    ds = ds.map_batches(
-        QualityScorer,
-        fn_constructor_kwargs={"text_col": "extracted_text"},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=model_concurrency,
-    )
+    # (scrub skips dropped rows via only_where="keep"). Stateless tasks
+    # + per-worker model cache; pass concurrency to pin an actor pool
+    # instead (e.g. when a model is too big for every worker).
+    if model_concurrency is not None:
+        ds = ds.map_batches(
+            QualityScorer,
+            fn_constructor_kwargs={"text_col": "extracted_text"},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=model_concurrency,
+        )
+    else:
+        ds = ds.map_batches(_scorer_task, batch_format="pyarrow", batch_size=2048)
 
     if keep_only:
         ds = ds.map_batches(

@@ -793,6 +793,115 @@ def q30_multimodal_decode(sf_dir: str):
     return decode_media(media, mode="fake")
 
 
+# --------------------------------------------------------------------- q31
+
+def q31_hash_join_lineitem_orders(sf_dir: str):
+    """Partitioned hash join — BOTH sides large (no broadcast), bucket
+    co-partitioning (SURVEY §2.6 windowed/distributed join family)."""
+    from feast_ray.stages import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(li, orders, on="l_orderkey", how="inner", num_buckets=32)
+
+
+_Q31_SQL = """
+select l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
+from lineitem join orders on l_orderkey = o_orderkey
+"""
+
+
+# --------------------------------------------------------------------- q32
+
+def q32_copartitioned_asof(sf_dir: str):
+    """Distributed (co-partitioned) as-of join — both sides streamed,
+    shuffled on the `by` key (ray_shared_utils.py:468-550 semantics);
+    same logical result as the broadcast variant in q08."""
+    from feast_ray.stages.join import copartitioned_asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["user_id", "ts", "value"])
+        .rename_columns(["user_id", "click_ts", "click_value"]),
+        batch_format="pyarrow",
+    )
+    out = copartitioned_asof_join(
+        purchases, clicks, left_ts="ts", right_ts="click_ts", by="user_id"
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
+        batch_format="pandas",
+    )
+
+
+_Q32_SQL = _Q08_SQL
+
+
+# --------------------------------------------------------------------- q33
+
+def q33_chunk_docs(sf_dir: str):
+    """Text chunking (reference TextChunker, feast/chunker.py:16-150):
+    fixed 200-char windows, stride 150, exploded one row per chunk."""
+    from feast_ray.functions.chunker import chunk_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: chunk_batch(t, "doc_id", "text", size=200, stride=150),
+        batch_format="pyarrow",
+    )
+
+
+_Q33_SQL = """
+select doc_id, i as chunk_id,
+  substring(text, cast(i * 150 + 1 as int), 200) as chunk_text
+from documents cross join (select unnest(range(0, 16)) as i) s
+where i = 0
+   or (length(text) > 200
+       and i <= cast(ceil((length(text) - 50) / 150.0) as int) - 1)
+"""
+
+
+# --------------------------------------------------------------------- q34+
+
+def q34_chunk_embed(sf_dir: str):
+    """Chunk -> deterministic embedder actor pool (DocEmbedder pipeline
+    shape, feast/doc_embedder.py:148-380). Rows-only (fake weights)."""
+    from feast_ray.functions.chunker import HashEmbedder, chunk_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = docs.map_batches(
+        lambda t: chunk_batch(t, "doc_id", "text"), batch_format="pyarrow"
+    )
+    return chunks.map_batches(
+        HashEmbedder, fn_constructor_kwargs={"text_col": "chunk_text", "dim": 32},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(lambda t: t.select(["doc_id", "chunk_id"]), batch_format="pyarrow")
+
+
+def q35_dqm_profile(sf_dir: str):
+    """Dataset profile as rows (DQM profiler analog, dqm/ge_profiler.py).
+    Rows-only: the profile is the engine's own statistical contract."""
+    import pandas as pd
+
+    from feast_ray.dqm import profile_dataset
+
+    ev = read_table(sf_dir, "events", columns=["value", "user_id"])
+    prof = profile_dataset(ev)
+    rows = []
+    for col, entry in prof["columns"].items():
+        rows.append({"column": col, **{k: v for k, v in entry.items() if k != "dtype"}})
+    return pd.DataFrame(rows)
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -826,6 +935,11 @@ QUERIES = {
     "q28_quality_pipeline_pages": q28_quality_pipeline_pages,
     "q29_ann_ivf": q29_ann_ivf,
     "q30_multimodal_decode": q30_multimodal_decode,
+    "q31_hash_join_lineitem_orders": q31_hash_join_lineitem_orders,
+    "q32_copartitioned_asof": q32_copartitioned_asof,
+    "q33_chunk_docs": q33_chunk_docs,
+    "q34_chunk_embed": q34_chunk_embed,
+    "q35_dqm_profile": q35_dqm_profile,
 }
 
 
@@ -853,6 +967,9 @@ def oracle_sql() -> dict[str, str]:
         "q20_pii_scrub_docs": _q20_sql(),
         "q21_ann_cosine_topk": _Q21_SQL,
         "q22_embedding_neardup": _Q22_SQL,
+        "q31_hash_join_lineitem_orders": _Q31_SQL,
+        "q32_copartitioned_asof": _Q32_SQL,
+        "q33_chunk_docs": _Q33_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
