@@ -158,8 +158,15 @@ def quality_filter(
     )
 
     if dedup:
-        # latest crawl per url — PIT invariant analog (SURVEY.md §2.2)
-        ds = keep_latest(ds, ["url"], "warc_ts", mode="global")
+        # latest crawl per url — PIT invariant analog (SURVEY.md §2.2).
+        # bucket count scales with the session so the per-bucket reduce
+        # stage has several waves of tasks per core (64 buckets capped
+        # a 3M-row corpus at 64 tasks)
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ds = keep_latest(ds, ["url"], "warc_ts", mode="global",
+                         num_buckets=max(64, 8 * ncpu))
 
     # one fused model stage: stats + langid + ppl + rules + scrub
     # (scrub skips dropped rows via only_where="keep"). Stateless tasks

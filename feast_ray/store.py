@@ -227,16 +227,42 @@ class Store:
 
     def get_historical_features(
         self,
-        entity_df: pd.DataFrame,
+        entity_df: pd.DataFrame | None,
         features: list[str] | FeatureService,
         entity_ts_col: str = "event_timestamp",
         full_feature_names: bool = False,
+        start: datetime | None = None,
+        end: datetime | None = None,
     ) -> ray.data.Dataset:
         """Point-in-time correct retrieval: for each referenced view,
         as-of join its rows (≤ entity ts, within ttl) onto the entity
-        frame. ``features`` are "view:feature" refs or a FeatureService."""
+        frame. ``features`` are "view:feature" refs or a FeatureService.
+
+        Non-entity mode (entity_df=None): synthesize the entity frame
+        from the referenced views' distinct keys in [start, end], each
+        stamped with ``end`` (reference: dask.py:162-172,
+        contrib/ray_offline_store/ray.py:2321-2345
+        `_distinct_entities_for_feature_view_ray` + align/union)."""
         if isinstance(features, FeatureService):
             features = list(features.features)
+        if entity_df is None:
+            if end is None:
+                raise ValueError("non-entity mode requires end")
+            frames = []
+            for ref in features:
+                view = self.views[ref.split(":")[0]]
+                if not view.join_keys:
+                    continue
+                vds = self.build_view_ds(view, start, end)
+                from feast_ray.stages.relational import distinct
+
+                keys_df = distinct(
+                    vds.select_columns(view.join_keys), view.join_keys
+                ).to_pandas()
+                frames.append(keys_df)
+            ent = pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
+            ent[entity_ts_col] = pd.Timestamp(end)
+            entity_df = ent
         by_view: dict[str, list[str]] = {}
         for ref in features:
             v, f = ref.split(":")
@@ -278,6 +304,43 @@ class Store:
                 # keyless/global view: cross join the (single-row) table
                 result = cross_join(result, vdf.drop(columns=[c for c in [ts, created] if c]))
         return result
+
+    # -------------------------------------------- saved datasets / logs
+
+    def create_saved_dataset(
+        self, ds: ray.data.Dataset, name: str
+    ) -> str:
+        """Persist a retrieval result and register it (reference:
+        saved_dataset.py, dask.py:105-140 persist path)."""
+        path = os.path.join(self.repo_dir, "saved_datasets", name)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ds.write_parquet(path)
+        reg = self._load_registry()
+        reg.setdefault("saved_datasets", {})[name] = path
+        with open(self.registry_path, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        return path
+
+    def get_saved_dataset(self, name: str) -> ray.data.Dataset:
+        reg = self._load_registry()
+        return ray.data.read_parquet(reg["saved_datasets"][name])
+
+    def log_features(
+        self, ds: ray.data.Dataset, log_name: str, partition_col: str | None = None
+    ) -> str:
+        """Feature logging: append served features as partitioned
+        parquet (reference: feast/feature_logging.py:28-170,
+        dask.py:535-570 — date-partitioned log sink)."""
+        path = os.path.join(self.repo_dir, "logs", log_name)
+        os.makedirs(path, exist_ok=True)
+        if partition_col:
+            ds.write_parquet(path, partition_cols=[partition_col])
+        else:
+            ds.write_parquet(path)
+        return path
 
     # ----------------------------------------------------- online plane
 

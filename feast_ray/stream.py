@@ -1,0 +1,100 @@
+"""Micro-batch stream ingestion — the reference's Kafka/Push consumer
+shape without a broker.
+
+Semantics reproduced (infra/contrib/spark_kafka_processor.py:27-175 and
+SURVEY.md §2.8): each micro-batch is decoded (json), optionally
+transformed by a ``preprocess_fn`` udf, reduced to the latest row per
+key (sort desc by (keys, ts) → first per key), stamped with a
+``created`` processing time, and upserted into the online plane +
+appended to the offline log. Correctness across batches / late data
+comes from the online upsert being last-write-wins by event time and
+from PIT retrieval recomputing over the append-only offline log — the
+reference has no watermarks either.
+
+Checkpointing: a monotonically increasing ``offset`` per processed
+batch persisted in the store registry (the reference delegates this to
+Spark's checkpointLocation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Callable
+
+import pandas as pd
+
+from feast_ray.store import Store
+
+
+class MicroBatchProcessor:
+    def __init__(
+        self,
+        store: Store,
+        view_name: str,
+        preprocess_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+        offline_log_dir: str | None = None,
+    ):
+        self.store = store
+        self.view = store.views[view_name]
+        self.preprocess_fn = preprocess_fn
+        self.offline_log_dir = offline_log_dir or os.path.join(
+            store.repo_dir, "offline_log", view_name
+        )
+        os.makedirs(self.offline_log_dir, exist_ok=True)
+
+    # -- checkpoint ----------------------------------------------------
+
+    def _offset(self) -> int:
+        reg = self.store._load_registry()
+        return int(reg.get("stream_offsets", {}).get(self.view.name, -1))
+
+    def _commit_offset(self, offset: int) -> None:
+        reg = self.store._load_registry()
+        reg.setdefault("stream_offsets", {})[self.view.name] = int(offset)
+        with open(self.store.registry_path, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+
+    # -- ingestion -----------------------------------------------------
+
+    def process_batch(self, df: pd.DataFrame, offset: int | None = None) -> int:
+        """One micro-batch: udf → latest-per-key → stamp created →
+        online upsert + offline append. Returns rows ingested.
+        Re-delivery of an already-committed offset is a no-op
+        (idempotent, like the reference's checkpoint skip)."""
+        if offset is not None and offset <= self._offset():
+            return 0
+        if self.preprocess_fn is not None:
+            df = self.preprocess_fn(df)
+        ts = self.view.timestamp_field
+        keys = self.view.join_keys
+        if keys and ts:
+            df = (
+                df.sort_values([*keys, ts], ascending=[True] * len(keys) + [False],
+                               kind="stable")
+                .drop_duplicates(keys, keep="first")
+                .reset_index(drop=True)
+            )
+        df = df.copy()
+        df["created"] = pd.Timestamp(datetime.now(timezone.utc)).tz_localize(None)
+        self.store.push(self.view.name, df.drop(columns=["created"]))
+        # offline append: one parquet file per micro-batch (append-only log)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fname = f"batch_{offset if offset is not None else 'adhoc'}_{len(os.listdir(self.offline_log_dir))}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(self.offline_log_dir, fname),
+        )
+        if offset is not None:
+            self._commit_offset(offset)
+        return len(df)
+
+    def run(self, batches) -> int:
+        """Consume an iterable of (offset, DataFrame) micro-batches."""
+        total = 0
+        for offset, df in batches:
+            total += self.process_batch(df, offset)
+        return total
