@@ -902,6 +902,59 @@ def q35_dqm_profile(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+# --------------------------------------------------------------------- q36
+
+def q36_store_pit_retrieval(sf_dir: str):
+    """PIT retrieval through the full Store surface (feature refs →
+    as-of + TTL join onto a deterministic entity frame) — the
+    get_historical_features entry point (feature_store.py:1942-2142)
+    checked against DuckDB's ASOF JOIN."""
+    import tempfile
+    from datetime import timedelta
+
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    store = Store(tempfile.mkdtemp(prefix="fr_q36_"), sf_dir)
+    store.apply(
+        [
+            View(
+                name="user_values",
+                source=TableSource(name="events", table="events", timestamp_field="ts"),
+                entities=[Entity("user", "user_id")],
+                ttl=timedelta(days=2),
+                features=["value"],
+            )
+        ]
+    )
+    stamps = pd.to_datetime(["2024-01-10", "2024-01-20", "2024-01-28"])
+    entity_df = pd.DataFrame(
+        [
+            {"user_id": u, "event_timestamp": t}
+            for u in range(10)
+            for t in stamps
+        ]
+    )
+    out = store.get_historical_features(entity_df, ["user_values:value"])
+    return out.map_batches(
+        lambda df: df[["user_id", "event_timestamp", "value"]], batch_format="pandas"
+    )
+
+
+_Q36_SQL = """
+with ent as (
+  select u.user_id, t.event_timestamp
+  from (select unnest(range(0, 10)) as user_id) u
+  cross join (select unnest([timestamp '2024-01-10', timestamp '2024-01-20',
+                             timestamp '2024-01-28']) as event_timestamp) t)
+select e.user_id, e.event_timestamp,
+  case when ev.ts >= e.event_timestamp - interval 2 days then ev.value end as value
+from ent e
+asof left join events ev
+  on e.user_id = ev.user_id and e.event_timestamp >= ev.ts
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -940,6 +993,7 @@ QUERIES = {
     "q33_chunk_docs": q33_chunk_docs,
     "q34_chunk_embed": q34_chunk_embed,
     "q35_dqm_profile": q35_dqm_profile,
+    "q36_store_pit_retrieval": q36_store_pit_retrieval,
 }
 
 
@@ -970,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
+        "q36_store_pit_retrieval": _Q36_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -40,7 +40,7 @@ from feast_ray.stages.aggregate import grouped_agg, windowed_agg
 from feast_ray.stages.dedup import keep_latest
 from feast_ray.stages.filters import filter_mask
 from feast_ray.stages.join import asof_join, cross_join
-from feast_ray.views import FeatureService, TableSource, View
+from feast_ray.views import FeatureService, OnDemandView, TableSource, View
 
 
 class OnlineParquetStore:
@@ -120,6 +120,7 @@ class Store:
         self.registry_path = os.path.join(repo_dir, "registry.json")
         self.views: dict[str, View] = {}
         self.services: dict[str, FeatureService] = {}
+        self.on_demand_views: dict[str, OnDemandView] = {}
 
     # ------------------------------------------------------------ apply
 
@@ -129,6 +130,8 @@ class Store:
         for obj in objects:
             if isinstance(obj, View):
                 self.views[obj.name] = obj
+            elif isinstance(obj, OnDemandView):
+                self.on_demand_views[obj.name] = obj
             elif isinstance(obj, FeatureService):
                 self.services[obj.name] = obj
         self._save_registry()
@@ -245,6 +248,21 @@ class Store:
         `_distinct_entities_for_feature_view_ray` + align/union)."""
         if isinstance(features, FeatureService):
             features = list(features.features)
+        # resolve on-demand views: pull their source features in, run
+        # their udfs after the joins (transform-at-collection,
+        # on_demand_feature_view.py:1023-1099 transform_arrow/pandas)
+        odfvs: list[OnDemandView] = []
+        plain: list[str] = []
+        for ref in features:
+            vname = ref.split(":")[0]
+            if vname in self.on_demand_views:
+                odfv = self.on_demand_views[vname]
+                if odfv not in odfvs:
+                    odfvs.append(odfv)
+                plain.extend(s for s in odfv.sources if s not in plain)
+            else:
+                plain.append(ref)
+        features = plain
         if entity_df is None:
             if end is None:
                 raise ValueError("non-entity mode requires end")
@@ -303,6 +321,9 @@ class Store:
             else:
                 # keyless/global view: cross join the (single-row) table
                 result = cross_join(result, vdf.drop(columns=[c for c in [ts, created] if c]))
+        for odfv in odfvs:
+            fmt = "pandas" if odfv.mode == "pandas" else "pyarrow"
+            result = result.map_batches(odfv.udf, batch_format=fmt)
         return result
 
     # -------------------------------------------- saved datasets / logs

@@ -88,3 +88,19 @@ class View:
 class FeatureService:
     name: str
     features: tuple[str, ...]  # "view:feature" refs
+
+
+@dataclass
+class OnDemandView:
+    """Request-time transform over joined features (+ request data) —
+    the reference's OnDemandFeatureView
+    (feast/on_demand_feature_view.py:116-210): a udf applied to the
+    retrieval result at collection time, in pandas or pyarrow mode.
+    ``sources`` are "view:feature" refs pulled in before the udf runs;
+    ``features`` are the columns the udf adds."""
+
+    name: str
+    udf: Callable  # pd.DataFrame -> pd.DataFrame  (mode="pandas")
+    sources: tuple[str, ...] = ()
+    features: tuple[str, ...] = ()
+    mode: str = "pandas"  # or "pyarrow": pa.Table -> pa.Table

@@ -1,0 +1,109 @@
+"""On-demand feature views + entity-mapping (join twice under
+different keys) — reference patterns on_demand_feature_view.py and
+join_key_map (SURVEY §2.6)."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_ray.store import Store
+from feast_ray.views import Entity, OnDemandView, TableSource, View
+
+USER = Entity("user", "user_id")
+
+
+@pytest.fixture()
+def store(tmp_path, sf_small):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(
+                name="user_values",
+                source=TableSource(name="events", table="events", timestamp_field="ts"),
+                entities=[USER],
+                ttl=timedelta(days=2),
+                features=["value"],
+            ),
+            OnDemandView(
+                name="value_scaled",
+                sources=("user_values:value",),
+                features=("value_x2", "value_log"),
+                udf=lambda df: df.assign(
+                    value_x2=df["value"] * 2.0,
+                    value_log=np.log1p(df["value"].fillna(0.0)),
+                ),
+            ),
+        ]
+    )
+    return s
+
+
+def test_odfv_applied_at_retrieval(store):
+    entity_df = pd.DataFrame(
+        {"user_id": [1, 2, 3], "event_timestamp": pd.to_datetime(["2024-01-20"] * 3)}
+    )
+    out = store.get_historical_features(entity_df, ["value_scaled:value_x2"]).to_pandas()
+    assert "value_x2" in out.columns and "value_log" in out.columns
+    mask = out["value"].notna()
+    np.testing.assert_allclose(
+        out.loc[mask, "value_x2"], out.loc[mask, "value"] * 2.0
+    )
+
+
+def test_entity_mapping_same_source_two_keys(tmp_path, sf_small, duck):
+    """The origin/destination pattern: one physical table joined under
+    two different join keys via field_mapping — two logical views over
+    the same source (reference join_key_map,
+    test_universal_historical_retrieval.py:66-77)."""
+    s = Store(str(tmp_path / "repo"), sf_small)
+    # view A: events keyed by user_id as-is; view B: same table with
+    # user_id remapped to a different logical key name
+    s.apply(
+        [
+            View(
+                name="by_user",
+                source=TableSource(name="events", table="events", timestamp_field="ts"),
+                entities=[Entity("user", "user_id")],
+                features=["value"],
+            ),
+            View(
+                name="by_actor",
+                source=TableSource(
+                    name="events2",
+                    table="events",
+                    timestamp_field="ts",
+                    field_mapping={"user_id": "actor_id", "value": "actor_value"},
+                ),
+                entities=[Entity("actor", "actor_id")],
+                features=["actor_value"],
+            ),
+        ]
+    )
+    entity_df = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "actor_id": [2, 1],
+            "event_timestamp": pd.to_datetime(["2024-01-20", "2024-01-20"]),
+        }
+    )
+    out = (
+        s.get_historical_features(entity_df, ["by_user:value", "by_actor:actor_value"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # row(user=1, actor=2): value = latest for 1, actor_value = latest for 2
+    exp = duck.execute(
+        """select user_id, value from (
+             select user_id, value, row_number() over
+               (partition by user_id order by ts desc) rn
+             from events where ts <= timestamp '2024-01-20') where rn = 1
+           order by user_id"""
+    ).fetchdf()
+    lookup = dict(zip(exp.user_id, exp.value))
+    assert out.loc[0, "value"] == pytest.approx(lookup[1])
+    assert out.loc[0, "actor_value"] == pytest.approx(lookup[2])
+    assert out.loc[1, "value"] == pytest.approx(lookup[2])
+    assert out.loc[1, "actor_value"] == pytest.approx(lookup[1])
