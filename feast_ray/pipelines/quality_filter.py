@@ -133,6 +133,7 @@ def quality_filter(
     pages: ray.data.Dataset,
     *,
     dedup: bool = True,
+    dedup_mode: str = "global",
     keep_only: bool = False,
     model_concurrency=None,
     validate_input: bool = True,
@@ -159,14 +160,23 @@ def quality_filter(
 
     if dedup:
         # latest crawl per url — PIT invariant analog (SURVEY.md §2.2).
-        # bucket count scales with the session so the per-bucket reduce
-        # stage has several waves of tasks per core (64 buckets capped
-        # a 3M-row corpus at 64 tasks)
-        import ray as _ray
+        # "global" (default): single-pass full-row bucket shuffle.
+        # "sketch": two light passes shuffling only 16-byte
+        # (key_hash, ts) pairs and re-reading the source — wins when
+        # rows are fat (real 50-100 KB html pages) and dup rates are a
+        # few percent; on this synthetic corpus (1.5 KB pages, 20%
+        # recrawls) the full-row shuffle is cheaper, so it stays the
+        # default. Equivalence is tested (test_quality_filter).
+        if dedup_mode == "sketch":
+            from feast_ray.stages.dedup import keep_latest_sketch
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-        ds = keep_latest(ds, ["url"], "warc_ts", mode="global",
-                         num_buckets=max(64, 8 * ncpu))
+            ds = keep_latest_sketch(ds, "url", "warc_ts")
+        else:
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            ds = keep_latest(ds, ["url"], "warc_ts", mode=dedup_mode,
+                             num_buckets=max(64, 8 * ncpu))
 
     # one fused model stage: stats + langid + ppl + rules + scrub
     # (scrub skips dropped rows via only_where="keep"). Stateless tasks

@@ -88,3 +88,83 @@ def keep_latest(
         return combine(tbl).drop_columns([BUCKET_COL])
 
     return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")
+
+
+def keep_latest_sketch(
+    ds: ray.data.Dataset,
+    key: str,
+    event_ts: str,
+) -> ray.data.Dataset:
+    """Exact latest-per-key dedup WITHOUT shuffling full rows.
+
+    Two passes over the (lazy, re-executable) input:
+      A. project (hash64(key), event_ts) — 16 bytes/row — and run a
+         two-phase grouped aggregate keeping only keys that occur
+         MORE THAN ONCE, with their max event_ts. On web corpora the
+         duplicate-bearing key set is a few percent of rows, so this
+         result is small.
+      B. broadcast that map (``ray.put`` once) and stream the input
+         again, keeping a row iff its key is not in the map or its
+         event_ts equals the key's max.
+
+    vs ``keep_latest`` (mode="global"): no all-to-all of full rows —
+    the only shuffle carries 16-byte pairs; the price is recomputing
+    the upstream pipeline once more (cheap for read→extract chains).
+
+    Assumptions (documented per SURVEY §7.5): (key, event_ts) pairs are
+    unique per crawl record (ties would keep both rows), and the
+    duplicate-key map fits in worker memory — at extreme scale shard
+    pass B by the same hash buckets as the map. 64-bit key hashing;
+    collisions ~n²/2⁶⁵, negligible below 10¹² keys.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    def _key_hash(tbl: pa.Table) -> np.ndarray:
+        s = tbl.column(key).to_pandas()
+        return (pd.util.hash_pandas_object(s, index=False).to_numpy() >> 1).astype(np.int64)
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return pa.table({"__kh": pa.array(_key_hash(tbl)), event_ts: tbl[event_ts]})
+
+    pairs = ds.map_batches(_project, batch_format="pyarrow")
+
+    # per-block partial (count, max_ts) per key, then tiny global merge
+    def _partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby("__kh", sort=False)
+        out = pd.DataFrame({"__cnt": g.size(), "__max": g[event_ts].max()}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = pairs.map_batches(_partial, batch_format="pyarrow")
+    merged = partials.groupby("__kh").aggregate(
+        Sum("__cnt", alias_name="__cnt"), Max("__max", alias_name="__max")
+    )
+    dups = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["__cnt"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    dups = dups.sort_values("__kh")
+    # broadcast as numpy arrays: plasma reads them zero-copy per task
+    # (a Python dict would deserialize per task — measured seconds per
+    # task at ~1M duplicate keys)
+    dup_keys = np.ascontiguousarray(dups["__kh"].to_numpy())
+    dup_max = np.ascontiguousarray(dups["__max"].to_numpy())
+    import ray as _ray
+
+    ref = _ray.put((dup_keys, dup_max))
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        keys_arr, max_arr = _ray.get(ref)
+        if len(keys_arr) == 0:
+            return tbl
+        kh = _key_hash(tbl)
+        ts = tbl[event_ts].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys_arr, kh)
+        idx = np.clip(idx, 0, len(keys_arr) - 1)
+        is_dup = keys_arr[idx] == kh
+        keep = ~is_dup | (ts == max_arr[idx])
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -99,3 +99,23 @@ def test_dedup_picks_edited_recrawl(sf_small):
     assert len(edited_urls) > 0
     sub = got[got["url"].isin(edited_urls) & got["keep"]]
     assert sub["text_scrubbed"].str.endswith("updated edition").all()
+
+
+def test_sketch_dedup_equivalent(sf_small):
+    """keep_latest_sketch (light two-pass, 16B/row shuffle) must
+    produce exactly the global full-row-shuffle result."""
+    import pandas as pd
+
+    a = (
+        quality_filter(synth_webpages(sf_small), dedup_mode="sketch")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        quality_filter(synth_webpages(sf_small), dedup_mode="global")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
