@@ -37,6 +37,33 @@ RECRAWL_EVERY = 5
 EDIT_EVERY = 10
 EDIT_SUFFIX = " updated edition"
 
+_CONSONANTS = "zqxvkjwfbgdh"
+
+
+def decorate_text(doc_id: int, text: str) -> str:
+    """Deterministic content mix per FIXTURES.md F1: planted PII,
+    gibberish (high-perplexity), symbol spam, and repeated n-grams on
+    fixed doc_id residues — so the scrub and every quality rule fire on
+    real inputs, not only in unit fixtures."""
+    d = int(doc_id)
+    if d % 13 == 0:
+        text += (
+            f" contact user{d}@example-mail.com or call 555-{100 + d % 900}-{1000 + d % 9000}"
+            f" ssn {100 + d % 900:03d}-{10 + d % 90:02d}-{1000 + d % 9000:04d}"
+        )
+    if d % 11 == 0:
+        h = d * 2654435761 % (1 << 32)
+        gib = " ".join(
+            "".join(_CONSONANTS[(h >> (4 * j + k)) % len(_CONSONANTS)] for k in range(5))
+            for j in range(6)
+        )
+        text += " " + gib
+    if d % 17 == 0:
+        text += " " + "$$$ ###!!! @@@ %%%" * 4
+    if d % 19 == 0:
+        text += " buy now" * 30
+    return text
+
 
 def page_domain(doc_id: int, source: str) -> str:
     if doc_id % 3 == 0:
@@ -86,7 +113,8 @@ def pages_from_documents(batch: pa.Table, replicate: int = 1) -> pa.Table:
     langs = batch["lang"].to_pylist()
     sources = batch["source"].to_pylist()
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
-    for d0, t0, l, s in zip(doc_ids, texts, langs, sources):
+    for d0, raw_t0, l, s in zip(doc_ids, texts, langs, sources):
+        t0 = decorate_text(d0, raw_t0)
         for j in range(replicate):
             d = d0 if j == 0 else d0 * 1_000_003 + j
             t = t0 if j == 0 else f"{t0} variant {j}"
