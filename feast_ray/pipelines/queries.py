@@ -955,6 +955,48 @@ asof left join events ev
 """
 
 
+# --------------------------------------------------------------------- q37
+
+def q37_semi_join_orders(sf_dir: str):
+    """Semi join: orders of customers in the BUILDING segment —
+    broadcast key-set filter, no shuffle (SURVEY §2.6 extension)."""
+    from feast_ray.stages.join import semi_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    return semi_join(orders, keys, on="o_custkey")
+
+
+_Q37_SQL = """
+select o_orderkey, o_custkey, o_totalprice from orders
+where o_custkey in (select c_custkey from customer where c_mktsegment = 'BUILDING')
+"""
+
+
+def q38_anti_join_orders(sf_dir: str):
+    """Anti join: orders from customers NOT in the BUILDING segment
+    (broadcast NOT-IN filter, complement of q37)."""
+    from feast_ray.stages.join import semi_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    return semi_join(orders, keys, on="o_custkey", anti=True)
+
+
+_Q38_SQL = """
+select o_orderkey, o_custkey, o_totalprice from orders
+where o_custkey not in (select c_custkey from customer where c_mktsegment = 'BUILDING')
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -994,6 +1036,8 @@ QUERIES = {
     "q34_chunk_embed": q34_chunk_embed,
     "q35_dqm_profile": q35_dqm_profile,
     "q36_store_pit_retrieval": q36_store_pit_retrieval,
+    "q37_semi_join_orders": q37_semi_join_orders,
+    "q38_anti_join_orders": q38_anti_join_orders,
 }
 
 
@@ -1025,6 +1069,8 @@ def oracle_sql() -> dict[str, str]:
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
         "q36_store_pit_retrieval": _Q36_SQL,
+        "q37_semi_join_orders": _Q37_SQL,
+        "q38_anti_join_orders": _Q38_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

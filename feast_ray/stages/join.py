@@ -244,6 +244,62 @@ def copartitioned_asof_join(
     return both.groupby(by).map_groups(_per_key, batch_format="pandas")
 
 
+def semi_join(
+    left: ray.data.Dataset,
+    right_keys,
+    on: list[str] | str,
+    *,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi / anti join: keep left rows whose key IS (resp. is NOT) in
+    the right key set. The key set is broadcast once (``ray.put``) and
+    each batch filters with pyarrow ``is_in`` — no shuffle (the
+    guide's documented pattern; the reference expresses these only via
+    its TTL predicate, SURVEY §2.6, so this extends the surface).
+    ``right_keys``: small table/frame/Dataset of key columns, or a
+    list of values for a single key."""
+    on = [on] if isinstance(on, str) else list(on)
+    if isinstance(right_keys, (list, set, np.ndarray)):
+        rt = pa.table({on[0]: pa.array(sorted(right_keys))})
+    else:
+        rt = _to_arrow(right_keys).select(on)
+    if len(on) > 1:
+        # composite keys: compare as concatenated strings (stable)
+        import pyarrow.compute as pc
+
+        def _keycol(t: pa.Table):
+            cols = [pc.cast(t[c], pa.string()) for c in on]
+            out = cols[0]
+            for c in cols[1:]:
+                out = pc.binary_join_element_wise(out, c, "\x1f")
+            return out
+
+        keyset = _keycol(rt).unique()
+    else:
+        keyset = rt[on[0]].combine_chunks().unique()
+    ref = ray.put(keyset)
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ks = ray.get(ref)
+        if len(on) > 1:
+            cols = [pc.cast(tbl[c], pa.string()) for c in on]
+            key = cols[0]
+            for c in cols[1:]:
+                key = pc.binary_join_element_wise(key, c, "\x1f")
+        else:
+            key = tbl[on[0]]
+            if not key.type.equals(ks.type):
+                key = pc.cast(key, ks.type)
+        mask = pc.is_in(key, value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return tbl.filter(mask)
+
+    return left.map_batches(_filter, batch_format="pyarrow")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

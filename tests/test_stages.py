@@ -316,3 +316,21 @@ def test_cross_join(sf_small):
     out = cross_join(left, right).to_pandas()
     assert len(out) == 6
     assert set(map(tuple, out.values)) == {(i, c) for i in [1, 2, 3] for c in ["x", "y"]}
+
+
+def test_semi_and_anti_join(sf_small, duck):
+    from feast_ray.stages.join import semi_join
+
+    orders = read_table(sf_small, "orders", columns=["o_orderkey", "o_custkey"])
+    building = duck.execute(
+        "select c_custkey from customer where c_mktsegment = 'BUILDING'"
+    ).fetchdf()["c_custkey"].tolist()
+    got = semi_join(orders, building, on="o_custkey").to_pandas()
+    exp_n = duck.execute(
+        """select count(*) from orders where o_custkey in
+           (select c_custkey from customer where c_mktsegment = 'BUILDING')"""
+    ).fetchone()[0]
+    assert len(got) == exp_n
+    got_anti = semi_join(orders, building, on="o_custkey", anti=True).to_pandas()
+    assert len(got_anti) == orders.count() - exp_n
+    assert not set(got_anti["o_custkey"]) & set(building)
