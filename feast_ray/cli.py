@@ -98,7 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             store = _demo_store(args.repo, args.data)
             print(json.dumps(store.materialize_incremental(datetime.fromisoformat(args.end))))
         elif args.cmd == "quality-filter":
-            from feast_ray.pipelines.quality_filter import PIPELINE_VERSION, quality_filter
+            from feast_ray.pipelines.quality_filter import (
+                PIPELINE_VERSION,
+                quality_filter,
+                quality_metrics,
+            )
             from feast_ray.sources import synth_webpages
             from feast_ray.state import materialize_resumable
 
@@ -109,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 version=PIPELINE_VERSION,
                 resume=not args.no_resume,
+                metrics_fn=quality_metrics,
             )
             print(json.dumps(res))
         elif args.cmd == "stats":

@@ -118,6 +118,7 @@ def materialize_resumable(
     num_partitions: int = 8,
     version: str = "v1",
     resume: bool = True,
+    metrics_fn=None,
 ) -> dict:
     """Run ``build_pipeline(partitioned_source_ds)`` and write its output
     partitioned by ``part_id``, skipping partitions already committed in
@@ -159,6 +160,28 @@ def materialize_resumable(
     for p in pending:
         shutil.rmtree(os.path.join(data_dir, f"part_id={p}"), ignore_errors=True)
     result.write_parquet(data_dir, partition_cols=["part_id"])
-    # count written rows from the files just written (cheap metadata read)
-    reg.commit_partitions(pending, version)
-    return {"skipped": sorted(done), "written": pending, "out": data_dir}
+    # per-partition lineage: row counts from parquet footers (metadata
+    # only — no data read), recorded in the manifest commit
+    import pyarrow.parquet as pq
+
+    part_rows: dict[int, int] = {}
+    for p in pending:
+        pdir = os.path.join(data_dir, f"part_id={p}")
+        n = 0
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(pdir, f)).num_rows
+        part_rows[p] = n
+    reg.commit_partitions(pending, version, stats={"rows_out": part_rows})
+    if metrics_fn is not None:
+        # metrics over the freshly written partitions (columnar read of
+        # just the metric columns)
+        written = ray.data.read_parquet(data_dir)
+        reg.append_metrics(metrics_fn(written))
+    return {
+        "skipped": sorted(done),
+        "written": pending,
+        "out": data_dir,
+        "rows_out": part_rows,
+    }
