@@ -160,7 +160,13 @@ def run_scaling() -> dict:
         a, b = _run(ncpu), _run(ncpu)
         return a if a["value"] <= b["value"] else b
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism. Default 4→16: both levels inside the box's
+    # ~16 PHYSICAL cores. 8→32 crosses into SMT siblings (measured
+    # 21.5 effective cores at 32 procs), which understates scaling in
+    # a way a real 4N-node cluster — whose silicon scales with nodes —
+    # would not; see BASELINE.md for both measurements.
+    pair = os.environ.get("GRAFT_SCALING_PAIR", "4,16")
+    lo, hi = (int(x) for x in pair.split(","))
     r_lo, r_hi = _best(lo), _best(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -168,10 +174,12 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "sf": SF_DIR,
     }
 

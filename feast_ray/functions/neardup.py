@@ -149,11 +149,12 @@ def minhash_candidate_dups(
 ) -> ray.data.Dataset:
     """Return ids to DROP: any doc whose estimated Jaccard similarity
     (from signatures) to a lower-id doc in a shared LSH bucket is
-    ≥ threshold. Output: one column ``{id_col}`` of dropped ids."""
-    sigged = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"text_col": text_col, "k": k},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    ≥ threshold. Output: one column ``{id_col}`` of dropped ids (may
+    repeat across LSH bands — dedupe at consumption)."""
+    # stateless tasks: the hasher's "state" (permutation constants) is
+    # module-level — no pool startup cost, elastic scheduling
+    hasher = MinHasher(text_col=text_col, k=k)
+    sigged = ds.map_batches(hasher, batch_format="pyarrow")
     band_rows = sigged.map_batches(
         lambda t: _explode_bands(t.select([id_col, "minhash_sig"]), id_col),
         batch_format="pyarrow",
@@ -190,14 +191,11 @@ def minhash_candidate_dups(
                         break
         return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
 
-    dups = (
+    return (
         band_rows.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(_bucket_dups, batch_format="pandas")
     )
-    from feast_ray.stages.relational import distinct
-
-    return distinct(dups, [id_col])
 
 
 def minhash_dedup(
@@ -267,10 +265,7 @@ def simhash_dups(
     """Ids to drop under SimHash near-dup (Hamming ≤ max_hamming).
     LSH: bucket by each of the four 16-bit chunks — any pair within
     Hamming ≤ 3 collides in ≥ 1 chunk (pigeonhole); verify exactly."""
-    hashed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    hashed = ds.map_batches(SimHasher(text_col=text_col), batch_format="pyarrow")
 
     def _explode(tbl: pa.Table) -> pa.Table:
         sh = tbl["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
