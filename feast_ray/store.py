@@ -289,9 +289,12 @@ class Store:
         result = ray.data.from_pandas(entity_df)
         for vname, feats in by_view.items():
             view = self.views[vname]
-            ts = view.timestamp_field
-            created = view.created_timestamp_column
-            cols = view.join_keys + [ts] + ([created] if created else []) + feats
+            # aggregation views collapse away the event timestamp —
+            # their rows join as current state, not as-of
+            has_ts = view.timestamp_field is not None and not view.aggregations
+            ts = view.timestamp_field if has_ts else None
+            created = view.created_timestamp_column if has_ts else None
+            cols = view.join_keys + ([ts] if ts else []) + ([created] if created else []) + feats
             vds = self.build_view_ds(view)
             vdf = vds.to_pandas()[[c for c in cols if c is not None]]
             rename = {}
@@ -299,7 +302,12 @@ class Store:
             for f in feats:
                 rename[f] = prefix + f
             vdf = vdf.rename(columns=rename)
-            if view.join_keys:
+            if view.join_keys and not has_ts:
+                # keyed aggregation view: plain left join on the keys
+                from feast_ray.stages.join import broadcast_join
+
+                result = broadcast_join(result, vdf, on=view.join_keys, how="left")
+            elif view.join_keys:
                 result = asof_join(
                     result,
                     vdf,

@@ -1,0 +1,106 @@
+"""Coverage for less-travelled Store/view paths: keyless (dummy-entity)
+views, windowed aggregation views, JSON validation, missing-key online
+lookups."""
+
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feast_ray.stages.aggregate import AggSpec
+from feast_ray.stages.validate import validate_json_column
+from feast_ray.store import Store
+from feast_ray.views import Entity, TableSource, View
+
+USER = Entity("user", "user_id")
+EVENTS = TableSource(name="events", table="events", timestamp_field="ts")
+
+
+def test_keyless_global_view(tmp_path, sf_small, duck):
+    """Dummy-entity analog (feature_view.py:96-98): no join keys →
+    single-group global aggregate, cross-joined at retrieval."""
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(
+                name="global_stats",
+                source=EVENTS,
+                entities=[],
+                aggregations=[
+                    AggSpec("value", "sum", "grand_total"),
+                    AggSpec(None, "count", "n_total"),
+                ],
+                features=["grand_total", "n_total"],
+            )
+        ]
+    )
+    got = s.build_view_ds(s.views["global_stats"]).to_pandas()
+    exp = duck.execute("select sum(value), count(*) from events").fetchone()
+    assert len(got) == 1
+    assert got["grand_total"][0] == pytest.approx(exp[0])
+    assert got["n_total"][0] == exp[1]
+
+    # retrieval: global row cross-joined onto every entity row
+    entity_df = pd.DataFrame(
+        {"user_id": [1, 2], "event_timestamp": pd.to_datetime(["2024-01-20"] * 2)}
+    )
+    out = s.get_historical_features(entity_df, ["global_stats:grand_total"]).to_pandas()
+    assert len(out) == 2
+    assert (out["grand_total"] == got["grand_total"][0]).all()
+
+
+def test_windowed_view_through_store(tmp_path, sf_small, duck):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(
+                name="hourly",
+                source=EVENTS,
+                entities=[USER],
+                aggregations=[AggSpec(None, "count", "n")],
+                window=timedelta(hours=1),
+                features=["n"],
+            )
+        ]
+    )
+    got = (
+        s.build_view_ds(s.views["hourly"])
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """select user_id, time_bucket(interval '1 hour', ts) ws, count(*) n
+           from events group by 1, 2 order by 1, 2"""
+    ).fetchdf()
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_validate_json_column(sf_small):
+    from feast_ray.sources import read_table
+
+    ev = read_table(sf_small, "events", columns=["props"])
+    assert validate_json_column(ev, "props") is True
+
+    import ray.data
+
+    bad = ray.data.from_pandas(pd.DataFrame({"props": ['{"k": 1}', "{not json"]}))
+    assert validate_json_column(bad, "props") is False
+
+
+def test_online_lookup_missing_key(tmp_path, sf_small):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(name="user_values", source=EVENTS, entities=[USER],
+                 ttl=timedelta(days=2), features=["value"])
+        ]
+    )
+    s.materialize()
+    out = s.get_online_features(
+        ["user_values:value"], [{"user_id": 999999}, {"user_id": 0}]
+    )
+    assert np.isnan(out["value"][0])
+    assert not np.isnan(out["value"][1])
