@@ -697,6 +697,9 @@ where list_cosine_similarity(a.v, b.v) >= 0.4
 # ------------------------------------------------- oracle-less pipelines
 
 def q23_langid_docs(sf_dir: str):
+    """Language-ID over documents. SQL-oracle-checkable because the
+    model is RE2 function-word counting + argmax — the oracle SQL is
+    GENERATED from the same profile tables (single source of truth)."""
     from feast_ray.functions.langid import LangIdModel
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -704,6 +707,42 @@ def q23_langid_docs(sf_dir: str):
         LangIdModel, fn_constructor_kwargs={"text_col": "text"},
         batch_format="pyarrow", concurrency=(1, 4),
     ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_conf"]), batch_format="pyarrow")
+
+
+def _q23_sql() -> str:
+    from feast_ray.functions.langid import _CJK_PATTERN, _LANG_ORDER, _PROFILES
+
+    score_cols = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({_PROFILES[l]})\\b')) as s_{l}"
+        for l in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_ORDER) + ")"
+    # first-max-wins tie-break in fixed profile order (>= chains)
+    pred_cases = []
+    for i, l in enumerate(_LANG_ORDER[:-1]):
+        conds = " and ".join(f"s_{l} >= s_{m}" for m in _LANG_ORDER[i + 1:])
+        pred_cases.append(f"when {conds} then '{l}'")
+    pred = "\n       ".join(pred_cases)
+    return f"""
+with s as (
+  select doc_id,
+    len(regexp_extract_all(text, '{_CJK_PATTERN}')) as cjk,
+    cast(greatest(length(text), 1) as double) as n_chars,
+    cast(greatest(len(regexp_extract_all(text, '\\S+')), 1) as double) as n_tokens,
+    length(text) as raw_len,
+    len(regexp_extract_all(text, '\\S+')) as raw_tokens,
+    {score_cols}
+  from documents)
+select doc_id,
+  case when cjk / n_chars > 0.15 then 'zh'
+       when {best} = 0 or raw_len = 0 or raw_tokens = 0 then 'und'
+       {pred}
+       else '{_LANG_ORDER[-1]}' end as lang_pred,
+  case when cjk / n_chars > 0.15 then least(1.0, cjk / n_chars)
+       when {best} = 0 or raw_len = 0 or raw_tokens = 0 then 0.0
+       else least(1.0, {best} / n_tokens) end as lang_conf
+from s
+"""
 
 
 def q24_perplexity_docs(sf_dir: str):
@@ -1065,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_pii_scrub_docs": _q20_sql(),
         "q21_ann_cosine_topk": _Q21_SQL,
         "q22_embedding_neardup": _Q22_SQL,
+        "q23_langid_docs": _q23_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
