@@ -1036,6 +1036,23 @@ where o_custkey not in (select c_custkey from customer where c_mktsegment = 'BUI
 """
 
 
+# --------------------------------------------------------------------- q39
+
+def q39_top_sources(sf_dir: str):
+    """Top-n categorical frequencies (the reference's monitoring
+    metric, dask.py:857): most common document sources."""
+    from feast_ray.stages.relational import top_frequencies
+
+    docs = read_table(sf_dir, "documents", columns=["source"])
+    return top_frequencies(docs, "source", 5)
+
+
+_Q39_SQL = """
+select source, count(*) as n from documents
+group by source order by n desc, source limit 5
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1077,6 +1094,7 @@ QUERIES = {
     "q36_store_pit_retrieval": q36_store_pit_retrieval,
     "q37_semi_join_orders": q37_semi_join_orders,
     "q38_anti_join_orders": q38_anti_join_orders,
+    "q39_top_sources": q39_top_sources,
 }
 
 
@@ -1111,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_store_pit_retrieval": _Q36_SQL,
         "q37_semi_join_orders": _Q37_SQL,
         "q38_anti_join_orders": _Q38_SQL,
+        "q39_top_sources": _Q39_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -30,17 +30,20 @@ def read_table(
     ts_range: tuple[datetime | None, datetime | None] | None = None,
     field_mapping: dict[str, str] | None = None,
     override_num_blocks: int | None = None,
+    fmt: str = "parquet",
 ) -> ray.data.Dataset:
-    """Read a Parquet table as a Ray Dataset.
+    """Read a source table as a Ray Dataset.
 
     ``path`` is a file, directory, or sf_dir when ``table`` is given
-    (resolves ``{path}/{table}.parquet``). ``ts_range=(start, end)``
-    filters ``start <= ts_col < end`` as a pushed-down predicate.
+    (resolves ``{path}/{table}.{fmt}``). ``ts_range=(start, end)``
+    filters ``start <= ts_col < end`` — a pushed-down predicate for
+    parquet, a post-read vectorized filter for csv/json.
     ``field_mapping`` renames source→logical columns (applied after the
-    read; ``columns``/``ts_col`` refer to source names).
+    read; ``columns``/``ts_col`` refer to source names). ``fmt`` is
+    one of parquet/csv/json (FileSource format parity, SURVEY §2.3).
     """
     if table is not None:
-        path = os.path.join(path, f"{table}.parquet")
+        path = os.path.join(path, f"{table}.{fmt}")
     expr = filter_expr
     if ts_range is not None:
         if ts_col is None:
@@ -53,11 +56,21 @@ def read_table(
             e = pc.field(ts_col) < pa.scalar(end, pa.timestamp("us"))
             expr = e if expr is None else expr & e
     kwargs = {}
-    if expr is not None:
-        kwargs["filter"] = expr
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "parquet":
+        if expr is not None:
+            kwargs["filter"] = expr
+        ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    elif fmt in ("csv", "json"):
+        reader = ray.data.read_csv if fmt == "csv" else ray.data.read_json
+        ds = reader(path, **kwargs)
+        if expr is not None:
+            ds = ds.filter(expr=expr)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+    else:
+        raise ValueError(f"unsupported source format {fmt!r}")
     if field_mapping:
         mapping = dict(field_mapping)
 

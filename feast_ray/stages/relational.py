@@ -53,6 +53,19 @@ def topk(
     return pre.repartition(1).map_batches(_block_topk, batch_format="pandas")
 
 
+def top_frequencies(
+    ds: ray.data.Dataset, col: str, n: int = 10
+) -> ray.data.Dataset:
+    """Top-n categorical value frequencies (the reference's monitoring
+    metric, dask.py:857 `_dask_compute_categorical_metrics` with its
+    top_n parameter): two-phase grouped count then bounded top-k —
+    never a full sort."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    counts = grouped_agg(ds, [col], [AggSpec(None, "count", "n")])
+    return topk(counts, ["n", col], n, descending=[True, False])
+
+
 def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
     """Union datasets after aligning their column sets (missing columns
     become nulls), mirroring `_align_and_union_entities_ray`."""

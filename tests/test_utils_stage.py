@@ -50,3 +50,50 @@ def test_prefix_columns():
     tbl = pa.table({"user_id": [1], "value": [2.0]})
     out = prefix_columns(tbl, "myview", exclude=["user_id"])
     assert out.column_names == ["user_id", "myview__value"]
+
+
+def test_entity_key_encoding_stable_and_roundtrips():
+    from feast_ray.functions.entity_key import (
+        deserialize_entity_key,
+        serialize_entity_key,
+    )
+
+    k = {"user_id": 42, "region": "eu", "score": 1.5, "flag": True}
+    enc = serialize_entity_key(k)
+    # key order must not matter (sorted stable layout)
+    enc2 = serialize_entity_key(dict(reversed(list(k.items()))))
+    assert enc == enc2
+    assert deserialize_entity_key(enc) == k
+    # distinct keys -> distinct encodings
+    assert serialize_entity_key({"user_id": 43}) != serialize_entity_key({"user_id": 42})
+
+
+def test_read_table_csv_json(tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+
+    from feast_ray.sources import read_table
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df.to_csv(tmp_path / "t.csv", index=False)
+    df.to_json(tmp_path / "t.json", orient="records", lines=True)
+    got_csv = read_table(str(tmp_path), "t", fmt="csv").to_pandas()
+    got_json = read_table(str(tmp_path), "t", fmt="json").to_pandas()
+    pd.testing.assert_frame_equal(got_csv, df)
+    pd.testing.assert_frame_equal(got_json, df)
+    with _pytest.raises(ValueError):
+        read_table(str(tmp_path), "t", fmt="xml")
+
+
+def test_top_frequencies(sf_small, duck):
+    from feast_ray.sources import read_table
+    from feast_ray.stages.relational import top_frequencies
+
+    ev = read_table(sf_small, "events", columns=["event_type"])
+    got = top_frequencies(ev, "event_type", 3).to_pandas()
+    exp = duck.execute(
+        """select event_type, count(*) n from events group by 1
+           order by n desc, event_type limit 3"""
+    ).fetchdf()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
