@@ -63,6 +63,9 @@ class OnlineParquetStore:
         has_ts = view.timestamp_field is not None and not view.aggregations
         ts = view.timestamp_field if has_ts else "__mat_gen"
         created = view.created_timestamp_column if has_ts else None
+        # windowed views are keyed by (entities, window_start): each
+        # window is its own online row (stream-view tiling semantics)
+        upsert_keys = view.join_keys + (["window_start"] if view.window else [])
         def _stamp(g):
             def _s(tbl: pa.Table) -> pa.Table:
                 import numpy as np
@@ -82,8 +85,8 @@ class OnlineParquetStore:
                 # definition older than this upsert
                 existing = existing.map_batches(_stamp(0), batch_format="pyarrow")
             ds = existing.union(ds)
-        if view.join_keys:
-            ds = keep_latest(ds, view.join_keys, ts, created_ts=created)
+        if upsert_keys:
+            ds = keep_latest(ds, upsert_keys, ts, created_ts=created)
         if not has_ts:
             ds = ds.map_batches(
                 lambda t: t.drop_columns(["__mat_gen"]) if "__mat_gen" in t.column_names else t,

@@ -104,3 +104,28 @@ def test_online_lookup_missing_key(tmp_path, sf_small):
     )
     assert np.isnan(out["value"][0])
     assert not np.isnan(out["value"][1])
+
+
+def test_windowed_view_materialize_keeps_all_windows(tmp_path, sf_small, duck):
+    """Windowed views upsert keyed by (entities, window_start): one
+    online row per window, not collapsed to one per user."""
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(
+                name="hourly2",
+                source=EVENTS,
+                entities=[USER],
+                aggregations=[AggSpec(None, "count", "n")],
+                window=timedelta(hours=1),
+                features=["n"],
+            )
+        ]
+    )
+    s.materialize(views=["hourly2"])
+    got = s.online.read("hourly2").to_pandas()
+    exp_rows = duck.execute(
+        """select count(*) from (select user_id, time_bucket(interval '1 hour', ts)
+           from events group by 1, 2)"""
+    ).fetchone()[0]
+    assert len(got) == exp_rows
