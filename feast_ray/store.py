@@ -139,6 +139,28 @@ class Store:
                 self.services[obj.name] = obj
         self._save_registry()
 
+    def plan(self, objects: list) -> dict:
+        """Dry-run diff against the registry (the reference's
+        `feast plan`, feature_store.py:1370): what apply() would add /
+        leave unchanged / implicitly keep."""
+        incoming = {o.name for o in objects}
+        existing = set(self.views) | set(self.services) | set(self.on_demand_views)
+        return {
+            "to_add": sorted(incoming - existing),
+            "unchanged": sorted(incoming & existing),
+            "untouched": sorted(existing - incoming),
+        }
+
+    def teardown(self) -> None:
+        """Remove all materialized state (online plane + registry) —
+        the reference's `feast teardown`."""
+        import shutil
+
+        shutil.rmtree(self.online.root, ignore_errors=True)
+        os.makedirs(self.online.root, exist_ok=True)
+        if os.path.exists(self.registry_path):
+            os.remove(self.registry_path)
+
     def _save_registry(self) -> None:
         reg = self._load_registry()
         reg["views"] = sorted(self.views)
@@ -381,6 +403,32 @@ class Store:
         (feature_store.py:3338-3404 push path)."""
         view = self.views[view_name]
         self.online.upsert(view, ray.data.from_pandas(df))
+
+    def retrieve_online_documents(
+        self,
+        view_name: str,
+        query: "list[float]",
+        top_k: int = 5,
+        *,
+        vec_col: str = "embedding",
+        id_col: str | None = None,
+    ) -> pd.DataFrame:
+        """ANN retrieval over a view's vector column in the online
+        plane (reference: feature_store.py:4044/4149
+        `retrieve_online_documents(_v2)` over ``vector_index`` fields)
+        — brute-force cosine top-k via the similarity operators."""
+        import numpy as np
+
+        from feast_ray.functions.similarity import ann_topk_bruteforce
+
+        view = self.views[view_name]
+        id_col = id_col or view.join_keys[0]
+        ds = ray.data.read_parquet(self.online._dir(view_name))
+        res = ann_topk_bruteforce(
+            ds, np.asarray([query]), k=top_k, id_col=id_col, vec_col=vec_col,
+            round_to=None,
+        ).to_pandas()
+        return res.drop(columns=["query_id"]).reset_index(drop=True)
 
     def get_online_features(
         self, features: list[str], entity_rows: list[dict]

@@ -129,3 +129,44 @@ def test_windowed_view_materialize_keeps_all_windows(tmp_path, sf_small, duck):
            from events group by 1, 2)"""
     ).fetchone()[0]
     assert len(got) == exp_rows
+
+
+def test_plan_and_teardown(tmp_path, sf_small):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(name="user_values", source=EVENTS, entities=[USER], features=["value"])
+    diff = s.plan([v])
+    assert diff["to_add"] == ["user_values"]
+    s.apply([v])
+    diff2 = s.plan([v])
+    assert diff2["unchanged"] == ["user_values"] and diff2["to_add"] == []
+    s.materialize()
+    assert s.online.read("user_values").num_rows > 0
+    s.teardown()
+    import os as _os
+
+    assert not _os.path.exists(s.registry_path)
+
+
+def test_retrieve_online_documents(tmp_path, sf_small):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [
+            View(
+                name="doc_vectors",
+                source=TableSource(name="embeddings", table="embeddings"),
+                entities=[Entity("vec", "vec_id")],
+                features=["embedding", "label"],
+            )
+        ]
+    )
+    s.materialize(views=["doc_vectors"])
+    emb = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    q = np.array(emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=float)
+    res = s.retrieve_online_documents("doc_vectors", list(q), top_k=3)
+    # the query vector itself must be its own nearest neighbor
+    assert res.iloc[0]["vec_id"] == 0
+    assert res.iloc[0]["score"] == pytest.approx(1.0)
+    assert len(res) == 3
