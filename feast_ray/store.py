@@ -44,10 +44,16 @@ from feast_ray.views import FeatureService, OnDemandView, TableSource, View
 
 
 class OnlineParquetStore:
-    """Latest-per-key KV plane as partitioned Parquet (one dir per
-    view). Upsert = union existing + new, keep max (event_ts,
-    created_ts) per key — last-write-wins, the reference's online
+    """Latest-per-key KV plane as hash-partitioned Parquet (one dir per
+    view, one subdirectory per key-hash bucket). Upsert merges ONLY the
+    buckets the new rows touch — each bucket merged and atomically
+    replaced by a worker task in parallel (the reference writes
+    online batches worker-side the same way, ray/nodes.py:864-908) —
+    so write cost scales with the delta, not the store size.
+    Last-write-wins by (event_ts, created_ts), the reference's online
     semantics (online_store.py:44-130)."""
+
+    NUM_BUCKETS = 16
 
     def __init__(self, root: str):
         self.root = root
@@ -58,6 +64,7 @@ class OnlineParquetStore:
 
     def upsert(self, view: View, ds: ray.data.Dataset) -> int:
         out = self._dir(view.name)
+        os.makedirs(out, exist_ok=True)
         # aggregation views carry no event timestamp — order upserts by
         # a per-call generation counter instead (still last-write-wins)
         has_ts = view.timestamp_field is not None and not view.aggregations
@@ -66,48 +73,97 @@ class OnlineParquetStore:
         # windowed views are keyed by (entities, window_start): each
         # window is its own online row (stream-view tiling semantics)
         upsert_keys = view.join_keys + (["window_start"] if view.window else [])
-        def _stamp(g):
-            def _s(tbl: pa.Table) -> pa.Table:
-                import numpy as np
-
-                return tbl.append_column(
-                    "__mat_gen", pa.array(np.full(len(tbl), g, dtype=np.int64))
-                )
-
-            return _s
 
         if not has_ts:
-            ds = ds.map_batches(_stamp(1), batch_format="pyarrow")
-        if os.path.isdir(out) and any(f.endswith(".parquet") for f in os.listdir(out)):
-            existing = ray.data.read_parquet(out)
-            if not has_ts:
-                # stored rows lost their generation stamp — they are by
-                # definition older than this upsert
-                existing = existing.map_batches(_stamp(0), batch_format="pyarrow")
-            ds = existing.union(ds)
-        if upsert_keys:
-            ds = keep_latest(ds, upsert_keys, ts, created_ts=created)
-        if not has_ts:
+            import numpy as np
+
             ds = ds.map_batches(
-                lambda t: t.drop_columns(["__mat_gen"]) if "__mat_gen" in t.column_names else t,
+                lambda t: t.append_column(
+                    "__mat_gen", pa.array(np.full(len(t), 1, dtype=np.int64))
+                ),
                 batch_format="pyarrow",
             )
-        tmp = out + ".tmp"
-        import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        shutil.rmtree(out, ignore_errors=True)
-        os.replace(tmp, out)
-        return sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+        if not upsert_keys:
+            # keyless global row set: replace wholesale
+            tmp = out + ".tmp"
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds.write_parquet(tmp)
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
+            return 1
+
+        from feast_ray.stages.dedup import add_hash_bucket
+
+        nb = self.NUM_BUCKETS
+        bucketed = ds.map_batches(
+            lambda t: add_hash_bucket(t, upsert_keys, nb, col="__ob"),
+            batch_format="pyarrow",
+        )
+        order_by = [ts] + ([created] if created else [])
+        view_dir = out
+
+        def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            """One task per touched bucket: read existing bucket, merge
+            with the new rows, keep latest per key, atomic replace."""
+            bucket = int(df["__ob"].iloc[0])
+            df = df.drop(columns="__ob")
+            bdir = os.path.join(view_dir, f"bucket={bucket}")
+            if os.path.isdir(bdir):
+                old = pq.read_table(bdir).to_pandas()
+                if "__mat_gen" in df.columns and "__mat_gen" not in old.columns:
+                    old["__mat_gen"] = 0  # stored rows predate this upsert
+                df = pd.concat([old, df], ignore_index=True)
+            df = df.sort_values(order_by, kind="stable", na_position="first")
+            df = df.drop_duplicates(upsert_keys, keep="last")
+            if "__mat_gen" in df.columns:
+                df = df.drop(columns="__mat_gen")
+            tmp = bdir + ".tmp"
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(tmp, "data.parquet"),
+            )
+            shutil.rmtree(bdir, ignore_errors=True)
+            os.replace(tmp, bdir)
+            return pd.DataFrame({"bucket": [bucket], "rows": [len(df)]})
+
+        stats = (
+            bucketed.groupby("__ob")
+            .map_groups(_merge_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        return int(stats["rows"].sum())
 
     def read(self, view_name: str) -> pa.Table:
-        return pq.read_table(self._dir(view_name))
+        tbl = pq.read_table(self._dir(view_name))
+        drop = [c for c in ("bucket", "__mat_gen") if c in tbl.column_names]
+        return tbl.drop_columns(drop) if drop else tbl
 
     def lookup(self, view: View, entity_rows: list[dict]) -> pd.DataFrame:
-        """Point lookup: entity key dicts → latest feature values."""
-        tbl = self.read(view.name).to_pandas()
+        """Point lookup: entity key dicts → latest feature values.
+        Reads only the buckets the requested keys hash into."""
         req = pd.DataFrame(entity_rows)
+        from feast_ray.stages.dedup import add_hash_bucket
+
+        keyed = add_hash_bucket(
+            pa.Table.from_pandas(req[view.join_keys], preserve_index=False),
+            view.join_keys, self.NUM_BUCKETS, col="__ob",
+        )
+        buckets = sorted(set(keyed["__ob"].to_pylist()))
+        frames = []
+        for b in buckets:
+            bdir = os.path.join(self._dir(view.name), f"bucket={b}")
+            if os.path.isdir(bdir):
+                frames.append(pq.read_table(bdir).to_pandas())
+        if not frames:
+            return req.reindex(columns=list(req.columns) + view.features)
+        tbl = pd.concat(frames, ignore_index=True)
         return req.merge(tbl, on=view.join_keys, how="left")
 
 
