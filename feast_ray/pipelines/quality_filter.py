@@ -134,6 +134,7 @@ def quality_filter(
     *,
     dedup: bool = True,
     dedup_mode: str = "global",
+    dedup_pairs: "ray.data.Dataset | None" = None,
     keep_only: bool = False,
     model_concurrency=None,
     validate_input: bool = True,
@@ -150,33 +151,35 @@ def quality_filter(
     if validate_input:
         ds = validate_stage(ds, WEBPAGE_SCHEMA, strict=False)
 
-    # extract, then drop the fat payload column immediately: the url
-    # dedup below is a shuffle and must not carry html bytes
+    # latest crawl per url — PIT invariant analog (SURVEY.md §2.2).
+    # "sketch": dedup BEFORE extraction on the raw pages — pass A only
+    #   projects (url, warc_ts) and runs a tiny aggregate; pass B
+    #   filters losers inline. The pipeline then has NO all-to-all
+    #   barrier at all: read → filter → extract → score streams end to
+    #   end, and the fat html column never enters a shuffle.
+    # "global": exact without the (key, ts)-uniqueness assumption —
+    #   extract first (so the shuffle carries text, not html), then a
+    #   full-row bucket shuffle. Equivalence tested.
+    # ``dedup_pairs``: optionally a column-pruned (url, warc_ts) read of
+    # the same source, so sketch's pass A reads megabytes, not the corpus
+    if dedup and dedup_mode == "sketch":
+        from feast_ray.stages.dedup import keep_latest_sketch
+
+        ds = keep_latest_sketch(ds, "url", "warc_ts", pairs_ds=dedup_pairs)
+
+    # extract, then drop the fat payload column immediately
     ds = ds.map_batches(
         lambda t: extract_batch(t, "html", "extracted_text").drop_columns(["html", "text"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    if dedup:
-        # latest crawl per url — PIT invariant analog (SURVEY.md §2.2).
-        # "global" (default): single-pass full-row bucket shuffle.
-        # "sketch": two light passes shuffling only 16-byte
-        # (key_hash, ts) pairs and re-reading the source — wins when
-        # rows are fat (real 50-100 KB html pages) and dup rates are a
-        # few percent; on this synthetic corpus (1.5 KB pages, 20%
-        # recrawls) the full-row shuffle is cheaper, so it stays the
-        # default. Equivalence is tested (test_quality_filter).
-        if dedup_mode == "sketch":
-            from feast_ray.stages.dedup import keep_latest_sketch
+    if dedup and dedup_mode != "sketch":
+        import ray as _ray
 
-            ds = keep_latest_sketch(ds, "url", "warc_ts")
-        else:
-            import ray as _ray
-
-            ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-            ds = keep_latest(ds, ["url"], "warc_ts", mode=dedup_mode,
-                             num_buckets=max(64, 8 * ncpu))
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        ds = keep_latest(ds, ["url"], "warc_ts", mode=dedup_mode,
+                         num_buckets=max(64, 8 * ncpu))
 
     # one fused model stage: stats + langid + ppl + rules + scrub
     # (scrub skips dropped rows via only_where="keep"). Stateless tasks
