@@ -119,6 +119,7 @@ def materialize_resumable(
     version: str = "v1",
     resume: bool = True,
     metrics_fn=None,
+    chunk_size: int | None = None,
 ) -> dict:
     """Run ``build_pipeline(partitioned_source_ds)`` and write its output
     partitioned by ``part_id``, skipping partitions already committed in
@@ -127,53 +128,68 @@ def materialize_resumable(
     The partition id is ``hash(key_col) % num_partitions`` — computed
     on the source for pruning and recomputed on the result for the
     partitioned write, so the pipeline does not need to carry it
-    (the hash is a pure function of the key)."""
+    (the hash is a pure function of the key).
+
+    ``chunk_size``: process and COMMIT that many partitions per
+    pipeline run instead of all pending at once — a kill loses at most
+    one uncommitted chunk and the rerun skips everything committed
+    before it (the incremental-watermark granularity; at real scale a
+    chunk maps to an input file group so chunking prunes at the read)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
     reg = Registry(out_dir)
     done = reg.completed_partitions(version) if resume else set()
     all_parts = set(range(num_partitions))
     pending = sorted(all_parts - done)
     if not pending:
         return {"skipped": sorted(done), "written": [], "rows": 0}
+    data_dir = os.path.join(out_dir, "data")
 
-    ds = source_ds.map_batches(_partition_by_key(key_col, num_partitions), batch_format="pyarrow")
-    if done:
-        done_arr = sorted(done)
+    def _run_chunk(chunk: list[int]) -> dict[int, int]:
+        keep = sorted(chunk)
 
         def _prune(tbl):
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            mask = pc.is_in(tbl["part_id"], value_set=pa.array(done_arr, pa.int64()))
-            return tbl.filter(pc.invert(mask))
+            mask = pc.is_in(tbl["part_id"], value_set=pa.array(keep, pa.int64()))
+            return tbl.filter(mask)
 
-        ds = ds.map_batches(_prune, batch_format="pyarrow")
-
-    result = build_pipeline(ds)
-    result = result.map_batches(
-        _partition_by_key(key_col, num_partitions), batch_format="pyarrow"
-    )
-    data_dir = os.path.join(out_dir, "data")
-    # idempotence: a partition is rewritten WHOLE — clear any orphan
-    # files a killed previous run left in the uncommitted partitions
-    import shutil
-
-    for p in pending:
-        shutil.rmtree(os.path.join(data_dir, f"part_id={p}"), ignore_errors=True)
-    result.write_parquet(data_dir, partition_cols=["part_id"])
-    # per-partition lineage: row counts from parquet footers (metadata
-    # only — no data read), recorded in the manifest commit
-    import pyarrow.parquet as pq
+        ds = source_ds.map_batches(
+            _partition_by_key(key_col, num_partitions), batch_format="pyarrow"
+        )
+        if set(keep) != all_parts:
+            ds = ds.map_batches(_prune, batch_format="pyarrow")
+        result = build_pipeline(ds)
+        result = result.map_batches(
+            _partition_by_key(key_col, num_partitions), batch_format="pyarrow"
+        )
+        # idempotence: a partition is rewritten WHOLE — clear any orphan
+        # files a killed previous run left in the uncommitted partitions
+        for p in keep:
+            shutil.rmtree(os.path.join(data_dir, f"part_id={p}"), ignore_errors=True)
+        result.write_parquet(data_dir, partition_cols=["part_id"])
+        # per-partition lineage: row counts from parquet footers
+        # (metadata only — no data read), recorded in the commit
+        rows: dict[int, int] = {}
+        for p in keep:
+            pdir = os.path.join(data_dir, f"part_id={p}")
+            n = 0
+            if os.path.isdir(pdir):
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet"):
+                        n += pq.read_metadata(os.path.join(pdir, f)).num_rows
+            rows[p] = n
+        reg.commit_partitions(keep, version, stats={"rows_out": rows})
+        return rows
 
     part_rows: dict[int, int] = {}
-    for p in pending:
-        pdir = os.path.join(data_dir, f"part_id={p}")
-        n = 0
-        if os.path.isdir(pdir):
-            for f in os.listdir(pdir):
-                if f.endswith(".parquet"):
-                    n += pq.read_metadata(os.path.join(pdir, f)).num_rows
-        part_rows[p] = n
-    reg.commit_partitions(pending, version, stats={"rows_out": part_rows})
+    step = chunk_size or len(pending)
+    for i in range(0, len(pending), step):
+        part_rows.update(_run_chunk(pending[i : i + step]))
+
     if metrics_fn is not None:
         # metrics over the freshly written partitions (columnar read of
         # just the metric columns)

@@ -54,3 +54,72 @@ def test_metrics_sink(tmp_path, sf_small):
     reg = Registry(str(tmp_path / "reg"))
     path = reg.append_metrics(pd.DataFrame({"stage": ["extract"], "rows": [10]}))
     assert len(os.listdir(path)) == 1
+
+
+def test_kill_and_resume_incremental(tmp_path, sf_small):
+    """Real kill mid-run: a chunked materialization killed partway
+    leaves committed chunks; the rerun skips them and completes the
+    rest with no duplicate rows (the north rule's resumability)."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path / "mat")
+    code = f'''
+import ray, warnings
+warnings.filterwarnings("ignore")
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR", log_to_driver=False)
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import sys; sys.path.insert(0, "/root/repo")
+from feast_ray.pipelines.quality_filter import quality_filter
+from feast_ray.sources import synth_webpages
+from feast_ray.state import materialize_resumable
+materialize_resumable(
+    lambda ds: quality_filter(ds, validate_input=False),
+    synth_webpages("{sf_small}"), "{out}",
+    num_partitions=8, version="v1", chunk_size=2)
+print("FULLY_DONE")
+'''
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, cwd="/root/repo",
+    )
+    # kill once the first chunk has committed but before completion
+    import os as _os
+
+    manifest = _os.path.join(out, "manifest.json")
+    deadline = time.time() + 240
+    committed = []
+    while time.time() < deadline:
+        if _os.path.exists(manifest):
+            committed = json.load(open(manifest)).get("completed_partitions", [])
+            if committed and len(committed) < 8:
+                break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.3)
+    proc.kill()
+    proc.wait()
+    assert committed and len(committed) < 8, f"kill window missed: {committed}"
+
+    # resume in-process: must skip the committed chunks
+    from feast_ray.pipelines.quality_filter import quality_filter
+    from feast_ray.sources import synth_webpages
+    from feast_ray.state import materialize_resumable
+
+    res = materialize_resumable(
+        lambda ds: quality_filter(ds, validate_input=False),
+        synth_webpages(sf_small), out,
+        num_partitions=8, version="v1", chunk_size=2,
+    )
+    assert sorted(res["skipped"]) == sorted(committed)
+    assert sorted(res["skipped"] + res["written"]) == list(range(8))
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_os.path.join(out, "data"))
+    urls = tbl["url"].to_pylist()
+    assert len(urls) == len(set(urls)) == 500
