@@ -277,6 +277,11 @@ def semi_join(
         keyset = _keycol(rt).unique()
     else:
         keyset = rt[on[0]].combine_chunks().unique()
+    if len(keyset) == 0:
+        # empty key set: semi → nothing, anti → everything
+        if anti:
+            return left
+        return left.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     ref = ray.put(keyset)
 
     def _filter(tbl: pa.Table) -> pa.Table:
