@@ -92,6 +92,9 @@ def apply_quality_rules(tbl: pa.Table) -> pa.Table:
     return tbl
 
 
+MAX_DUP_2GRAM_FRAC = 0.4  # Gopher-style repetition cutoff (model rule)
+
+
 def repetition_stats(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc repetition metrics (Gopher-style, not SQL-expressible):
     duplicate word-2gram fraction and top-word fraction."""
@@ -106,3 +109,9 @@ def repetition_stats(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         vals, counts = np.unique(np.array(words, dtype=object), return_counts=True)
         topw[i] = counts.max() / len(words)
     return dup2, topw
+
+
+def add_repetition_stats(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    dup2, topw = repetition_stats(tbl[text_col].to_pylist())
+    tbl = tbl.append_column("dup_2gram_frac", pa.array(dup2))
+    return tbl.append_column("top_word_frac", pa.array(topw))

@@ -27,7 +27,12 @@ from feast_ray.functions.extract import EXTRACTOR_VERSION, extract_batch
 from feast_ray.functions.langid import LangIdModel
 from feast_ray.functions.perplexity import PerplexityModel
 from feast_ray.functions.scrub import Scrubber
-from feast_ray.functions.textstats import apply_quality_rules, compute_textstats
+from feast_ray.functions.textstats import (
+    MAX_DUP_2GRAM_FRAC,
+    add_repetition_stats,
+    apply_quality_rules,
+    compute_textstats,
+)
 from feast_ray.schema import WEBPAGE_SCHEMA, Schema
 from feast_ray.stages.aggregate import AggSpec, grouped_agg
 from feast_ray.stages.dedup import keep_latest
@@ -50,6 +55,7 @@ OUTPUT_SCHEMA = Schema(
         ("digit_frac", pa.float64()),
         ("symbol_frac", pa.float64()),
         ("stop_count", pa.int64()),
+        ("dup_2gram_frac", pa.float64()),
         ("ppl", pa.float64()),
         ("keep", pa.bool_()),
         ("drop_reason", pa.string()),
@@ -65,21 +71,29 @@ def domain_of(urls: "pa.ChunkedArray | pa.Array"):
 
 
 def _model_rules(tbl: pa.Table) -> pa.Table:
-    """Fold the model-based rules (perplexity, language) into
-    keep/drop_reason, after the heuristic rules. Priority: heuristic
-    reasons stay; then 'lang_unknown'; then 'high_perplexity'."""
+    """Fold the model-based rules (perplexity, language, repetition)
+    into keep/drop_reason, after the heuristic rules. Priority:
+    heuristic reasons stay; then 'lang_unknown'; then
+    'high_perplexity'; then 'repetition' (Gopher dup-2gram rule)."""
     reason = tbl["drop_reason"]
     lang_bad = pc.or_(
         pc.equal(tbl["lang_pred"], "und"),
         pc.less(tbl["lang_conf"], MIN_LANG_CONF),
     )
     ppl_bad = pc.greater(tbl["ppl"], MAX_PPL)
+    rep_bad = pc.greater(tbl["dup_2gram_frac"], MAX_DUP_2GRAM_FRAC)
     reason = pc.if_else(
         pc.is_null(reason),
         pc.if_else(
             lang_bad,
             pa.scalar("lang_unknown"),
-            pc.if_else(ppl_bad, pa.scalar("high_perplexity"), pa.nulls(len(tbl), pa.string())),
+            pc.if_else(
+                ppl_bad,
+                pa.scalar("high_perplexity"),
+                pc.if_else(
+                    rep_bad, pa.scalar("repetition"), pa.nulls(len(tbl), pa.string())
+                ),
+            ),
         ),
         reason,
     )
@@ -105,6 +119,7 @@ class QualityScorer:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         tbl = compute_textstats(tbl, self.text_col)
+        tbl = add_repetition_stats(tbl, self.text_col)
         tbl = self.langid(tbl)
         tbl = self.ppl(tbl)
         tbl = apply_quality_rules(tbl)

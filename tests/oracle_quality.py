@@ -23,6 +23,7 @@ from feast_ray.functions.perplexity import PerplexityModel
 from feast_ray.functions.scrub import Scrubber
 from feast_ray.functions.textstats import (
     MAX_DIGIT_FRAC,
+    MAX_DUP_2GRAM_FRAC,
     MAX_MEAN_WORD_LEN,
     MAX_SYMBOL_FRAC,
     MAX_WORDS,
@@ -87,6 +88,10 @@ def oracle_decide(text: str) -> tuple[bool, str | None]:
         return False, "lang_unknown"
     if PerplexityModel().score(text) > MAX_PPL:
         return False, "high_perplexity"
+    if n_words >= 2:
+        grams = list(zip(words[:-1], words[1:]))
+        if 1.0 - len(set(grams)) / len(grams) > MAX_DUP_2GRAM_FRAC:
+            return False, "repetition"
     return True, None
 
 
