@@ -79,7 +79,11 @@ def test_single_row_pipeline(sf_small):
     one = pa.table(
         {
             "doc_id": pa.array([1], pa.int64()),
-            "text": pa.array(["the quick brown fox jumps over the lazy dog " * 5]),
+            "text": pa.array([
+                "the quick brown fox jumps over the lazy dog while the data "
+                "engine sorts filters joins and aggregates rows of tables in "
+                "parallel across many worker processes with streaming output"
+            ]),
             "lang": pa.array(["en"]),
             "source": pa.array(["s"]),
             "n_chars": pa.array([100], pa.int64()),
