@@ -116,12 +116,18 @@ def _norm_ts(df: pd.DataFrame, col: str) -> pd.DataFrame:
     return df
 
 
-def _prep_asof_right(rdf: pd.DataFrame, right_ts: str, created_ts: str | None) -> pd.DataFrame:
+def _prep_asof_right(
+    rdf: pd.DataFrame, right_ts: str, created_ts: str | None,
+    keep_created_as: str | None = None,
+) -> pd.DataFrame:
     rdf = _norm_ts(rdf, right_ts)
     order = [right_ts] + ([created_ts] if created_ts else [])
     rdf = rdf.sort_values(order, kind="stable", na_position="first")
     if created_ts:
-        rdf = rdf.drop(columns=[created_ts])
+        if keep_created_as:
+            rdf = _norm_ts(rdf, created_ts).rename(columns={created_ts: keep_created_as})
+        else:
+            rdf = rdf.drop(columns=[created_ts])
     return rdf.reset_index(drop=True)
 
 
@@ -135,18 +141,25 @@ def asof_join(
     ttl: timedelta | None = None,
     created_ts: str | None = None,
     right_suffix: str = "_r",
+    created_cutoff: bool = False,
 ) -> ray.data.Dataset:
     """Broadcast backward as-of join: for each left row, the newest
     right row with ``right_ts <= left_ts`` (and ``>= left_ts - ttl``
     when ttl is set), per `by` key; ties on right_ts broken by
     created_ts (PIT semantics, dask.py:1167-1270).
 
+    ``created_cutoff``: blank (not drop) the joined feature values
+    whose ``created_ts`` is AFTER the entity timestamp — a backfilled
+    row written later than the entity event must not leak into
+    training (dask.py:1203-1226 `_apply_created_timestamp_cutoff`).
+
     The right side must be small (broadcast). For two large sides use
     :func:`copartitioned_asof_join`.
     """
     by = [by] if isinstance(by, str) else list(by)
     rdf = _to_arrow(right).to_pandas()
-    rdf = _prep_asof_right(rdf, right_ts, created_ts)
+    cutoff_col = "__created_cut" if (created_cutoff and created_ts) else None
+    rdf = _prep_asof_right(rdf, right_ts, created_ts, keep_created_as=cutoff_col)
     ref = ray.put(rdf)
     same_ts_name = left_ts == right_ts
 
@@ -172,6 +185,17 @@ def asof_join(
             allow_exact_matches=True,
             suffixes=("", right_suffix),
         )
+        if cutoff_col is not None and cutoff_col in out.columns:
+            late = out[cutoff_col] > out[left_ts]
+            feature_cols = [
+                c for c in r.columns
+                if c not in by and c != right_ts and c != cutoff_col
+            ]
+            for c in feature_cols:
+                col = c if c in out.columns else c + right_suffix
+                if col in out.columns:
+                    out.loc[late, col] = None
+            out = out.drop(columns=[cutoff_col])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return left.map_batches(_asof, batch_format="pyarrow")

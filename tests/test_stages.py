@@ -334,3 +334,36 @@ def test_semi_and_anti_join(sf_small, duck):
     got_anti = semi_join(orders, building, on="o_custkey", anti=True).to_pandas()
     assert len(got_anti) == orders.count() - exp_n
     assert not set(got_anti["o_custkey"]) & set(building)
+
+
+def test_asof_created_timestamp_cutoff():
+    """Backfill leakage guard (dask.py:1203-1226): a feature row whose
+    created_ts is after the entity timestamp is selected by the as-of
+    (its event_ts qualifies) but its VALUES are blanked."""
+    import ray.data
+
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": [1, 2], "ets": pd.to_datetime(["2024-01-10", "2024-01-10"])}
+        )
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 2],
+            "fts": pd.to_datetime(["2024-01-05", "2024-01-05"]),
+            # k=1 written before the entity event; k=2 backfilled later
+            "created": pd.to_datetime(["2024-01-06", "2024-02-01"]),
+            "v": [10.0, 20.0],
+        }
+    )
+    out = (
+        asof_join(
+            left, right, left_ts="ets", right_ts="fts", by="k",
+            created_ts="created", created_cutoff=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "v"] == 10.0
+    assert pd.isna(out.loc[1, "v"])  # backfill blanked, row kept
