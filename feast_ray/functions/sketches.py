@@ -1,0 +1,156 @@
+"""Mergeable sketches: HyperLogLog distinct counts and sample-based
+quantiles as two-phase distributed aggregates.
+
+The guide's sketch pattern (and the scale rationale): emit ONE small
+mergeable summary per (key, block) inside ``map_batches``, shuffle only
+the summaries, merge per key. Exact ``count_distinct`` must move every
+distinct value through the shuffle; these move kilobytes per key.
+
+- HLL: 2^P registers (P=12 → ~1.6% relative error), hash = pandas
+  siphash (process-stable). Registers merge by elementwise max.
+- Quantiles: fixed-size uniform sample per block (deterministic
+  position-based thinning, no RNG), merged then thinned again —
+  a simple mergeable quantile summary in the KLL spirit.
+
+Both run partial → bucketed merge (same skew-safe shape as
+keep_latest: shuffle on a small int bucket, vectorized merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hash64(series: pd.Series) -> np.ndarray:
+    return pd.util.hash_pandas_object(series.astype(str), index=False).to_numpy()
+
+
+def hll_sketch(values: pd.Series) -> np.ndarray:
+    """uint8[HLL_M] register array for one batch of values."""
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    bits = h << np.uint64(HLL_P)  # remaining 64-P bits, left-aligned
+    # rank = (leading zeros of `bits` in a 64-bit window) + 1, capped;
+    # vectorized via the float exponent: floor(log2(x)) = 63 - lz
+    nonzero = bits != 0
+    fl = np.zeros(len(h), dtype=np.float64)
+    fl[nonzero] = np.floor(np.log2(bits[nonzero].astype(np.float64)))
+    lead = np.where(nonzero, 63 - fl.astype(np.int64), 64 - HLL_P)
+    rank = (lead + 1).clip(1, 64 - HLL_P + 1).astype(np.uint8)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(HLL_M)
+    est = _ALPHA * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_count_distinct(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    num_buckets: int = 64,
+    alias: str = "approx_distinct",
+) -> ray.data.Dataset:
+    """Per-key approximate distinct count of ``col`` (±~1.6%)."""
+    from feast_ray.stages.dedup import add_hash_bucket
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, hll_sketch(grp[col]).tobytes()))
+        out = pd.DataFrame(rows, columns=[*keys, "__hll"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    bucketed = partials.map_batches(
+        lambda t: add_hash_bucket(t, keys, num_buckets), batch_format="pyarrow"
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            for blob in grp["__hll"]:
+                regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+            rows.append((*kv, int(round(hll_estimate(regs)))))
+        return pd.DataFrame(rows, columns=[*keys, alias])
+
+    from feast_ray.stages.dedup import BUCKET_COL
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: _merge(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )
+
+
+QUANTILE_SAMPLE = 2048
+
+
+def _thin(values: np.ndarray, cap: int = QUANTILE_SAMPLE) -> np.ndarray:
+    """Deterministic uniform thinning: sort + evenly spaced positions
+    (no RNG — resumable runs must reproduce)."""
+    v = np.sort(values)
+    if len(v) <= cap:
+        return v
+    pos = np.linspace(0, len(v) - 1, cap).round().astype(np.int64)
+    return v[pos]
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    qs: list[float],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key approximate quantiles of ``col`` from merged per-block
+    uniform samples. Output columns: keys + q_<fraction…>."""
+    from feast_ray.stages.dedup import BUCKET_COL, add_hash_bucket
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            sample = _thin(grp[col].to_numpy(dtype=np.float64))
+            rows.append((*kv, sample.tobytes(), len(grp)))
+        out = pd.DataFrame(rows, columns=[*keys, "__sample", "__n"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    bucketed = partials.map_batches(
+        lambda t: add_hash_bucket(t, keys, num_buckets), batch_format="pyarrow"
+    )
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            merged = np.concatenate(
+                [np.frombuffer(b, dtype=np.float64) for b in grp["__sample"]]
+            )
+            merged = _thin(merged)
+            quants = np.quantile(merged, qs) if len(merged) else [np.nan] * len(qs)
+            rows.append((*kv, *quants))
+        return pd.DataFrame(rows, columns=[*keys, *qcols])
+
+    return bucketed.groupby(BUCKET_COL).map_groups(
+        lambda g: _merge(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+    )

@@ -1053,6 +1053,27 @@ group by source order by n desc, source limit 5
 """
 
 
+# --------------------------------------------------------------------- q40+
+
+def q40_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct users per event type (mergeable-sketch
+    two-phase aggregate; partition-invariant, ±1.6%). Rows-only: the
+    estimate is approximate by design (exact variant: q12)."""
+    from feast_ray.functions.sketches import approx_count_distinct
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_count_distinct(ev, ["event_type"], "user_id")
+
+
+def q41_approx_value_quantiles(sf_dir: str):
+    """Sample-based approximate value quantiles per event type
+    (mergeable per-block uniform samples). Rows-only."""
+    from feast_ray.functions.sketches import approx_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1095,6 +1116,8 @@ QUERIES = {
     "q37_semi_join_orders": q37_semi_join_orders,
     "q38_anti_join_orders": q38_anti_join_orders,
     "q39_top_sources": q39_top_sources,
+    "q40_approx_distinct_users": q40_approx_distinct_users,
+    "q41_approx_value_quantiles": q41_approx_value_quantiles,
 }
 
 

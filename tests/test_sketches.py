@@ -1,0 +1,61 @@
+"""Mergeable-sketch accuracy: HLL distinct counts within published
+error bounds; sample-quantiles close to exact."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from feast_ray.functions.sketches import (
+    approx_count_distinct,
+    approx_quantiles,
+    hll_estimate,
+    hll_sketch,
+)
+
+
+def test_hll_estimate_accuracy_driver_side():
+    for true_n in [100, 5_000, 200_000]:
+        vals = pd.Series(np.arange(true_n))
+        est = hll_estimate(hll_sketch(vals))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    a = hll_sketch(pd.Series(np.arange(0, 60_000)))
+    b = hll_sketch(pd.Series(np.arange(40_000, 100_000)))  # overlap 20k
+    merged = np.maximum(a, b)
+    est = hll_estimate(merged)
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+
+def test_approx_count_distinct_distributed(sf_small, duck):
+    ev = ray.data.read_parquet(f"{sf_small}/events.parquet")
+    got = (
+        approx_count_distinct(ev, ["event_type"], "user_id")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        "select event_type, count(distinct user_id) n from events group by 1 order by 1"
+    ).fetchdf()
+    for g, e in zip(got["approx_distinct"], exp["n"]):
+        assert abs(g - e) / max(e, 1) < 0.1, (g, e)
+
+
+def test_approx_quantiles_distributed(sf_small, duck):
+    ev = ray.data.read_parquet(f"{sf_small}/events.parquet")
+    got = (
+        approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9])
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        """select event_type, quantile_cont(value, 0.5) q50,
+           quantile_cont(value, 0.9) q90 from events group by 1 order by 1"""
+    ).fetchdf()
+    spread = duck.execute("select max(value) - min(value) from events").fetchone()[0]
+    np.testing.assert_allclose(got["q_0_5"], exp["q50"], atol=0.02 * spread)
+    np.testing.assert_allclose(got["q_0_9"], exp["q90"], atol=0.02 * spread)
