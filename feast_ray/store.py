@@ -268,13 +268,39 @@ class Store:
 
     # ------------------------------------------------------- materialize
 
+    def write_to_offline_store(self, view_name: str, ds_or_df) -> str:
+        """Append rows to the view's offline log (the reference's
+        offline_write_batch / sink_source append,
+        dask.py:572-610, feature_store.py:3796): one new parquet file
+        per call in ``offline/<view>/`` — append-only, idempotent to
+        replay at the file level."""
+        import uuid as _uuid
+
+        path = os.path.join(self.repo_dir, "offline", view_name)
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(path, f"batch_{_uuid.uuid4().hex[:12]}.parquet")
+        if isinstance(ds_or_df, pd.DataFrame):
+            pq.write_table(pa.Table.from_pandas(ds_or_df, preserve_index=False), fname)
+        else:
+            tbl = pa.Table.from_pandas(ds_or_df.to_pandas(), preserve_index=False)
+            pq.write_table(tbl, fname)
+        return fname
+
+    def read_offline(self, view_name: str) -> ray.data.Dataset:
+        """The view's offline log as a Dataset (derived views can chain
+        from it — the sink_source read side)."""
+        return ray.data.read_parquet(os.path.join(self.repo_dir, "offline", view_name))
+
     def materialize(
         self,
         start: datetime | None = None,
         end: datetime | None = None,
         views: list[str] | None = None,
+        offline: bool = False,
     ) -> dict[str, int]:
-        """Offline→online load per view; records watermarks."""
+        """Offline→online load per view; records watermarks. With
+        ``offline=True`` also appends each view's output to its offline
+        log (sink_source materialization)."""
         out = {}
         for name in views or list(self.views):
             view = self.views[name]
@@ -282,6 +308,8 @@ class Store:
                 continue
             ds = self.build_view_ds(view, start, end)
             self.online.upsert(view, ds)
+            if offline:
+                self.write_to_offline_store(name, self.build_view_ds(view, start, end))
             tbl = self.online.read(name)
             out[name] = tbl.num_rows
             reg = self._load_registry()

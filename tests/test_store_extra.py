@@ -170,3 +170,23 @@ def test_retrieve_online_documents(tmp_path, sf_small):
     assert res.iloc[0]["vec_id"] == 0
     assert res.iloc[0]["score"] == pytest.approx(1.0)
     assert len(res) == 3
+
+
+def test_offline_write_back_and_read(tmp_path, sf_small, duck):
+    s = Store(str(tmp_path / "repo"), sf_small)
+    s.apply(
+        [View(name="user_values", source=EVENTS, entities=[USER], features=["value"])]
+    )
+    s.materialize(views=["user_values"], offline=True)
+    log = s.read_offline("user_values").to_pandas()
+    n_events = duck.execute("select count(*) from events").fetchone()[0]
+    assert len(log) == n_events
+    # append a pushed batch: log grows, file-level append only
+    s.write_to_offline_store(
+        "user_values",
+        pd.DataFrame(
+            {"event_id": [1], "ts": [pd.Timestamp("2030-01-01")], "user_id": [1],
+             "event_type": ["x"], "value": [9.9], "props": ["{}"]}
+        ),
+    )
+    assert len(s.read_offline("user_values").to_pandas()) == n_events + 1
