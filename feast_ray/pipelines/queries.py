@@ -1074,6 +1074,31 @@ def q41_approx_value_quantiles(sf_dir: str):
     return approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
 
 
+# --------------------------------------------------------------------- q42
+
+def q42_regex_search_docs(sf_dir: str):
+    """Content search: regex filter + first-match extraction over the
+    corpus (both sides RE2 — Arrow kernels here, DuckDB regexp_*
+    in the oracle)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pattern = r"stream \w+ (join|merge)"
+
+    def _search(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(t["text"], pattern)
+        t = t.filter(hit)
+        first = pc.extract_regex(t["text"], r"(?P<m>stream \w+ (?:join|merge))")
+        match = pc.struct_field(first, "m")
+        return pa.table({"doc_id": t["doc_id"], "match": match})
+
+    return docs.map_batches(_search, batch_format="pyarrow")
+
+
+_Q42_SQL = r"""
+select doc_id, regexp_extract(text, 'stream \w+ (join|merge)', 0) as match
+from documents where regexp_matches(text, 'stream \w+ (join|merge)')
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1118,6 +1143,7 @@ QUERIES = {
     "q39_top_sources": q39_top_sources,
     "q40_approx_distinct_users": q40_approx_distinct_users,
     "q41_approx_value_quantiles": q41_approx_value_quantiles,
+    "q42_regex_search_docs": q42_regex_search_docs,
 }
 
 
@@ -1153,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_semi_join_orders": _Q37_SQL,
         "q38_anti_join_orders": _Q38_SQL,
         "q39_top_sources": _Q39_SQL,
+        "q42_regex_search_docs": _Q42_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
