@@ -57,6 +57,21 @@ def _cents(tbl: pa.Table, col: str, out: str, scale: float = 10000.0) -> pa.Tabl
 _SQL_CENTS = "cast(floor({expr} * {scale} + 0.5) as bigint)"
 
 
+
+
+def _us(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Normalize every timestamp column to timestamp[us] (DuckDB's
+    unit) — pandas stages (merge_asof, map_groups) emit ns, which
+    would fail a strict schema comparison."""
+    from feast_ray.stages.utils import normalize_timestamps
+
+    def _n(t: pa.Table) -> pa.Table:
+        cols = [f.name for f in t.schema if pa.types.is_timestamp(f.type)]
+        return normalize_timestamps(t, cols) if cols else t
+
+    return ds.map_batches(_n, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------- q01
 
 def q01_pricing_summary(sf_dir: str):
@@ -234,7 +249,7 @@ def q07_latest_event_per_user(sf_dir: str):
     """Dedup latest-per-key (Dedup node, SURVEY §2.1 #7); event_id is
     the created_ts-style tiebreaker."""
     ev = read_table(sf_dir, "events")
-    return keep_latest(ev, ["user_id"], "ts", created_ts="event_id")
+    return _us(keep_latest(ev, ["user_id"], "ts", created_ts="event_id"))
 
 
 _Q07_SQL = """
@@ -262,10 +277,10 @@ def q08_asof_click_before_purchase(sf_dir: str):
         .rename(columns={"ts": "click_ts", "value": "click_value"})
     )
     out = asof_join(purchases, clicks_pdf, left_ts="ts", right_ts="click_ts", by="user_id")
-    return out.map_batches(
+    return _us(out.map_batches(
         lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
         batch_format="pandas",
-    )
+    ))
 
 
 _Q08_SQL = """
@@ -298,10 +313,10 @@ def q09_pit_ttl_join(sf_dir: str):
         purchases, clicks_pdf, left_ts="ts", right_ts="click_ts", by="user_id",
         ttl=timedelta(hours=24),
     )
-    return out.map_batches(
+    return _us(out.map_batches(
         lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
         batch_format="pandas",
-    )
+    ))
 
 
 _Q09_SQL = """
@@ -332,7 +347,7 @@ def q10_hourly_user_activity(sf_dir: str):
         out["sum_value"] = df["value_sum_c"] / 100.0
         return out
 
-    return agg.map_batches(_final, batch_format="pandas")
+    return _us(agg.map_batches(_final, batch_format="pandas"))
 
 
 _Q10_SQL = f"""
@@ -417,7 +432,7 @@ def q13_sliding_activity(sf_dir: str):
         out["sum_value"] = df["value_sum_c"] / 100.0
         return out
 
-    return agg.map_batches(_final, batch_format="pandas")
+    return _us(agg.map_batches(_final, batch_format="pandas"))
 
 
 _Q13_SQL = f"""
@@ -876,10 +891,10 @@ def q32_copartitioned_asof(sf_dir: str):
     out = copartitioned_asof_join(
         purchases, clicks, left_ts="ts", right_ts="click_ts", by="user_id"
     )
-    return out.map_batches(
+    return _us(out.map_batches(
         lambda df: df[["event_id", "user_id", "ts", "click_ts", "click_value"]],
         batch_format="pandas",
-    )
+    ))
 
 
 _Q32_SQL = _Q08_SQL
@@ -975,9 +990,9 @@ def q36_store_pit_retrieval(sf_dir: str):
         ]
     )
     out = store.get_historical_features(entity_df, ["user_values:value"])
-    return out.map_batches(
+    return _us(out.map_batches(
         lambda df: df[["user_id", "event_timestamp", "value"]], batch_format="pandas"
-    )
+    ))
 
 
 _Q36_SQL = """
