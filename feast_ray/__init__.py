@@ -13,5 +13,28 @@ docstrings mark which *semantics* each component reproduces.
 
 from feast_ray.schema import Field, Schema, validate_table
 
-__all__ = ["Field", "Schema", "validate_table"]
+
+def __getattr__(name):
+    # lazy: the Store surface pulls in ray.data; keep bare imports light
+    if name in ("Store", "OnlineParquetStore"):
+        from feast_ray import store
+
+        return getattr(store, name)
+    if name in ("Entity", "View", "TableSource", "FeatureService", "OnDemandView"):
+        from feast_ray import views
+
+        return getattr(views, name)
+    if name == "FType":
+        from feast_ray.types import FType
+
+        return FType
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Field", "Schema", "validate_table",
+    "Store", "OnlineParquetStore",
+    "Entity", "View", "TableSource", "FeatureService", "OnDemandView",
+    "FType",
+]
 __version__ = "0.1.0"
