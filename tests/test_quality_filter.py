@@ -119,3 +119,23 @@ def test_sketch_dedup_equivalent(sf_small):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exchange_dedup_equivalent(sf_small):
+    """The raw-Ray exchange dedup must produce exactly the groupby
+    result (the flagship's default path)."""
+    import pandas as pd
+
+    a = (
+        quality_filter(synth_webpages(sf_small), dedup_mode="exchange")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        quality_filter(synth_webpages(sf_small), dedup_mode="global")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
