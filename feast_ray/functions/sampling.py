@@ -1,0 +1,50 @@
+"""Training-data sampling operators.
+
+``budget_sample``: per group, keep the best-scoring documents whose
+cumulative token count stays within a budget — the standard corpus-
+construction step ("N tokens per domain/language, best first"). SQL
+semantics: ``sum(tokens) OVER (PARTITION BY group ORDER BY score DESC,
+id) <= budget`` — which is exactly what the DuckDB oracle for q43
+states, so the operator is exact, not approximate.
+
+Execution shape: bucket the groups by hash (small-int shuffle key, the
+same skew-safe pattern as keep_latest), one vectorized pandas
+sort+cumsum per bucket. Deterministic tie-break by id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def budget_sample(
+    ds: ray.data.Dataset,
+    group: str,
+    score: str,
+    tokens: str,
+    id_col: str,
+    budget: int,
+    num_buckets: int = 64,
+    descending: bool = True,
+) -> ray.data.Dataset:
+    """Keep rows whose running token total (ordered by score desc, id
+    asc within each group) is ≤ budget."""
+    from feast_ray.stages.dedup import BUCKET_COL, add_hash_bucket
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, [group], num_buckets), batch_format="pyarrow"
+    )
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [group, score, id_col],
+            ascending=[True, not descending, True],
+            kind="stable",
+        )
+        csum = df.groupby(group, sort=False)[tokens].cumsum()
+        out = df[csum <= budget]
+        return out.drop(columns=[BUCKET_COL])
+
+    return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")

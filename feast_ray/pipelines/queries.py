@@ -1114,6 +1114,40 @@ from documents where regexp_matches(text, 'stream \w+ (join|merge)')
 """
 
 
+# --------------------------------------------------------------------- q43
+
+def q43_budget_sample_docs(sf_dir: str):
+    """Token-budget corpus sampling: per source, keep the longest
+    documents first until an 800-token budget is hit (cumulative-sum
+    window semantics — the oracle states it as SUM() OVER)."""
+    from feast_ray.functions.sampling import budget_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_tokens", pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        ).drop_columns(["text"])
+
+    prepped = docs.map_batches(_prep, batch_format="pyarrow")
+    return budget_sample(
+        prepped, group="source", score="n_tokens", tokens="n_tokens",
+        id_col="doc_id", budget=800,
+    )
+
+
+_Q43_SQL = r"""
+select doc_id, source, n_tokens from (
+  select doc_id, source, n_tokens,
+    sum(n_tokens) over (partition by source
+        order by n_tokens desc, doc_id asc
+        rows between unbounded preceding and current row) as running
+  from (select doc_id, source,
+          len(regexp_extract_all(text, '\S+')) as n_tokens from documents))
+where running <= 800
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1159,6 +1193,7 @@ QUERIES = {
     "q40_approx_distinct_users": q40_approx_distinct_users,
     "q41_approx_value_quantiles": q41_approx_value_quantiles,
     "q42_regex_search_docs": q42_regex_search_docs,
+    "q43_budget_sample_docs": q43_budget_sample_docs,
 }
 
 
@@ -1195,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_anti_join_orders": _Q38_SQL,
         "q39_top_sources": _Q39_SQL,
         "q42_regex_search_docs": _Q42_SQL,
+        "q43_budget_sample_docs": _Q43_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

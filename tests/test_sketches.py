@@ -59,3 +59,36 @@ def test_approx_quantiles_distributed(sf_small, duck):
     spread = duck.execute("select max(value) - min(value) from events").fetchone()[0]
     np.testing.assert_allclose(got["q_0_5"], exp["q50"], atol=0.02 * spread)
     np.testing.assert_allclose(got["q_0_9"], exp["q90"], atol=0.02 * spread)
+
+
+def test_budget_sample_matches_pandas(sf_small, duck):
+    from feast_ray.functions.sampling import budget_sample
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    docs = ray.data.read_parquet(f"{sf_small}/documents.parquet")
+
+    def _prep(t):
+        return t.append_column(
+            "n_tokens", pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        ).select(["doc_id", "source", "n_tokens"])
+
+    prepped = docs.map_batches(_prep, batch_format="pyarrow")
+    got = (
+        budget_sample(prepped, "source", "n_tokens", "n_tokens", "doc_id", 500)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duck.execute(
+        r"""select doc_id from (
+             select doc_id, sum(n_tokens) over (partition by source
+               order by n_tokens desc, doc_id asc
+               rows between unbounded preceding and current row) as running
+             from (select doc_id, source,
+                     len(regexp_extract_all(text, '\S+')) n_tokens from documents))
+           where running <= 500 order by doc_id"""
+    ).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    # every group respects the budget
+    assert (got.groupby("source")["n_tokens"].sum() <= 500).all()
