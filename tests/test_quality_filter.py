@@ -139,3 +139,24 @@ def test_exchange_dedup_equivalent(sf_small):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_export_partitions(tmp_path, sf_small):
+    """CCNet-style export: kept docs land in lang/quality-bucket
+    directories; per-language bucket sizes are tercile-balanced."""
+    from feast_ray.pipelines.corpus_export import export_corpus
+
+    res = quality_filter(synth_webpages(sf_small))
+    counts = export_corpus(res, str(tmp_path / "corpus"))
+    assert counts, "no partitions written"
+    # every partition path is lang_pred=X/quality_bucket=Y
+    for k in counts:
+        assert "lang_pred=" in k and "quality_bucket=" in k, k
+    total = sum(counts.values())
+    kept = res.to_pandas()["keep"].sum()
+    assert total == kept
+    # en buckets within a reasonable tercile balance
+    en = {k: v for k, v in counts.items() if "lang_pred=en" in k}
+    if len(en) == 3:
+        vals = sorted(en.values())
+        assert vals[0] >= vals[-1] * 0.5  # no degenerate bucketing
