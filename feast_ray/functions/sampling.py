@@ -19,6 +19,30 @@ import pyarrow as pa
 import ray.data
 
 
+def sample_by_hash(
+    ds: ray.data.Dataset,
+    key: str,
+    frac: float,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Deterministic fraction sampling: keep a row iff
+    ``siphash(key + salt) < frac * 2^64``. Unlike ``random_sample``,
+    the same key always lands on the same side — reruns, resumed jobs
+    and train/held-out splits stay consistent across processes and
+    cluster sizes (no RNG state). ``salt`` derives independent splits
+    from the same keys."""
+    import numpy as np
+
+    threshold = np.uint64(int(frac * float(2**64 - 1)))
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(key).to_pandas().astype(str) + salt
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return tbl.filter(pa.array(h < threshold))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def budget_sample(
     ds: ray.data.Dataset,
     group: str,

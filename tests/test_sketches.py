@@ -92,3 +92,21 @@ def test_budget_sample_matches_pandas(sf_small, duck):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     # every group respects the budget
     assert (got.groupby("source")["n_tokens"].sum() <= 500).all()
+
+
+def test_sample_by_hash_deterministic_and_proportional(sf_small):
+    from feast_ray.functions.sampling import sample_by_hash
+
+    ev = ray.data.read_parquet(f"{sf_small}/events.parquet")
+    a = sample_by_hash(ev, "event_id", 0.3).to_pandas()
+    b = sample_by_hash(ev, "event_id", 0.3).to_pandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])  # deterministic
+    n = ev.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # roughly proportional
+    # different salt -> a different (roughly independent) split
+    c = sample_by_hash(ev, "event_id", 0.3, salt="v2").to_pandas()
+    overlap = len(set(a["event_id"]) & set(c["event_id"])) / max(len(a), 1)
+    assert overlap < 0.6
+    # nested fractions: a 0.1 sample is a subset of the 0.3 sample
+    d = sample_by_hash(ev, "event_id", 0.1).to_pandas()
+    assert set(d["event_id"]) <= set(a["event_id"])
