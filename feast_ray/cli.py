@@ -79,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--out", default="/tmp/feast_ray_corpus")
     qf.add_argument("--partitions", type=int, default=8)
     qf.add_argument("--no-resume", action="store_true")
+    ex = sub.add_parser("export-corpus")
+    ex.add_argument("--out", default="/tmp/feast_ray_export")
     sub.add_parser("stats")
     args = p.parse_args(argv)
 
@@ -116,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
                 metrics_fn=quality_metrics,
             )
             print(json.dumps(res))
+        elif args.cmd == "export-corpus":
+            from feast_ray.pipelines.corpus_export import export_corpus
+            from feast_ray.pipelines.quality_filter import quality_filter
+            from feast_ray.sources import synth_webpages
+
+            res = quality_filter(synth_webpages(args.data), validate_input=False)
+            counts = export_corpus(res, args.out)
+            print(json.dumps(counts, sort_keys=True))
         elif args.cmd == "stats":
             store = _demo_store(args.repo, args.data)
             reg = store._load_registry()

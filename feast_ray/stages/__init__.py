@@ -1,9 +1,16 @@
 from feast_ray.stages.transform import transform
 from feast_ray.stages.filters import filter_mask, ttl_filter
-from feast_ray.stages.dedup import keep_latest
+from feast_ray.stages.dedup import keep_latest, keep_latest_exchange, keep_latest_sketch
 from feast_ray.stages.aggregate import AggSpec, grouped_agg, windowed_agg
-from feast_ray.stages.join import broadcast_join, asof_join, hash_join, cross_join
-from feast_ray.stages.relational import distinct, topk, union_align
+from feast_ray.stages.join import (
+    asof_join,
+    broadcast_join,
+    copartitioned_asof_join,
+    cross_join,
+    hash_join,
+    semi_join,
+)
+from feast_ray.stages.relational import distinct, top_frequencies, topk, union_align
 from feast_ray.stages.validate import validate_stage
 
 __all__ = [
@@ -11,15 +18,20 @@ __all__ = [
     "filter_mask",
     "ttl_filter",
     "keep_latest",
+    "keep_latest_exchange",
+    "keep_latest_sketch",
     "AggSpec",
     "grouped_agg",
     "windowed_agg",
     "broadcast_join",
     "asof_join",
+    "copartitioned_asof_join",
     "hash_join",
     "cross_join",
+    "semi_join",
     "distinct",
     "topk",
+    "top_frequencies",
     "union_align",
     "validate_stage",
 ]
