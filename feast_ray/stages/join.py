@@ -36,6 +36,27 @@ import ray.data
 _JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
+def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """The Arrow schema of a Dataset, robust to pandas-backed blocks
+    (which report numpy dtypes instead of a pa.Schema)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        elif isinstance(typ, np.dtype):
+            if typ == np.dtype("O"):
+                fields.append(pa.field(name, pa.string()))
+            else:
+                fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+        else:
+            fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
 def _to_arrow(obj) -> pa.Table:
     if isinstance(obj, pa.Table):
         return obj
@@ -87,22 +108,26 @@ def broadcast_join(
     return left.map_batches(_join, batch_format="pyarrow")
 
 
-def cross_join(left: ray.data.Dataset, right) -> ray.data.Dataset:
+def cross_join(
+    left: ray.data.Dataset, right, *, right_suffix: str = "_r"
+) -> ray.data.Dataset:
     """Cartesian product with a small right side (keyless-view pattern,
-    dask.py:1093-1120)."""
+    dask.py:1093-1120). Pure Arrow: repeat/tile take indices — no
+    pandas round-trip, so downstream blocks stay zero-copy Arrow."""
     rt = _to_arrow(right)
     ref = ray.put(rt)
 
-    def _cross(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(ref).to_pandas()
-        df = df.copy()
-        df["__tmp"] = 1
-        r = r.copy()
-        r["__tmp"] = 1
-        out = df.merge(r, on="__tmp")
-        return out.drop(columns="__tmp")
+    def _cross(tbl: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        n, m = len(tbl), len(r)
+        lt = tbl.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        rr = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        cols = {c: lt[c] for c in lt.column_names}
+        for c in rr.column_names:
+            cols[c + right_suffix if c in cols else c] = rr[c]
+        return pa.table(cols)
 
-    return left.map_batches(_cross, batch_format="pandas")
+    return left.map_batches(_cross, batch_format="pyarrow")
 
 
 def _norm_ts(df: pd.DataFrame, col: str) -> pd.DataFrame:
@@ -218,9 +243,33 @@ def copartitioned_asof_join(
 
     Partitioning assumption: all rows of one `by` key fit in one
     worker's heap (bucket by (key, time-window) if that breaks).
+
+    Each side's columns are tracked by EXPLICIT lists captured from the
+    input schemas (never inferred from null-ness — an all-null column
+    within one key group is legitimate data), and every group's output
+    is cast to one explicit Arrow schema so no per-group type drift
+    (int→float NaN promotion, missing columns) leaks into the result.
     """
     by = [by] if isinstance(by, str) else list(by)
     side = "__side"
+    same = left_ts == right_ts
+
+    lschema = dataset_schema(left)
+    rschema = dataset_schema(right)
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    # right columns surviving into the output: drop created_ts, rename
+    # overlaps (same policy as the broadcast asof_join)
+    overlap = (set(lnames) & set(rnames)) - set(by)
+    if same:
+        overlap -= {right_ts}
+    out_fields = [lschema.field(n) for n in lnames]
+    for n in rnames:
+        if n in by or n == created_ts or (same and n == right_ts):
+            continue
+        name = n + right_suffix if n in overlap else n
+        out_fields.append(pa.field(name, rschema.field(n).type))
+    out_schema = pa.schema(out_fields)
 
     def _tag(val):
         def _t(tbl: pa.Table) -> pa.Table:
@@ -234,35 +283,34 @@ def copartitioned_asof_join(
 
     both = union_align([lt, rt])
 
-    def _per_key(g: pd.DataFrame) -> pd.DataFrame:
-        ldf = g[g[side] == "L"].dropna(axis=1, how="all")
-        rdf = g[g[side] == "R"].dropna(axis=1, how="all")
-        ldf = ldf.drop(columns=[side])
-        rdf = rdf.drop(columns=[side])
+    def _per_key(g: pd.DataFrame) -> pa.Table:
+        lmask = g[side] == "L"
+        ldf = g.loc[lmask, lnames]
+        rdf = g.loc[~lmask, rnames]
         if len(ldf) == 0:
-            return ldf
-        rdf = _prep_asof_right(rdf, right_ts, created_ts) if len(rdf) else rdf
-        overlap = (set(ldf.columns) & set(rdf.columns)) - set(by)
-        same = left_ts == right_ts
-        if same:
-            overlap -= {right_ts}
-        if overlap:
-            rdf = rdf.rename(columns={c: c + right_suffix for c in overlap})
+            return out_schema.empty_table()
         ldf = _norm_ts(ldf, left_ts)
         ldf = ldf.sort_values(left_ts, kind="stable").reset_index(drop=True)
         if len(rdf) == 0:
-            return ldf
-        return pd.merge_asof(
-            ldf,
-            rdf,
-            left_on=left_ts,
-            right_on=right_ts if not same else None,
-            on=left_ts if same else None,
-            by=by,
-            direction="backward",
-            tolerance=ttl,
-            allow_exact_matches=True,
-            suffixes=("", right_suffix),
+            out = ldf
+        else:
+            rdf = _prep_asof_right(rdf, right_ts, created_ts)
+            if overlap:
+                rdf = rdf.rename(columns={c: c + right_suffix for c in overlap})
+            out = pd.merge_asof(
+                ldf,
+                rdf,
+                left_on=left_ts,
+                right_on=right_ts if not same else None,
+                on=left_ts if same else None,
+                by=by,
+                direction="backward",
+                tolerance=ttl,
+                allow_exact_matches=True,
+                suffixes=("", right_suffix),
+            )
+        return cast_to_schema(
+            pa.Table.from_pandas(out, preserve_index=False), out_schema
         )
 
     return both.groupby(by).map_groups(_per_key, batch_format="pandas")
@@ -329,6 +377,30 @@ def semi_join(
     return left.map_batches(_filter, batch_format="pyarrow")
 
 
+def cast_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast ``tbl`` to exactly ``schema`` (order, names, types). Missing
+    columns become nulls; pandas NaN-promoted floats cast back to their
+    integer/timestamp types with NaN→null. This is the per-group output
+    normalizer that keeps distributed joins free of schema drift."""
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    cols = []
+    for f in schema:
+        if f.name in tbl.column_names:
+            arr = tbl[f.name]
+            if not arr.type.equals(f.type):
+                if pa.types.is_floating(arr.type) and not pa.types.is_floating(f.type):
+                    arr = pc.if_else(
+                        pc.is_nan(arr), pa.scalar(None, arr.type), arr
+                    )
+                arr = pc.cast(arr, f.type)
+        else:
+            arr = pa.nulls(n, f.type)
+        cols.append(arr)
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -341,9 +413,26 @@ def hash_join(
     """Partitioned hash join for two LARGE sides: co-partition both on
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
     assumption: one bucket (both sides) fits in a worker's heap —
-    raise ``num_buckets`` with data size; salt hot keys upstream."""
+    raise ``num_buckets`` with data size; salt hot keys upstream.
+
+    The per-bucket join is pyarrow's C++ hash join over explicit
+    side-column lists captured from the input schemas (all-Arrow, no
+    pandas round-trip, no null-sniffing side split), so every bucket
+    emits blocks with the identical schema as the broadcast path."""
     on = [on] if isinstance(on, str) else list(on)
     bucket, side = "__bucket", "__side"
+    import pyarrow.compute as pc
+
+    lschema = dataset_schema(left)
+    rschema = dataset_schema(right)
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    overlap = (set(lnames) & set(rnames)) - set(on)
+    r_renamed = [c + right_suffix if c in overlap else c for c in rnames]
+    rschema = pa.schema(
+        [pa.field(n, rschema.field(o).type) for n, o in zip(r_renamed, rnames)]
+    )
+    out_cols = lnames + [r for r, orig in zip(r_renamed, rnames) if orig not in on]
 
     def _tag(val):
         def _t(tbl: pa.Table) -> pa.Table:
@@ -360,11 +449,17 @@ def hash_join(
 
     both = union_align([lt, rt])
 
-    def _per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ldf = g[g[side] == "L"].dropna(axis=1, how="all").drop(columns=[side, bucket])
-        rdf = g[g[side] == "R"].dropna(axis=1, how="all").drop(columns=[side, bucket])
-        if len(ldf) == 0:
-            return ldf
-        return ldf.merge(rdf, on=on, how=how, suffixes=("", right_suffix))
+    def _per_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g[side], "L")
+        # cast each side to its captured schema — a pandas-origin block
+        # can surface an all-null column as Arrow `null` type, which
+        # the C++ join refuses as a payload field
+        ltab = cast_to_schema(g.filter(lmask).select(lnames), lschema)
+        rtab = g.filter(pc.invert(lmask)).select(rnames)
+        if r_renamed != rnames:
+            rtab = rtab.rename_columns(r_renamed)
+        rtab = cast_to_schema(rtab, rschema)
+        out = ltab.join(rtab, keys=on, join_type=_JOIN_TYPE[how])
+        return out.select(out_cols)
 
-    return both.groupby(bucket).map_groups(_per_bucket, batch_format="pandas")
+    return both.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")

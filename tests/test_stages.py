@@ -367,3 +367,93 @@ def test_asof_created_timestamp_cutoff():
     )
     assert out.loc[0, "v"] == 10.0
     assert pd.isna(out.loc[1, "v"])  # backfill blanked, row kept
+
+
+def test_hash_join_one_sided_groups_and_left():
+    """Regression (ADVICE r1): a bucket whose rows all come from one
+    side must not crash or drop columns; how='left' keeps unmatched
+    left rows with typed nulls."""
+    import ray.data
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 4, 9], "rv": [200.0, 400.0, 900.0]})
+    )
+    inner = (
+        hash_join(left, right, on="k", how="inner", num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(inner["k"]) == [2, 4]
+    assert list(inner["rv"]) == [200.0, 400.0]
+    louter = (
+        hash_join(left, right, on="k", how="left", num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(louter["k"]) == [1, 2, 3, 4]
+    assert pd.isna(louter.loc[0, "rv"]) and louter.loc[1, "rv"] == 200.0
+
+
+def test_hash_join_all_null_column_preserved():
+    """Regression: a column that is entirely null inside one bucket is
+    real data and must survive the join (old dropna side-split ate it)."""
+    import ray.data
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "lv": [1.0, 2.0]}))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2], "rv": pd.array([None, None], dtype="float64")})
+    )
+    out = hash_join(left, right, on="k", num_buckets=2).to_pandas()
+    assert "rv" in out.columns and len(out) == 2
+    assert out["rv"].isna().all()
+
+
+def test_copartitioned_asof_left_key_without_right_rows():
+    """Regression (ADVICE r1): a left `by` key with zero right rows
+    crashed the whole query; it must instead yield typed-null features."""
+    import ray.data
+
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "u": [1, 1, 5],
+                "ts": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-02"]),
+                "eid": [10, 11, 12],
+            }
+        )
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "u": [1],
+                "rts": pd.to_datetime(["2024-01-01"]),
+                "rv": [7.5],
+            }
+        )
+    )
+    out = (
+        copartitioned_asof_join(
+            left, right, left_ts="ts", right_ts="rts", by="u"
+        )
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert list(out["eid"]) == [10, 11, 12]
+    assert out.loc[0, "rv"] == 7.5 and out.loc[1, "rv"] == 7.5
+    assert pd.isna(out.loc[2, "rv"]) and pd.isna(out.loc[2, "rts"])
+
+
+def test_cross_join_arrow_blocks():
+    """cross_join must emit Arrow blocks (repo rule #1) and the full
+    cartesian product."""
+    import ray.data
+
+    left = ray.data.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+    right = pd.DataFrame({"b": ["x", "y"]})
+    from feast_ray.stages.join import cross_join
+
+    ds = cross_join(left, right)
+    out = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(out) == 6
+    assert list(out.columns) == ["a", "b"]
+    assert out.loc[0, "b"] == "x" and out.loc[5, "a"] == 3
