@@ -171,7 +171,18 @@ class Store:
     """Registry + offline/online planes rooted at ``repo_dir``;
     source tables resolve against ``data_dir`` (an sf_dir)."""
 
-    def __init__(self, repo_dir: str, data_dir: str):
+    #: feature views whose source exceeds this are NOT pulled to the
+    #: driver for historical retrieval — they go down the distributed
+    #: co-partitioned as-of path instead (the reference's broadcast
+    #: size gate, infra/compute_engines/ray/nodes.py:182-199, 100 MB)
+    BROADCAST_THRESHOLD_BYTES = 100 * 1024 * 1024
+
+    def __init__(
+        self,
+        repo_dir: str,
+        data_dir: str,
+        broadcast_threshold_bytes: int | None = None,
+    ):
         self.repo_dir = repo_dir
         self.data_dir = data_dir
         os.makedirs(repo_dir, exist_ok=True)
@@ -180,6 +191,8 @@ class Store:
         self.views: dict[str, View] = {}
         self.services: dict[str, FeatureService] = {}
         self.on_demand_views: dict[str, OnDemandView] = {}
+        if broadcast_threshold_bytes is not None:
+            self.BROADCAST_THRESHOLD_BYTES = broadcast_threshold_bytes
 
     # ------------------------------------------------------------ apply
 
@@ -195,16 +208,61 @@ class Store:
                 self.services[obj.name] = obj
         self._save_registry()
 
+    @staticmethod
+    def _object_fingerprint(obj) -> str:
+        """Stable content hash of a registry object's DEFINITION —
+        schema, ttl, source, agg specs, udf bytecode — so plan() can
+        tell a *changed* object from an unchanged one (the reference's
+        object-level diff, diff/registry_diff.py:38,253 diff_between)."""
+        import hashlib
+
+        def _norm(v):
+            if callable(v):
+                code = getattr(v, "__code__", None)
+                return (
+                    "fn:" + hashlib.sha256(code.co_code).hexdigest()[:16]
+                    if code is not None
+                    else "fn:" + repr(v)
+                )
+            if isinstance(v, (list, tuple)):
+                return [_norm(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _norm(x) for k, x in sorted(v.items())}
+            if hasattr(v, "__dataclass_fields__"):
+                return {
+                    k: _norm(getattr(v, k)) for k in sorted(v.__dataclass_fields__)
+                }
+            return repr(v)
+
+        return hashlib.sha256(
+            json.dumps(_norm(obj), sort_keys=True, default=repr).encode()
+        ).hexdigest()
+
     def plan(self, objects: list) -> dict:
-        """Dry-run diff against the registry (the reference's
-        `feast plan`, feature_store.py:1370): what apply() would add /
-        leave unchanged / implicitly keep."""
+        """Dry-run OBJECT-LEVEL diff against the registry (the
+        reference's `feast plan`, feature_store.py:1370 +
+        diff/registry_diff.py:253 `diff_between`): what apply() would
+        add, UPDATE (definition changed — detected by content
+        fingerprint, not just name), leave unchanged, or keep."""
+        existing_objs: dict[str, object] = {
+            **self.views, **self.services, **self.on_demand_views
+        }
+        to_add, to_update, unchanged = [], [], []
+        for o in objects:
+            if o.name not in existing_objs:
+                to_add.append(o.name)
+            elif self._object_fingerprint(o) != self._object_fingerprint(
+                existing_objs[o.name]
+            ):
+                to_update.append(o.name)
+            else:
+                unchanged.append(o.name)
         incoming = {o.name for o in objects}
-        existing = set(self.views) | set(self.services) | set(self.on_demand_views)
         return {
-            "to_add": sorted(incoming - existing),
-            "unchanged": sorted(incoming & existing),
-            "untouched": sorted(existing - incoming),
+            "to_add": sorted(to_add),
+            "to_update": sorted(to_update),
+            "unchanged": sorted(unchanged),
+            "untouched": sorted(set(existing_objs) - incoming),
         }
 
     def teardown(self) -> None:
@@ -246,13 +304,23 @@ class Store:
             ds = self.build_view_ds(src, start, end)
         else:
             ts_range = (start, end) if (start or end) and src.timestamp_field else None
-            ds = read_table(
-                self.data_dir,
-                src.table or src.name,
-                field_mapping=src.field_mapping or None,
-                ts_col=src.timestamp_field,
-                ts_range=ts_range,
-            )
+            if src.path:
+                # explicit path overrides the {data_dir}/{table} layout
+                ds = read_table(
+                    src.path,
+                    None,
+                    field_mapping=src.field_mapping or None,
+                    ts_col=src.timestamp_field,
+                    ts_range=ts_range,
+                )
+            else:
+                ds = read_table(
+                    self.data_dir,
+                    src.table or src.name,
+                    field_mapping=src.field_mapping or None,
+                    ts_col=src.timestamp_field,
+                    ts_range=ts_range,
+                )
         if view.udf is not None:
             ds = ds.map_batches(view.udf, batch_format="pyarrow")
         if view.aggregations:
@@ -265,6 +333,25 @@ class Store:
             else:
                 ds = grouped_agg(ds, view.join_keys, view.aggregations)
         return ds
+
+    def _view_source_bytes(self, view: View) -> int | None:
+        """On-disk bytes of the view's base source — the cheap size
+        estimate behind the broadcast-vs-distributed join gate (no
+        execution triggered). None when not determinable."""
+        src = view.source
+        while isinstance(src, View):
+            src = src.source
+        p = src.path or os.path.join(
+            self.data_dir, f"{src.table or src.name}.parquet"
+        )
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            total = 0
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+        return None
 
     # ------------------------------------------------------- materialize
 
@@ -387,6 +474,12 @@ class Store:
                     vds.select_columns(view.join_keys), view.join_keys
                 ).to_pandas()
                 frames.append(keys_df)
+            if not frames:
+                raise ValueError(
+                    "non-entity retrieval needs at least one referenced view "
+                    "with join keys (all referenced views are keyless/global; "
+                    "pass an explicit entity_df instead)"
+                )
             ent = pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
             ent[entity_ts_col] = pd.Timestamp(end)
             entity_df = ent
@@ -403,13 +496,65 @@ class Store:
             has_ts = view.timestamp_field is not None and not view.aggregations
             ts = view.timestamp_field if has_ts else None
             created = view.created_timestamp_column if has_ts else None
-            cols = view.join_keys + ([ts] if ts else []) + ([created] if created else []) + feats
-            vds = self.build_view_ds(view)
-            vdf = vds.to_pandas()[[c for c in cols if c is not None]]
-            rename = {}
+            cols = [
+                c
+                for c in view.join_keys
+                + ([ts] if ts else [])
+                + ([created] if created else [])
+                + feats
+                if c is not None
+            ]
             prefix = f"{vname}__" if full_feature_names else ""
-            for f in feats:
-                rename[f] = prefix + f
+            rename = {f: prefix + f for f in feats}
+            src_bytes = self._view_source_bytes(view)
+            big = (
+                view.join_keys
+                and src_bytes is not None
+                and src_bytes > self.BROADCAST_THRESHOLD_BYTES
+            )
+            if big:
+                # LARGE view: never materialize to the driver — stream
+                # both sides down the distributed co-partitioned path
+                # (reference gate: ray/nodes.py:182-199; windowed
+                # distributed join ray_shared_utils.py:468-550)
+                vds = self.build_view_ds(view).select_columns(cols)
+                if any(k != v for k, v in rename.items()):
+                    vds = vds.map_batches(
+                        lambda t, m=dict(rename): t.rename_columns(
+                            [m.get(c, c) for c in t.column_names]
+                        ),
+                        batch_format="pyarrow",
+                    )
+                if has_ts:
+                    from feast_ray.stages.join import copartitioned_asof_join
+
+                    result = copartitioned_asof_join(
+                        result,
+                        vds,
+                        left_ts=entity_ts_col,
+                        right_ts=ts,
+                        by=view.join_keys,
+                        ttl=view.ttl,
+                        created_ts=created,
+                        right_suffix=f"__{vname}_ts",
+                    )
+                    if ts != entity_ts_col:
+                        result = result.map_batches(
+                            lambda t, d=ts: t.drop_columns(
+                                [c for c in (d,) if c in t.column_names]
+                            ),
+                            batch_format="pyarrow",
+                        )
+                else:
+                    from feast_ray.stages.join import hash_join
+
+                    result = hash_join(
+                        result, vds, on=view.join_keys, how="left",
+                        right_suffix=f"__{vname}_r",
+                    )
+                continue
+            vds = self.build_view_ds(view)
+            vdf = vds.to_pandas()[cols]
             vdf = vdf.rename(columns=rename)
             if view.join_keys and not has_ts:
                 # keyed aggregation view: plain left join on the keys

@@ -191,3 +191,96 @@ def test_derived_view_chain(store, sf_small, duck):
         "select user_id, sum(value*2.0) total2 from events group by 1 order by 1"
     ).fetchdf()
     np.testing.assert_allclose(got["total2"], exp["total2"])
+
+
+def test_historical_retrieval_large_view_copartitioned(tmp_path, sf_small):
+    """Forcing the broadcast size gate to 0 routes retrieval down the
+    distributed co-partitioned as-of path (reference's 100 MB gate,
+    ray/nodes.py:182-199); the result must equal the broadcast path."""
+    import pyarrow.parquet as pq
+
+    s_small = Store(str(tmp_path / "r1"), sf_small)
+    s_big = Store(str(tmp_path / "r2"), sf_small, broadcast_threshold_bytes=0)
+    for s in (s_small, s_big):
+        s.apply([_value_view(), _stats_view()])
+
+    events = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    rng = np.random.RandomState(3)
+    users = rng.choice(events.user_id.unique(), 25)
+    tss = pd.to_datetime(rng.choice(events.ts.to_numpy(), 25))
+    entity_df = pd.DataFrame({"user_id": users, "event_timestamp": tss})
+
+    feats = ["user_values:value", "user_stats:total_value"]
+    a = (
+        s_small.get_historical_features(entity_df, feats)
+        .to_pandas()
+        .sort_values(["user_id", "event_timestamp"])
+        .reset_index(drop=True)
+    )
+    b = (
+        s_big.get_historical_features(entity_df, feats)
+        .to_pandas()
+        .sort_values(["user_id", "event_timestamp"])
+        .reset_index(drop=True)
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in ["value", "total_value"]:
+        pd.testing.assert_series_equal(
+            a[c], b[c], check_dtype=False, check_exact=False
+        )
+
+
+def test_plan_detects_changed_view(store):
+    """Object-level diff (reference diff/registry_diff.py:253): a view
+    with the same name but a different ttl shows as to-update; apply
+    then bumps the definition."""
+    changed = View(
+        name="user_values",
+        source=_events_source(),
+        entities=[USER],
+        ttl=timedelta(days=9),
+        features=["value"],
+    )
+    p = store.plan([changed, _stats_view()])
+    assert p["to_update"] == ["user_values"]
+    assert p["unchanged"] == ["user_stats"]
+    store.apply([changed])
+    assert store.views["user_values"].ttl == timedelta(days=9)
+    p2 = store.plan([changed])
+    assert p2["to_update"] == [] and p2["unchanged"] == ["user_values"]
+
+
+def test_source_explicit_path(tmp_path, sf_small):
+    """TableSource.path overrides the {data_dir}/{table} layout
+    (ADVICE r1: path was silently ignored)."""
+    import shutil
+
+    alt = str(tmp_path / "alt_events.parquet")
+    shutil.copy(f"{sf_small}/events.parquet", alt)
+    s = Store(str(tmp_path / "repo"), str(tmp_path / "nonexistent_data_dir"))
+    v = View(
+        name="user_values",
+        source=TableSource(name="ev", path=alt, timestamp_field="ts"),
+        entities=[USER],
+        features=["value"],
+    )
+    s.apply([v])
+    n = s.build_view_ds(v).count()
+    assert n > 0
+
+
+def test_non_entity_all_keyless_raises(tmp_path, sf_small):
+    from datetime import datetime
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    keyless = View(
+        name="globals",
+        source=_events_source(),
+        entities=[],
+        features=["value"],
+    )
+    s.apply([keyless])
+    with pytest.raises(ValueError, match="keyless"):
+        s.get_historical_features(
+            None, ["globals:value"], end=datetime(2024, 2, 1)
+        )
