@@ -87,12 +87,17 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/feast_ray_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    from feast_ray.pipelines.quality_filter import quality_filter_from_parquet
+
     t0 = time.perf_counter()
-    # enough read tasks that decompress parallelizes across the session
-    pages = ray.data.read_parquet(
-        pages_dir, override_num_blocks=max(64, 4 * NUM_CPUS)
+    # enough read tasks that decompress parallelizes across the session;
+    # sketch dedup (the barrier-free default) gets its pass-A input as a
+    # column-pruned (url, warc_ts) re-read of the same files
+    result = quality_filter_from_parquet(
+        pages_dir,
+        override_num_blocks=max(64, 4 * NUM_CPUS),
+        validate_input=False,
     )
-    result = quality_filter(pages, validate_input=False)
     result.write_parquet(out_dir)
     headline = time.perf_counter() - t0
     timings["quality_filter"] = round(headline, 3)

@@ -31,14 +31,15 @@ import ray.data
 # ---------------------------------------------------------------- exact
 
 def add_content_hash(tbl: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
-    vals = np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 1
-            for t in tbl[text_col].to_pylist()
-        ],
-        dtype=np.int64,
-    )
-    return tbl.append_column(out_col, pa.array(vals, pa.int64()))
+    """Stable 63-bit content hash column — vectorized siphash via
+    pandas' C kernel (process-stable with a fixed key, unlike Python
+    ``hash()``); round 1 looped blake2b per row. Collision class is the
+    same (64-bit birthday bound); dedup consumers treat equal hashes as
+    equal content, so both need ``n << 2^32``... use the 128-bit hex
+    fingerprint for adversarial settings."""
+    s = tbl.column(text_col).to_pandas()
+    h = (pd.util.hash_pandas_object(s, index=False).to_numpy() >> 1).astype(np.int64)
+    return tbl.append_column(out_col, pa.array(h, pa.int64()))
 
 
 def exact_dedup(
@@ -120,50 +121,83 @@ class MinHasher:
         return batch.append_column("minhash_sig", pa.array(sigs, pa.binary()))
 
 
+# fixed odd mixing constants: band hash = sum(chunk * mix) mod 2^64 —
+# fully vectorized (no per-(doc,band) crc32 call); a false 64-bit
+# collision only costs one extra verified pair, never a wrong answer
+_BAND_MIX = _rng.randint(1, np.iinfo(np.int64).max, size=ROWS_PER_BAND, dtype=np.uint64) | np.uint64(1)
+
+
+def _sig_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """(n, NUM_PERM) uint64 matrix from a binary signature column."""
+    blob = b"".join(col.to_pylist())
+    return np.frombuffer(blob, dtype=np.uint64).reshape(-1, NUM_PERM)
+
+
 def _explode_bands(tbl: "pa.Table", id_col: str) -> "pa.Table":
-    """signature rows → (band, band_hash, id, sig) rows."""
-    ids, bands, bhs, sigs = [], [], [], []
-    for rid, sig_bytes in zip(tbl[id_col].to_pylist(), tbl["minhash_sig"].to_pylist()):
-        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-        for b in range(BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            bh = zlib.crc32(chunk.tobytes())
-            ids.append(rid)
-            bands.append(b)
-            bhs.append(bh)
-            sigs.append(sig_bytes)
-    return pa.Table.from_pandas(
-        pd.DataFrame(
-            {id_col: ids, "band": bands, "band_hash": bhs, "minhash_sig": sigs}
-        ),
-        preserve_index=False,
+    """signature rows → (id, band, band_hash) rows — 24 B/row through
+    the LSH shuffle; signatures are NOT replicated into band rows
+    (round-1 shipped the full 512 B signature in all 16 band rows)."""
+    n = len(tbl)
+    if n == 0:
+        return pa.table(
+            {id_col: tbl[id_col], "band": pa.array([], pa.int64()),
+             "band_hash": pa.array([], pa.int64())}
+        )
+    mat = _sig_matrix(tbl["minhash_sig"])
+    with np.errstate(over="ignore"):
+        bh = (mat.reshape(n, BANDS, ROWS_PER_BAND) * _BAND_MIX[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, BANDS)),
+            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+        }
     )
 
 
-def minhash_candidate_dups(
+def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.8,
     k: int = 3,
+    driver_verify_max: int = 2_000_000,
 ) -> ray.data.Dataset:
-    """Return ids to DROP: any doc whose estimated Jaccard similarity
-    (from signatures) to a lower-id doc in a shared LSH bucket is
-    ≥ threshold. Output: one column ``{id_col}`` of dropped ids (may
-    repeat across LSH bands — dedupe at consumption)."""
-    # stateless tasks: the hasher's "state" (permutation constants) is
-    # module-level — no pool startup cost, elastic scheduling
+    """Verified near-duplicate pairs ``(id_a < id_b, est_jaccard)``.
+
+    1. sign → explode to thin (id, band, band_hash) rows (24 B/row —
+       signatures are NOT replicated into band rows) → bucket shuffle
+       → per-bucket pairs inside multi-member LSH buckets;
+    2. verify: keep pairs whose estimated Jaccard (signature agreement
+       rate) ≥ threshold. Verification is size-gated like the
+       reference's broadcast joins: when the candidate-pair count is
+       ≤ ``driver_verify_max`` the (bounded) pair list and ONLY the
+       involved signatures are pulled to the driver and verified in
+       one vectorized numpy pass — zero extra shuffles; above the gate
+       it runs fully distributed: DISTINCT pairs, then the signature
+       table is hash-joined onto the pairs by id (twice) and each
+       batch verifies vectorized.
+    """
     hasher = MinHasher(text_col=text_col, k=k)
-    sigged = ds.map_batches(hasher, batch_format="pyarrow")
+    # materialize the thin (id, sig) table ONCE: three consumers read
+    # it (band explode + both verify joins) and signature computation
+    # is the expensive stage. 520 B/doc regardless of doc size, object
+    # store backed and spillable — the standard minhash checkpoint.
+    sigged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(hasher, batch_format="pyarrow")
+        .drop_columns([text_col])
+        .materialize()
+    )
     band_rows = sigged.map_batches(
-        lambda t: _explode_bands(t.select([id_col, "minhash_sig"]), id_col),
-        batch_format="pyarrow",
+        lambda t: _explode_bands(t, id_col), batch_format="pyarrow"
     )
 
-    # shuffle by a SMALL INT bucket of the band hash (not the raw
-    # (band, band_hash) pair — that would mean one Python call per
-    # bucket of which there are ~16x n_docs); inside each bucket a
-    # vectorized pandas groupby visits only multi-member LSH buckets
+    # shuffle by a SMALL INT bucket of the band hash; inside each bucket
+    # a vectorized pandas groupby visits only multi-member LSH buckets
     num_buckets = 64
 
     def _add_bucket(tbl: pa.Table) -> pa.Table:
@@ -176,26 +210,119 @@ def minhash_candidate_dups(
             "__bucket", pc.cast(pc.bit_wise_and(h, num_buckets - 1), pa.int64())
         )
 
-    def _bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        drops: list = []
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("size")
         multi = g[sizes > 1]
+        ia, ib = [], []
         for _, grp in multi.groupby(["band", "band_hash"], sort=False):
-            grp = grp.sort_values(id_col, kind="stable")
-            sigs = [np.frombuffer(s, dtype=np.uint64) for s in grp["minhash_sig"].tolist()]
-            ids = grp[id_col].tolist()
-            for j in range(1, len(ids)):
-                for i in range(j):
-                    if estimated_jaccard(sigs[i], sigs[j]) >= threshold:
-                        drops.append(ids[j])
-                        break
-        return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
+            ids = np.sort(grp[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), 1)
+            ia.append(ids[iu])
+            ib.append(ids[ju])
+        if not ia:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=g[id_col].dtype),
+                 "id_b": pd.Series(dtype=g[id_col].dtype)}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(ia), "id_b": np.concatenate(ib)}
+        ).drop_duplicates()
 
-    return (
+    raw_pairs = (
         band_rows.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(_bucket_dups, batch_format="pandas")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    ).materialize()  # small: one row per LSH collision pair
+
+    if raw_pairs.count() <= driver_verify_max:
+        # ---- driver verify (bounded by the candidate-pair count) ----
+        ptbl = raw_pairs.to_pandas().drop_duplicates()
+        if len(ptbl) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            )
+        involved = np.unique(
+            np.concatenate([ptbl["id_a"].to_numpy(), ptbl["id_b"].to_numpy()])
+        )
+        iref = ray.put(involved)
+
+        def _only_involved(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t[id_col], value_set=pa.array(ray.get(iref))))
+
+        sub = (
+            sigged.map_batches(_only_involved, batch_format="pyarrow").to_pandas()
+        ).sort_values(id_col, kind="stable")
+        sub_ids = sub[id_col].to_numpy()
+        mat = np.frombuffer(
+            b"".join(sub["minhash_sig"].tolist()), dtype=np.uint64
+        ).reshape(-1, NUM_PERM)
+        a = mat[np.searchsorted(sub_ids, ptbl["id_a"].to_numpy())]
+        b = mat[np.searchsorted(sub_ids, ptbl["id_b"].to_numpy())]
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        out = pa.table(
+            {"id_a": pa.array(ptbl["id_a"].to_numpy()[keep]),
+             "id_b": pa.array(ptbl["id_b"].to_numpy()[keep]),
+             "est_jaccard": pa.array(est[keep])}
+        )
+        return ray.data.from_arrow(out)
+
+    # ---- distributed verify (pair count exceeds the driver gate) ----
+    from feast_ray.stages.join import hash_join
+    from feast_ray.stages.relational import distinct
+
+    pairs = distinct(raw_pairs, ["id_a", "id_b"])
+    sig_a = sigged.map_batches(
+        lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
     )
+    sig_b = sigged.map_batches(
+        lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        hash_join(pairs, sig_a, on="id_a", num_buckets=16),
+        sig_b, on="id_b", num_buckets=16,
+    )
+
+    def _verify(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {"id_a": tbl["id_a"], "id_b": tbl["id_b"],
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        a = _sig_matrix(tbl["sig_a"])
+        b = _sig_matrix(tbl["sig_b"])
+        est = (a == b).mean(axis=1)
+        out = tbl.select(["id_a", "id_b"]).append_column(
+            "est_jaccard", pa.array(est)
+        )
+        return out.filter(pa.array(est >= threshold))
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+def minhash_candidate_dups(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Ids to DROP: every doc verified ≥ threshold similar to a
+    lower-id doc in a shared LSH bucket (the min-id representative of
+    each near-dup cluster survives). One distinct id per row."""
+    pairs = minhash_candidate_pairs(ds, id_col, text_col, threshold, k)
+    dropped = pairs.map_batches(
+        lambda t: pa.table({id_col: t["id_b"]}), batch_format="pyarrow"
+    )
+    from feast_ray.stages.relational import distinct
+
+    return distinct(dropped, [id_col])
 
 
 def minhash_dedup(
@@ -205,23 +332,16 @@ def minhash_dedup(
     threshold: float = 0.8,
     k: int = 3,
 ) -> ray.data.Dataset:
-    """Filter out near-duplicate docs (keeps the min-id representative).
+    """Filter out near-duplicate docs (keeps the min-id representative)
+    via a broadcast ANTI-join on the dropped-id set — a single Arrow
+    array shipped once and tested with vectorized ``is_in`` per batch
+    (round-1 broadcast a Python set, deserialized per task). The
+    collected id set is bounded by the duplicate count, not the corpus
+    size."""
+    from feast_ray.stages.join import semi_join
 
-    The dropped-id set is collected to the driver and broadcast — valid
-    because it is bounded by the duplicate count, not the corpus size;
-    at extreme scale swap the broadcast for an anti-join on id."""
-    dropped = set(
-        minhash_candidate_dups(ds, id_col, text_col, threshold, k)
-        .to_pandas()[id_col]
-        .tolist()
-    )
-    ref = ray.put(dropped)
-
-    def _filter(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(ref)
-        return df[~df[id_col].isin(d)]
-
-    return ds.map_batches(_filter, batch_format="pandas")
+    drops = minhash_candidate_dups(ds, id_col, text_col, threshold, k)
+    return semi_join(ds, drops, on=id_col, anti=True)
 
 
 # ------------------------------------------------------------- simhash

@@ -148,7 +148,7 @@ def quality_filter(
     pages: ray.data.Dataset,
     *,
     dedup: bool = True,
-    dedup_mode: str = "exchange",
+    dedup_mode: str = "sketch",
     dedup_pairs: "ray.data.Dataset | None" = None,
     keep_only: bool = False,
     model_concurrency=None,
@@ -161,6 +161,14 @@ def quality_filter(
     ``keep_only=True`` filters to kept docs (the production corpus
     output); the default keeps drop rows too so metrics/F1 can be
     computed downstream from the same stream.
+
+    The DEFAULT dedup is ``sketch`` — barrier-free (no all-to-all of
+    full rows; the only shuffle carries 16-byte pairs), the 100 TB
+    production shape. Pass ``dedup_pairs`` (a column-pruned
+    (url, warc_ts) read of the same source — see
+    :func:`quality_filter_from_parquet`) so its pass A reads megabytes
+    instead of re-executing the page pipeline. ``exchange`` remains the
+    fastest single-node choice for THIN rows that fit the object store.
     """
     ds = pages
     if validate_input:
@@ -222,6 +230,29 @@ def quality_filter(
         return pa.table(cols)
 
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def quality_filter_from_parquet(
+    pages_path: str,
+    *,
+    override_num_blocks: int | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Flagship pipeline over a parquet pages directory with the
+    sketch dedup's pass A wired to a COLUMN-PRUNED re-read of the same
+    files — (url, warc_ts) only, megabytes per TB of corpus — so the
+    pipeline is barrier-free end to end and never reads the fat html
+    column twice."""
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    pages = ray.data.read_parquet(pages_path, **kw)
+    if kwargs.get("dedup", True) and kwargs.get("dedup_mode", "sketch") == "sketch":
+        kwargs.setdefault(
+            "dedup_pairs",
+            ray.data.read_parquet(pages_path, columns=["url", "warc_ts"]),
+        )
+    return quality_filter(pages, **kwargs)
 
 
 def quality_metrics(result: ray.data.Dataset) -> ray.data.Dataset:

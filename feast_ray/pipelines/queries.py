@@ -1288,6 +1288,72 @@ where running <= 800
 """
 
 
+# --------------------------------------------------------------------- q44
+
+def q44_delta_events(sf_dir: str):
+    """Delta Lake source round-trip (SURVEY §2.3 DeltaFormat,
+    file_source.py:236-243): the events table written once as a Delta
+    table (JSON commit log), read back via the transaction-log replay
+    + parquet scan, filtered and projected."""
+    import os
+
+    from feast_ray.sources.delta import read_delta, write_delta
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/feast_ray_cache/delta_events_{base}"
+    marker = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as _pq
+
+        write_delta(_pq.read_table(os.path.join(sf_dir, "events.parquet")), path)
+    ds = read_delta(path, columns=["event_id", "user_id", "ts", "event_type", "value"])
+    return _us(ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+        .select(["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow",
+    ))
+
+
+_Q44_SQL = """
+select event_id, user_id, ts, value from events where event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------- q45
+
+def q45_read_sql_orders(sf_dir: str):
+    """`read_sql` warehouse escape hatch (SURVEY §2.3): the query runs
+    in DuckDB (standing in for BigQuery/Snowflake/…) and lands as a
+    Dataset; downstream Ray stages (grouped agg) consume it."""
+    from feast_ray.sources.sql import duckdb_factory, read_sql
+
+    fac = duckdb_factory(("orders", f"{sf_dir}/orders.parquet"))
+    ds = read_sql(
+        "select o_custkey, cast(round(o_totalprice * 100) as bigint) as tp_c"
+        " from orders where o_totalprice > 150000",
+        fac,
+    )
+    agg = grouped_agg(
+        ds, ["o_custkey"],
+        [AggSpec("tp_c", "sum", "tp_c_sum"), AggSpec(None, "count", "n_orders")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_custkey", "n_orders"]].copy()
+        out["total_price"] = df["tp_c_sum"] / 100.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q45_SQL = """
+select o_custkey, count(*) as n_orders,
+  sum(cast(round(o_totalprice * 100) as bigint)) / 100.0 as total_price
+from orders where o_totalprice > 150000
+group by o_custkey
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1334,6 +1400,8 @@ QUERIES = {
     "q41_approx_value_quantiles": q41_approx_value_quantiles,
     "q42_regex_search_docs": q42_regex_search_docs,
     "q43_budget_sample_docs": q43_budget_sample_docs,
+    "q44_delta_events": q44_delta_events,
+    "q45_read_sql_orders": q45_read_sql_orders,
 }
 
 
@@ -1373,6 +1441,8 @@ def oracle_sql() -> dict[str, str]:
         "q39_top_sources": _Q39_SQL,
         "q42_regex_search_docs": _Q42_SQL,
         "q43_budget_sample_docs": _Q43_SQL,
+        "q44_delta_events": _Q44_SQL,
+        "q45_read_sql_orders": _Q45_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -1,4 +1,15 @@
+from feast_ray.sources.delta import delta_file_uris, read_delta, write_delta
 from feast_ray.sources.parquet import read_table
+from feast_ray.sources.sql import duckdb_factory, read_sql
 from feast_ray.sources.webpages import synth_webpages, webpages_parquet_dir
 
-__all__ = ["read_table", "synth_webpages", "webpages_parquet_dir"]
+__all__ = [
+    "read_table",
+    "synth_webpages",
+    "webpages_parquet_dir",
+    "read_delta",
+    "write_delta",
+    "delta_file_uris",
+    "read_sql",
+    "duckdb_factory",
+]

@@ -40,10 +40,11 @@ def read_table(
     parquet, a post-read vectorized filter for csv/json.
     ``field_mapping`` renames source→logical columns (applied after the
     read; ``columns``/``ts_col`` refer to source names). ``fmt`` is
-    one of parquet/csv/json (FileSource format parity, SURVEY §2.3).
+    one of parquet/csv/json/delta (FileSource format parity incl.
+    DeltaFormat, SURVEY §2.3; file_source.py:178,236-243).
     """
     if table is not None:
-        path = os.path.join(path, f"{table}.{fmt}")
+        path = os.path.join(path, table if fmt == "delta" else f"{table}.{fmt}")
     expr = filter_expr
     if ts_range is not None:
         if ts_col is None:
@@ -62,6 +63,10 @@ def read_table(
         if expr is not None:
             kwargs["filter"] = expr
         ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    elif fmt == "delta":
+        from feast_ray.sources.delta import read_delta
+
+        ds = read_delta(path, columns=columns, filter_expr=expr, **kwargs)
     elif fmt in ("csv", "json"):
         reader = ray.data.read_csv if fmt == "csv" else ray.data.read_json
         ds = reader(path, **kwargs)

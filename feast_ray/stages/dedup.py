@@ -219,6 +219,10 @@ def keep_latest_sketch(
     dups = merged.map_batches(
         lambda t: t.filter(pc.greater(t["__cnt"], 1)), batch_format="pyarrow"
     ).to_pandas()
+    if len(dups) == 0 or "__kh" not in dups.columns:
+        # no duplicate keys anywhere (an empty result Dataset can also
+        # lose its schema) — nothing to filter
+        return ds
     dups = dups.sort_values("__kh")
     # broadcast as numpy arrays: plasma reads them zero-copy per task
     # (a Python dict would deserialize per task — measured seconds per

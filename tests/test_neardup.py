@@ -89,3 +89,24 @@ def test_deterministic_across_calls(corpus):
     b = minhash_signature("hello world foo bar baz qux")
     assert (a == b).all()
     assert simhash64("hello world") == simhash64("hello world")
+
+
+def test_minhash_distributed_verify_matches_driver(corpus):
+    """The size-gated verify paths (driver vectorized vs distributed
+    hash-join) must produce the same verified pair set."""
+    from feast_ray.functions.neardup import minhash_candidate_pairs
+
+    ds = ray.data.from_pandas(corpus)
+    a = (
+        minhash_candidate_pairs(ds, "doc_id", "text", threshold=0.6)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        minhash_candidate_pairs(
+            ds, "doc_id", "text", threshold=0.6, driver_verify_max=0
+        )
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert list(a["id_a"]) == list(b["id_a"])
+    assert list(a["id_b"]) == list(b["id_b"])
+    assert len(a) > 0

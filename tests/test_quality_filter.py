@@ -160,3 +160,32 @@ def test_corpus_export_partitions(tmp_path, sf_small):
     if len(en) == 3:
         vals = sorted(en.values())
         assert vals[0] >= vals[-1] * 0.5  # no degenerate bucketing
+
+
+def test_extract_fast_path_byte_identical():
+    """The vectorized extractor must be byte-identical to the
+    row-at-a-time reference path on template pages, escaped-entity
+    round-trips, and every non-template fallback shape."""
+    import pyarrow as pa
+
+    from feast_ray.functions.extract import extract_batch, extract_text
+    from feast_ray.sources.webpages import make_html
+
+    texts = [
+        "hello world", "", "a &amp; b &lt;tag&gt;",
+        "it's a \"quote\" & <x>", "x " * 500,
+        "&copy; &lt; &amp;lt; &#x27;", "multi  space   runs",
+        "newline\nin text",
+    ]
+    cases = [make_html(i, "src", t) for i, t in enumerate(texts)]
+    cases += [
+        b"<html>no article</html>",
+        b"<article><p>a</p><p>b</p></article>",
+        b"<article>\njunk<p>a</p>\n</article>",
+        b"\xff\xfebad utf8 <article>\n<p>x</p>\n</article>",
+        b"<article>\n<p>a</p>\nstray\n<p>b</p>\n</article>",
+    ]
+    tbl = pa.table({"html": pa.array(cases, pa.binary())})
+    fast = extract_batch(tbl, "html", "out")["out"].to_pylist()
+    for f, h in zip(fast, cases):
+        assert f == extract_text(h)
