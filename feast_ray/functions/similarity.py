@@ -47,6 +47,38 @@ def _batch_matrix(tbl: pa.Table, col: str) -> np.ndarray:
     return np.asarray(mat, dtype=np.float64)
 
 
+_EMPTY_TOPK = {"query_id": pa.int64(), "score": pa.float64()}
+
+
+def _empty_topk_table(id_col: str) -> pa.Table:
+    return pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         id_col: pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+
+
+def _score(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    """(n, d) corpus × (nq, d) queries → (n, nq) scores, HIGHER=better.
+    Metrics per the reference's configurable `retrieve_online_documents_v2`
+    distance metrics (feature_store.py:4149): cosine, dot, l2
+    (negated euclidean distance so ordering stays descending)."""
+    if metric == "cosine":
+        return _normalize(mat) @ _normalize(q).T
+    if metric == "dot":
+        return mat.astype(np.float64) @ q.astype(np.float64).T
+    if metric == "l2":
+        m = mat.astype(np.float64)
+        qq = q.astype(np.float64)
+        d2 = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ qq.T)
+            + (qq * qq).sum(axis=1)[None, :]
+        )
+        return -np.sqrt(np.maximum(d2, 0.0))
+    raise ValueError(f"unknown metric {metric!r} (cosine|dot|l2)")
+
+
 def ann_topk_bruteforce(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -56,19 +88,23 @@ def ann_topk_bruteforce(
     vec_col: str = "embedding",
     query_ids: np.ndarray | None = None,
     round_to: int | None = 4,
+    metric: str = "cosine",
 ) -> ray.data.Dataset:
-    """Exact cosine top-k per query. Output columns:
-    (query_id, {id_col}, score). Scores are float64 cosine, optionally
-    rounded for cross-engine comparability."""
-    qn = _normalize(np.asarray(queries))
+    """Exact top-k per query under ``metric``. Output columns:
+    (query_id, {id_col}, score). Scores are float64 (higher = closer;
+    l2 scores are negated distances), optionally rounded for
+    cross-engine comparability."""
+    qn = np.asarray(queries, dtype=np.float64)
     qids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
     ref = ray.put((qn, qids))
 
     def _block_topk(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return _empty_topk_table(id_col)
         q, qi = ray.get(ref)
-        mat = _normalize(_batch_matrix(tbl, vec_col))
+        mat = _batch_matrix(tbl, vec_col)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        sims = mat @ q.T  # (n, nq)
+        sims = _score(mat, q, metric)  # (n, nq)
         kk = min(k, sims.shape[0])
         out_q, out_id, out_s = [], [], []
         for j in range(sims.shape[1]):
@@ -145,6 +181,8 @@ def ann_topk_ivf(
     ref = ray.put((qn, q_cells, index.centroids))
 
     def _block(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return _empty_topk_table(id_col)
         q, qc, cent = ray.get(ref)
         mat = _normalize(_batch_matrix(tbl, vec_col))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
@@ -184,6 +222,163 @@ def ann_topk_ivf(
     return candidates.repartition(1).map_batches(_final, batch_format="pandas")
 
 
+def ivf_build(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+) -> "IVFIndex":
+    """Partition the corpus by assigned IVF cell ONCE (hive-partitioned
+    parquet, one directory per cell) so searches read only probed
+    cells' files instead of filtering every block (VERDICT r1 #10 —
+    the scan-pruning the flat IVF variant lacked). Centroids are saved
+    alongside (``_centroids.npy``) so later searches reuse the index."""
+    import os
+
+    sample_tbl = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy())
+    index = IVFIndex(sample, n_cells=n_cells)
+    cref = ray.put(index.centroids)
+
+    def _assign(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.append_column("cell", pa.array([], pa.int64()))
+        cent = ray.get(cref)
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        return tbl.append_column("cell", pa.array(cells))
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell"]
+    )
+    np.save(os.path.join(path, "_centroids.npy"), index.centroids)
+    return index
+
+
+def ivf_scan_stats(path: str, probed_cells: "set[int]") -> dict:
+    """Bytes/files scanned vs total for a probed-cell set — the
+    scanned-fraction metric BENCH reports."""
+    import os
+
+    total_b = scanned_b = 0
+    for d in os.listdir(path):
+        if not d.startswith("cell="):
+            continue
+        cell = int(d.split("=", 1)[1])
+        sz = sum(
+            os.path.getsize(os.path.join(path, d, f))
+            for f in os.listdir(os.path.join(path, d))
+        )
+        total_b += sz
+        if cell in probed_cells:
+            scanned_b += sz
+    return {
+        "scanned_bytes": scanned_b,
+        "total_bytes": total_b,
+        "scanned_frac": round(scanned_b / total_b, 4) if total_b else 0.0,
+    }
+
+
+def ann_topk_ivf_partitioned(
+    index_path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> "tuple[ray.data.Dataset, dict]":
+    """Approximate top-k over an :func:`ivf_build` index, scanning ONLY
+    the union of the queries' probed cell partitions. Returns
+    ``(dataset, scan_stats)``; the dataset has the brute-force output
+    schema. Per-query filtering inside the scanned cells keeps results
+    identical to the flat :func:`ann_topk_ivf` for the same centroids."""
+    import os
+
+    centroids = np.load(os.path.join(index_path, "_centroids.npy"))
+    index = IVFIndex.__new__(IVFIndex)
+    index.centroids = centroids
+    qn = _normalize(np.asarray(queries))
+    q_cells = index.cells_for(qn, nprobe)
+    probed = set(int(c) for c in np.unique(q_cells))
+    files = []
+    cell_of_file = {}
+    for c in sorted(probed):
+        d = os.path.join(index_path, f"cell={c}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    files.append(p)
+                    cell_of_file[p] = c
+    stats = ivf_scan_stats(index_path, probed)
+    if not files:
+        return ray.data.from_arrow(_empty_topk_table(id_col)), stats
+    ds = ray.data.read_parquet(files)
+    cent_ref = ray.put(centroids)
+
+    def _ensure_cell(tbl: pa.Table) -> pa.Table:
+        # hive path inference usually materializes `cell` (as a string);
+        # normalize it to int64, or re-derive from nearest centroid
+        # (same argmax as the build) when inference didn't fire
+        if "cell" in tbl.column_names:
+            import pyarrow.compute as pac
+
+            idx = tbl.schema.get_field_index("cell")
+            return tbl.set_column(idx, "cell", pac.cast(tbl["cell"], pa.int64()))
+        if len(tbl) == 0:
+            return tbl.append_column("cell", pa.array([], pa.int64()))
+        cent = ray.get(cent_ref)
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        return tbl.append_column("cell", pa.array(cells))
+
+    ds = ds.map_batches(_ensure_cell, batch_format="pyarrow")
+    ref = ray.put((qn, q_cells))
+
+    def _block(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return _empty_topk_table(id_col)
+        q, qc = ray.get(ref)
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        # hive partition values may read back as strings — normalize
+        pc_cell = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_s = [], [], []
+        for j in range(len(q)):
+            mask = np.isin(pc_cell, qc[j])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ q[j]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, j))
+            out_id.append(ids[mask][idx])
+            out_s.append(sims[idx])
+        if not out_q:
+            return _empty_topk_table(id_col)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(_block, batch_format="pyarrow")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+    return candidates.repartition(1).map_batches(_final, batch_format="pandas"), stats
+
+
 def cosine_neardup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
@@ -202,6 +397,12 @@ def cosine_neardup_pairs(
     ref = ray.put((all_ids, all_mat))
 
     def _pairs(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         ids_r, mat_r = ray.get(ref)
         mat = _normalize(_batch_matrix(tbl, vec_col))
         ids = tbl[id_col].to_numpy(zero_copy_only=False)

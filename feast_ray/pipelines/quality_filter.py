@@ -148,7 +148,7 @@ def quality_filter(
     pages: ray.data.Dataset,
     *,
     dedup: bool = True,
-    dedup_mode: str = "sketch",
+    dedup_mode: str = "global",
     dedup_pairs: "ray.data.Dataset | None" = None,
     keep_only: bool = False,
     model_concurrency=None,
@@ -162,13 +162,23 @@ def quality_filter(
     output); the default keeps drop rows too so metrics/F1 can be
     computed downstream from the same stream.
 
-    The DEFAULT dedup is ``sketch`` — barrier-free (no all-to-all of
-    full rows; the only shuffle carries 16-byte pairs), the 100 TB
-    production shape. Pass ``dedup_pairs`` (a column-pruned
-    (url, warc_ts) read of the same source — see
-    :func:`quality_filter_from_parquet`) so its pass A reads megabytes
-    instead of re-executing the page pipeline. ``exchange`` remains the
-    fastest single-node choice for THIN rows that fit the object store.
+    Dedup mode choice (round-2 measurements, 300k pages, 32 CPUs,
+    post-vectorized-extract: global 5.6 s / exchange 6.9 s /
+    sketch 13.5 s; 4→16 CPU scaling: global 0.94):
+    - ``global`` (DEFAULT): Ray-native streaming groupby shuffle with
+      a per-block combiner — backpressured, spillable, no driver
+      state, no materialization barrier; the shuffle carries extracted
+      text only (html is dropped before it).
+    - ``sketch``: barrier-free two-pass dedup whose only shuffle is
+      16-byte (hash, ts) pairs — wins when rows stay FAT through the
+      dedup point (e.g. 50-100 KB html payloads that can't be dropped
+      pre-shuffle); pass A serializes before the main pass, which is
+      what costs it the lead on thin rows. Pass ``dedup_pairs`` (a
+      column-pruned (url, warc_ts) read — see
+      :func:`quality_filter_from_parquet`) so pass A reads megabytes.
+    - ``exchange``: raw-Ray bucketed exchange; fastest single-node
+      variant in round 1, but it materializes the corpus into the
+      object store (a barrier) — kept for thin-row single-node runs.
     """
     ds = pages
     if validate_input:
@@ -247,7 +257,7 @@ def quality_filter_from_parquet(
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
     pages = ray.data.read_parquet(pages_path, **kw)
-    if kwargs.get("dedup", True) and kwargs.get("dedup_mode", "sketch") == "sketch":
+    if kwargs.get("dedup", True) and kwargs.get("dedup_mode") == "sketch":
         kwargs.setdefault(
             "dedup_pairs",
             ray.data.read_parquet(pages_path, columns=["url", "warc_ts"]),

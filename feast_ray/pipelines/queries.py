@@ -953,7 +953,13 @@ def q28_quality_pipeline_pages(sf_dir: str):
 
 
 def q29_ann_ivf(sf_dir: str):
-    from feast_ray.functions.similarity import ann_topk_ivf
+    """IVF ANN with cell-partition pruning: the corpus is partitioned
+    by assigned centroid once (cached), the search scans ONLY probed
+    cells' files (VERDICT r1 #10). Scanned fraction is exposed via
+    ``LAST_IVF_SCAN_STATS`` for BENCH."""
+    import shutil
+
+    from feast_ray.functions.similarity import ann_topk_ivf_partitioned, ivf_build
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
@@ -963,7 +969,19 @@ def q29_ann_ivf(sf_dir: str):
     )
     queries = np.stack(qdf["embedding"].to_numpy())
     corpus = emb.map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
-    return ann_topk_ivf(corpus, queries, k=10)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    index_path = f"/tmp/feast_ray_cache/ivf_{base}"
+    if not os.path.exists(os.path.join(index_path, "_centroids.npy")):
+        shutil.rmtree(index_path, ignore_errors=True)
+        ivf_build(corpus, index_path)
+    out, stats = ann_topk_ivf_partitioned(index_path, queries, k=10)
+    LAST_IVF_SCAN_STATS.clear()
+    LAST_IVF_SCAN_STATS.update(stats)
+    return out
+
+
+#: scan-pruning stats of the most recent q29 run (BENCH reports these)
+LAST_IVF_SCAN_STATS: dict = {}
 
 
 def q30_multimodal_decode(sf_dir: str):
@@ -1354,6 +1372,32 @@ group by o_custkey
 """
 
 
+# --------------------------------------------------------------------- q46
+
+def q46_sql_transform_events(sf_dir: str):
+    """SQL transformation mode (reference sql_transformation.py +
+    mode.py): a row-local SQL UDF executed per Arrow batch by an
+    embedded DuckDB held once per worker."""
+    from feast_ray.stages.transform import sql_transform
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = sql_transform(
+        ev,
+        "select event_id, upper(event_type) as event_type_u,"
+        " cast(round(value * 100) as bigint) as value_c,"
+        " value >= 50.0 as is_large from batch",
+    )
+    return out
+
+
+_Q46_SQL = """
+select event_id, upper(event_type) as event_type_u,
+  cast(round(value * 100) as bigint) as value_c,
+  value >= 50.0 as is_large
+from events
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1402,6 +1446,7 @@ QUERIES = {
     "q43_budget_sample_docs": q43_budget_sample_docs,
     "q44_delta_events": q44_delta_events,
     "q45_read_sql_orders": q45_read_sql_orders,
+    "q46_sql_transform_events": q46_sql_transform_events,
 }
 
 
@@ -1443,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         "q43_budget_sample_docs": _Q43_SQL,
         "q44_delta_events": _Q44_SQL,
         "q45_read_sql_orders": _Q45_SQL,
+        "q46_sql_transform_events": _Q46_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

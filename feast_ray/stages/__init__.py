@@ -1,4 +1,4 @@
-from feast_ray.stages.transform import transform
+from feast_ray.stages.transform import SqlBatchTransform, sql_transform, transform
 from feast_ray.stages.filters import filter_mask, ttl_filter
 from feast_ray.stages.dedup import keep_latest, keep_latest_exchange, keep_latest_sketch
 from feast_ray.stages.aggregate import AggSpec, grouped_agg, windowed_agg
@@ -15,6 +15,8 @@ from feast_ray.stages.validate import validate_stage
 
 __all__ = [
     "transform",
+    "sql_transform",
+    "SqlBatchTransform",
     "filter_mask",
     "ttl_filter",
     "keep_latest",

@@ -47,3 +47,51 @@ def transform(
         if concurrency is not None:
             opts["concurrency"] = concurrency
     return ds.map_batches(fn, **opts)
+
+
+class SqlBatchTransform:
+    """SQL transformation mode (the reference's
+    transformation/sql_transformation.py + mode.py TransformationMode.SQL):
+    the UDF is a SQL statement over a relation named ``batch``, executed
+    per Arrow batch by an embedded DuckDB session held once per worker
+    (zero-copy Arrow in/out). Example::
+
+        transform(ds, SqlBatchTransform,
+                  fn_constructor_args=("select *, a + b as c from batch",))
+
+    Distribution-correct only for ROW-LOCAL SQL (projections, scalar
+    expressions, filters) — a per-batch aggregate would aggregate each
+    batch independently; use the Aggregate stage for those.
+    """
+
+    def __init__(self, sql: str):
+        import duckdb
+
+        self.sql = sql
+        self.con = duckdb.connect()
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        self.con.register("batch", batch)
+        out = self.con.execute(self.sql).fetch_arrow_table()
+        self.con.unregister("batch")
+        # duckdb emits its own chunking; normalize to one combined table
+        return out.combine_chunks() if isinstance(out, pa.Table) else out
+
+
+def sql_transform(
+    ds: ray.data.Dataset,
+    sql: str,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Apply a SQL-mode transform (see :class:`SqlBatchTransform`)."""
+    return transform(
+        ds,
+        SqlBatchTransform,
+        fn_constructor_args=(sql,),
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

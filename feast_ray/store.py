@@ -323,6 +323,11 @@ class Store:
                 )
         if view.udf is not None:
             ds = ds.map_batches(view.udf, batch_format="pyarrow")
+        if view.sql is not None:
+            # SQL transformation mode (reference sql_transformation.py)
+            from feast_ray.stages.transform import sql_transform
+
+            ds = sql_transform(ds, view.sql)
         if view.aggregations:
             ts = view.timestamp_field
             if view.window and ts:
@@ -641,11 +646,14 @@ class Store:
         *,
         vec_col: str = "embedding",
         id_col: str | None = None,
+        metric: str = "cosine",
     ) -> pd.DataFrame:
         """ANN retrieval over a view's vector column in the online
         plane (reference: feature_store.py:4044/4149
         `retrieve_online_documents(_v2)` over ``vector_index`` fields)
-        — brute-force cosine top-k via the similarity operators."""
+        — brute-force top-k via the similarity operators. ``metric``
+        mirrors `_v2`'s configurable distance metrics:
+        cosine | dot | l2 (l2 scores are negated distances)."""
         import numpy as np
 
         from feast_ray.functions.similarity import ann_topk_bruteforce
@@ -655,7 +663,7 @@ class Store:
         ds = ray.data.read_parquet(self.online._dir(view_name))
         res = ann_topk_bruteforce(
             ds, np.asarray([query]), k=top_k, id_col=id_col, vec_col=vec_col,
-            round_to=None,
+            round_to=None, metric=metric,
         ).to_pandas()
         return res.drop(columns=["query_id"]).reset_index(drop=True)
 

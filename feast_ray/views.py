@@ -59,6 +59,7 @@ class View:
     schema: Schema | None = None
     ttl: timedelta | None = None
     udf: Callable | None = None          # batch transform: pa.Table -> pa.Table
+    sql: str | None = None               # SQL-mode transform over `batch` (row-local)
     aggregations: list[AggSpec] = field(default_factory=list)
     window: timedelta | None = None      # with aggregations: tumbling window
     slide: timedelta | None = None       # with window: sliding hop

@@ -107,3 +107,33 @@ def test_entity_mapping_same_source_two_keys(tmp_path, sf_small, duck):
     assert out.loc[0, "actor_value"] == pytest.approx(lookup[2])
     assert out.loc[1, "value"] == pytest.approx(lookup[2])
     assert out.loc[1, "actor_value"] == pytest.approx(lookup[1])
+
+
+def test_sql_transform_view(tmp_path, sf_small):
+    """SQL transformation mode on a View (reference
+    transformation/sql_transformation.py): the SQL runs per batch and
+    feeds the normal compile chain."""
+    from datetime import timedelta
+
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(
+        name="ev_sql",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        sql="select user_id, ts, value * 2 as value2 from batch",
+        features=["value2"],
+        ttl=timedelta(days=30),
+    )
+    s.apply([v])
+    out = s.build_view_ds(v).to_pandas()
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    assert len(out) == len(ev)
+    assert set(out.columns) == {"user_id", "ts", "value2"}
+    got = out.sort_values(["user_id", "ts"]).reset_index(drop=True)["value2"]
+    exp = (ev.sort_values(["user_id", "ts"]).reset_index(drop=True)["value"] * 2)
+    assert (got.to_numpy() == exp.to_numpy()).all()

@@ -74,3 +74,60 @@ def test_cosine_neardup_pairs_exact(emb):
     ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
     got = cosine_neardup_pairs(ds, threshold=thr).to_pandas()
     assert {tuple(r) for r in got[["id_a", "id_b"]].itertuples(index=False)} == expected
+
+
+def test_metric_dot_and_l2(emb):
+    """Configurable distance metrics (reference
+    retrieve_online_documents_v2): dot and l2 top-1 vs numpy."""
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = mat[0]
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
+    for metric in ["dot", "l2"]:
+        out = ann_topk_bruteforce(
+            ds, np.asarray([q]), k=5, metric=metric, round_to=None
+        ).to_pandas()
+        scores = mat @ q if metric == "dot" else -np.linalg.norm(mat - q[None, :], axis=1)
+        assert out["score"].iloc[0] == pytest.approx(scores.max())
+        assert sorted(out["score"], reverse=True) == pytest.approx(
+            np.sort(scores)[::-1][:5].tolist()
+        )
+
+
+def test_ivf_partitioned_matches_flat(emb, tmp_path):
+    """Cell-pruned IVF search returns the same results as the flat
+    filter-every-block variant for the same centroids, scanning only
+    probed partitions."""
+    from feast_ray.functions.similarity import (
+        ann_topk_ivf_partitioned,
+        ivf_build,
+    )
+
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
+    queries = np.stack(emb["embedding"].to_numpy()[:3])
+    flat = ann_topk_ivf(ds, queries, k=5, n_cells=8, nprobe=2).to_pandas()
+    path = str(tmp_path / "ivf")
+    ivf_build(ds, path, n_cells=8)
+    part, stats = ann_topk_ivf_partitioned(path, queries, k=5, nprobe=2)
+    part = part.to_pandas()
+    assert 0 < stats["scanned_frac"] <= 1.0
+    a = flat.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = part.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert list(a["vec_id"]) == list(b["vec_id"])
+
+
+def test_empty_block_guard(emb):
+    """ADVICE r1: an upstream filter that empties blocks must not crash
+    the ANN kernels."""
+    import pyarrow.compute as pc_
+
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
+    empty_some = ds.map_batches(
+        lambda t: t.filter(pc_.less(t["vec_id"], -1)), batch_format="pyarrow"
+    )
+    q = np.stack(emb["embedding"].to_numpy()[:1])
+    out = ann_topk_bruteforce(empty_some, q, k=3).to_pandas()
+    assert len(out) == 0
