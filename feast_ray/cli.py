@@ -82,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("export-corpus")
     ex.add_argument("--out", default="/tmp/feast_ray_export")
     sub.add_parser("stats")
+    sv = sub.add_parser("serve")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=6566)
     args = p.parse_args(argv)
 
     _ensure_ray(args.num_cpus)
@@ -126,6 +129,22 @@ def main(argv: list[str] | None = None) -> int:
             res = quality_filter(synth_webpages(args.data), validate_input=False)
             counts = export_corpus(res, args.out)
             print(json.dumps(counts, sort_keys=True))
+        elif args.cmd == "serve":
+            # the reference's `feast serve` entry point (feature_store.py:4640)
+            store = _demo_store(args.repo, args.data)
+            store.materialize()
+            from feast_ray.serve import serve as _serve
+
+            server = _serve(store, host=args.host, port=args.port)
+            print(json.dumps({"serving": list(server.server_address)}))
+            try:
+                server.serve_forever  # noqa: B018 — thread already running
+                import time as _time
+
+                while True:
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                server.shutdown()
         elif args.cmd == "stats":
             store = _demo_store(args.repo, args.data)
             reg = store._load_registry()

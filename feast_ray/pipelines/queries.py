@@ -941,15 +941,175 @@ from documents d join m on d.doc_id = m.doc_id
 
 
 def q28_quality_pipeline_pages(sf_dir: str):
-    """The flagship pipeline over the synthesized web-pages table."""
+    """The flagship pipeline over the synthesized web-pages table —
+    now under the FULL value gate: ``_q28_sql()`` reconstructs the
+    deterministic page corpus (decorate + latest-crawl-per-url) and
+    re-scores it with the same SQL fragments as q15/q16/q23/q24, so
+    extraction, dedup, every heuristic rule, langid, perplexity and
+    the rule-priority chain are all value-checked end to end. ppl is
+    rounded to 4dp on both sides (cross-engine float association)."""
     from feast_ray.pipelines.quality_filter import quality_filter
 
     pages = synth_webpages(sf_dir)
     res = quality_filter(pages)
-    return res.map_batches(
-        lambda t: t.select(["url", "lang_pred", "n_words", "ppl", "keep", "drop_reason"]),
-        batch_format="pyarrow",
+
+    def _proj(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("ppl"), "ppl",
+            pa.array(np.round(t["ppl"].to_numpy(zero_copy_only=False), 4)),
+        )
+        return t.select(["url", "lang_pred", "n_words", "ppl", "keep", "drop_reason"])
+
+    return res.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q28_sql() -> str:
+    """Full-pipeline oracle for q28, generated from the SAME constants
+    the engine uses (single source of truth): reconstructs the
+    deterministic synthetic page corpus in SQL (decorate_text planted
+    content, recrawl latest-per-url, EDIT_SUFFIX), then scores it with
+    the q15/q16 stats fragments, the q23 langid model SQL, the q24
+    perplexity model-table join, the Gopher dup-2gram repetition
+    metric (DuckDB list ops), and the engine's exact rule-priority
+    chain. ASCII corpus assumption as in q24."""
+    from feast_ray.functions.langid import _CJK_PATTERN, _LANG_ORDER, _PROFILES
+    from feast_ray.functions.textstats import (
+        MAX_DIGIT_FRAC,
+        MAX_DUP_2GRAM_FRAC,
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_FRAC,
+        MAX_WORDS,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        STOPWORD_PATTERN,
     )
+    from feast_ray.pipelines.quality_filter import MAX_PPL
+    from feast_ray.sources.webpages import (
+        EDIT_SUFFIX,
+        HOT_DOMAIN,
+        _CONSONANTS,
+    )
+
+    _dump_ppl_model_tables()
+    # gibberish words: 6 words x 5 chars of consonant bit-twiddles
+    gib_words = []
+    for j in range(6):
+        chars = [
+            f"substr('{_CONSONANTS}', cast((h // {1 << (4 * j + k)}) % {len(_CONSONANTS)} as bigint) + 1, 1)"
+            for k in range(5)
+        ]
+        gib_words.append(" || ".join(chars))
+    gib_expr = " || ' ' || ".join(f"({w})" for w in gib_words)
+
+    score_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(ft), '\\b({_PROFILES[l]})\\b')) as s_{l}"
+        for l in _LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_ORDER) + ")"
+    pred_cases = []
+    for i, l in enumerate(_LANG_ORDER[:-1]):
+        conds = " and ".join(f"s_{l} >= s_{m}" for m in _LANG_ORDER[i + 1:])
+        pred_cases.append(f"when {conds} then '{l}'")
+    pred = "\n         ".join(pred_cases)
+
+    heuristic = f"""case
+      when n_words < {MIN_WORDS} then 'too_short'
+      when n_words > {MAX_WORDS} then 'too_long'
+      when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'word_len'
+      when stop_count < {MIN_STOPWORDS} then 'no_stopwords'
+      when digit_frac > {MAX_DIGIT_FRAC} then 'too_many_digits'
+      when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
+    end"""
+
+    return f"""
+with d0 as (
+  select doc_id as d, text, source,
+    (doc_id * 2654435761) % 4294967296 as h
+  from documents),
+dec as (
+  select d, source,
+    text
+    || case when d % 13 = 0 then ' contact user' || d || '@example-mail.com or call 555-'
+         || (100 + d % 900) || '-' || (1000 + d % 9000)
+         || ' ssn ' || (100 + d % 900) || '-' || (10 + d % 90) || '-' || (1000 + d % 9000)
+       else '' end
+    || case when d % 11 = 0 then ' ' || {gib_expr} else '' end
+    || case when d % 17 = 0 then ' ' || repeat('$$$ ###!!! @@@ %%%', 4) else '' end
+    || case when d % 19 = 0 then repeat(' buy now', 30) else '' end
+    as t0
+  from d0),
+pages as (
+  select
+    'https://' || case when d % 3 = 0 then '{HOT_DOMAIN}'
+                       else source || '.example.com' end
+      || '/' || source || '/page-' || d as url,
+    t0 || case when d % 10 = 0 then '{EDIT_SUFFIX}' else '' end as ft
+  from dec),
+ppl_pos as (
+  select url, ft, unnest(generate_series(1, length(ft) - 2)) as i
+  from pages where length(ft) >= 3),
+ppl_tri as (
+  select url,
+    unicode(substr(ft, i, 1)) * 65536 + unicode(substr(ft, i + 1, 1)) * 256
+      + unicode(substr(ft, i + 2, 1)) as tri_id,
+    unicode(substr(ft, i, 1)) * 256 + unicode(substr(ft, i + 1, 1)) as bi_id
+  from ppl_pos),
+ppl_scored as (
+  select url,
+    avg(ln((coalesce(tc.cnt, 0) + 1.0) / (coalesce(bc.cnt, 0) + 256.0))) as mlogp
+  from ppl_tri
+  left join read_parquet('{_PPL_ORACLE_DIR}/ppl_tri.parquet') tc on ppl_tri.tri_id = tc.key
+  left join read_parquet('{_PPL_ORACLE_DIR}/ppl_bi.parquet') bc on ppl_tri.bi_id = bc.key
+  group by url),
+stats as (
+  select p.url,
+    len(regexp_extract_all(ft, '\\S+')) as n_words,
+    cast(len(regexp_extract_all(ft, '\\S')) as double)
+      / cast(greatest(len(regexp_extract_all(ft, '\\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(ft, '[0-9]')) as double)
+      / cast(greatest(length(ft), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(ft, '[^0-9A-Za-z\\s]')) as double)
+      / cast(greatest(length(ft), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(ft), '{STOPWORD_PATTERN}')) as stop_count,
+    len(regexp_extract_all(ft, '{_CJK_PATTERN}')) as cjk,
+    cast(greatest(length(ft), 1) as double) as n_chars,
+    length(ft) as raw_len,
+    len(regexp_extract_all(ft, '\\S+')) as raw_tokens,
+    case when len(regexp_extract_all(ft, '\\S+')) < 2 then 0.0
+         else 1.0 - cast(len(list_distinct(g.grams)) as double)
+                  / cast(len(g.grams) as double) end as dup2,
+    coalesce(exp(-ps.mlogp), 256.0) as ppl_raw,
+    round(coalesce(exp(-ps.mlogp), 256.0), 4) as ppl,
+    {score_cols}
+  from pages p
+  left join ppl_scored ps on p.url = ps.url,
+  lateral (select case when len(regexp_extract_all(ft, '\\S+')) >= 2
+      then list_transform(
+             generate_series(1, len(regexp_extract_all(ft, '\\S+')) - 1),
+             i -> regexp_extract_all(ft, '\\S+')[i] || chr(9)
+                  || regexp_extract_all(ft, '\\S+')[i + 1])
+      else [] end as grams) g),
+scored as (
+  select url, n_words, ppl, ppl_raw,
+    case when cjk / n_chars > 0.15 then 'zh'
+         when {best} = 0 or raw_len = 0 or raw_tokens = 0 then 'und'
+         {pred}
+         else '{_LANG_ORDER[-1]}' end as lang_pred,
+    {heuristic} as h_reason,
+    dup2
+  from stats)
+select url, lang_pred, n_words, ppl,
+  coalesce(h_reason,
+    case when lang_pred = 'und' then 'lang_unknown'
+         when ppl_raw > {MAX_PPL} then 'high_perplexity'
+         when dup2 > {MAX_DUP_2GRAM_FRAC} then 'repetition' end) as drop_reason,
+  coalesce(h_reason,
+    case when lang_pred = 'und' then 'lang_unknown'
+         when ppl_raw > {MAX_PPL} then 'high_perplexity'
+         when dup2 > {MAX_DUP_2GRAM_FRAC} then 'repetition' end) is null as keep
+from scored
+"""
 
 
 def q29_ann_ivf(sf_dir: str):
@@ -1477,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "q23_langid_docs": _q23_sql(),
         "q24_perplexity_docs": _q24_sql(),
         "q27_fingerprints_docs": _q27_sql(),
+        "q28_quality_pipeline_pages": _q28_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

