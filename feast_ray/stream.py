@@ -92,6 +92,30 @@ class MicroBatchProcessor:
             self._commit_offset(offset)
         return len(df)
 
+    def process_payloads(
+        self,
+        payloads: "list[bytes]",
+        offset: int | None = None,
+        *,
+        format: str = "json",
+        avro_schema: dict | None = None,
+    ) -> int:
+        """Raw message payloads → decoded micro-batch → process_batch.
+        ``format``: "json" (one object per payload) or "avro"
+        (schema-framed binary datums, spark_kafka_processor.py:51-57
+        parity — schema required)."""
+        if format == "json":
+            rows = [json.loads(p) for p in payloads]
+        elif format == "avro":
+            if avro_schema is None:
+                raise ValueError("avro format requires avro_schema")
+            from feast_ray.functions.avro import decode_records
+
+            rows = decode_records(payloads, avro_schema)
+        else:
+            raise ValueError(f"unsupported stream format {format!r}")
+        return self.process_batch(pd.DataFrame(rows), offset)
+
     def run(self, batches) -> int:
         """Consume an iterable of (offset, DataFrame) micro-batches."""
         total = 0
