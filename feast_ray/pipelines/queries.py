@@ -129,16 +129,25 @@ from lineitem group by l_returnflag, l_linestatus
 
 def q02_revenue_by_nation(sf_dir: str):
     """Multi-way join + grouped agg (Join node, SURVEY §2.1 #4/#5).
-    Scale design: BOTH fact tables stream — lineitem is pre-aggregated
-    per order (combiner inside map_batches, then a two-phase groupby of
-    partials, ~4:1 reduction before any exchange) and joined to the
-    streamed orders table with the partitioned hash join; only the true
-    dimensions (customer, nation — fixed-size) are broadcast. Round 1
-    broadcast `orders` to the driver — the second-largest table, a
-    scale-killer flagged in VERDICT r1."""
+    Scale design: BOTH fact tables stream — lineitem (projected to
+    (orderkey, rev_cents), 16 B/row) joins the streamed orders table
+    with ONE partitioned hash-join shuffle; only the true dimensions
+    (customer, nation — fixed-size) are broadcast; the final aggregate
+    has 25 groups and is two-phase. Round 1 broadcast `orders` to the
+    driver — the second-largest table, a scale-killer flagged in
+    VERDICT r1. (A per-order pre-aggregate variant was measured slower
+    at bench scale — it trades one 750k-row shuffle for two ~300k-row
+    shuffles and an extra 147k-group aggregate.)"""
     from feast_ray.stages import hash_join
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c").select(["l_orderkey", "rev_c"])
+
+    lp = li.map_batches(_prep, batch_format="pyarrow")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
@@ -146,24 +155,13 @@ def q02_revenue_by_nation(sf_dir: str):
     )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-
-    def _prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("rev", rev)
-        return _cents(t, "rev", "rev_c")
-
-    li_per_order = grouped_agg(
-        li.map_batches(_prep, batch_format="pyarrow"),
-        ["l_orderkey"],
-        [AggSpec("rev_c", "sum", "rev_sum_c"), AggSpec(None, "count", "n_items_o")],
-    )
-    ds = hash_join(li_per_order, orders, on="l_orderkey", num_buckets=32)
+    ds = hash_join(lp, orders, on="l_orderkey", num_buckets=32)
     ds = broadcast_join(ds, cust, on="o_custkey", right_on="c_custkey")
     ds = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey")
     agg = grouped_agg(
         ds,
         ["n_name"],
-        [AggSpec("rev_sum_c", "sum", "rev_sum_c"), AggSpec("n_items_o", "sum", "n_items")],
+        [AggSpec("rev_c", "sum", "rev_sum_c"), AggSpec(None, "count", "n_items")],
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -467,11 +465,10 @@ from exploded group by window_start
 def q14_revenue_by_region_segment(sf_dir: str):
     """Deep dimension chain: region⋈nation⋈customer⋈orders, grouped on
     two keys (entity-mapping/join-chain coverage, SURVEY §2.6).
-    Scale design: orders is pre-aggregated per customer (two-phase,
-    ~10:1 reduction) then joined to the STREAMED customer table with
-    the partitioned hash join — customer scales with the fact data and
-    must not be broadcast (VERDICT r1 #3); nation/region stay broadcast
-    (fixed 25/5 rows)."""
+    Scale design: orders joins the STREAMED customer table with the
+    partitioned hash join (customer scales with the fact data and must
+    not be broadcast — VERDICT r1 #3); nation/region stay broadcast
+    (fixed 25/5 rows); the final aggregate has 25 groups."""
     from feast_ray.stages import hash_join
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -485,18 +482,15 @@ def q14_revenue_by_region_segment(sf_dir: str):
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
     region = read_table(sf_dir, "region").to_pandas()
     prepped = orders.map_batches(
-        lambda t: _cents(t, "o_totalprice", "tp_c"), batch_format="pyarrow"
+        lambda t: _cents(t, "o_totalprice", "tp_c").select(["o_custkey", "tp_c"]),
+        batch_format="pyarrow",
     )
-    per_cust = grouped_agg(
-        prepped, ["o_custkey"],
-        [AggSpec("tp_c", "sum", "tp_c_sum"), AggSpec(None, "count", "n_orders_c")],
-    )
-    ds = hash_join(per_cust, cust, on="o_custkey", num_buckets=32)
+    ds = hash_join(prepped, cust, on="o_custkey", num_buckets=32)
     ds = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey")
     ds = broadcast_join(ds, region, on="n_regionkey", right_on="r_regionkey")
     agg = grouped_agg(
         ds, ["r_name", "c_mktsegment"],
-        [AggSpec("tp_c_sum", "sum", "tp_sum_c"), AggSpec("n_orders_c", "sum", "n_orders")],
+        [AggSpec("tp_c", "sum", "tp_sum_c"), AggSpec(None, "count", "n_orders")],
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -1260,8 +1254,10 @@ def q34_chunk_embed(sf_dir: str):
 
 
 def q35_dqm_profile(sf_dir: str):
-    """Dataset profile as rows (DQM profiler analog, dqm/ge_profiler.py).
-    Rows-only: the profile is the engine's own statistical contract."""
+    """Dataset profile as rows (DQM profiler analog, dqm/ge_profiler.py),
+    under the value gate: mean/std rounded to 6dp on both sides (the
+    engine's distributed partial sums and DuckDB's sequential sums
+    associate differently); std is sample std (ddof=1 = stddev_samp)."""
     import pandas as pd
 
     from feast_ray.dqm import profile_dataset
@@ -1270,8 +1266,27 @@ def q35_dqm_profile(sf_dir: str):
     prof = profile_dataset(ev)
     rows = []
     for col, entry in prof["columns"].items():
-        rows.append({"column": col, **{k: v for k, v in entry.items() if k != "dtype"}})
+        e = {k: v for k, v in entry.items() if k != "dtype"}
+        for k in ("mean", "std", "min", "max"):
+            if k in e:
+                e[k] = round(float(e[k]), 6)
+        rows.append({"column": col, **e})
     return pd.DataFrame(rows)
+
+
+_Q35_SQL = """
+select 'value' as column,
+  1.0 - count(value) / cast(count(*) as double) as null_frac,
+  round(avg(value), 6) as mean, round(stddev_samp(value), 6) as std,
+  round(min(value), 6) as "min", round(max(value), 6) as "max"
+from events
+union all
+select 'user_id',
+  1.0 - count(user_id) / cast(count(*) as double),
+  round(avg(user_id), 6), round(stddev_samp(user_id), 6),
+  round(cast(min(user_id) as double), 6), round(cast(max(user_id) as double), 6)
+from events
+"""
 
 
 # --------------------------------------------------------------------- q36
@@ -1641,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
+        "q35_dqm_profile": _Q35_SQL,
         "q36_store_pit_retrieval": _Q36_SQL,
         "q37_semi_join_orders": _Q37_SQL,
         "q38_anti_join_orders": _Q38_SQL,

@@ -160,17 +160,39 @@ def grouped_agg(
                 batch_format="pyarrow",
             )
         partial = d.map_batches(_make_partial_fn(gkeys, main_specs), batch_format="pyarrow")
-        aggs = []
+        # merge phase: shuffle the (small) partials by a hash BUCKET of
+        # the keys and reduce each bucket with ONE vectorized pandas
+        # groupby — Ray's native per-key aggregate pays per-group
+        # overhead that dominates at high key cardinality (measured
+        # 5.8 s vs 0.7 s for 147k groups over 600k rows at 32 CPUs)
+        kinds: dict[str, str] = {}
         for i, spec in enumerate(main_specs):
-            for pname, kind in _partial_cols(spec, i).items():
+            kinds.update(_partial_cols(spec, i))
+        from feast_ray.stages.dedup import add_hash_bucket
+
+        B = 64
+        bucketed = partial.map_batches(
+            lambda t: add_hash_bucket(t, gkeys, B, col="__gb"),
+            batch_format="pyarrow",
+        )
+        finalize = _make_finalize_fn(gkeys, main_specs)
+
+        def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns="__gb")
+            g = df.groupby(gkeys, sort=False, dropna=False)
+            out: dict[str, pd.Series] = {}
+            for pname, kind in kinds.items():
                 if kind in ("sum", "count", "sumsq"):
-                    aggs.append(Sum(pname, alias_name=pname))
+                    out[pname] = g[pname].sum()
                 elif kind == "min":
-                    aggs.append(Min(pname, alias_name=pname))
+                    out[pname] = g[pname].min()
                 elif kind == "max":
-                    aggs.append(Max(pname, alias_name=pname))
-        merged = partial.groupby(gkeys).aggregate(*aggs)
-        result = merged.map_batches(_make_finalize_fn(gkeys, main_specs), batch_format="pandas")
+                    out[pname] = g[pname].max()
+            return finalize(pd.DataFrame(out).reset_index())
+
+        result = bucketed.groupby("__gb").map_groups(
+            _merge_bucket, batch_format="pandas"
+        )
 
     for spec in cd_specs:
         from feast_ray.stages.relational import distinct

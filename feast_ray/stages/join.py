@@ -436,8 +436,18 @@ def hash_join(
 
     def _tag(val):
         def _t(tbl: pa.Table) -> pa.Table:
+            # hash canonicalized key columns (int32 and int64 must land
+            # in the same bucket) — vectorized siphash, no str round-trip
             df = tbl.select(on).to_pandas()
-            h = pd.util.hash_pandas_object(df.astype(str), index=False).to_numpy()
+            for c in df.columns:
+                k = df[c].dtype.kind
+                if k in "iu":
+                    df[c] = df[c].astype("int64")
+                elif k == "f":
+                    df[c] = df[c].astype("float64")
+                elif k not in "Mb":
+                    df[c] = df[c].astype(str)
+            h = pd.util.hash_pandas_object(df, index=False).to_numpy()
             tbl = tbl.append_column(bucket, pa.array((h % num_buckets).astype(np.int64)))
             return tbl.append_column(side, pa.array([val] * len(tbl), pa.string()))
 
