@@ -47,9 +47,6 @@ def _batch_matrix(tbl: pa.Table, col: str) -> np.ndarray:
     return np.asarray(mat, dtype=np.float64)
 
 
-_EMPTY_TOPK = {"query_id": pa.int64(), "score": pa.float64()}
-
-
 def _empty_topk_table(id_col: str) -> pa.Table:
     return pa.table(
         {"query_id": pa.array([], pa.int64()),
@@ -426,3 +423,178 @@ def cosine_neardup_pairs(
         )
 
     return ds.map_batches(_pairs, batch_format="pyarrow")
+
+
+def cosine_neardup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 6,
+    seed: int = 7,
+    driver_verify_max: int = 2_000_000,
+    round_to: int | None = 4,
+) -> ray.data.Dataset:
+    """SCALE path for embedding near-dup (the exact
+    :func:`cosine_neardup_pairs` is O(n²) broadcast): random-hyperplane
+    (SRP) LSH. Each of ``n_tables`` tables hashes the normalized vector
+    to an ``n_planes``-bit bucket; candidates collide in ≥1 table; all
+    candidates are verified with exact cosine, so precision is exact
+    and only recall is approximate (P[miss] =
+    (1-(1-θ/π)^n_planes)^n_tables for angle θ — raise n_tables for
+    higher recall). Same verify size-gate as minhash: bounded driver
+    vectorization below ``driver_verify_max`` candidate pairs, a
+    distributed signature join above it. Output: (id_a, id_b, cosine).
+    """
+    import pyarrow.compute as pac
+
+    rng = np.random.RandomState(seed)
+
+    def _vb(tbl: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        return pa.table(
+            {id_col: tbl[id_col],
+             "__vb": pa.array([row.tobytes() for row in mat], pa.binary())}
+        )
+
+    sigged = ds.select_columns([id_col, vec_col]).map_batches(
+        _vb, batch_format="pyarrow"
+    ).materialize()
+    dim = None
+    first = sigged.take(1)
+    if not first:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+    dim = len(np.frombuffer(first[0]["__vb"], dtype=np.float64))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pref = ray.put(planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _buckets(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return pa.table(
+                {id_col: tbl[id_col], "table": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        P = ray.get(pref)
+        mat = np.frombuffer(b"".join(tbl["__vb"].to_pylist()), dtype=np.float64
+                            ).reshape(n, dim)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        out_t, out_b = [], []
+        for t in range(n_tables):
+            bits = (mat @ P[t].T) > 0  # (n, n_planes)
+            out_b.append(bits @ weights)
+            out_t.append(np.full(n, t, dtype=np.int64))
+        return pa.table(
+            {id_col: pa.array(np.tile(ids, n_tables)),
+             "table": pa.array(np.concatenate(out_t)),
+             "bucket": pa.array(np.concatenate(out_b))}
+        )
+
+    band_rows = sigged.map_batches(_buckets, batch_format="pyarrow")
+    num_shuffle = 64
+
+    def _add_sb(tbl: pa.Table) -> pa.Table:
+        h = pac.add(pac.multiply(tbl["bucket"], pa.scalar(31, pa.int64())), tbl["table"])
+        return tbl.append_column(
+            "__sb", pac.cast(pac.bit_wise_and(h, num_shuffle - 1), pa.int64())
+        )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["table", "bucket"], sort=False)[id_col].transform("size")
+        multi = g[sizes > 1]
+        ia, ib = [], []
+        for _, grp in multi.groupby(["table", "bucket"], sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), 1)
+            ia.append(ids[iu])
+            ib.append(ids[ju])
+        if not ia:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=g[id_col].dtype),
+                 "id_b": pd.Series(dtype=g[id_col].dtype)}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(ia), "id_b": np.concatenate(ib)}
+        ).drop_duplicates()
+
+    raw_pairs = (
+        band_rows.map_batches(_add_sb, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    ).materialize()
+
+    def _empty():
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
+
+    if raw_pairs.count() <= driver_verify_max:
+        ptbl = raw_pairs.to_pandas().drop_duplicates()
+        if len(ptbl) == 0:
+            return _empty()
+        involved = np.unique(
+            np.concatenate([ptbl["id_a"].to_numpy(), ptbl["id_b"].to_numpy()])
+        )
+        iref = ray.put(involved)
+        sub = sigged.map_batches(
+            lambda t: t.filter(
+                pac.is_in(t[id_col], value_set=pa.array(ray.get(iref)))
+            ),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values(id_col, kind="stable")
+        sub_ids = sub[id_col].to_numpy()
+        mat = np.frombuffer(b"".join(sub["__vb"].tolist()), dtype=np.float64
+                            ).reshape(-1, dim)
+        a = mat[np.searchsorted(sub_ids, ptbl["id_a"].to_numpy())]
+        b = mat[np.searchsorted(sub_ids, ptbl["id_b"].to_numpy())]
+        cos = (a * b).sum(axis=1)
+        keep = cos >= threshold
+        if round_to is not None:
+            cos = cos.round(round_to)
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array(ptbl["id_a"].to_numpy()[keep]),
+                      "id_b": pa.array(ptbl["id_b"].to_numpy()[keep]),
+                      "cosine": pa.array(cos[keep])})
+        )
+
+    # distributed verify: join the vector-bytes table onto the pairs
+    from feast_ray.stages.join import hash_join
+    from feast_ray.stages.relational import distinct
+
+    pairs = distinct(raw_pairs, ["id_a", "id_b"])
+    va = sigged.map_batches(
+        lambda t: t.rename_columns(["id_a", "vb_a"]), batch_format="pyarrow"
+    )
+    vb = sigged.map_batches(
+        lambda t: t.rename_columns(["id_b", "vb_b"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        hash_join(pairs, va, on="id_a", num_buckets=16),
+        vb, on="id_b", num_buckets=16,
+    )
+
+    def _verify(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table({"id_a": tbl["id_a"], "id_b": tbl["id_b"],
+                             "cosine": pa.array([], pa.float64())})
+        a = np.frombuffer(b"".join(tbl["vb_a"].to_pylist()), dtype=np.float64
+                          ).reshape(-1, dim)
+        b = np.frombuffer(b"".join(tbl["vb_b"].to_pylist()), dtype=np.float64
+                          ).reshape(-1, dim)
+        cos = (a * b).sum(axis=1)
+        keep = cos >= threshold
+        if round_to is not None:
+            cos = cos.round(round_to)
+        out = tbl.select(["id_a", "id_b"]).append_column("cosine", pa.array(cos))
+        return out.filter(pa.array(keep))
+
+    return joined.map_batches(_verify, batch_format="pyarrow")

@@ -1573,7 +1573,55 @@ from events
 """
 
 
+# --------------------------------------------------------------------- q47
+
+def q47_interval_join_attribution(sf_dir: str):
+    """Range/interval join (custom-operator family, SURVEY §2.6
+    extension): clicks attributed to ANY purchase window
+    [purchase_ts, +2h) of the same user — the generalization of the
+    PIT/TTL join to arbitrary validity intervals."""
+    from datetime import timedelta as _td
+
+    from feast_ray.stages.join import interval_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    purchases = (
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+            .select(["event_id", "user_id", "ts"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"event_id": "purchase_id", "ts": "w_start"})
+    )
+    purchases["w_end"] = purchases["w_start"] + _td(hours=2)
+    out = interval_join(
+        clicks, purchases,
+        left_point="ts", right_start="w_start", right_end="w_end",
+        by="user_id",
+    )
+    return _us(out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "purchase_id", "w_start"]),
+        batch_format="pyarrow",
+    ))
+
+
+_Q47_SQL = """
+select c.event_id, c.user_id, c.ts, p.event_id as purchase_id, p.ts as w_start
+from events c join events p
+  on c.user_id = p.user_id
+ and c.ts >= p.ts and c.ts < p.ts + interval 2 hour
+where c.event_type = 'click' and p.event_type = 'purchase'
+"""
+
+
 # ----------------------------------------------------------------- registry
+
 
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -1622,6 +1670,7 @@ QUERIES = {
     "q44_delta_events": q44_delta_events,
     "q45_read_sql_orders": q45_read_sql_orders,
     "q46_sql_transform_events": q46_sql_transform_events,
+    "q47_interval_join_attribution": q47_interval_join_attribution,
 }
 
 
@@ -1666,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_delta_events": _Q44_SQL,
         "q45_read_sql_orders": _Q45_SQL,
         "q46_sql_transform_events": _Q46_SQL,
+        "q47_interval_join_attribution": _Q47_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

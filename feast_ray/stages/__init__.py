@@ -8,6 +8,7 @@ from feast_ray.stages.join import (
     copartitioned_asof_join,
     cross_join,
     hash_join,
+    interval_join,
     semi_join,
 )
 from feast_ray.stages.relational import distinct, top_frequencies, topk, union_align
@@ -29,6 +30,7 @@ __all__ = [
     "asof_join",
     "copartitioned_asof_join",
     "hash_join",
+    "interval_join",
     "cross_join",
     "semi_join",
     "distinct",

@@ -18,7 +18,8 @@ at scale):
    directly, mean→(sum,count), std/var→(sum,sum_sq,count). Output is ≤
    one row per key per block, so the shuffle that follows is tiny and
    skew-resistant (a hot key contributes one partial per block).
-2. **final**: native ``ds.groupby(keys).aggregate(Sum/Min/Max…)`` over
+2. **final**: hash-bucket shuffle + one vectorized pandas reduce per
+   bucket (Ray's native per-key aggregate pays per-group overhead) over
    the partials, then a finalize ``map_batches`` computing
    mean/std/var from the merged IRs.
 
@@ -40,7 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count
 
 _ALGEBRAIC = {"sum", "count", "min", "max"}
 _SUPPORTED = _ALGEBRAIC | {"mean", "avg", "std", "var", "count_distinct"}

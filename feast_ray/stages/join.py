@@ -473,3 +473,94 @@ def hash_join(
         return out.select(out_cols)
 
     return both.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right,
+    *,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | str | None = None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Range (interval) join: each left row matches right rows with
+    ``right_start <= left_point < right_end`` (optionally equi-matched
+    on ``by`` first). The reference expresses ranges only through the
+    PIT/TTL window (SURVEY §2.2) — this generalizes to arbitrary
+    intervals (session windows, validity ranges, campaign periods).
+
+    Execution: the right side is broadcast (``ray.put`` once) sorted by
+    ``right_start``. Per batch, FULLY vectorized: the candidate window
+    per left row is ``[searchsorted(starts, point - L),
+    searchsorted(starts, point)]`` where ``L`` is the maximum interval
+    length (computed at build — any matching interval must start within
+    L of the point), expanded with repeat/arange index arithmetic and
+    filtered on the end bound + key equality. No per-row Python; cost
+    is O(candidates), which the L-window bounds. For two LARGE sides,
+    pre-bucket both on ``by`` (or a coarse time bucket) and apply this
+    per bucket (hash_join-style co-partitioning).
+    """
+    by = [by] if isinstance(by, str) else (list(by) if by else [])
+    rt = _to_arrow(right)
+    rdf = rt.to_pandas().sort_values(right_start, kind="stable").reset_index(drop=True)
+    if len(rdf):
+        max_len = (rdf[right_end] - rdf[right_start]).max()
+    else:
+        max_len = None
+    ref = ray.put(rdf)
+
+    def _join(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        r: pd.DataFrame = ray.get(ref)
+        df = tbl.to_pandas()
+        overlap = (set(df.columns) & set(r.columns)) - set(by)
+        rr = r.rename(columns={c: c + right_suffix for c in overlap}) if overlap else r
+        rs = right_start + right_suffix if right_start in overlap else right_start
+        re_ = right_end + right_suffix if right_end in overlap else right_end
+        n = len(df)
+        if len(rr) == 0:
+            li_all = np.array([], dtype=np.int64)
+            ri_all = np.array([], dtype=np.int64)
+            matched = np.zeros(n, dtype=bool)
+        else:
+            starts = rr[rs].to_numpy()
+            rend = rr[re_].to_numpy()
+            pts = df[left_point].to_numpy()
+            hi = np.searchsorted(starts, pts, side="right")
+            lo = np.searchsorted(starts, pts - max_len, side="left")
+            counts = hi - lo
+            total = int(counts.sum())
+            li_all = np.repeat(np.arange(n), counts)
+            ri_all = (
+                np.arange(total)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+                + np.repeat(lo, counts)
+            )
+            keep = rend[ri_all] > pts[li_all]
+            if by:
+                for k in by:
+                    keep &= rr[k].to_numpy()[ri_all] == df[k].to_numpy()[li_all]
+            li_all = li_all[keep]
+            ri_all = ri_all[keep]
+            matched = np.zeros(n, dtype=bool)
+            matched[li_all] = True
+        if how == "left" and not matched.all():
+            un = np.flatnonzero(~matched)
+            li_all = np.concatenate([li_all, un])
+            ri_all = np.concatenate([ri_all, np.full(len(un), -1)])
+            order = np.argsort(li_all, kind="stable")
+            li_all, ri_all = li_all[order], ri_all[order]
+        lpart = df.iloc[li_all].reset_index(drop=True)
+        rpart = rr.reindex(
+            pd.Index(np.where(ri_all >= 0, ri_all, len(rr)))
+        ).reset_index(drop=True)
+        rcols = [c for c in rr.columns if c not in by]
+        for c in rcols:
+            lpart[c] = rpart[c].to_numpy()
+        return pa.Table.from_pandas(lpart, preserve_index=False)
+
+    return left.map_batches(_join, batch_format="pyarrow")

@@ -131,3 +131,40 @@ def test_empty_block_guard(emb):
     q = np.stack(emb["embedding"].to_numpy()[:1])
     out = ann_topk_bruteforce(empty_some, q, k=3).to_pandas()
     assert len(out) == 0
+
+
+def test_cosine_lsh_precision_and_recall(emb):
+    """SRP-LSH near-dup: every emitted pair must be exact (verified
+    cosine >= threshold, subset of the brute-force pairs); recall on
+    this fixture with 12 tables is deterministic and high."""
+    from feast_ray.functions.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
+    exact = cosine_neardup_pairs(ds, threshold=0.4).to_pandas()
+    exact_set = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    # cos 0.4 ≈ 66° → p_plane ≈ 0.63; 4 planes × 24 tables → theory
+    # recall ≈ 1-(1-0.63^4)^24 ≈ 0.98 (production near-dup thresholds
+    # ≥0.9 need far fewer tables)
+    lsh = cosine_neardup_pairs_lsh(
+        ds, threshold=0.4, n_planes=4, n_tables=24
+    ).to_pandas()
+    lsh_set = {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lsh_set <= exact_set  # exact precision (verified)
+    assert len(exact_set) > 0
+    recall = len(lsh_set) / len(exact_set)
+    assert recall >= 0.7, recall
+
+
+def test_cosine_lsh_distributed_verify(emb):
+    from feast_ray.functions.similarity import cosine_neardup_pairs_lsh
+
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]])
+    a = cosine_neardup_pairs_lsh(ds, threshold=0.4, n_planes=4, n_tables=4
+                                 ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = cosine_neardup_pairs_lsh(ds, threshold=0.4, n_planes=4, n_tables=4,
+                                 driver_verify_max=0
+                                 ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert list(a["id_a"]) == list(b["id_a"]) and list(a["id_b"]) == list(b["id_b"])

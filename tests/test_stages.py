@@ -457,3 +457,46 @@ def test_cross_join_arrow_blocks():
     assert len(out) == 6
     assert list(out.columns) == ["a", "b"]
     assert out.loc[0, "b"] == "x" and out.loc[5, "a"] == 3
+
+
+def test_interval_join_matches_pandas_oracle(sf_small):
+    """interval_join vs a brute-force pandas oracle, keyed and
+    unkeyed, inner and left."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from feast_ray.stages.join import interval_join
+
+    ev = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    clicks = ev[ev.event_type == "click"][["event_id", "user_id", "ts"]]
+    purch = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]].rename(
+        columns={"event_id": "pid", "ts": "w_start"}
+    )
+    purch["w_end"] = purch["w_start"] + timedelta(hours=2)
+
+    got = (
+        interval_join(
+            ray.data.from_pandas(clicks.reset_index(drop=True)),
+            purch,
+            left_point="ts", right_start="w_start", right_end="w_end",
+            by="user_id",
+        )
+        .to_pandas().sort_values(["event_id", "pid"]).reset_index(drop=True)
+    )
+    # brute force oracle
+    m = clicks.merge(purch, on="user_id")
+    m = m[(m.ts >= m.w_start) & (m.ts < m.w_end)]
+    exp = m.sort_values(["event_id", "pid"]).reset_index(drop=True)
+    assert list(got["event_id"]) == list(exp["event_id"])
+    assert list(got["pid"]) == list(exp["pid"])
+
+    # left join keeps unmatched clicks with nulls
+    left_out = interval_join(
+        ray.data.from_pandas(clicks.reset_index(drop=True)),
+        purch,
+        left_point="ts", right_start="w_start", right_end="w_end",
+        by="user_id", how="left",
+    ).to_pandas()
+    assert len(left_out) >= len(clicks)
+    unmatched = left_out[left_out["pid"].isna()]
+    assert len(unmatched) == len(clicks) - clicks.event_id.isin(exp.event_id).sum()
