@@ -33,6 +33,9 @@ def transform(
     zero_copy_batch: bool = True,
     **kwargs,
 ) -> ray.data.Dataset:
+    from feast_ray.plugins import resolve_udf
+
+    fn = resolve_udf(fn)
     opts: dict[str, Any] = dict(batch_format=batch_format, **kwargs)
     if batch_size is not None:
         opts["batch_size"] = batch_size

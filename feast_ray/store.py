@@ -322,7 +322,9 @@ class Store:
                     ts_range=ts_range,
                 )
         if view.udf is not None:
-            ds = ds.map_batches(view.udf, batch_format="pyarrow")
+            from feast_ray.plugins import resolve_udf
+
+            ds = ds.map_batches(resolve_udf(view.udf), batch_format="pyarrow")
         if view.sql is not None:
             # SQL transformation mode (reference sql_transformation.py)
             from feast_ray.stages.transform import sql_transform

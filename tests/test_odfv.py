@@ -137,3 +137,40 @@ def test_sql_transform_view(tmp_path, sf_small):
     got = out.sort_values(["user_id", "ts"]).reset_index(drop=True)["value2"]
     exp = (ev.sort_values(["user_id", "ts"]).reset_index(drop=True)["value"] * 2)
     assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+def test_import_class_and_string_udf(tmp_path, sf_small):
+    """Dotted-path plugin loading (reference import_class convention):
+    a view whose udf is a string resolves at compile time; bad paths
+    fail loudly."""
+    import pytest as _pytest
+
+    from feast_ray.plugins import import_class
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    cls = import_class("feast_ray.functions.langid:LangIdModel")
+    assert cls.__name__ == "LangIdModel"
+    assert import_class("feast_ray.functions.langid.LangIdModel") is cls
+    with _pytest.raises(ImportError):
+        import_class("feast_ray.functions.langid:Nope")
+    with _pytest.raises(ImportError):
+        import_class("no.such.module:X")
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(
+        name="docs_fp",
+        source=TableSource(name="documents", table="documents"),
+        entities=[Entity("doc", "doc_id")],
+        udf="tests.test_odfv:_add_len_col",
+        features=["text_len"],
+    )
+    s.apply([v])
+    out = s.build_view_ds(v).to_pandas()
+    assert (out["text_len"] > 0).all()
+
+
+def _add_len_col(t):
+    import pyarrow.compute as pc_
+
+    return t.append_column("text_len", pc_.utf8_length(t["text"]))
