@@ -1620,7 +1620,50 @@ where c.event_type = 'click' and p.event_type = 'purchase'
 """
 
 
+# --------------------------------------------------------------------- q48
+
+def q48_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (PaLM/GPT-3-style 8-gram overlap):
+    documents sharing any word-8-gram with the "benchmark" (docs with
+    doc_id < 5 stand in for an eval set) are flagged. Exact string
+    n-grams — SQL-oracle-checkable."""
+    from feast_ray.functions.decontam import decontaminate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+    )
+    out = decontaminate(docs, bench, n=8)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_hits", "contaminated"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q48_sql() -> str:
+    n = 8
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+with dw as (
+  select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+dgrams as (
+  select distinct doc_id, {gram} as g
+  from (select doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) as i
+        from dw where len(w) >= {n})),
+bgrams as (
+  select distinct g from dgrams where doc_id < 5),
+hits as (
+  select d.doc_id, count(*) as n_hits
+  from dgrams d join bgrams b on d.g = b.g
+  group by d.doc_id)
+select dw.doc_id, coalesce(h.n_hits, 0) as n_hits,
+  coalesce(h.n_hits, 0) >= 1 as contaminated
+from dw left join hits h on dw.doc_id = h.doc_id
+"""
+
+
 # ----------------------------------------------------------------- registry
+
 
 
 QUERIES = {
@@ -1671,6 +1714,7 @@ QUERIES = {
     "q45_read_sql_orders": q45_read_sql_orders,
     "q46_sql_transform_events": q46_sql_transform_events,
     "q47_interval_join_attribution": q47_interval_join_attribution,
+    "q48_decontaminate_docs": q48_decontaminate_docs,
 }
 
 
@@ -1716,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_read_sql_orders": _Q45_SQL,
         "q46_sql_transform_events": _Q46_SQL,
         "q47_interval_join_attribution": _Q47_SQL,
+        "q48_decontaminate_docs": _q48_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
