@@ -67,8 +67,11 @@ def top_frequencies(
 
 
 def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
-    """Union datasets after aligning their column sets (missing columns
-    become nulls), mirroring `_align_and_union_entities_ray`."""
+    """Union datasets after aligning their column SETS (missing columns
+    become nulls) and column TYPES (same-named columns with different
+    types — int32 vs int64, float32 vs float64 — are promoted to one
+    unified type and every block cast to it, so the union emits one
+    uniform schema), mirroring `_align_and_union_entities_ray`."""
     import numpy as np
 
     def _to_pa_type(typ) -> pa.DataType:
@@ -82,20 +85,37 @@ def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
         return pa.string()
 
     schemas = [ds.schema() for ds in datasets]
-    all_fields: dict[str, pa.DataType] = {}
-    for s in schemas:
-        for name, typ in zip(s.names, s.types):
-            all_fields.setdefault(name, _to_pa_type(typ))
-    order = list(all_fields)
+    per_ds = [
+        pa.schema(
+            [pa.field(n, _to_pa_type(t)) for n, t in zip(s.names, s.types)]
+        )
+        for s in schemas
+    ]
+    try:
+        unified = pa.unify_schemas(per_ds, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        # un-unifiable (e.g. string vs int): fall back to first-wins
+        seen: dict[str, pa.DataType] = {}
+        for s in per_ds:
+            for f in s:
+                seen.setdefault(f.name, f.type)
+        unified = pa.schema([pa.field(n, t) for n, t in seen.items()])
+    order = list(unified.names)
+    types = {f.name: f.type for f in unified}
 
     def _align(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = len(tbl)
         cols = []
         for name in order:
             if name in tbl.column_names:
-                cols.append(tbl[name])
+                arr = tbl[name]
+                if not arr.type.equals(types[name]):
+                    arr = pc.cast(arr, types[name])
+                cols.append(arr)
             else:
-                cols.append(pa.nulls(n, all_fields[name]))
+                cols.append(pa.nulls(n, types[name]))
         return pa.table(dict(zip(order, cols)))
 
     aligned = [

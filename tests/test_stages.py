@@ -500,3 +500,21 @@ def test_interval_join_matches_pandas_oracle(sf_small):
     assert len(left_out) >= len(clicks)
     unmatched = left_out[left_out["pid"].isna()]
     assert len(unmatched) == len(clicks) - clicks.event_id.isin(exp.event_id).sum()
+
+
+def test_union_align_promotes_types():
+    """Same-named columns with different widths unify (int32+int64 →
+    int64) instead of drifting per block."""
+    import pyarrow as pa
+    import ray.data
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int32()),
+                                      "x": pa.array([1.0, 2.0], pa.float32())}))
+    b = ray.data.from_arrow(pa.table({"k": pa.array([3], pa.int64()),
+                                      "y": pa.array(["z"], pa.string())}))
+    out = union_align([a, b])
+    sch = {f.name: str(f.type) for f in out.schema().base_schema}
+    assert sch["k"] == "int64" and sch["x"] == "float" or sch["x"] == "float32"
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(df["k"]) == [1, 2, 3]
+    assert df["y"].isna().sum() == 2
