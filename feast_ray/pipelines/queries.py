@@ -875,6 +875,80 @@ def q25_minhash_dedup_docs(sf_dir: str):
     )
 
 
+def _q25_sql() -> str:
+    """Full SQL reconstruction of the MinHash-LSH dedup (q25): crc32
+    shingle hashing via a list_reduce lambda over the byte table, the
+    64 permutations' uint64-wrapping (a*x+b) mod M minima as a flat
+    cross join + grouped min, LSH candidacy as exact band-chunk
+    equality (pigeonhole: any pair with est-Jaccard ≥ 0.8 — ≤12/64
+    unequal positions — shares ≥4 fully-equal 4-row bands, so the
+    equality join finds every pair the engine's banded bucket hash
+    finds and verification discards the rest identically), and the
+    engine's keep-min-id drop rule. Generated from the SAME permutation
+    constants as the engine (single source of truth)."""
+    from feast_ray.functions.neardup import (
+        BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _MERSENNE,
+        _PERM_A,
+        _PERM_B,
+    )
+
+    crc_table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        crc_table.append(c)
+    tlist = "[" + ",".join(map(str, crc_table)) + "]::BIGINT[]"
+    perm_rows = ", ".join(
+        f"({j + 1}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    band_eq = " or ".join(
+        f"a.sig[{ROWS_PER_BAND * b + 1}:{ROWS_PER_BAND * (b + 1)}]"
+        f" = b.sig[{ROWS_PER_BAND * b + 1}:{ROWS_PER_BAND * (b + 1)}]"
+        for b in range(BANDS)
+    )
+    two64 = 1 << 64
+    return f"""
+with dw as (
+  select doc_id, text, regexp_extract_all(text, '\\S+') as w from documents),
+shingles as (
+  select doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] as s
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 2)) as i
+        from dw where len(w) >= 3)
+  union all
+  select doc_id, text as s from dw where len(w) < 3),
+sh as (
+  select distinct doc_id,
+    xor(list_reduce(
+      list_prepend(4294967295::BIGINT,
+        list_transform(generate_series(1, length(s)), i -> unicode(substr(s, i, 1))::BIGINT)),
+      (crc, b) -> xor(crc >> 8, ({tlist})[(xor(crc & 255, b) & 255) + 1])
+    ), 4294967295)::HUGEINT as x
+  from shingles),
+perms(j, a, b) as (values {perm_rows}),
+sigv as (
+  select doc_id, j,
+    min((((p.a * sh.x) % {two64}::HUGEINT + p.b) % {two64}::HUGEINT)
+        % {_MERSENNE}::HUGEINT) as v
+  from sh cross join perms p
+  group by doc_id, j),
+sigs as (
+  select doc_id, list(v order by j) as sig from sigv group by doc_id),
+dropped as (
+  select distinct b.doc_id
+  from sigs a join sigs b on a.doc_id < b.doc_id
+  where ({band_eq})
+    and len(list_filter(generate_series(1, {NUM_PERM}),
+                        i -> a.sig[i] = b.sig[i])) / {NUM_PERM}.0 >= 0.8)
+select d.doc_id from documents d
+where d.doc_id not in (select doc_id from dropped)
+"""
+
+
 def q26_simhash_dups_docs(sf_dir: str):
     from feast_ray.functions.neardup import simhash_dups
 
@@ -1240,17 +1314,86 @@ where i = 0
 
 def q34_chunk_embed(sf_dir: str):
     """Chunk -> deterministic embedder actor pool (DocEmbedder pipeline
-    shape, feast/doc_embedder.py:148-380). Rows-only (fake weights)."""
+    shape, feast/doc_embedder.py:148-380). Value-checked: the crc32
+    bag-of-tokens embedding is reconstructed in SQL (crc32 as a
+    list_reduce lambda, the same trick as q25) and compared on sampled
+    components + nnz — the raw counts are small ints, so the one
+    normalize division yields bit-identical doubles on both sides."""
     from feast_ray.functions.chunker import HashEmbedder, chunk_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     chunks = docs.map_batches(
         lambda t: chunk_batch(t, "doc_id", "text"), batch_format="pyarrow"
     )
-    return chunks.map_batches(
+    emb = chunks.map_batches(
         HashEmbedder, fn_constructor_kwargs={"text_col": "chunk_text", "dim": 32},
         batch_format="pyarrow", concurrency=(1, 4),
-    ).map_batches(lambda t: t.select(["doc_id", "chunk_id"]), batch_format="pyarrow")
+    )
+
+    def _components(t: pa.Table) -> pa.Table:
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), 32)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "chunk_id": t["chunk_id"],
+                "e0": pa.array(mat[:, 0]),
+                "e15": pa.array(mat[:, 15]),
+                "e31": pa.array(mat[:, 31]),
+                "nnz": pa.array((mat != 0.0).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return emb.map_batches(_components, batch_format="pyarrow")
+
+
+def _q34_sql() -> str:
+    crc_table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        crc_table.append(c)
+    tlist = "[" + ",".join(map(str, crc_table)) + "]::BIGINT[]"
+    return f"""
+with chunks as ({_Q33_SQL}),
+words as (
+  select doc_id, chunk_id, unnest(regexp_extract_all(chunk_text, '\\S+')) as word
+  from chunks),
+hashed as (
+  select doc_id, chunk_id,
+    xor(list_reduce(
+      list_prepend(4294967295::BIGINT,
+        list_transform(generate_series(1, length(word)), i -> unicode(substr(word, i, 1))::BIGINT)),
+      (crc, b) -> xor(crc >> 8, ({tlist})[(xor(crc & 255, b) & 255) + 1])
+    ), 4294967295) as h
+  from words),
+deltas as (
+  select doc_id, chunk_id, h % 32 as bucket,
+    case when (h >> 16) & 1 = 1 then 1.0 else -1.0 end as d
+  from hashed),
+vs as (
+  select doc_id, chunk_id, bucket, sum(d) as v
+  from deltas group by doc_id, chunk_id, bucket),
+vecs as (
+  select c.doc_id, c.chunk_id,
+    list(coalesce(vs.v, 0.0) order by bk.b) as raw
+  from chunks c
+  cross join (select unnest(generate_series(0, 31)) as b) bk
+  left join vs on vs.doc_id = c.doc_id and vs.chunk_id = c.chunk_id
+             and vs.bucket = bk.b
+  group by c.doc_id, c.chunk_id),
+normed as (
+  select doc_id, chunk_id, raw,
+    sqrt(list_sum(list_transform(raw, x -> x * x))) as nrm
+  from vecs)
+select doc_id, chunk_id,
+  case when nrm > 0 then raw[1] / nrm else raw[1] end as e0,
+  case when nrm > 0 then raw[16] / nrm else raw[16] end as e15,
+  case when nrm > 0 then raw[32] / nrm else raw[32] end as e31,
+  len(list_filter(raw, x -> x != 0.0)) as nnz
+from normed
+"""
 
 
 def q35_dqm_profile(sf_dir: str):
@@ -1744,11 +1887,13 @@ def oracle_sql() -> dict[str, str]:
         "q22_embedding_neardup": _Q22_SQL,
         "q23_langid_docs": _q23_sql(),
         "q24_perplexity_docs": _q24_sql(),
+        "q25_minhash_dedup_docs": _q25_sql(),
         "q27_fingerprints_docs": _q27_sql(),
         "q28_quality_pipeline_pages": _q28_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
+        "q34_chunk_embed": _q34_sql(),
         "q35_dqm_profile": _Q35_SQL,
         "q36_store_pit_retrieval": _Q36_SQL,
         "q37_semi_join_orders": _Q37_SQL,
