@@ -49,9 +49,15 @@ class MediaDecoder:
         self.payload_col = payload_col
 
     def _decode_fake(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        d = hashlib.blake2b(payload, digest_size=FEATURE_DIM + 4).digest()
-        width = 64 + d[0] % 192
-        height = 64 + d[1] % 192
+        # dims from the engine's SQL-expressible content digest
+        # (poly+splitmix64, see neardup.word_hashes64) so the fake
+        # decode is oracle-checkable end to end (q30); round 1 used
+        # blake2b, which SQL cannot reproduce
+        from feast_ray.functions.neardup import word_hashes64
+
+        h = int(word_hashes64([payload])[0])
+        width = 64 + h % 192
+        height = 64 + (h >> 8) % 192
         # 16-bin byte histogram of the payload, L1-normalized — a
         # deterministic stand-in for a decoded-pixel feature vector
         arr = np.frombuffer(payload, dtype=np.uint8)

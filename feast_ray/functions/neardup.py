@@ -347,15 +347,63 @@ def minhash_dedup(
 # ------------------------------------------------------------- simhash
 
 
+# 64-bit word digest = splitmix64 finalizer over a polynomial byte
+# hash (both mod-2^64) — vectorizable in numpy by word-length groups
+# AND expressible in SQL HUGEINT arithmetic (q26's oracle); round 1
+# used blake2b, which SQL cannot reproduce. Avalanche comes from the
+# splitmix finalizer, so the weak-mixing polynomial underneath is fine.
+_POLY_B = np.uint64(1099511628211)  # FNV-64 prime
+_SM1, _SM2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * _SM1
+        x = (x ^ (x >> np.uint64(27))) * _SM2
+        return x ^ (x >> np.uint64(31))
+
+
+def word_hashes64(words: "list[str] | list[bytes]") -> np.ndarray:
+    """Vectorized 64-bit digests for a word/bytes list: polynomial hash
+    over UTF-8 bytes (grouped by length so each group is one
+    matrix-vector multiply in uint64 wraparound), splitmix64-mixed."""
+    n = len(words)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    encoded = [
+        w if isinstance(w, (bytes, bytearray)) else w.encode("utf-8")
+        for w in words
+    ]
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    blob = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    with np.errstate(over="ignore"):
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            if L == 0:
+                continue
+            powers = np.empty(L, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            for i in range(1, L):
+                powers[i] = powers[i - 1] * _POLY_B
+            powers = powers[::-1]
+            offs = starts[idx][:, None] + np.arange(L)[None, :]
+            out[idx] = (blob[offs] * powers[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+    return _splitmix64(out)
+
+
 def simhash64(text: str) -> int:
     words = text.split()
     if not words:
         return 0
-    digests = np.frombuffer(
-        b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in words),
-        dtype=np.uint8,
-    ).reshape(len(words), 8)
-    bits = np.unpackbits(digests, axis=1)  # (n_words, 64)
+    digests = word_hashes64(words)
+    bits = np.unpackbits(
+        digests.byteswap().view(np.uint8).reshape(len(words), 8), axis=1
+    )  # (n_words, 64), MSB first
     acc = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
     out_bits = (acc > 0).astype(np.uint8)
     return int.from_bytes(np.packbits(out_bits).tobytes(), "big")

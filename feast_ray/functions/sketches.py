@@ -29,7 +29,14 @@ _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
 def _hash64(series: pd.Series) -> np.ndarray:
-    return pd.util.hash_pandas_object(series.astype(str), index=False).to_numpy()
+    """64-bit value digests: polynomial (Horner/FNV-prime) hash over
+    the str() bytes + splitmix64 finalizer — process-stable AND
+    reconstructable in SQL HUGEINT arithmetic, which is what lets the
+    HLL estimate itself be oracle-checked (q40). Round 1 used pandas
+    siphash, which SQL cannot reproduce."""
+    from feast_ray.functions.neardup import word_hashes64
+
+    return word_hashes64(series.astype(str).tolist())
 
 
 def hll_sketch(values: pd.Series) -> np.ndarray:

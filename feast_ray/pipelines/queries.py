@@ -956,6 +956,59 @@ def q26_simhash_dups_docs(sf_dir: str):
     return simhash_dups(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q26_sql() -> str:
+    """Full SQL reconstruction of the SimHash near-dup (q26): 64-bit
+    word digests as Horner polynomial hash + splitmix64 finalizer in
+    HUGEINT mod-2^64 arithmetic (the splitmix multiplies are split
+    hi/lo so no intermediate exceeds HUGEINT), per-bit majority votes
+    via a flat 64-way bit expansion, and the engine's drop rule:
+    b dropped when some a < b has Hamming distance ≤ 3 (any such pair
+    shares ≥1 of the four 16-bit LSH chunks by pigeonhole, so the
+    all-pairs Hamming join finds exactly the engine's verified set)."""
+    two64 = 1 << 64
+    B = 1099511628211
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        # (x * c) mod 2^64 without overflowing HUGEINT
+        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
+                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
+
+    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
+    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
+    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
+    return f"""
+with words as (
+  select doc_id, unnest(regexp_extract_all(text, '\\S+')) as word
+  from documents),
+h0s as (
+  select doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(generate_series(1, length(word)),
+                       i -> unicode(substr(word, i, 1))::HUGEINT)),
+      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
+    ) as h0
+  from words),
+hs as (
+  select doc_id, xor({sm3}, {sm3} >> 31) as h from h0s),
+bits as (
+  select doc_id, b,
+    case when sum(case when (h >> b) & 1 = 1 then 1 else -1 end) > 0
+         then 1::HUGEINT else 0::HUGEINT end as bv
+  from hs cross join (select unnest(generate_series(0, 63)) as b) bb
+  group by doc_id, b),
+sims as (
+  select doc_id, sum(bv * (1::HUGEINT << b))::HUGEINT as sh
+  from bits group by doc_id),
+dropped as (
+  select distinct b.doc_id
+  from sims a join sims b on a.doc_id < b.doc_id
+  where bit_count(xor(a.sh, b.sh)) <= 3)
+select doc_id from dropped
+"""
+
+
 def q27_fingerprints_docs(sf_dir: str):
     """Document fingerprints, SQL-oracle-checkable: content hash as md5
     hex (DuckDB `md5`), rolling winnowing fingerprint as the polynomial
@@ -1214,8 +1267,12 @@ LAST_IVF_SCAN_STATS: dict = {}
 
 def q30_multimodal_decode(sf_dir: str):
     """Media-column plumbing: text bytes stand in for image payloads;
-    decode stage runs in fake mode (real codecs unavailable — stubbed)."""
-    from feast_ray.functions.multimodal import decode_media
+    decode stage runs in fake mode (real codecs unavailable — stubbed).
+    Value-checked: the fake decode's dims come from the SQL-expressible
+    content digest and its feature vector is a 16-bin byte histogram,
+    so the oracle reconstructs dims + sampled feature components +
+    n_bytes exactly (int-count division → bit-identical doubles)."""
+    from feast_ray.functions.multimodal import FEATURE_DIM, decode_media
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1230,7 +1287,75 @@ def q30_multimodal_decode(sf_dir: str):
         )
 
     media = docs.map_batches(_to_media, batch_format="pyarrow")
-    return decode_media(media, mode="fake")
+    dec = decode_media(media, mode="fake")
+
+    def _proj(t: pa.Table) -> pa.Table:
+        flat = t["feature"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), FEATURE_DIM)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "width": pc.cast(t["width"], pa.int64()),
+                "height": pc.cast(t["height"], pa.int64()),
+                "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+                "f0": pa.array(mat[:, 0]),
+                "f7": pa.array(mat[:, 7]),
+                "f15": pa.array(mat[:, 15]),
+            }
+        )
+
+    return dec.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q30_sql() -> str:
+    two64 = 1 << 64
+    B = 1099511628211
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
+                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
+
+    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
+    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
+    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
+    return f"""
+with h0s as (
+  select doc_id, text,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(generate_series(1, length(text)),
+                       i -> unicode(substr(text, i, 1))::HUGEINT)),
+      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
+    ) as h0
+  from documents),
+hs as (
+  select doc_id, text, xor({sm3}, {sm3} >> 31) as h from h0s),
+chars as (
+  select doc_id, unicode(substr(text, i, 1)) >> 4 as bucket
+  from (select doc_id, text, unnest(generate_series(1, length(text))) as i
+        from documents)),
+hist as (
+  select doc_id, bucket, count(*) as c from chars group by doc_id, bucket),
+feats as (
+  select d.doc_id,
+    coalesce(max(case when bucket = 0 then c end), 0) as c0,
+    coalesce(max(case when bucket = 7 then c end), 0) as c7,
+    coalesce(max(case when bucket = 15 then c end), 0) as c15,
+    sum(c) as total
+  from (select distinct doc_id from documents) d
+  left join hist on hist.doc_id = d.doc_id
+  group by d.doc_id)
+select h.doc_id as media_id, 'image/fake' as media_type,
+  64 + cast(h.h % 192 as bigint) as width,
+  64 + cast((h.h >> 8) % 192 as bigint) as height,
+  cast(length(h.text) as bigint) as n_bytes,
+  f.c0 / cast(f.total as double) as f0,
+  f.c7 / cast(f.total as double) as f7,
+  f.c15 / cast(f.total as double) as f15
+from hs h join feats f on h.doc_id = f.doc_id
+"""
 
 
 # --------------------------------------------------------------------- q31
@@ -1556,13 +1681,97 @@ def q40_approx_distinct_users(sf_dir: str):
     return approx_count_distinct(ev, ["event_type"], "user_id")
 
 
+def _q40_sql() -> str:
+    """SQL reconstruction of the HLL estimate (q40): value digests as
+    Horner+splitmix64 HUGEINT arithmetic (q26's helpers), registers as
+    max-rank per 12-bit bucket, the harmonic-mean estimator + the
+    small-range correction, rounded to int. Register content is
+    partition-invariant, so the SQL (one pass) and the engine (two-
+    phase merge) compute the same registers exactly; only the final
+    float fold can differ by ulps (measure-zero after round)."""
+    from feast_ray.functions.sketches import _ALPHA, HLL_M, HLL_P
+
+    two64 = 1 << 64
+    B = 1099511628211
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
+                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
+
+    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
+    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
+    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
+    maxrank = 64 - HLL_P + 1
+    return f"""
+with vals as (
+  select distinct event_type, cast(user_id as varchar) as v from events),
+h0s as (
+  select event_type, v,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(generate_series(1, length(v)),
+                       i -> unicode(substr(v, i, 1))::HUGEINT)),
+      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
+    ) as h0
+  from vals),
+hs as (
+  select event_type, xor({sm3}, {sm3} >> 31) as h from h0s),
+ranks as (
+  select event_type, (h >> {64 - HLL_P}) as bucket,
+    case when (h << {HLL_P}) % {two64}::HUGEINT = 0 then {maxrank}
+         else least(64 - cast(floor(log2(cast((h << {HLL_P}) % {two64}::HUGEINT as double))) as bigint), {maxrank})
+    end as rank
+  from hs),
+regs as (
+  select event_type, bucket, max(rank) as r from ranks group by event_type, bucket),
+folded as (
+  select event_type,
+    sum(power(2.0, -r)) + ({HLL_M} - count(*)) * 1.0 as s,
+    {HLL_M} - count(*) as zeros
+  from regs group by event_type),
+est as (
+  select event_type,
+    cast({_ALPHA!r} as double) * {HLL_M}.0 * {HLL_M}.0 / s as raw, zeros
+  from folded)
+select event_type,
+  cast(round(case when raw <= 2.5 * {HLL_M} and zeros > 0
+                  then {HLL_M}.0 * ln({HLL_M}.0 / zeros)
+                  else raw end) as bigint) as approx_distinct
+from est
+"""
+
+
 def q41_approx_value_quantiles(sf_dir: str):
     """Sample-based approximate value quantiles per event type
-    (mergeable per-block uniform samples). Rows-only."""
+    (mergeable per-block uniform samples). Value-checked at the gate
+    scale: below the 2048-per-key sample cap NO thinning occurs
+    regardless of block boundaries, so the sketch equals the exact
+    type-7 (linear-interpolation) quantiles that `quantile_cont`
+    computes — np.quantile and DuckDB agree bit-for-bit (verified);
+    both sides round to 6dp anyway. At larger scales the sketch is
+    approximate by design and the oracle no longer applies."""
     from feast_ray.functions.sketches import approx_quantiles
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
-    return approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    out = approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c.startswith("q_"):
+                df[c] = df[c].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+_Q41_SQL = """
+select event_type,
+  round(quantile_cont(value, 0.5), 6) as q_0_5,
+  round(quantile_cont(value, 0.9), 6) as q_0_9,
+  round(quantile_cont(value, 0.99), 6) as q_0_99
+from events group by event_type
+"""
 
 
 # --------------------------------------------------------------------- q42
@@ -1888,8 +2097,10 @@ def oracle_sql() -> dict[str, str]:
         "q23_langid_docs": _q23_sql(),
         "q24_perplexity_docs": _q24_sql(),
         "q25_minhash_dedup_docs": _q25_sql(),
+        "q26_simhash_dups_docs": _q26_sql(),
         "q27_fingerprints_docs": _q27_sql(),
         "q28_quality_pipeline_pages": _q28_sql(),
+        "q30_multimodal_decode": _q30_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
@@ -1899,6 +2110,8 @@ def oracle_sql() -> dict[str, str]:
         "q37_semi_join_orders": _Q37_SQL,
         "q38_anti_join_orders": _Q38_SQL,
         "q39_top_sources": _Q39_SQL,
+        "q40_approx_distinct_users": _q40_sql(),
+        "q41_approx_value_quantiles": _Q41_SQL,
         "q42_regex_search_docs": _Q42_SQL,
         "q43_budget_sample_docs": _Q43_SQL,
         "q44_delta_events": _Q44_SQL,
