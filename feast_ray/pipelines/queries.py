@@ -1251,7 +1251,7 @@ def q29_ann_ivf(sf_dir: str):
     queries = np.stack(qdf["embedding"].to_numpy())
     corpus = emb.map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
     base = os.path.basename(os.path.normpath(sf_dir))
-    index_path = f"/tmp/feast_ray_cache/ivf_{base}"
+    index_path = f"/tmp/feast_ray_cache/ivf_v2_{base}"
     if not os.path.exists(os.path.join(index_path, "_centroids.npy")):
         shutil.rmtree(index_path, ignore_errors=True)
         ivf_build(corpus, index_path)
