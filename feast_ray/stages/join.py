@@ -409,11 +409,21 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 32,
     right_suffix: str = "_r",
+    hot_keys=None,
+    salt_factor: int = 8,
 ) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides: co-partition both on
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
     assumption: one bucket (both sides) fits in a worker's heap —
-    raise ``num_buckets`` with data size; salt hot keys upstream.
+    raise ``num_buckets`` with data size.
+
+    **Skew**: pass ``hot_keys`` (an iterable of key VALUES of the
+    first/only join key) to SALT them — hot LEFT rows spread
+    round-robin over ``salt_factor`` salted buckets and the matching
+    RIGHT rows are replicated into every salted bucket, so one hot key
+    costs ``1/salt_factor`` of its rows per bucket instead of sinking
+    one reducer. (The classic skew-join recipe; replication cost =
+    salt_factor × the hot right rows only.)
 
     The per-bucket join is pyarrow's C++ hash join over explicit
     side-column lists captured from the input schemas (all-Arrow, no
@@ -433,21 +443,71 @@ def hash_join(
         [pa.field(n, rschema.field(o).type) for n, o in zip(r_renamed, rnames)]
     )
     out_cols = lnames + [r for r, orig in zip(r_renamed, rnames) if orig not in on]
+    hot = pa.array(sorted(hot_keys)) if hot_keys is not None else None
+
+    def _key_hash(tbl: pa.Table) -> np.ndarray:
+        # hash canonicalized key columns (int32 and int64 must land
+        # in the same bucket) — vectorized siphash, no str round-trip
+        df = tbl.select(on).to_pandas()
+        for c in df.columns:
+            k = df[c].dtype.kind
+            if k in "iu":
+                df[c] = df[c].astype("int64")
+            elif k == "f":
+                df[c] = df[c].astype("float64")
+            elif k not in "Mb":
+                df[c] = df[c].astype(str)
+        return pd.util.hash_pandas_object(df, index=False).to_numpy()
 
     def _tag(val):
         def _t(tbl: pa.Table) -> pa.Table:
-            # hash canonicalized key columns (int32 and int64 must land
-            # in the same bucket) — vectorized siphash, no str round-trip
-            df = tbl.select(on).to_pandas()
-            for c in df.columns:
-                k = df[c].dtype.kind
-                if k in "iu":
-                    df[c] = df[c].astype("int64")
-                elif k == "f":
-                    df[c] = df[c].astype("float64")
-                elif k not in "Mb":
-                    df[c] = df[c].astype(str)
-            h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            h = _key_hash(tbl)
+            if hot is not None:
+                key = tbl[on[0]]
+                if not key.type.equals(hot.type):
+                    key = pc.cast(key, hot.type)
+                is_hot = pc.is_in(key, value_set=hot).to_numpy(
+                    zero_copy_only=False
+                )
+                if val == "L":
+                    with np.errstate(over="ignore"):
+                        salt = np.arange(len(tbl), dtype=np.uint64) % np.uint64(salt_factor)
+                        h = np.where(
+                            is_hot, h + (salt + np.uint64(1)) * np.uint64(2654435761), h
+                        )
+                else:
+                    # replicate hot right rows into every salted bucket;
+                    # the UNSALTED copy is dropped (hot left rows are
+                    # always salted, and a salted bucket can coincide
+                    # with the unsalted one — keeping both would match
+                    # a hot left row twice)
+                    hot_idx = np.flatnonzero(is_hot)
+                    if len(hot_idx):
+                        cold = tbl.filter(pa.array(~is_hot))
+                        cold_h = h[~is_hot]
+                        reps = [
+                            cold.append_column(
+                                bucket,
+                                pa.array((cold_h % num_buckets).astype(np.int64)),
+                            ).append_column(
+                                side, pa.array([val] * len(cold), pa.string())
+                            )
+                        ]
+                        hot_tbl = tbl.take(pa.array(hot_idx))
+                        hot_h = h[hot_idx]
+                        with np.errstate(over="ignore"):
+                            for s in range(salt_factor):
+                                hs = hot_h + np.uint64(s + 1) * np.uint64(2654435761)
+                                reps.append(
+                                    hot_tbl.append_column(
+                                        bucket,
+                                        pa.array((hs % num_buckets).astype(np.int64)),
+                                    ).append_column(
+                                        side,
+                                        pa.array([val] * len(hot_tbl), pa.string()),
+                                    )
+                                )
+                        return pa.concat_tables(reps)
             tbl = tbl.append_column(bucket, pa.array((h % num_buckets).astype(np.int64)))
             return tbl.append_column(side, pa.array([val] * len(tbl), pa.string()))
 

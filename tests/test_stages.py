@@ -518,3 +518,35 @@ def test_union_align_promotes_types():
     df = out.to_pandas().sort_values("k").reset_index(drop=True)
     assert list(df["k"]) == [1, 2, 3]
     assert df["y"].isna().sum() == 2
+
+
+def test_hash_join_hot_key_salting():
+    """Salted skew join: identical result set to the unsalted join on
+    a corpus with one extreme hot key, and the hot key's left rows
+    spread across multiple buckets."""
+    import ray.data
+
+    n_hot = 500
+    left = pd.DataFrame(
+        {"k": [7] * n_hot + list(range(100)),
+         "lv": list(range(n_hot)) + [1000 + i for i in range(100)]}
+    )
+    right = pd.DataFrame({"k": [7] + list(range(0, 100, 2)),
+                          "rv": ["hot"] + [f"r{i}" for i in range(0, 100, 2)]})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    plain = (
+        hash_join(lds, rds, on="k", num_buckets=16)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    salted = (
+        hash_join(lds, rds, on="k", num_buckets=16, hot_keys=[7], salt_factor=8)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    assert len(plain) == len(salted) == n_hot + 1 + 50
+    pd.testing.assert_frame_equal(plain, salted)
+    # left outer with salting keeps unmatched rows exactly once
+    lo_p = hash_join(lds, rds, on="k", how="left", num_buckets=16).to_pandas()
+    lo_s = hash_join(lds, rds, on="k", how="left", num_buckets=16,
+                     hot_keys=[7], salt_factor=8).to_pandas()
+    assert len(lo_p) == len(lo_s) == n_hot + 100
