@@ -137,10 +137,9 @@ def main(argv: list[str] | None = None) -> int:
 
             server = _serve(store, host=args.host, port=args.port)
             print(json.dumps({"serving": list(server.server_address)}))
-            try:
-                server.serve_forever  # noqa: B018 — thread already running
-                import time as _time
+            import time as _time
 
+            try:
                 while True:
                     _time.sleep(3600)
             except KeyboardInterrupt:
