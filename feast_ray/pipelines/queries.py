@@ -906,11 +906,6 @@ def _q25_sql() -> str:
         f"({j + 1}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
         for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     )
-    band_eq = " or ".join(
-        f"a.sig[{ROWS_PER_BAND * b + 1}:{ROWS_PER_BAND * (b + 1)}]"
-        f" = b.sig[{ROWS_PER_BAND * b + 1}:{ROWS_PER_BAND * (b + 1)}]"
-        for b in range(BANDS)
-    )
     two64 = 1 << 64
     return f"""
 with dw as (
@@ -938,11 +933,20 @@ sigv as (
   group by doc_id, j),
 sigs as (
   select doc_id, list(v order by j) as sig from sigv group by doc_id),
+bandchunks as (
+  select doc_id, bb.b,
+    sig[bb.b * {ROWS_PER_BAND} + 1 : (bb.b + 1) * {ROWS_PER_BAND}] as chunk
+  from sigs cross join (select unnest(generate_series(0, {BANDS - 1})) as b) bb),
+cand as (
+  select distinct a.doc_id as ida, b.doc_id as idb
+  from bandchunks a join bandchunks b
+    on a.b = b.b and a.chunk = b.chunk and a.doc_id < b.doc_id),
 dropped as (
-  select distinct b.doc_id
-  from sigs a join sigs b on a.doc_id < b.doc_id
-  where ({band_eq})
-    and len(list_filter(generate_series(1, {NUM_PERM}),
+  select distinct c.idb as doc_id
+  from cand c
+  join sigs a on a.doc_id = c.ida
+  join sigs b on b.doc_id = c.idb
+  where len(list_filter(generate_series(1, {NUM_PERM}),
                         i -> a.sig[i] = b.sig[i])) / {NUM_PERM}.0 >= 0.8)
 select d.doc_id from documents d
 where d.doc_id not in (select doc_id from dropped)

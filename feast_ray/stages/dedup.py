@@ -170,15 +170,20 @@ def keep_latest_sketch(
          event_ts equals the key's max.
 
     vs ``keep_latest`` (mode="global"): no all-to-all of full rows —
-    the only shuffle carries 16-byte pairs; the price is recomputing
-    the upstream pipeline once more (or re-reading just (key, ts) when
-    ``pairs_ds`` is given) plus pass A's grouped aggregate over the
-    distinct-key space, which runs BEFORE the main pass can start.
-    Measured on the synthetic corpus (1.8M thin pages, 20% dups):
-    global 23 s vs sketch 36 s at 32 CPUs — pass A's aggregate
-    dominates when rows are thin. The mode pays off when rows are fat
-    (50-100 KB html: the full-row shuffle would move ~100 GB/M-pages
-    while pass A stays at 16 B/row).
+    the only shuffle carries 16-byte pairs; the price is re-reading
+    (key, ts) (pass ``pairs_ds`` for a column-pruned read) plus pass
+    A's bucketed aggregate, which runs BEFORE the main pass can start.
+
+    Round-2 measurements (32 CPUs, 120k pages × 50 KB html — CC-sized
+    rows): **payload-preserving dedup** (raw pages → dedup → sink,
+    rows stay fat through the shuffle): sketch 14.6 s vs global
+    21.9 s — and on a multi-node cluster the gap is network-bound
+    (global ships the 6 GB corpus through the exchange, sketch ships
+    2 MB of pairs). In the FLAGSHIP pipeline extraction drops the fat
+    html BEFORE the shuffle, so global's streaming shuffle wins there
+    (8.3 s vs 15.7 s — pass A is a serial prefix that buys nothing
+    once rows are thin). Pick sketch when the payload must survive to
+    the sink; pick global when a thinning stage precedes the dedup.
 
     Assumptions (documented per SURVEY §7.5): (key, event_ts) pairs are
     unique per crawl record (ties would keep both rows), and the
@@ -188,8 +193,6 @@ def keep_latest_sketch(
     """
     import numpy as np
     import pyarrow.compute as pc
-
-    from ray.data.aggregate import Max, Sum
 
     def _key_hash(tbl: pa.Table) -> np.ndarray:
         s = tbl.column(key).to_pandas()
@@ -205,7 +208,11 @@ def keep_latest_sketch(
         _project, batch_format="pyarrow"
     )
 
-    # per-block partial (count, max_ts) per key, then tiny global merge
+    # per-block partial (count, max_ts) per key, then a bucketed merge:
+    # shuffle on kh % B and reduce each bucket with ONE vectorized
+    # pandas groupby — Ray's native per-key aggregate pays per-group
+    # overhead that dominated pass A at high key cardinality (measured
+    # 10.3 s → ~2 s for 100k keys)
     def _partial(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         g = df.groupby("__kh", sort=False)
@@ -213,12 +220,26 @@ def keep_latest_sketch(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = pairs.map_batches(_partial, batch_format="pyarrow")
-    merged = partials.groupby("__kh").aggregate(
-        Sum("__cnt", alias_name="__cnt"), Max("__max", alias_name="__max")
+    B = 64
+    bucketed = partials.map_batches(
+        lambda t: t.append_column(
+            "__b", pa.array((t["__kh"].to_numpy(zero_copy_only=False) % B).astype(np.int64))
+        ),
+        batch_format="pyarrow",
     )
-    dups = merged.map_batches(
-        lambda t: t.filter(pc.greater(t["__cnt"], 1)), batch_format="pyarrow"
-    ).to_pandas()
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("__kh", sort=False)
+        out = pd.DataFrame(
+            {"__cnt": g["__cnt"].sum(), "__max": g["__max"].max()}
+        ).reset_index()
+        return out[out["__cnt"] > 1]
+
+    dups = (
+        bucketed.groupby("__b")
+        .map_groups(lambda g: _merge(g.drop(columns="__b")), batch_format="pandas")
+        .to_pandas()
+    )
     if len(dups) == 0 or "__kh" not in dups.columns:
         # no duplicate keys anywhere (an empty result Dataset can also
         # lose its schema) — nothing to filter
