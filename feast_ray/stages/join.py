@@ -322,15 +322,42 @@ def semi_join(
     on: list[str] | str,
     *,
     anti: bool = False,
+    broadcast_max_keys: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Semi / anti join: keep left rows whose key IS (resp. is NOT) in
-    the right key set. The key set is broadcast once (``ray.put``) and
-    each batch filters with pyarrow ``is_in`` — no shuffle (the
-    guide's documented pattern; the reference expresses these only via
-    its TTL predicate, SURVEY §2.6, so this extends the surface).
-    ``right_keys``: small table/frame/Dataset of key columns, or a
-    list of values for a single key."""
+    the right key set. Small key sets are broadcast once (``ray.put``)
+    and each batch filters with pyarrow ``is_in`` — no shuffle.
+    ``right_keys``: table/frame/Dataset of key columns, or a list of
+    values for a single key.
+
+    Size gate: a right-keys DATASET larger than ``broadcast_max_keys``
+    rows is NOT pulled to the driver — the semi/anti join runs as a
+    distributed marker left-join (`hash_join` + null-mark filter), so
+    arbitrarily large key sets (e.g. a planet-scale dedup drop list)
+    stay off the driver."""
     on = [on] if isinstance(on, str) else list(on)
+    if isinstance(right_keys, ray.data.Dataset):
+        mat = right_keys.materialize()
+        if mat.count() > broadcast_max_keys:
+            import pyarrow.compute as pc
+
+            from feast_ray.stages.relational import distinct
+
+            keys_ds = distinct(mat.select_columns(on), on)
+            marked = keys_ds.map_batches(
+                lambda t: t.append_column(
+                    "__sj", pa.array(np.ones(len(t), dtype=np.int8))
+                ),
+                batch_format="pyarrow",
+            )
+            joined = hash_join(left, marked, on=on, how="left")
+
+            def _filt(t: pa.Table) -> pa.Table:
+                m = pc.is_null(t["__sj"]) if anti else pc.invert(pc.is_null(t["__sj"]))
+                return t.filter(m).drop_columns(["__sj"])
+
+            return joined.map_batches(_filt, batch_format="pyarrow")
+        right_keys = mat
     if isinstance(right_keys, (list, set, np.ndarray)):
         rt = pa.table({on[0]: pa.array(sorted(right_keys))})
     else:

@@ -550,3 +550,31 @@ def test_hash_join_hot_key_salting():
     lo_s = hash_join(lds, rds, on="k", how="left", num_buckets=16,
                      hot_keys=[7], salt_factor=8).to_pandas()
     assert len(lo_p) == len(lo_s) == n_hot + 100
+
+
+def test_semi_join_distributed_path_parity(sf_small):
+    """The size-gated distributed semi/anti path (marker left-join)
+    must match the broadcast is_in path."""
+    import ray.data
+
+    from feast_ray.stages.join import semi_join
+
+    orders = read_table(sf_small, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    import pyarrow.compute as pc_
+
+    big_keys = read_table(sf_small, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: t.filter(pc_.less(t["c_custkey"], 60)).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    for anti in (False, True):
+        a = (
+            semi_join(orders, big_keys, on="o_custkey", anti=anti)
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        b = (
+            semi_join(orders, big_keys, on="o_custkey", anti=anti,
+                      broadcast_max_keys=0)
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        assert list(a["o_orderkey"]) == list(b["o_orderkey"])
+        assert sorted(a.columns) == sorted(b.columns)
