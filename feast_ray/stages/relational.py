@@ -14,21 +14,28 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Distinct rows of ``cols``: per-block dedup (Arrow C++ group_by)
-    then a grouped reduce."""
+    """Distinct rows of ``cols``: per-block dedup (Arrow C++ group_by),
+    hash-bucket shuffle, then ONE vectorized dedup per bucket — the
+    same high-cardinality-safe merge shape as grouped_agg (Ray's
+    native per-key aggregate pays per-group overhead)."""
+    from feast_ray.stages.dedup import add_hash_bucket
 
     def _block_distinct(tbl: pa.Table) -> pa.Table:
         return tbl.select(cols).group_by(cols).aggregate([])
 
+    B = 64
     pre = ds.map_batches(_block_distinct, batch_format="pyarrow")
-    agg = pre.groupby(cols).aggregate(Count(alias_name="__cnt"))
-    return agg.map_batches(
-        lambda t: t.drop_columns(["__cnt"]), batch_format="pyarrow"
+    bucketed = pre.map_batches(
+        lambda t: add_hash_bucket(t, cols, B, col="__db"), batch_format="pyarrow"
     )
+
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__db").drop_duplicates()
+
+    return bucketed.groupby("__db").map_groups(_per_bucket, batch_format="pandas")
 
 
 def topk(
