@@ -41,7 +41,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 _ALGEBRAIC = {"sum", "count", "min", "max"}
 _SUPPORTED = _ALGEBRAIC | {"mean", "avg", "std", "var", "count_distinct"}
@@ -207,7 +206,30 @@ def grouped_agg(
             )
         else:
             cnt = dist
-        cd = cnt.groupby(gkeys).aggregate(Count(alias_name=spec.alias))
+        # count per key over the distinct rows — bucketed merge (same
+        # high-cardinality-safe shape as the main path)
+        from feast_ray.stages.dedup import add_hash_bucket
+
+        def _cd_partial(tbl: pa.Table, alias=spec.alias) -> pa.Table:
+            df = tbl.to_pandas()
+            g = df.groupby(gkeys, sort=False, dropna=False)
+            return pa.Table.from_pandas(
+                pd.DataFrame({alias: g.size()}).reset_index(), preserve_index=False
+            )
+
+        def _cd_merge(df: pd.DataFrame, alias=spec.alias) -> pd.DataFrame:
+            g = df.drop(columns="__gb").groupby(gkeys, sort=False, dropna=False)
+            return pd.DataFrame({alias: g[alias].sum()}).reset_index()
+
+        cd = (
+            cnt.map_batches(_cd_partial, batch_format="pyarrow")
+            .map_batches(
+                lambda t: add_hash_bucket(t, gkeys, 64, col="__gb"),
+                batch_format="pyarrow",
+            )
+            .groupby("__gb")
+            .map_groups(_cd_merge, batch_format="pandas")
+        )
         if result is None:
             result = cd
         else:
