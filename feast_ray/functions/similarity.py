@@ -566,11 +566,39 @@ def cosine_neardup_pairs_lsh(
                       "cosine": pa.array(cos[keep])})
         )
 
-    # distributed verify: join the vector-bytes table onto the pairs
-    from feast_ray.stages.join import hash_join
     from feast_ray.stages.relational import distinct
 
     pairs = distinct(raw_pairs, ["id_a", "id_b"])
+    # broadcast-vector verify (mid tier): the normalized-vector table
+    # usually fits the object store (8d bytes/doc); put it once and
+    # verify pairs per batch with searchsorted gathers — no sort
+    # shuffles (same tier structure as minhash_candidate_pairs)
+    vb_bytes = sigged.size_bytes() or 0
+    if vb_bytes and vb_bytes <= 2 * (1 << 30):
+        sdf = sigged.to_pandas().sort_values(id_col, kind="stable")
+        sids = sdf[id_col].to_numpy()
+        smat = np.frombuffer(b"".join(sdf["__vb"].tolist()), dtype=np.float64
+                             ).reshape(-1, dim)
+        sref = ray.put((sids, smat))
+
+        def _verify_bcast(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return pa.table({"id_a": tbl["id_a"], "id_b": tbl["id_b"],
+                                 "cosine": pa.array([], pa.float64())})
+            ids_s, mat = ray.get(sref)
+            a = mat[np.searchsorted(ids_s, tbl["id_a"].to_numpy(zero_copy_only=False))]
+            b = mat[np.searchsorted(ids_s, tbl["id_b"].to_numpy(zero_copy_only=False))]
+            cos = (a * b).sum(axis=1)
+            keep = cos >= threshold
+            if round_to is not None:
+                cos = cos.round(round_to)
+            out = tbl.select(["id_a", "id_b"]).append_column("cosine", pa.array(cos))
+            return out.filter(pa.array(keep))
+
+        return pairs.map_batches(_verify_bcast, batch_format="pyarrow")
+
+    # distributed verify: join the vector-bytes table onto the pairs
+    from feast_ray.stages.join import hash_join
     va = sigged.map_batches(
         lambda t: t.rename_columns(["id_a", "vb_a"]), batch_format="pyarrow"
     )
