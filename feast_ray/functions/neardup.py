@@ -443,17 +443,38 @@ def word_hashes64(words: "list[str] | list[bytes]") -> np.ndarray:
     return _splitmix64(out)
 
 
-def simhash64(text: str) -> int:
-    words = text.split()
-    if not words:
-        return 0
-    digests = word_hashes64(words)
+def simhash_batch(texts: "list[str]") -> np.ndarray:
+    """Vectorized SimHash for a batch: ONE grouped-by-length word-hash
+    pass over every word in the batch, then per-document bit-majority
+    votes via segment sums (add.reduceat) — no per-document Python."""
+    words_per_doc = [t.split() for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    flat = [w for ws in words_per_doc for w in ws]
+    if not flat:
+        return out
+    digests = word_hashes64(flat)
     bits = np.unpackbits(
-        digests.byteswap().view(np.uint8).reshape(len(words), 8), axis=1
-    )  # (n_words, 64), MSB first
-    acc = (bits.astype(np.int32) * 2 - 1).sum(axis=0)
-    out_bits = (acc > 0).astype(np.uint8)
-    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
+        digests.byteswap().view(np.uint8).reshape(len(flat), 8), axis=1
+    ).astype(np.int32) * 2 - 1  # (n_words, 64) votes, MSB first
+    nz = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    acc = np.add.reduceat(bits, starts, axis=0)  # (n_nonzero_docs, 64)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1)  # big-endian bytes
+    out[nz] = np.frombuffer(packed.tobytes(), dtype=np.uint64).byteswap()
+    return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash_batch([text])[0])
+
+
+# vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -465,9 +486,7 @@ class SimHasher:
         self.text_col = text_col
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
-        sh = np.array(
-            [simhash64(t) for t in batch[self.text_col].to_pylist()], dtype=np.uint64
-        ).view(np.int64)
+        sh = simhash_batch(batch[self.text_col].to_pylist()).view(np.int64)
         return batch.append_column("simhash", pa.array(sh))
 
 
@@ -512,18 +531,27 @@ def simhash_dups(
         )
 
     def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized verify: the exact any-lower-member rule runs as
+        one triu-matrix xor + table-popcount pass for buckets up to
+        512 members (262k vectorized ops — cheap); only genuinely
+        giant buckets fall back to the star pattern (compare to the
+        min-id element), trading chain-recall for linear cost."""
+        star_threshold = 512
         drops: list = []
         sizes = g.groupby(["chunk", "chunk_val"], sort=False)[id_col].transform("size")
         multi = g[sizes > 1]
         for _, grp in multi.groupby(["chunk", "chunk_val"], sort=False):
             grp = grp.sort_values(id_col, kind="stable")
-            ids = grp[id_col].tolist()
+            ids = grp[id_col].to_numpy()
             hs = grp["simhash"].to_numpy().astype(np.uint64)
-            for j in range(1, len(ids)):
-                for i in range(j):
-                    if bin(int(hs[i]) ^ int(hs[j])).count("1") <= max_hamming:
-                        drops.append(ids[j])
-                        break
+            if len(ids) > star_threshold:
+                d = popcount64(hs[1:] ^ hs[0])
+                drops.extend(ids[1:][d <= max_hamming])
+            else:
+                iu, ju = np.triu_indices(len(ids), 1)
+                d = popcount64(hs[iu] ^ hs[ju])
+                hit = d <= max_hamming
+                drops.extend(np.unique(ids[ju[hit]]))
         return pd.DataFrame({id_col: pd.Series(drops, dtype=g[id_col].dtype)})
 
     dups = (
