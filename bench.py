@@ -140,6 +140,23 @@ def run_bench() -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # dedup ops at cluster scale: the full page corpus (96%
+        # near-duplicate by construction — 60 variants per doc, the
+        # pathological LSH-bucket shape) through content-level dedup.
+        # Single runs (the ops are long enough to be stable).
+        import ray.data as _rd
+
+        from feast_ray.functions.neardup import minhash_dedup, simhash_dups
+
+        corpus = _rd.read_parquet(pages_dir, columns=["url", "text"])
+        t0 = time.perf_counter()
+        minhash_dedup(corpus, "url", "text", threshold=0.9).count()
+        timings["minhash_dedup_corpus"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        simhash_dups(corpus, "url", "text", max_hamming=3).count()
+        timings["simhash_dups_corpus"] = round(time.perf_counter() - t0, 3)
+
     out = {
         "metric": "quality_filter_wall_sec",
         "value": round(headline, 3),
