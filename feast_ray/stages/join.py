@@ -40,6 +40,12 @@ def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
     """The Arrow schema of a Dataset, robust to pandas-backed blocks
     (which report numpy dtypes instead of a pa.Schema)."""
     s = ds.schema()
+    if s is None:
+        raise ValueError(
+            "cannot infer the schema of an empty schema-less Dataset "
+            "(e.g. ray.data.from_pandas of a 0-row frame) — give the "
+            "input at least a typed empty block"
+        )
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base

@@ -98,3 +98,75 @@ def test_minhash_estimate_tracks_true_jaccard(words, n_swap):
     true_j = len(sa & sb) / len(sa | sb)
     est = estimated_jaccard(minhash_signature(a), minhash_signature(b))
     assert abs(est - true_j) <= 0.35
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(-100, 100)),
+             min_size=1, max_size=60),
+    st.lists(st.tuples(st.integers(0, 20), st.integers(-100, 100)),
+             min_size=1, max_size=60),
+    st.sampled_from(["inner", "left"]),
+)
+def test_hash_join_matches_pandas_merge(lrows, rrows, how):
+    """hash_join ≡ pandas merge on random keyed frames (incl. empty
+    sides, duplicate keys, both join types)."""
+    import ray.data
+
+    from feast_ray.stages.join import hash_join
+
+    ldf = pd.DataFrame(lrows, columns=["k", "lv"])
+    rdf = pd.DataFrame(rrows, columns=["k", "rv"])
+    got = hash_join(
+        ray.data.from_pandas(ldf), ray.data.from_pandas(rdf),
+        on="k", how=how, num_buckets=4,
+    ).to_pandas()
+    exp = (
+        ldf.merge(rdf, on="k", how=how)
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    if len(exp) == 0:
+        return  # Ray to_pandas drops columns on all-empty results
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    if len(exp):
+        assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+        assert (got["lv"].to_numpy() == exp["lv"].to_numpy()).all()
+        ga, ea = got["rv"].to_numpy(dtype=float), exp["rv"].to_numpy(dtype=float)
+        assert ((ga == ea) | (np.isnan(ga) & np.isnan(ea))).all()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(1, 200)),
+             min_size=1, max_size=30),
+)
+def test_interval_join_matches_bruteforce(lrows, rrows):
+    """interval_join ≡ brute-force containment on random keyed points
+    and intervals (variable lengths exercise the max-length window)."""
+    import ray.data
+
+    from feast_ray.stages.join import interval_join
+
+    ldf = pd.DataFrame(lrows, columns=["u", "pt"])
+    ldf["eid"] = np.arange(len(ldf))
+    rdf = pd.DataFrame(rrows, columns=["u", "s", "w"])
+    rdf["e"] = rdf["s"] + rdf["w"]
+    rdf["rid"] = np.arange(len(rdf))
+    rdf = rdf.drop(columns=["w"])
+    got = interval_join(
+        ray.data.from_pandas(ldf), rdf,
+        left_point="pt", right_start="s", right_end="e", by="u",
+    ).to_pandas()
+    m = ldf.merge(rdf, on="u")
+    exp = (
+        m[(m.pt >= m.s) & (m.pt < m.e)]
+        .sort_values(["eid", "rid"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    if len(exp) == 0:
+        return
+    got = got.sort_values(["eid", "rid"]).reset_index(drop=True)
+    assert list(got["eid"]) == list(exp["eid"])
+    assert list(got["rid"]) == list(exp["rid"])
