@@ -1614,6 +1614,52 @@ asof left join events ev
 """
 
 
+# --------------------------------------------------------------------- q49
+
+def q49_store_pit_distributed(sf_dir: str):
+    """Same PIT retrieval as q36 but FORCED down the LARGE-view path:
+    the broadcast size gate is set to 0 so the feature view streams
+    through the distributed co-partitioned as-of join
+    (ray_shared_utils.py:468-550 semantics) instead of a driver
+    broadcast — the reference's #2 entry point at its scale
+    configuration, under the value gate."""
+    import tempfile
+    from datetime import timedelta
+
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    store = Store(
+        tempfile.mkdtemp(prefix="fr_q49_"), sf_dir, broadcast_threshold_bytes=0
+    )
+    store.apply(
+        [
+            View(
+                name="user_values",
+                source=TableSource(name="events", table="events", timestamp_field="ts"),
+                entities=[Entity("user", "user_id")],
+                ttl=timedelta(days=2),
+                features=["value"],
+            )
+        ]
+    )
+    stamps = pd.to_datetime(["2024-01-10", "2024-01-20", "2024-01-28"])
+    entity_df = pd.DataFrame(
+        [
+            {"user_id": u, "event_timestamp": t}
+            for u in range(10)
+            for t in stamps
+        ]
+    )
+    out = store.get_historical_features(entity_df, ["user_values:value"])
+    return _us(out.map_batches(
+        lambda df: df[["user_id", "event_timestamp", "value"]], batch_format="pandas"
+    ))
+
+
+_Q49_SQL = _Q36_SQL
+
+
 # --------------------------------------------------------------------- q37
 
 def q37_semi_join_orders(sf_dir: str):
@@ -2071,6 +2117,7 @@ QUERIES = {
     "q46_sql_transform_events": q46_sql_transform_events,
     "q47_interval_join_attribution": q47_interval_join_attribution,
     "q48_decontaminate_docs": q48_decontaminate_docs,
+    "q49_store_pit_distributed": q49_store_pit_distributed,
 }
 
 
@@ -2123,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_sql_transform_events": _Q46_SQL,
         "q47_interval_join_attribution": _Q47_SQL,
         "q48_decontaminate_docs": _q48_sql(),
+        "q49_store_pit_distributed": _Q49_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
