@@ -672,8 +672,27 @@ class Store:
     def get_online_features(
         self, features: list[str], entity_rows: list[dict]
     ) -> pd.DataFrame:
-        by_view: dict[str, list[str]] = {}
+        """Online point retrieval. On-demand feature view refs resolve
+        exactly as in historical retrieval (the reference applies ODFV
+        transforms at online read too — feature_store.py:3622 →
+        on_demand_feature_view transform path): their source features
+        are fetched from the online plane, then the udf runs over the
+        assembled frame."""
+        if isinstance(features, FeatureService):
+            features = list(features.features)
+        odfvs: list[OnDemandView] = []
+        plain: list[str] = []
         for ref in features:
+            vname = ref.split(":")[0]
+            if vname in self.on_demand_views:
+                odfv = self.on_demand_views[vname]
+                if odfv not in odfvs:
+                    odfvs.append(odfv)
+                plain.extend(s for s in odfv.sources if s not in plain)
+            else:
+                plain.append(ref)
+        by_view: dict[str, list[str]] = {}
+        for ref in plain:
             v, f = ref.split(":")
             by_view.setdefault(v, []).append(f)
         out = pd.DataFrame(entity_rows)
@@ -682,4 +701,11 @@ class Store:
             looked = self.online.lookup(view, entity_rows)
             for f in feats:
                 out[f] = looked[f].to_numpy()
+        for odfv in odfvs:
+            if odfv.mode == "pandas":
+                out = odfv.udf(out)
+            else:
+                out = odfv.udf(
+                    pa.Table.from_pandas(out, preserve_index=False)
+                ).to_pandas()
         return out

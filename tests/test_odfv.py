@@ -174,3 +174,38 @@ def _add_len_col(t):
     import pyarrow.compute as pc_
 
     return t.append_column("text_len", pc_.utf8_length(t["text"]))
+
+
+def test_online_odfv(tmp_path, sf_small):
+    """ODFVs apply at ONLINE retrieval too (reference
+    feature_store.py:3622 transform path)."""
+    from datetime import timedelta
+
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, OnDemandView, TableSource, View
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    base = View(
+        name="user_values",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        ttl=timedelta(days=30),
+        features=["value"],
+    )
+
+    def _double(df):
+        df = df.copy()
+        df["value_x2"] = df["value"] * 2
+        return df
+
+    odfv = OnDemandView(
+        name="doubled", udf=_double, sources=("user_values:value",),
+        features=("value_x2",), mode="pandas",
+    )
+    s.apply([base, odfv])
+    s.materialize()
+    out = s.get_online_features(
+        ["doubled:value_x2"], [{"user_id": 1}, {"user_id": 2}]
+    )
+    assert "value_x2" in out.columns
+    assert (out["value_x2"].to_numpy() == out["value"].to_numpy() * 2).all()
