@@ -829,12 +829,14 @@ def _dump_ppl_model_tables() -> None:
     if os.path.exists(tri_p) and os.path.exists(bi_p):
         return
     m = PerplexityModel()
-    _pq.write_table(
-        pa.table({"key": m.tri_keys.astype(np.int64), "cnt": m.tri_counts}), tri_p
-    )
-    _pq.write_table(
-        pa.table({"key": m.bi_keys.astype(np.int64), "cnt": m.bi_counts}), bi_p
-    )
+    pid = os.getpid()
+    for path, tbl in [
+        (tri_p, pa.table({"key": m.tri_keys.astype(np.int64), "cnt": m.tri_counts})),
+        (bi_p, pa.table({"key": m.bi_keys.astype(np.int64), "cnt": m.bi_counts})),
+    ]:
+        tmp = f"{path}.{pid}.tmp"
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic — concurrent dumps write identical data
 
 
 def _q24_sql() -> str:
