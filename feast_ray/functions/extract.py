@@ -58,8 +58,9 @@ def extract_batch(tbl: pa.Table, html_col: str = "html", out_col: str = "extract
     pages matching the crawl template ``<article>\\n<p>…</p>\\n…\\n</article>``
     are extracted with extract_regex + replace_substring + an entity
     unescape chain that is the exact inverse of ``html.escape``. Rows
-    that don't match the strict template (or aren't valid UTF-8) fall
-    back to the row-at-a-time :func:`extract_text`, so the output is
+    that don't match the strict template, carry entities beyond
+    html.escape's five, or aren't valid UTF-8 fall back to the
+    row-at-a-time :func:`extract_text`, so the output is
     byte-identical to the reference path for EVERY input."""
     import numpy as np
     import pyarrow.compute as pc
@@ -82,6 +83,16 @@ def extract_batch(tbl: pa.Table, html_col: str = "html", out_col: str = "extract
         pc.or_(pc.match_substring(r, "<p>"),
                pc.or_(pc.match_substring(r, "</p>"), pc.match_substring(r, "\n")))
     )
+    # the unescape chain inverts EXACTLY html.escape's five entities; a
+    # page carrying any OTHER entity (&eacute;, &#39;, &nbsp;, …) must
+    # take the html.unescape fallback or bytes would diverge. RE2 has
+    # no lookahead, so compare total entity-shaped occurrences against
+    # the count of the five known literals.
+    ent_total = pc.count_substring_regex(r, r"&[a-zA-Z#][a-zA-Z0-9]*;")
+    known_total = pc.count_substring(r, "&amp;")
+    for lit in ("&lt;", "&gt;", "&quot;", "&#x27;"):
+        known_total = pc.add(known_total, pc.count_substring(r, lit))
+    clean = pc.and_(clean, pc.equal(ent_total, known_total))
     for ent, ch in _UNESCAPE:
         r = pc.replace_substring(r, ent, ch)
     ok = pc.and_(pc.fill_null(fast, False), pc.fill_null(clean, False))

@@ -431,11 +431,9 @@ def word_hashes64(words: "list[str] | list[bytes]") -> np.ndarray:
             idx = np.flatnonzero(lens == L)
             if L == 0:
                 continue
-            powers = np.empty(L, dtype=np.uint64)
+            powers = np.full(L, _POLY_B, dtype=np.uint64)
             powers[0] = np.uint64(1)
-            for i in range(1, L):
-                powers[i] = powers[i - 1] * _POLY_B
-            powers = powers[::-1]
+            powers = np.cumprod(powers)[::-1]  # uint64 wraparound
             offs = starts[idx][:, None] + np.arange(L)[None, :]
             out[idx] = (blob[offs] * powers[None, :]).sum(
                 axis=1, dtype=np.uint64

@@ -1257,10 +1257,23 @@ def q29_ann_ivf(sf_dir: str):
     queries = np.stack(qdf["embedding"].to_numpy())
     corpus = emb.map_batches(lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow")
     base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
     index_path = f"/tmp/feast_ray_cache/ivf_v2_{base}"
-    if not os.path.exists(os.path.join(index_path, "_centroids.npy")):
+    marker = os.path.join(index_path, "_source_fingerprint.txt")
+    fresh = (
+        os.path.exists(os.path.join(index_path, "_centroids.npy"))
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if not fresh:
+        # a regenerated corpus at the same path must invalidate the
+        # cached cell partitions (stale-index hazard)
         shutil.rmtree(index_path, ignore_errors=True)
         ivf_build(corpus, index_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
     out, stats = ann_topk_ivf_partitioned(index_path, queries, k=10)
     LAST_IVF_SCAN_STATS.clear()
     LAST_IVF_SCAN_STATS.update(stats)

@@ -130,7 +130,10 @@ def cross_join(
         rr = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
         cols = {c: lt[c] for c in lt.column_names}
         for c in rr.column_names:
-            cols[c + right_suffix if c in cols else c] = rr[c]
+            name = c
+            while name in cols:  # never silently overwrite a left column
+                name = name + right_suffix
+            cols[name] = rr[c]
         return pa.table(cols)
 
     return left.map_batches(_cross, batch_format="pyarrow")
@@ -470,12 +473,30 @@ def hash_join(
     rschema = dataset_schema(right)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
+    # unify join-key types across sides (int32 left vs int64 right must
+    # both cast to the promoted type — the C++ join refuses mismatched
+    # key types; _key_hash already buckets them together)
+    for k in on:
+        lt, rt_ = lschema.field(k).type, rschema.field(k).type
+        if not lt.equals(rt_):
+            try:
+                ut = pa.unify_schemas(
+                    [pa.schema([pa.field(k, lt)]), pa.schema([pa.field(k, rt_)])],
+                    promote_options="permissive",
+                ).field(k).type
+            except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+                ut = lt
+            lschema = lschema.set(lschema.get_field_index(k), pa.field(k, ut))
+            rschema = rschema.set(rschema.get_field_index(k), pa.field(k, ut))
     overlap = (set(lnames) & set(rnames)) - set(on)
     r_renamed = [c + right_suffix if c in overlap else c for c in rnames]
     rschema = pa.schema(
         [pa.field(n, rschema.field(o).type) for n, o in zip(r_renamed, rnames)]
     )
     out_cols = lnames + [r for r, orig in zip(r_renamed, rnames) if orig not in on]
+    # salt offsets must stay distinct mod num_buckets (odd multiplier ×
+    # power-of-two bucket count guarantees it only up to num_buckets)
+    salt_factor = min(salt_factor, num_buckets)
     hot = pa.array(sorted(hot_keys)) if hot_keys is not None else None
 
     def _key_hash(tbl: pa.Table) -> np.ndarray:
@@ -604,6 +625,19 @@ def interval_join(
     else:
         max_len = None
     ref = ray.put(rdf)
+    # explicit output schema: left fields + right non-by fields (suffix
+    # where names overlap) — every batch casts to it, so a batch whose
+    # unmatched left rows NaN-promoted an int/timestamp right column
+    # cannot emit a different schema than an all-matched batch
+    lschema = dataset_schema(left)
+    overlap_names = (set(lschema.names) & set(rt.schema.names)) - set(by)
+    out_fields = [lschema.field(n) for n in lschema.names]
+    for f in rt.schema:
+        if f.name in by:
+            continue
+        name = f.name + right_suffix if f.name in overlap_names else f.name
+        out_fields.append(pa.field(name, f.type))
+    out_schema = pa.schema(out_fields)
 
     def _join(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
@@ -654,6 +688,8 @@ def interval_join(
         rcols = [c for c in rr.columns if c not in by]
         for c in rcols:
             lpart[c] = rpart[c].to_numpy()
-        return pa.Table.from_pandas(lpart, preserve_index=False)
+        return cast_to_schema(
+            pa.Table.from_pandas(lpart, preserve_index=False), out_schema
+        )
 
     return left.map_batches(_join, batch_format="pyarrow")

@@ -219,11 +219,24 @@ class Store:
         def _norm(v):
             if callable(v):
                 code = getattr(v, "__code__", None)
-                return (
-                    "fn:" + hashlib.sha256(code.co_code).hexdigest()[:16]
-                    if code is not None
-                    else "fn:" + repr(v)
+                if code is None:
+                    return "fn:" + repr(v)
+                # bytecode alone misses constant/name/closure changes
+                # (lambda t: t*2 vs t*3 share co_code) — hash those too
+                payload = (
+                    code.co_code
+                    + repr(code.co_consts).encode()
+                    + repr(code.co_names).encode()
+                    + repr(getattr(v, "__defaults__", None)).encode()
+                    + repr(getattr(v, "__kwdefaults__", None)).encode()
+                    + repr(
+                        tuple(
+                            getattr(c, "cell_contents", None)
+                            for c in (getattr(v, "__closure__", None) or ())
+                        )
+                    ).encode()
                 )
+                return "fn:" + hashlib.sha256(payload).hexdigest()[:16]
             if isinstance(v, (list, tuple)):
                 return [_norm(x) for x in v]
             if isinstance(v, dict):

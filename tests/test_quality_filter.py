@@ -179,6 +179,8 @@ def test_extract_fast_path_byte_identical():
     ]
     cases = [make_html(i, "src", t) for i, t in enumerate(texts)]
     cases += [
+        b"<article>\n<p>caf&eacute; &#39;x&#39; &nbsp;gap</p>\n</article>",
+        b"<article>\n<p>AT&T and R&D; &amp;eacute; roundtrip</p>\n</article>",
         b"<html>no article</html>",
         b"<article><p>a</p><p>b</p></article>",
         b"<article>\njunk<p>a</p>\n</article>",

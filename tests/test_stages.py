@@ -578,3 +578,33 @@ def test_semi_join_distributed_path_parity(sf_small):
         )
         assert list(a["o_orderkey"]) == list(b["o_orderkey"])
         assert sorted(a.columns) == sorted(b.columns)
+
+
+def test_hash_join_mismatched_key_types():
+    """int32 left key vs int64 right key must join (promoted), not
+    crash the per-bucket C++ join (code-review r2 finding)."""
+    import pyarrow as pa
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int32()), "lv": [10, 20, 30]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3], pa.int64()), "rv": ["b", "c"]})
+    )
+    out = hash_join(left, right, on="k", num_buckets=4).to_pandas().sort_values("k")
+    assert list(out["k"]) == [2, 3] and list(out["rv"]) == ["b", "c"]
+
+
+def test_hash_join_salt_factor_exceeds_buckets():
+    """salt_factor > num_buckets must not duplicate hot matches
+    (offsets collide mod num_buckets; clamped internally)."""
+    import ray.data
+
+    left = pd.DataFrame({"k": [42] * 9, "lv": range(9)})
+    right = pd.DataFrame({"k": [42, 1], "rv": ["hot", "cold"]})
+    out = hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", num_buckets=4, hot_keys=[42], salt_factor=8,
+    ).to_pandas()
+    assert len(out) == 9

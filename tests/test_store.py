@@ -284,3 +284,26 @@ def test_non_entity_all_keyless_raises(tmp_path, sf_small):
         s.get_historical_features(
             None, ["globals:value"], end=datetime(2024, 2, 1)
         )
+
+
+def test_plan_detects_udf_constant_change(store, sf_small):
+    """Fingerprint must see constant changes (co_code alone is blind
+    to lambda t: t*2 vs t*3 — code-review r2 finding)."""
+    def make(factor):
+        import pyarrow.compute as pc_
+
+        return View(
+            name="scaled",
+            source=_events_source(),
+            entities=[USER],
+            udf=lambda t, f=factor: t.append_column(
+                "v2", pc_.multiply(t["value"], pc_.cast(f, "double"))
+            ),
+            features=["v2"],
+        )
+
+    store.apply([make(2)])
+    p = store.plan([make(3)])
+    assert p["to_update"] == ["scaled"]
+    p2 = store.plan([make(2)])
+    assert p2["unchanged"] == ["scaled"]
