@@ -168,17 +168,11 @@ def grouped_agg(
         kinds: dict[str, str] = {}
         for i, spec in enumerate(main_specs):
             kinds.update(_partial_cols(spec, i))
-        from feast_ray.stages.dedup import add_hash_bucket
+        from feast_ray.stages.dedup import bucketed_group_reduce
 
-        B = 64
-        bucketed = partial.map_batches(
-            lambda t: add_hash_bucket(t, gkeys, B, col="__gb"),
-            batch_format="pyarrow",
-        )
         finalize = _make_finalize_fn(gkeys, main_specs)
 
         def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.drop(columns="__gb")
             g = df.groupby(gkeys, sort=False, dropna=False)
             out: dict[str, pd.Series] = {}
             for pname, kind in kinds.items():
@@ -190,9 +184,7 @@ def grouped_agg(
                     out[pname] = g[pname].max()
             return finalize(pd.DataFrame(out).reset_index())
 
-        result = bucketed.groupby("__gb").map_groups(
-            _merge_bucket, batch_format="pandas"
-        )
+        result = bucketed_group_reduce(partial, gkeys, _merge_bucket)
 
     for spec in cd_specs:
         from feast_ray.stages.relational import distinct
@@ -208,7 +200,7 @@ def grouped_agg(
             cnt = dist
         # count per key over the distinct rows — bucketed merge (same
         # high-cardinality-safe shape as the main path)
-        from feast_ray.stages.dedup import add_hash_bucket
+        from feast_ray.stages.dedup import bucketed_group_reduce
 
         def _cd_partial(tbl: pa.Table, alias=spec.alias) -> pa.Table:
             df = tbl.to_pandas()
@@ -218,17 +210,11 @@ def grouped_agg(
             )
 
         def _cd_merge(df: pd.DataFrame, alias=spec.alias) -> pd.DataFrame:
-            g = df.drop(columns="__gb").groupby(gkeys, sort=False, dropna=False)
+            g = df.groupby(gkeys, sort=False, dropna=False)
             return pd.DataFrame({alias: g[alias].sum()}).reset_index()
 
-        cd = (
-            cnt.map_batches(_cd_partial, batch_format="pyarrow")
-            .map_batches(
-                lambda t: add_hash_bucket(t, gkeys, 64, col="__gb"),
-                batch_format="pyarrow",
-            )
-            .groupby("__gb")
-            .map_groups(_cd_merge, batch_format="pandas")
+        cd = bucketed_group_reduce(
+            cnt.map_batches(_cd_partial, batch_format="pyarrow"), gkeys, _cd_merge
         )
         if result is None:
             result = cd

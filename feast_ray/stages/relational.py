@@ -21,21 +21,13 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     hash-bucket shuffle, then ONE vectorized dedup per bucket — the
     same high-cardinality-safe merge shape as grouped_agg (Ray's
     native per-key aggregate pays per-group overhead)."""
-    from feast_ray.stages.dedup import add_hash_bucket
+    from feast_ray.stages.dedup import bucketed_group_reduce
 
     def _block_distinct(tbl: pa.Table) -> pa.Table:
         return tbl.select(cols).group_by(cols).aggregate([])
 
-    B = 64
     pre = ds.map_batches(_block_distinct, batch_format="pyarrow")
-    bucketed = pre.map_batches(
-        lambda t: add_hash_bucket(t, cols, B, col="__db"), batch_format="pyarrow"
-    )
-
-    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns="__db").drop_duplicates()
-
-    return bucketed.groupby("__db").map_groups(_per_bucket, batch_format="pandas")
+    return bucketed_group_reduce(pre, cols, lambda df: df.drop_duplicates())
 
 
 def topk(
