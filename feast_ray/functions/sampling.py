@@ -33,7 +33,9 @@ def sample_by_hash(
     from the same keys."""
     import numpy as np
 
-    threshold = np.uint64(int(frac * float(2**64 - 1)))
+    # clamp: frac=1.0 (keep everything) would round to 2^64, which
+    # overflows uint64 (code-review r2 finding)
+    threshold = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
 
     def _filter(tbl: pa.Table) -> pa.Table:
         s = tbl.column(key).to_pandas().astype(str) + salt

@@ -40,15 +40,16 @@ def ttl_filter(
 ) -> ray.data.Dataset:
     """TTL window filter. ``entity_ts`` is a column name (row-wise bound)
     or a constant timestamp. Keeps rows with
-    ``entity_ts - ttl <= feature_ts <= entity_ts``; with ``ttl`` None,
-    only the upper bound applies (dask.py:1167-1200)."""
+    ``entity_ts - ttl <= feature_ts <= entity_ts``; with ``ttl`` None
+    OR zero (the Feast convention for "no expiry", feature_view.py ttl
+    semantics), only the upper bound applies (dask.py:1167-1200)."""
 
     def _mask(tbl: pa.Table):
         fts = tbl[feature_ts]
         upper = tbl[entity_ts] if isinstance(entity_ts, str) and entity_ts in tbl.column_names else entity_ts
         mask = pc.less_equal(fts, upper)
-        if ttl is not None:
-            lower = pc.subtract(upper, pa.scalar(ttl)) if not isinstance(upper, (pa.ChunkedArray, pa.Array)) else pc.subtract(upper, pa.scalar(ttl))
+        if ttl:  # None and timedelta(0) both mean "no lower bound"
+            lower = pc.subtract(upper, pa.scalar(ttl))
             mask = pc.and_(mask, pc.greater_equal(fts, lower))
         if keep_null_ts:
             mask = pc.or_kleene(mask, pc.is_null(fts))

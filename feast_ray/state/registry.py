@@ -190,11 +190,19 @@ def materialize_resumable(
     for i in range(0, len(pending), step):
         part_rows.update(_run_chunk(pending[i : i + step]))
 
-    if metrics_fn is not None:
-        # metrics over the freshly written partitions (columnar read of
-        # just the metric columns)
-        written = ray.data.read_parquet(data_dir)
-        reg.append_metrics(metrics_fn(written))
+    if metrics_fn is not None and pending:
+        # metrics over ONLY the freshly written partitions — reading
+        # the whole data_dir double-counted already-committed
+        # partitions on every resumed run (code-review r2 finding)
+        import os as _os
+
+        fresh_dirs = [
+            _os.path.join(data_dir, f"part_id={p}") for p in pending
+        ]
+        fresh_dirs = [d for d in fresh_dirs if _os.path.isdir(d)]
+        if fresh_dirs:
+            written = ray.data.read_parquet(fresh_dirs)
+            reg.append_metrics(metrics_fn(written))
     return {
         "skipped": sorted(done),
         "written": pending,

@@ -138,6 +138,8 @@ class OnlineParquetStore:
             .map_groups(_merge_bucket, batch_format="pandas")
             .to_pandas()
         )
+        if len(stats) == 0 or "rows" not in stats.columns:
+            return 0  # empty input (e.g. incremental run with no new rows)
         return int(stats["rows"].sum())
 
     def read(self, view_name: str) -> pa.Table:
@@ -147,15 +149,31 @@ class OnlineParquetStore:
 
     def lookup(self, view: View, entity_rows: list[dict]) -> pd.DataFrame:
         """Point lookup: entity key dicts → latest feature values.
-        Reads only the buckets the requested keys hash into."""
+        Reads only the buckets the requested keys hash into. Keyless
+        (global) views read the flat wholesale-replaced directory;
+        windowed views are bucketed by (keys, window_start) — read
+        every bucket, return the LATEST window row per key."""
         req = pd.DataFrame(entity_rows)
+        if not view.join_keys:
+            # keyless view: one global row set, broadcast onto requests
+            d = self._dir(view.name)
+            if not os.path.isdir(d) or not os.listdir(d):
+                return req.reindex(columns=list(req.columns) + view.features)
+            g = pq.read_table(d).to_pandas().tail(1).reset_index(drop=True)
+            for c in g.columns:
+                req[c] = g.loc[0, c]
+            return req
         from feast_ray.stages.dedup import add_hash_bucket
 
-        keyed = add_hash_bucket(
-            pa.Table.from_pandas(req[view.join_keys], preserve_index=False),
-            view.join_keys, self.NUM_BUCKETS, col="__ob",
-        )
-        buckets = sorted(set(keyed["__ob"].to_pylist()))
+        if view.window:
+            # upsert bucketed on (keys, window_start) — probe all
+            buckets = list(range(self.NUM_BUCKETS))
+        else:
+            keyed = add_hash_bucket(
+                pa.Table.from_pandas(req[view.join_keys], preserve_index=False),
+                view.join_keys, self.NUM_BUCKETS, col="__ob",
+            )
+            buckets = sorted(set(keyed["__ob"].to_pylist()))
         frames = []
         for b in buckets:
             bdir = os.path.join(self._dir(view.name), f"bucket={b}")
@@ -164,6 +182,11 @@ class OnlineParquetStore:
         if not frames:
             return req.reindex(columns=list(req.columns) + view.features)
         tbl = pd.concat(frames, ignore_index=True)
+        if view.window and "window_start" in tbl.columns:
+            tbl = (
+                tbl.sort_values("window_start", kind="stable")
+                .drop_duplicates(view.join_keys, keep="last")
+            )
         return req.merge(tbl, on=view.join_keys, how="left")
 
 
@@ -288,12 +311,20 @@ class Store:
         if os.path.exists(self.registry_path):
             os.remove(self.registry_path)
 
+    def _write_registry(self, reg: dict) -> None:
+        """Atomic registry write (tmp + os.replace) — a crash mid-dump
+        must never leave a truncated registry.json that bricks every
+        subsequent load (code-review r2 finding)."""
+        tmp = f"{self.registry_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        os.replace(tmp, self.registry_path)
+
     def _save_registry(self) -> None:
         reg = self._load_registry()
         reg["views"] = sorted(self.views)
         reg["services"] = sorted(self.services)
-        with open(self.registry_path, "w") as f:
-            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        self._write_registry(reg)
 
     def _load_registry(self) -> dict:
         if os.path.exists(self.registry_path):
@@ -414,17 +445,16 @@ class Store:
             if not view.online:
                 continue
             ds = self.build_view_ds(view, start, end)
-            self.online.upsert(view, ds)
+            # upsert already returns the post-merge row count — re-reading
+            # the whole online plane per view was O(store size) I/O
+            out[name] = self.online.upsert(view, ds)
             if offline:
                 self.write_to_offline_store(name, self.build_view_ds(view, start, end))
-            tbl = self.online.read(name)
-            out[name] = tbl.num_rows
             reg = self._load_registry()
             reg.setdefault("watermarks", {}).setdefault(name, []).append(
                 [str(start), str(end)]
             )
-            with open(self.registry_path, "w") as f:
-                json.dump(reg, f, indent=1, sort_keys=True, default=str)
+            self._write_registry(reg)
         return out
 
     def materialize_incremental(self, end: datetime, views: list[str] | None = None) -> dict[str, int]:
@@ -623,8 +653,7 @@ class Store:
         ds.write_parquet(path)
         reg = self._load_registry()
         reg.setdefault("saved_datasets", {})[name] = path
-        with open(self.registry_path, "w") as f:
-            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        self._write_registry(reg)
         return path
 
     def get_saved_dataset(self, name: str) -> ray.data.Dataset:

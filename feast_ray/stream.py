@@ -53,8 +53,7 @@ class MicroBatchProcessor:
     def _commit_offset(self, offset: int) -> None:
         reg = self.store._load_registry()
         reg.setdefault("stream_offsets", {})[self.view.name] = int(offset)
-        with open(self.store.registry_path, "w") as f:
-            json.dump(reg, f, indent=1, sort_keys=True, default=str)
+        self.store._write_registry(reg)
 
     # -- ingestion -----------------------------------------------------
 
@@ -78,12 +77,25 @@ class MicroBatchProcessor:
             )
         df = df.copy()
         df["created"] = pd.Timestamp(datetime.now(timezone.utc)).tz_localize(None)
-        self.store.push(self.view.name, df.drop(columns=["created"]))
+        # the (event_ts, created_ts) last-write-wins tie-break applies
+        # ONLINE too when the view declares a created column — keep it
+        # in the pushed frame then (round-1 dropped it uncondit., which
+        # crashed upsert's order_by for such views)
+        if self.view.created_timestamp_column == "created":
+            self.store.push(self.view.name, df)
+        else:
+            self.store.push(self.view.name, df.drop(columns=["created"]))
         # offline append: one parquet file per micro-batch (append-only log)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        fname = f"batch_{offset if offset is not None else 'adhoc'}_{len(os.listdir(self.offline_log_dir))}.parquet"
+        # offset-named file (OVERWRITE on replay): a crash after the
+        # write but before the offset commit must not duplicate rows
+        # in the log on redelivery — file-level idempotence
+        if offset is not None:
+            fname = f"batch_{offset}.parquet"
+        else:
+            fname = f"batch_adhoc_{len(os.listdir(self.offline_log_dir))}.parquet"
         pq.write_table(
             pa.Table.from_pandas(df, preserve_index=False),
             os.path.join(self.offline_log_dir, fname),

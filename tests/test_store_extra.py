@@ -190,3 +190,104 @@ def test_offline_write_back_and_read(tmp_path, sf_small, duck):
         ),
     )
     assert len(s.read_offline("user_values").to_pandas()) == n_events + 1
+
+
+def test_upsert_empty_dataset_is_noop(tmp_path, sf_small):
+    """Incremental materialize with no new rows must return 0, not
+    crash (code-review r2: KeyError 'rows' on empty stats frame)."""
+    from datetime import datetime, timedelta
+
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(
+        name="uv",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        features=["value"],
+    )
+    s.apply([v])
+    # a window with no data
+    out = s.materialize(datetime(1990, 1, 1), datetime(1990, 1, 2))
+    assert out["uv"] == 0
+
+
+def test_windowed_view_online_lookup(tmp_path, sf_small):
+    """Windowed views upsert one row per (key, window); point lookup
+    must return the LATEST window per key (code-review r2: wrong
+    buckets probed → all NaN)."""
+    from datetime import timedelta
+
+    from feast_ray.stages.aggregate import AggSpec
+    from feast_ray.store import Store
+    from feast_ray.views import Entity, TableSource, View
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(
+        name="hourly",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        aggregations=[AggSpec("value", "sum", "v_sum")],
+        window=timedelta(days=7),
+        features=["v_sum"],
+    )
+    s.apply([v])
+    s.materialize()
+    out = s.get_online_features(["hourly:v_sum"], [{"user_id": 1}, {"user_id": 2}])
+    assert len(out) == 2
+    assert out["v_sum"].notna().all()
+
+
+def test_ttl_zero_means_no_expiry(sf_small):
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from feast_ray.sources import read_table
+    from feast_ray.stages.filters import ttl_filter
+
+    ev = read_table(sf_small, "events")
+    bound = pd.Timestamp("2024-01-20")
+    none_out = ttl_filter(ev, "ts", bound, ttl=None).count()
+    zero_out = ttl_filter(ev, "ts", bound, ttl=timedelta(0)).count()
+    assert zero_out == none_out > 0
+
+
+def test_sample_by_hash_frac_one(sf_small):
+    from feast_ray.functions.sampling import sample_by_hash
+    from feast_ray.sources import read_table
+
+    docs = read_table(sf_small, "documents", columns=["doc_id"])
+    assert sample_by_hash(docs, "doc_id", 1.0).count() == docs.count()
+
+
+def test_stream_replay_no_duplicate_log_rows(tmp_path, sf_small):
+    """Redelivery after a crash-before-commit must not duplicate
+    offline-log rows (offset-named file overwrites)."""
+    import os
+
+    from feast_ray.store import Store
+    from feast_ray.stream import MicroBatchProcessor
+    from feast_ray.views import Entity, TableSource, View
+
+    s = Store(str(tmp_path / "repo"), sf_small)
+    v = View(
+        name="clicks",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        features=["value"],
+    )
+    s.apply([v])
+    proc = MicroBatchProcessor(s, "clicks")
+    df = pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime(["2024-03-01"]), "value": [1.0]}
+    )
+    proc.process_batch(df, offset=0)
+    # simulate crash-before-commit: reset the offset, redeliver
+    reg = s._load_registry()
+    reg["stream_offsets"]["clicks"] = -1
+    s._write_registry(reg)
+    proc.process_batch(df, offset=0)
+    files = [f for f in os.listdir(proc.offline_log_dir) if f.endswith(".parquet")]
+    assert files == ["batch_0.parquet"]
