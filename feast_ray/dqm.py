@@ -76,8 +76,11 @@ def validate_against_profile(
         problems.append(f"row_count {n1} deviates >{row_count_rtol:%} from {n0}")
     for col, ref in profile["columns"].items():
         got = new["columns"].get(col)
-        if got is None:
-            problems.append(f"column {col} missing")
+        # a profiled-numeric column that is now missing or non-numeric
+        # produces an entry WITHOUT stats — that IS the schema drift
+        # this validator exists to catch (code-review r2 finding)
+        if got is None or ("mean" in ref and "mean" not in got):
+            problems.append(f"column {col} missing or no longer numeric")
             continue
         if "mean" in ref and not math.isnan(ref["mean"]):
             if ref["mean"] != 0 and abs(got["mean"] - ref["mean"]) / abs(ref["mean"]) > mean_rtol:

@@ -68,6 +68,13 @@ class HashEmbedder:
         return v / n if n > 0 else v
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.append_column(
+                "embedding",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), self.dim
+                ),
+            )
         vecs = np.stack([self.embed(t) for t in tbl[self.text_col].to_pylist()])
         return tbl.append_column(
             "embedding",

@@ -6,8 +6,9 @@ mergeable summary per (key, block) inside ``map_batches``, shuffle only
 the summaries, merge per key. Exact ``count_distinct`` must move every
 distinct value through the shuffle; these move kilobytes per key.
 
-- HLL: 2^P registers (P=12 → ~1.6% relative error), hash = pandas
-  siphash (process-stable). Registers merge by elementwise max.
+- HLL: 2^P registers (P=12 → ~1.6% relative error), hash =
+  Horner+splitmix64 (process-stable, SQL-reconstructable — q40's
+  oracle). Registers merge by elementwise max.
 - Quantiles: fixed-size uniform sample per block (deterministic
   position-based thinning, no RNG), merged then thinned again —
   a simple mergeable quantile summary in the KLL spirit.
@@ -146,16 +147,40 @@ def approx_quantiles(
     )
     qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
 
+    def _weighted_quantiles(vals: np.ndarray, w: np.ndarray) -> list:
+        """Type-7 quantiles when every weight is 1 (the unthinned case
+        — bit-identical to np.quantile); weighted interpolation over
+        the cumulative-weight positions otherwise (each block sample
+        value represents n_block/len(sample) source rows — round 1
+        merged capped samples UNWEIGHTED, letting a 10-row block count
+        as much as a thinned 1M-row block)."""
+        if len(vals) == 0:
+            return [np.nan] * len(qs)
+        order = np.argsort(vals, kind="stable")
+        v, ww = vals[order], w[order]
+        if np.all(ww == 1.0):
+            return list(np.quantile(v, qs))
+        cw = np.cumsum(ww)
+        total = cw[-1]
+        # positions of sorted values in [0, 1] — weighted analog of i/(n-1)
+        pos = (cw - ww) / (total - ww[-1]) if total > ww[-1] else np.zeros(len(v))
+        return [float(np.interp(q, pos, v)) for q in qs]
+
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for kv, grp in df.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
-            merged = np.concatenate(
-                [np.frombuffer(b, dtype=np.float64) for b in grp["__sample"]]
+            samples = [np.frombuffer(b, dtype=np.float64) for b in grp["__sample"]]
+            ns = grp["__n"].to_numpy(dtype=np.float64)
+            merged = np.concatenate(samples) if samples else np.array([])
+            weights = (
+                np.concatenate(
+                    [np.full(len(s), n / max(len(s), 1)) for s, n in zip(samples, ns)]
+                )
+                if samples
+                else np.array([])
             )
-            merged = _thin(merged)
-            quants = np.quantile(merged, qs) if len(merged) else [np.nan] * len(qs)
-            rows.append((*kv, *quants))
+            rows.append((*kv, *_weighted_quantiles(merged, weights)))
         return pd.DataFrame(rows, columns=[*keys, *qcols])
 
     return bucketed.groupby(BUCKET_COL).map_groups(

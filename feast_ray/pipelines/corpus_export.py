@@ -57,10 +57,18 @@ def export_corpus(
     returns per-partition row counts from the parquet footers."""
     import os
 
+    import shutil
+
+    # materialize ONCE: the quantile cut points and the partitioned
+    # write both consume `kept` — without this the whole upstream
+    # pipeline (extract/langid/perplexity/scrub) executes twice
     kept = result.map_batches(
         lambda t: t.filter(t["keep"]), batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
     bucketed = bucket_by_quality(kept, lang_col=lang_col)
+    # fresh export: stale files from a previous run must not mix into
+    # (and double-count in) the new corpus
+    shutil.rmtree(out_dir, ignore_errors=True)
     bucketed.write_parquet(out_dir, partition_cols=[lang_col, "quality_bucket"])
 
     import pyarrow.parquet as pq

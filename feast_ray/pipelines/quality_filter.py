@@ -185,17 +185,13 @@ def quality_filter(
         ds = validate_stage(ds, WEBPAGE_SCHEMA, strict=False)
 
     # latest crawl per url — PIT invariant analog (SURVEY.md §2.2).
-    # "sketch": dedup BEFORE extraction on the raw pages — pass A only
-    #   projects (url, warc_ts) and runs a tiny aggregate; pass B
-    #   filters losers inline. The pipeline then has NO all-to-all
-    #   barrier at all: read → filter → extract → score streams end to
-    #   end, and the fat html column never enters a shuffle.
-    # "exchange" (default): raw-Ray bucketed exchange after extract —
-    #   partitioning without the sort machinery, measured 2x faster
-    #   than the groupby shuffle. "global": Ray-native groupby path.
-    #   All modes tested equivalent.
-    # ``dedup_pairs``: optionally a column-pruned (url, warc_ts) read of
-    # the same source, so sketch's pass A reads megabytes, not the corpus
+    # Mode trade-offs are measured and documented in the function
+    # docstring above ("global" is the default; "sketch" dedups BEFORE
+    # extraction with a 16 B/row pass A — the fat-row mode; "exchange"
+    # is the raw-Ray single-node alternative). All modes tested
+    # equivalent. ``dedup_pairs``: optionally a column-pruned
+    # (url, warc_ts) read of the same source, so sketch's pass A reads
+    # megabytes, not the corpus
     if dedup and dedup_mode == "sketch":
         from feast_ray.stages.dedup import keep_latest_sketch
 

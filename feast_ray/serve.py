@@ -17,8 +17,22 @@ Run: ``server = serve(store, port=0); ...; server.shutdown()`` — or
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _json_safe(obj):
+    """NaN/Infinity (in ANY dtype, incl. object columns) → null:
+    json.dumps would otherwise emit bare NaN, which strict JSON
+    clients reject."""
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    return obj
 
 
 def _make_handler(store):
@@ -27,7 +41,7 @@ def _make_handler(store):
             pass
 
         def _send(self, code: int, obj) -> None:
-            body = json.dumps(obj, default=str).encode()
+            body = json.dumps(_json_safe(obj), default=str, allow_nan=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -58,12 +72,7 @@ def _make_handler(store):
                     ]
                     out = store.get_online_features(features, rows)
                     names = [c for c in out.columns]
-                    results = [
-                        {"values": [None if v != v else v for v in out[c].tolist()]}
-                        if out[c].dtype.kind == "f"
-                        else {"values": out[c].tolist()}
-                        for c in names
-                    ]
+                    results = [{"values": out[c].tolist()} for c in names]
                     self._send(
                         200,
                         {"metadata": {"feature_names": names}, "results": results},

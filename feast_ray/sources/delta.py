@@ -24,6 +24,7 @@ import os
 import re
 import uuid
 from datetime import datetime
+from urllib.parse import unquote
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -42,7 +43,10 @@ def _commit_files(path: str) -> list[tuple[int, str]]:
         m = _COMMIT_RE.match(f)
         if m:
             out.append((int(m.group(1)), os.path.join(log, f)))
-        elif f.endswith(".checkpoint.parquet"):
+        elif ".checkpoint." in f or f == "_last_checkpoint":
+            # covers single-part AND multi-part checkpoint names — a
+            # vacuumed log replayed without its checkpoint would
+            # silently yield a wrong active-file set
             raise NotImplementedError(
                 "Delta parquet checkpoints are not supported by this reader"
             )
@@ -65,7 +69,9 @@ def delta_file_uris(path: str, version: int | None = None) -> list[str]:
                 action = json.loads(line)
                 if "add" in action:
                     rel = action["add"]["path"]
-                    active[rel] = os.path.join(path, rel)
+                    # the protocol percent-encodes paths (partition
+                    # values with spaces etc.)
+                    active[rel] = os.path.join(path, unquote(rel))
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
     return [active[k] for k in sorted(active)]
@@ -83,12 +89,49 @@ def read_delta(
     pushdown forwarded to the parquet scan)."""
     files = delta_file_uris(path, version)
     if not files:
-        # empty table: synthesize from the schema in metaData
-        return ray.data.from_arrow(pa.table({}))
+        # empty table: synthesize the declared schema from metaData so
+        # downstream select/validate still see the right columns
+        schema = _read_meta_schema(path)
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
     kwargs = dict(read_kwargs)
     if filter_expr is not None:
         kwargs["filter"] = filter_expr
     return ray.data.read_parquet(files, columns=columns, **kwargs)
+
+
+_DELTA_TO_ARROW = {
+    "long": pa.int64(), "integer": pa.int32(), "double": pa.float64(),
+    "float": pa.float32(), "boolean": pa.bool_(), "timestamp": pa.timestamp("us"),
+    "date": pa.date32(), "binary": pa.binary(), "string": pa.string(),
+}
+
+
+def _read_meta_schema(path: str) -> pa.Schema:
+    """Arrow schema from the table's metaData schemaString (the inverse
+    of :func:`_schema_string` for the types this writer emits)."""
+    for _, commit in _commit_files(path):
+        with open(commit) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    spec = json.loads(action["metaData"]["schemaString"])
+                    fields = []
+                    for f in spec.get("fields", []):
+                        t = f["type"]
+                        if isinstance(t, dict) and t.get("type") == "array":
+                            at = pa.list_(
+                                _DELTA_TO_ARROW.get(t.get("elementType"), pa.string())
+                            )
+                        else:
+                            at = _DELTA_TO_ARROW.get(t, pa.string())
+                        fields.append(pa.field(f["name"], at))
+                    return pa.schema(fields)
+    return pa.schema([])
 
 
 def _schema_string(schema: pa.Schema) -> str:
