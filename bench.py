@@ -8,10 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "docs_per_sec": ..., "pages": ...}
 
-``--scaling``: runs the same bench twice in fresh subprocesses at 8 and
-32 CPUs on the same input and prints both throughputs + scaling
-efficiency (the sandbox stand-in for the north rule's N vs 4N-node
-clusters; see BASELINE.md).
+``--scaling``: runs the same bench twice in fresh subprocesses at N
+and 4N CPUs (default pair 4,16 — both inside the box's physical
+cores; override with GRAFT_SCALING_PAIR) on the same input and prints
+both throughputs + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N-node clusters; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -109,7 +110,15 @@ def run_bench() -> dict:
     timings["quality_filter"] = round(headline, 3)
     import pyarrow.parquet as pq_meta
 
+    # throughput numerator = INPUT pages processed (pre-dedup): the
+    # output row count conflates dedup rate with speed — a recrawl-mix
+    # change would read as a phantom perf shift
     n_pages = sum(
+        pq_meta.read_metadata(os.path.join(pages_dir, f)).num_rows
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    n_out = sum(
         pq_meta.read_metadata(os.path.join(out_dir, f)).num_rows
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
@@ -165,6 +174,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
+        "rows_out": n_out,
         "docs_per_sec": round(n_pages / headline, 1),
     }
     from feast_ray.pipelines.queries import LAST_IVF_SCAN_STATS

@@ -83,16 +83,19 @@ def extract_batch(tbl: pa.Table, html_col: str = "html", out_col: str = "extract
         pc.or_(pc.match_substring(r, "<p>"),
                pc.or_(pc.match_substring(r, "</p>"), pc.match_substring(r, "\n")))
     )
-    # the unescape chain inverts EXACTLY html.escape's five entities; a
-    # page carrying any OTHER entity (&eacute;, &#39;, &nbsp;, …) must
-    # take the html.unescape fallback or bytes would diverge. RE2 has
-    # no lookahead, so compare total entity-shaped occurrences against
-    # the count of the five known literals.
-    ent_total = pc.count_substring_regex(r, r"&[a-zA-Z#][a-zA-Z0-9]*;")
+    # the unescape chain inverts EXACTLY html.escape's five entities.
+    # html.unescape also decodes OTHER entities — including
+    # semicolon-less ones like "&lt" — so the fast path may only run
+    # when EVERY "&" in the body starts one of the five known
+    # entities; anything else (foreign entities, bare ampersands)
+    # takes the html.unescape fallback. (Bare "&" would be unchanged
+    # by both paths, but proving that per-form is fragile — fallback
+    # is correct and only costs speed on non-template-escaped rows.)
+    amp_total = pc.count_substring(r, "&")
     known_total = pc.count_substring(r, "&amp;")
     for lit in ("&lt;", "&gt;", "&quot;", "&#x27;"):
         known_total = pc.add(known_total, pc.count_substring(r, lit))
-    clean = pc.and_(clean, pc.equal(ent_total, known_total))
+    clean = pc.and_(clean, pc.equal(amp_total, known_total))
     for ent, ch in _UNESCAPE:
         r = pc.replace_substring(r, ent, ch)
     ok = pc.and_(pc.fill_null(fast, False), pc.fill_null(clean, False))

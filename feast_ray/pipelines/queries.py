@@ -877,6 +877,52 @@ def q25_minhash_dedup_docs(sf_dir: str):
     )
 
 
+def _crc32_sql(strexpr: str) -> str:
+    """SQL expression: zlib.crc32 of the ASCII string expression, as a
+    list_reduce lambda over the polynomial byte table — SINGLE source
+    of truth for every crc32-based oracle (q25, q34)."""
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        table.append(c)
+    tlist = "[" + ",".join(map(str, table)) + "]::BIGINT[]"
+    return (
+        f"xor(list_reduce(list_prepend(4294967295::BIGINT, "
+        f"list_transform(generate_series(1, length({strexpr})), "
+        f"i -> unicode(substr({strexpr}, i, 1))::BIGINT)), "
+        f"(crc, b) -> xor(crc >> 8, ({tlist})[(xor(crc & 255, b) & 255) + 1])"
+        f"), 4294967295)"
+    )
+
+
+def _splitmix64_sql(h0_expr: str) -> str:
+    """SQL expression: splitmix64 finalizer over a mod-2^64 HUGEINT
+    value named by ``h0_expr`` — SINGLE source of truth for every
+    splitmix-based oracle (q26, q30, q40). The multiplies are split
+    hi/lo so no intermediate exceeds HUGEINT."""
+    two64 = 1 << 64
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
+                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
+
+    sm1 = f"(({h0_expr} + {C0}::HUGEINT) % {two64}::HUGEINT)"
+    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
+    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
+    return f"xor({sm3}, {sm3} >> 31)"
+
+
+_HORNER_SQL = (
+    "list_reduce(list_prepend(0::HUGEINT, "
+    "list_transform(generate_series(1, length({s})), "
+    "i -> unicode(substr({s}, i, 1))::HUGEINT)), "
+    "(h, c) -> (h * 1099511628211::HUGEINT + c) % 18446744073709551616::HUGEINT)"
+)
+
+
 def _q25_sql() -> str:
     """Full SQL reconstruction of the MinHash-LSH dedup (q25): crc32
     shingle hashing via a list_reduce lambda over the byte table, the
@@ -897,13 +943,6 @@ def _q25_sql() -> str:
         _PERM_B,
     )
 
-    crc_table = []
-    for i in range(256):
-        c = i
-        for _ in range(8):
-            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
-        crc_table.append(c)
-    tlist = "[" + ",".join(map(str, crc_table)) + "]::BIGINT[]"
     perm_rows = ", ".join(
         f"({j + 1}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
         for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
@@ -919,12 +958,7 @@ shingles as (
   union all
   select doc_id, text as s from dw where len(w) < 3),
 sh as (
-  select distinct doc_id,
-    xor(list_reduce(
-      list_prepend(4294967295::BIGINT,
-        list_transform(generate_series(1, length(s)), i -> unicode(substr(s, i, 1))::BIGINT)),
-      (crc, b) -> xor(crc >> 8, ({tlist})[(xor(crc & 255, b) & 255) + 1])
-    ), 4294967295)::HUGEINT as x
+  select distinct doc_id, ({_crc32_sql("s")})::HUGEINT as x
   from shingles),
 perms(j, a, b) as (values {perm_rows}),
 sigv as (
@@ -971,33 +1005,15 @@ def _q26_sql() -> str:
     b dropped when some a < b has Hamming distance ≤ 3 (any such pair
     shares ≥1 of the four 16-bit LSH chunks by pigeonhole, so the
     all-pairs Hamming join finds exactly the engine's verified set)."""
-    two64 = 1 << 64
-    B = 1099511628211
-    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(x: str, c: int) -> str:
-        # (x * c) mod 2^64 without overflowing HUGEINT
-        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
-                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
-
-    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
-    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
-    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
     return f"""
 with words as (
   select doc_id, unnest(regexp_extract_all(text, '\\S+')) as word
   from documents),
 h0s as (
-  select doc_id,
-    list_reduce(
-      list_prepend(0::HUGEINT,
-        list_transform(generate_series(1, length(word)),
-                       i -> unicode(substr(word, i, 1))::HUGEINT)),
-      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
-    ) as h0
+  select doc_id, {_HORNER_SQL.format(s="word")} as h0
   from words),
 hs as (
-  select doc_id, xor({sm3}, {sm3} >> 31) as h from h0s),
+  select doc_id, {_splitmix64_sql("h0")} as h from h0s),
 bits as (
   select doc_id, b,
     case when sum(case when (h >> b) & 1 = 1 then 1 else -1 end) > 0
@@ -1328,29 +1344,12 @@ def q30_multimodal_decode(sf_dir: str):
 
 
 def _q30_sql() -> str:
-    two64 = 1 << 64
-    B = 1099511628211
-    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(x: str, c: int) -> str:
-        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
-                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
-
-    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
-    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
-    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
     return f"""
 with h0s as (
-  select doc_id, text,
-    list_reduce(
-      list_prepend(0::HUGEINT,
-        list_transform(generate_series(1, length(text)),
-                       i -> unicode(substr(text, i, 1))::HUGEINT)),
-      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
-    ) as h0
+  select doc_id, text, {_HORNER_SQL.format(s="text")} as h0
   from documents),
 hs as (
-  select doc_id, text, xor({sm3}, {sm3} >> 31) as h from h0s),
+  select doc_id, text, {_splitmix64_sql("h0")} as h from h0s),
 chars as (
   select doc_id, unicode(substr(text, i, 1)) >> 4 as bucket
   from (select doc_id, text, unnest(generate_series(1, length(text))) as i
@@ -1447,7 +1446,9 @@ def q33_chunk_docs(sf_dir: str):
 _Q33_SQL = """
 select doc_id, i as chunk_id,
   substring(text, cast(i * 150 + 1 as int), 200) as chunk_text
-from documents cross join (select unnest(range(0, 16)) as i) s
+-- 256 covers documents up to ~38k chars (test corpora max < 10k);
+-- raise alongside the chunker if the corpus grows
+from documents cross join (select unnest(range(0, 256)) as i) s
 where i = 0
    or (length(text) > 200
        and i <= cast(ceil((length(text) - 50) / 150.0) as int) - 1)
@@ -1492,25 +1493,13 @@ def q34_chunk_embed(sf_dir: str):
 
 
 def _q34_sql() -> str:
-    crc_table = []
-    for i in range(256):
-        c = i
-        for _ in range(8):
-            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
-        crc_table.append(c)
-    tlist = "[" + ",".join(map(str, crc_table)) + "]::BIGINT[]"
     return f"""
 with chunks as ({_Q33_SQL}),
 words as (
   select doc_id, chunk_id, unnest(regexp_extract_all(chunk_text, '\\S+')) as word
   from chunks),
 hashed as (
-  select doc_id, chunk_id,
-    xor(list_reduce(
-      list_prepend(4294967295::BIGINT,
-        list_transform(generate_series(1, length(word)), i -> unicode(substr(word, i, 1))::BIGINT)),
-      (crc, b) -> xor(crc >> 8, ({tlist})[(xor(crc & 255, b) & 255) + 1])
-    ), 4294967295) as h
+  select doc_id, chunk_id, {_crc32_sql("word")} as h
   from words),
 deltas as (
   select doc_id, chunk_id, h % 32 as bucket,
@@ -1578,18 +1567,21 @@ from events
 
 # --------------------------------------------------------------------- q36
 
-def q36_store_pit_retrieval(sf_dir: str):
-    """PIT retrieval through the full Store surface (feature refs →
-    as-of + TTL join onto a deterministic entity frame) — the
-    get_historical_features entry point (feature_store.py:1942-2142)
-    checked against DuckDB's ASOF JOIN."""
-    import tempfile
+def _pit_store_query(sf_dir: str, name: str, broadcast_threshold_bytes=None):
+    """Shared body of q36/q49: PIT retrieval through the full Store
+    surface onto a deterministic entity frame. ``q49`` forces the
+    broadcast gate to 0 so the view streams through the distributed
+    co-partitioned as-of path. The registry dir is a FIXED per-query
+    path cleared on entry (mkdtemp leaked a directory per run)."""
+    import shutil
     from datetime import timedelta
 
     from feast_ray.store import Store
     from feast_ray.views import Entity, TableSource, View
 
-    store = Store(tempfile.mkdtemp(prefix="fr_q36_"), sf_dir)
+    repo = f"/tmp/feast_ray_cache/pit_{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(repo, ignore_errors=True)
+    store = Store(repo, sf_dir, broadcast_threshold_bytes=broadcast_threshold_bytes)
     store.apply(
         [
             View(
@@ -1613,6 +1605,14 @@ def q36_store_pit_retrieval(sf_dir: str):
     return _us(out.map_batches(
         lambda df: df[["user_id", "event_timestamp", "value"]], batch_format="pandas"
     ))
+
+
+def q36_store_pit_retrieval(sf_dir: str):
+    """PIT retrieval through the full Store surface (feature refs →
+    as-of + TTL join onto a deterministic entity frame) — the
+    get_historical_features entry point (feature_store.py:1942-2142)
+    checked against DuckDB's ASOF JOIN."""
+    return _pit_store_query(sf_dir, "q36")
 
 
 _Q36_SQL = """
@@ -1638,38 +1638,7 @@ def q49_store_pit_distributed(sf_dir: str):
     (ray_shared_utils.py:468-550 semantics) instead of a driver
     broadcast — the reference's #2 entry point at its scale
     configuration, under the value gate."""
-    import tempfile
-    from datetime import timedelta
-
-    from feast_ray.store import Store
-    from feast_ray.views import Entity, TableSource, View
-
-    store = Store(
-        tempfile.mkdtemp(prefix="fr_q49_"), sf_dir, broadcast_threshold_bytes=0
-    )
-    store.apply(
-        [
-            View(
-                name="user_values",
-                source=TableSource(name="events", table="events", timestamp_field="ts"),
-                entities=[Entity("user", "user_id")],
-                ttl=timedelta(days=2),
-                features=["value"],
-            )
-        ]
-    )
-    stamps = pd.to_datetime(["2024-01-10", "2024-01-20", "2024-01-28"])
-    entity_df = pd.DataFrame(
-        [
-            {"user_id": u, "event_timestamp": t}
-            for u in range(10)
-            for t in stamps
-        ]
-    )
-    out = store.get_historical_features(entity_df, ["user_values:value"])
-    return _us(out.map_batches(
-        lambda df: df[["user_id", "event_timestamp", "value"]], batch_format="pandas"
-    ))
+    return _pit_store_query(sf_dir, "q49", broadcast_threshold_bytes=0)
 
 
 _Q49_SQL = _Q36_SQL
@@ -1757,31 +1726,15 @@ def _q40_sql() -> str:
     from feast_ray.functions.sketches import _ALPHA, HLL_M, HLL_P
 
     two64 = 1 << 64
-    B = 1099511628211
-    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(x: str, c: int) -> str:
-        return (f"((((({x}) >> 32) * {c}::HUGEINT) % {two64}::HUGEINT * 4294967296::HUGEINT"
-                f" + (({x}) & 4294967295::HUGEINT) * {c}::HUGEINT) % {two64}::HUGEINT)")
-
-    sm1 = f"((h0 + {C0}::HUGEINT) % {two64}::HUGEINT)"
-    sm2 = mulmod(f"xor({sm1}, {sm1} >> 30)", C1)
-    sm3 = mulmod(f"xor({sm2}, {sm2} >> 27)", C2)
     maxrank = 64 - HLL_P + 1
     return f"""
 with vals as (
   select distinct event_type, cast(user_id as varchar) as v from events),
 h0s as (
-  select event_type, v,
-    list_reduce(
-      list_prepend(0::HUGEINT,
-        list_transform(generate_series(1, length(v)),
-                       i -> unicode(substr(v, i, 1))::HUGEINT)),
-      (h, c) -> (h * {B}::HUGEINT + c) % {two64}::HUGEINT
-    ) as h0
+  select event_type, v, {_HORNER_SQL.format(s="v")} as h0
   from vals),
 hs as (
-  select event_type, xor({sm3}, {sm3} >> 31) as h from h0s),
+  select event_type, {_splitmix64_sql("h0")} as h from h0s),
 ranks as (
   select event_type, (h >> {64 - HLL_P}) as bucket,
     case when (h << {HLL_P}) % {two64}::HUGEINT = 0 then {maxrank}
@@ -1909,13 +1862,23 @@ def q44_delta_events(sf_dir: str):
 
     from feast_ray.sources.delta import read_delta, write_delta
 
+    import shutil
+
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"/tmp/feast_ray_cache/delta_events_{base}"
-    marker = os.path.join(path, "_delta_log", f"{0:020d}.json")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, "events.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    marker = os.path.join(path, "_source_fingerprint.txt")
+    if not (os.path.exists(marker) and open(marker).read() == fingerprint):
+        # regenerated source invalidates the cached Delta copy (else
+        # the oracle reads the new parquet while q44 reads the old)
+        shutil.rmtree(path, ignore_errors=True)
         import pyarrow.parquet as _pq
 
-        write_delta(_pq.read_table(os.path.join(sf_dir, "events.parquet")), path)
+        write_delta(_pq.read_table(src), path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
     ds = read_delta(path, columns=["event_id", "user_id", "ts", "event_type", "value"])
     return _us(ds.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase"))

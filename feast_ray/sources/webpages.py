@@ -163,13 +163,22 @@ def webpages_parquet_dir(
 ) -> str:
     """Materialize the synthetic pages as a parquet directory (cached),
     so benchmarks exercise the real ``read_parquet`` path."""
+    import shutil
+
     base = os.path.basename(os.path.normpath(sf_dir))
     suffix = f"_x{replicate}" if replicate != 1 else ""
     out = os.path.join(cache_root, f"webpages_{base}{suffix}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    # fingerprint ties the cache to the source content; the rmtree
+    # guards against an interrupted earlier build leaving partial
+    # files next to the new ones (duplicated corpus rows)
+    fingerprint = f"{os.path.abspath(sf_dir)}|{st.st_size}|{int(st.st_mtime)}|{replicate}"
+    if not (os.path.exists(marker) and open(marker).read() == fingerprint):
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         synth_webpages(sf_dir, replicate=replicate).write_parquet(out)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return out

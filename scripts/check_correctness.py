@@ -36,11 +36,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+        elif str(df[c].dtype).startswith(("int", "uint", "Int", "UInt")):
             df[c] = df[c].astype("int64")
-        elif str(df[c].dtype).startswith("float"):
+        elif str(df[c].dtype).startswith(("float", "Float")):
             df[c] = df[c].astype("float64")
-        elif str(df[c].dtype) == "bool":
+        elif str(df[c].dtype) in ("bool", "boolean"):
             df[c] = df[c].astype(bool)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
