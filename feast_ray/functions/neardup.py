@@ -496,7 +496,15 @@ def simhash_dups(
 ) -> ray.data.Dataset:
     """Ids to drop under SimHash near-dup (Hamming ≤ max_hamming).
     LSH: bucket by each of the four 16-bit chunks — any pair within
-    Hamming ≤ 3 collides in ≥ 1 chunk (pigeonhole); verify exactly."""
+    Hamming ≤ 3 collides in ≥ 1 chunk (pigeonhole); verify exactly.
+    ``max_hamming`` > 3 would silently MISS pairs whose differing bits
+    span all four chunks, so it is rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_dups guarantees candidate recall only for "
+            "max_hamming <= 3 (4-chunk pigeonhole); use more/narrower "
+            "LSH chunks for larger radii"
+        )
     hashed = ds.map_batches(SimHasher(text_col=text_col), batch_format="pyarrow")
 
     def _explode(tbl: pa.Table) -> pa.Table:

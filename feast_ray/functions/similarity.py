@@ -453,6 +453,10 @@ def cosine_neardup_pairs_lsh(
     rng = np.random.RandomState(seed)
 
     def _vb(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {id_col: tbl[id_col], "__vb": pa.array([], pa.binary())}
+            )
         mat = _normalize(_batch_matrix(tbl, vec_col))
         return pa.table(
             {id_col: tbl[id_col],

@@ -30,9 +30,16 @@ def import_class(path: str, expected_base: type | None = None) -> Any:
         obj = getattr(mod, attr)
     except AttributeError as e:
         raise ImportError(f"{mod_name!r} has no attribute {attr!r}") from e
-    if expected_base is not None and isinstance(obj, type):
-        if not issubclass(obj, expected_base):
-            raise TypeError(f"{path!r} is not a subclass of {expected_base.__name__}")
+    if expected_base is not None:
+        if isinstance(obj, type):
+            if not issubclass(obj, expected_base):
+                raise TypeError(
+                    f"{path!r} is not a subclass of {expected_base.__name__}"
+                )
+        elif not isinstance(obj, expected_base):
+            raise TypeError(
+                f"{path!r} is not an instance of {expected_base.__name__}"
+            )
     return obj
 
 

@@ -81,9 +81,11 @@ def _make_partial_fn(keys: list[str], specs: list[AggSpec]):
     sq_specs = [i for i, s in enumerate(specs) if s.fn in ("std", "var")]
 
     def _partial(tbl: pa.Table) -> "pa.Table | pd.DataFrame":
-        # Arrow in/out; pandas used internally for the grouped partial
-        if len(tbl) == 0:
-            return tbl
+        # Arrow in/out; pandas used internally for the grouped partial.
+        # Empty blocks flow through the SAME path (pandas groupby on an
+        # empty frame yields an empty partial with the partial schema)
+        # — returning the raw input table emitted schema-inconsistent
+        # blocks into the merge shuffle
         df = tbl.to_pandas()
         if sq_specs:
             df = df.copy()
@@ -187,10 +189,19 @@ def grouped_agg(
         result = bucketed_group_reduce(partial, gkeys, _merge_bucket)
 
     for spec in cd_specs:
+        import pyarrow.compute as _pc
+
         from feast_ray.stages.relational import distinct
 
         dcols = (keys if keys else []) + [spec.col]
-        dist = distinct(ds.select_columns(dcols), dcols)
+        # COUNT(DISTINCT) ignores NULL values (pandas nunique / SQL
+        # semantics) — drop null-VALUED rows before the distinct
+        # (null group KEYS stay; dropna=False downstream keeps them)
+        nonnull = ds.select_columns(dcols).map_batches(
+            lambda t, c=spec.col: t.filter(_pc.is_valid(t[c])),
+            batch_format="pyarrow",
+        )
+        dist = distinct(nonnull, dcols)
         if not keys:
             cnt = dist.map_batches(
                 lambda t: t.append_column(_GLOBAL_KEY, [np.zeros(len(t), dtype=np.int8)]),
@@ -219,10 +230,20 @@ def grouped_agg(
         if result is None:
             result = cd
         else:
-            from feast_ray.stages.join import broadcast_join
+            import ray as _ray
 
-            # aggregate outputs are small — broadcast-merge them
-            result = broadcast_join(result, cd, on=gkeys, how="left")
+            # aggregate outputs are small — broadcast-merge them.
+            # pandas merge (NOT the Arrow join): Arrow never matches
+            # null join keys, which dropped the count for a null
+            # group key that both sides had computed
+            cd_df = cd.to_pandas()
+            _ref = _ray.put(cd_df)
+            result = result.map_batches(
+                lambda df, r=_ref, k=tuple(gkeys): df.merge(
+                    _ray.get(r), on=list(k), how="left"
+                ),
+                batch_format="pandas",
+            )
 
     assert result is not None, "no agg specs given"
     if not keys:

@@ -276,7 +276,12 @@ def keep_latest_sketch(
         idx = np.searchsorted(keys_arr, kh)
         idx = np.clip(idx, 0, len(keys_arr) - 1)
         is_dup = keys_arr[idx] == kh
-        keep = ~is_dup | (ts == max_arr[idx])
+        keymax = max_arr[idx]
+        # a duplicate key whose timestamps are ALL null has max=NaT;
+        # NaT == NaT is False, which silently deleted the whole key —
+        # keep such rows instead (the idempotent last-write-wins sink
+        # collapses them; losing data is never acceptable)
+        keep = ~is_dup | (ts == keymax) | pd.isna(keymax)
         return tbl.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")

@@ -68,6 +68,10 @@ class MicroBatchProcessor:
             df = self.preprocess_fn(df)
         ts = self.view.timestamp_field
         keys = self.view.join_keys
+        # FULL post-udf frame goes to the offline log (PIT retrieval
+        # recomputes over it — intra-batch history must survive);
+        # latest-per-key applies to the ONLINE push only
+        df_full = df.reset_index(drop=True)
         if keys and ts:
             df = (
                 df.sort_values([*keys, ts], ascending=[True] * len(keys) + [False],
@@ -76,12 +80,14 @@ class MicroBatchProcessor:
                 .reset_index(drop=True)
             )
         df = df.copy()
-        df["created"] = pd.Timestamp(datetime.now(timezone.utc)).tz_localize(None)
-        # the (event_ts, created_ts) last-write-wins tie-break applies
-        # ONLINE too when the view declares a created column — keep it
-        # in the pushed frame then (round-1 dropped it uncondit., which
-        # crashed upsert's order_by for such views)
-        if self.view.created_timestamp_column == "created":
+        # stamp the view's DECLARED created column (any name — a
+        # hardcoded "created" crashed upsert's order_by for views
+        # declaring e.g. "created_at"); undeclared views get a
+        # "created" audit column in the offline log only
+        cc = self.view.created_timestamp_column
+        stamp = pd.Timestamp(datetime.now(timezone.utc)).tz_localize(None)
+        df[cc or "created"] = stamp
+        if cc:
             self.store.push(self.view.name, df)
         else:
             self.store.push(self.view.name, df.drop(columns=["created"]))
@@ -96,8 +102,10 @@ class MicroBatchProcessor:
             fname = f"batch_{offset}.parquet"
         else:
             fname = f"batch_adhoc_{len(os.listdir(self.offline_log_dir))}.parquet"
+        log_df = df_full.copy()
+        log_df[cc or "created"] = stamp
         pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False),
+            pa.Table.from_pandas(log_df, preserve_index=False),
             os.path.join(self.offline_log_dir, fname),
         )
         if offset is not None:

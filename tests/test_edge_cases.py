@@ -93,3 +93,63 @@ def test_single_row_pipeline(sf_small):
     out = quality_filter(pages).to_pandas()
     assert len(out) == 1
     assert out["keep"].iloc[0]
+
+
+def test_count_distinct_ignores_nulls(ray_session):
+    """COUNT(DISTINCT) must ignore null VALUES and keep null group
+    KEYS mergeable (code-review wave-5 findings)."""
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, None, None],
+            "v": [None, "a", "b", "a", "a"],
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = (
+        grouped_agg(
+            ray.data.from_pandas(df), ["g"],
+            [AggSpec("x", "sum", "sx"), AggSpec("v", "count_distinct", "cd")],
+        )
+        .to_pandas()
+    )
+    row1 = out[out["g"] == 1].iloc[0]
+    assert row1["cd"] == 2  # null value not counted
+    rownull = out[out["g"].isna()].iloc[0]
+    assert rownull["cd"] == 1  # null group key still merged
+    assert rownull["sx"] == 9.0
+
+
+def test_sketch_dedup_all_null_ts_key_not_lost(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.dedup import keep_latest_sketch
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": pd.to_datetime([None, None, "2024-01-01"]),
+        }
+    )
+    out = keep_latest_sketch(
+        ray.data.from_pandas(df), "k", "ts"
+    ).to_pandas()
+    assert "a" in set(out["k"])  # key with all-null ts must survive
+    assert "b" in set(out["k"])
+
+
+def test_simhash_max_hamming_guard(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from feast_ray.functions.neardup import simhash_dups
+
+    ds = ray.data.from_pandas(pd.DataFrame({"id": [1], "text": ["x y z"]}))
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_dups(ds, "id", "text", max_hamming=4)
