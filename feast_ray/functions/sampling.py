@@ -30,17 +30,58 @@ def sample_by_hash(
     the same key always lands on the same side — reruns, resumed jobs
     and train/held-out splits stay consistent across processes and
     cluster sizes (no RNG state). ``salt`` derives independent splits
-    from the same keys."""
+    from the same keys. The digest is Horner+splitmix64 (the engine's
+    SQL-reconstructable hash), so sampling decisions themselves are
+    oracle-checkable (q50)."""
     import numpy as np
+
+    from feast_ray.functions.neardup import word_hashes64
 
     # clamp: frac=1.0 (keep everything) would round to 2^64, which
     # overflows uint64 (code-review r2 finding)
     threshold = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
 
     def _filter(tbl: pa.Table) -> pa.Table:
-        s = tbl.column(key).to_pandas().astype(str) + salt
-        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        vals = [str(v) + salt for v in tbl.column(key).to_pylist()]
+        h = word_hashes64(vals)
         return tbl.filter(pa.array(h < threshold))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group: str,
+    fracs: "dict[str, float]",
+    key: str,
+    *,
+    default_frac: float = 0.0,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Per-group deterministic sampling — the training-mix primitive
+    ("keep 100% of books, 10% of common-crawl"): a row survives iff
+    ``digest(key+salt) < frac[group] * 2^64``. Same determinism
+    properties as :func:`sample_by_hash`; groups absent from ``fracs``
+    get ``default_frac``."""
+    import numpy as np
+    import ray as _ray
+
+    from feast_ray.functions.neardup import word_hashes64
+
+    thresholds = {
+        g: np.uint64(min(int(f * float(2**64 - 1)), 2**64 - 1))
+        for g, f in fracs.items()
+    }
+    tdefault = np.uint64(min(int(default_frac * float(2**64 - 1)), 2**64 - 1))
+    ref = _ray.put(thresholds)
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        th = _ray.get(ref)
+        vals = [str(v) + salt for v in tbl.column(key).to_pylist()]
+        h = word_hashes64(vals)
+        groups = tbl.column(group).to_pylist()
+        lim = np.array([th.get(g, tdefault) for g in groups], dtype=np.uint64)
+        return tbl.filter(pa.array(h < lim))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

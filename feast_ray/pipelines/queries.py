@@ -2042,7 +2042,45 @@ from dw left join hits h on dw.doc_id = h.doc_id
 """
 
 
+# --------------------------------------------------------------------- q50
+
+_Q50_FRACS = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+
+
+def q50_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (the training-mix primitive:
+    per-group keep fractions) — decision-level oracle: the digest is
+    the engine's SQL-reconstructable Horner+splitmix64, so DuckDB
+    recomputes the EXACT survivor set, not just proportions."""
+    from feast_ray.functions.sampling import stratified_sample
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    return stratified_sample(
+        ev, "event_type", _Q50_FRACS, "event_id", default_frac=0.25
+    )
+
+
+def _q50_sql() -> str:
+    def th(f: float) -> int:
+        return min(int(f * float(2**64 - 1)), 2**64 - 1)
+
+    cases = " ".join(
+        f"when '{g}' then {th(f)}::HUGEINT" for g, f in _Q50_FRACS.items()
+    )
+    return f"""
+with h0s as (
+  select event_id, event_type, user_id,
+    {_HORNER_SQL.format(s="cast(event_id as varchar)")} as h0
+  from events),
+hs as (
+  select event_id, event_type, user_id, {_splitmix64_sql("h0")} as h from h0s)
+select event_id, event_type, user_id from hs
+where h < case event_type {cases} else {th(0.25)}::HUGEINT end
+"""
+
+
 # ----------------------------------------------------------------- registry
+
 
 
 
@@ -2096,6 +2134,7 @@ QUERIES = {
     "q47_interval_join_attribution": q47_interval_join_attribution,
     "q48_decontaminate_docs": q48_decontaminate_docs,
     "q49_store_pit_distributed": q49_store_pit_distributed,
+    "q50_stratified_sample": q50_stratified_sample,
 }
 
 
@@ -2149,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_interval_join_attribution": _Q47_SQL,
         "q48_decontaminate_docs": _q48_sql(),
         "q49_store_pit_distributed": _Q49_SQL,
+        "q50_stratified_sample": _q50_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

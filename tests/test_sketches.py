@@ -110,3 +110,24 @@ def test_sample_by_hash_deterministic_and_proportional(sf_small):
     # nested fractions: a 0.1 sample is a subset of the 0.3 sample
     d = sample_by_hash(ev, "event_id", 0.1).to_pandas()
     assert set(d["event_id"]) <= set(a["event_id"])
+
+
+def test_stratified_sample(sf_small):
+    from feast_ray.functions.sampling import stratified_sample
+    from feast_ray.sources import read_table
+
+    ev = read_table(sf_small, "events", columns=["event_id", "event_type"])
+    fr = {"click": 1.0, "view": 0.0}
+    out = stratified_sample(ev, "event_type", fr, "event_id",
+                            default_frac=0.5).to_pandas()
+    full = ev.to_pandas()
+    n_click = (full.event_type == "click").sum()
+    assert (out.event_type == "click").sum() == n_click  # 100% kept
+    assert (out.event_type == "view").sum() == 0          # 0% kept
+    others = full[~full.event_type.isin(["click", "view"])]
+    got_others = (~out.event_type.isin(["click", "view"])).sum()
+    assert abs(got_others / max(len(others), 1) - 0.5) < 0.1
+    # deterministic
+    out2 = stratified_sample(ev, "event_type", fr, "event_id",
+                             default_frac=0.5).to_pandas()
+    assert sorted(out.event_id) == sorted(out2.event_id)
