@@ -165,6 +165,7 @@ def minhash_candidate_pairs(
     threshold: float = 0.8,
     k: int = 3,
     driver_verify_max: int = 2_000_000,
+    star_threshold: int = 16,
 ) -> ray.data.Dataset:
     """Verified near-duplicate pairs ``(id_a < id_b, est_jaccard)``.
 
@@ -219,8 +220,9 @@ def minhash_candidate_pairs(
         doc group — measured: an all-pairs run over a corpus of
         60-variant clusters emitted 141M candidate rows) while the
         star keeps the drop semantics (everything similar to the
-        representative drops) at O(cluster)."""
-        star_threshold = 16
+        representative drops) at O(cluster). Callers that need the
+        FULL all-pairs edge set (e.g. exact connected components)
+        pass a large ``star_threshold``."""
         sizes = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("size")
         multi = g[sizes > 1]
         ia, ib = [], []

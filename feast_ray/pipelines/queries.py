@@ -923,20 +923,13 @@ _HORNER_SQL = (
 )
 
 
-def _q25_sql() -> str:
-    """Full SQL reconstruction of the MinHash-LSH dedup (q25): crc32
-    shingle hashing via a list_reduce lambda over the byte table, the
-    64 permutations' uint64-wrapping (a*x+b) mod M minima as a flat
-    cross join + grouped min, LSH candidacy as exact band-chunk
-    equality (pigeonhole: any pair with est-Jaccard ≥ 0.8 — ≤12/64
-    unequal positions — shares ≥4 fully-equal 4-row bands, so the
-    equality join finds every pair the engine's banded bucket hash
-    finds and verification discards the rest identically), and the
-    engine's keep-min-id drop rule. Generated from the SAME permutation
-    constants as the engine (single source of truth)."""
+def _minhash_common_ctes() -> str:
+    """Shared CTE chain (dw → shingles → sh → perms → sigv → sigs →
+    bandchunks) for every MinHash oracle (q25 dedup, q51 components) —
+    SINGLE source of truth, generated from the engine's own
+    permutation constants. Returned without the leading WITH."""
     from feast_ray.functions.neardup import (
         BANDS,
-        NUM_PERM,
         ROWS_PER_BAND,
         _MERSENNE,
         _PERM_A,
@@ -948,8 +941,7 @@ def _q25_sql() -> str:
         for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     )
     two64 = 1 << 64
-    return f"""
-with dw as (
+    return f"""dw as (
   select doc_id, text, regexp_extract_all(text, '\\S+') as w from documents),
 shingles as (
   select doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] as s
@@ -972,7 +964,24 @@ sigs as (
 bandchunks as (
   select doc_id, bb.b,
     sig[bb.b * {ROWS_PER_BAND} + 1 : (bb.b + 1) * {ROWS_PER_BAND}] as chunk
-  from sigs cross join (select unnest(generate_series(0, {BANDS - 1})) as b) bb),
+  from sigs cross join (select unnest(generate_series(0, {BANDS - 1})) as b) bb)"""
+
+
+def _q25_sql() -> str:
+    """Full SQL reconstruction of the MinHash-LSH dedup (q25): crc32
+    shingle hashing via a list_reduce lambda over the byte table, the
+    64 permutations' uint64-wrapping (a*x+b) mod M minima as a flat
+    cross join + grouped min, LSH candidacy as exact band-chunk
+    equality (pigeonhole: any pair with est-Jaccard ≥ 0.8 — ≤12/64
+    unequal positions — shares ≥4 fully-equal 4-row bands, so the
+    equality join finds every pair the engine's banded bucket hash
+    finds and verification discards the rest identically), and the
+    engine's keep-min-id drop rule. CTE prefix shared with q51
+    (``_minhash_common_ctes``)."""
+    from feast_ray.functions.neardup import NUM_PERM
+
+    return f"""
+with {_minhash_common_ctes()},
 cand as (
   select distinct a.doc_id as ida, b.doc_id as idb
   from bandchunks a join bandchunks b
@@ -986,6 +995,51 @@ dropped as (
                         i -> a.sig[i] = b.sig[i])) / {NUM_PERM}.0 >= 0.8)
 select d.doc_id from documents d
 where d.doc_id not in (select doc_id from dropped)
+"""
+
+
+def _q51_sql() -> str:
+    """Connected components over the verified MinHash near-dup pair
+    graph (q51): the engine's exact edge set — star-pattern candidacy
+    inside LSH buckets larger than the engine's ``star_threshold`` of
+    16 members, all-pairs below it (``neardup.py _bucket_pairs``),
+    signature-agreement verification at 0.8 — then min-label
+    components via a recursive CTE that only ever propagates SMALLER
+    labels (monotone, so it terminates), grouped to min reachable id
+    per node. Mirrors ``connected_components``' hash-to-min fixpoint."""
+    from feast_ray.functions.neardup import NUM_PERM
+
+    return f"""
+with recursive {_minhash_common_ctes()},
+bstats as (
+  select b, chunk, count(*) as n, min(doc_id) as mn
+  from bandchunks group by b, chunk having count(*) > 1),
+cand as (
+  select distinct a.doc_id as ida, b.doc_id as idb
+  from bandchunks a
+  join bandchunks b on a.b = b.b and a.chunk = b.chunk and a.doc_id < b.doc_id
+  join bstats s on s.b = a.b and s.chunk = a.chunk
+  where s.n <= 16
+  union
+  select distinct s.mn as ida, c.doc_id as idb
+  from bstats s join bandchunks c on c.b = s.b and c.chunk = s.chunk
+  where s.n > 16 and c.doc_id > s.mn),
+vp as (
+  select c.ida, c.idb
+  from cand c
+  join sigs a on a.doc_id = c.ida
+  join sigs b on b.doc_id = c.idb
+  where len(list_filter(generate_series(1, {NUM_PERM}),
+                        i -> a.sig[i] = b.sig[i])) / {NUM_PERM}.0 >= 0.8),
+nodes as (select ida as node from vp union select idb as node from vp),
+edges as (select ida as a, idb as b from vp union select idb as a, ida as b from vp),
+cc as (
+  select node, node as comp from nodes
+  union
+  select e.b as node, cc.comp
+  from cc join edges e on e.a = cc.node
+  where cc.comp < e.b)
+select node as doc_id, min(comp) as component from cc group by node
 """
 
 
@@ -2079,6 +2133,23 @@ where h < case event_type {cases} else {th(0.25)}::HUGEINT end
 """
 
 
+# --------------------------------------------------------------------- q51
+
+
+def q51_minhash_components(sf_dir: str):
+    """Near-dup CLUSTER labels: MinHash-LSH verified pairs → min-label
+    connected components — the fuzzy-dedup clustering primitive
+    (cluster-size stats, keep-one-per-cluster policies). Exact parity
+    with the q51 oracle's recursive-CTE fixpoint."""
+    from feast_ray.functions.components import minhash_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_components(docs, "doc_id", "text", threshold=0.8)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "component"]), batch_format="pyarrow"
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2135,6 +2206,7 @@ QUERIES = {
     "q48_decontaminate_docs": q48_decontaminate_docs,
     "q49_store_pit_distributed": q49_store_pit_distributed,
     "q50_stratified_sample": q50_stratified_sample,
+    "q51_minhash_components": q51_minhash_components,
 }
 
 
@@ -2189,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_decontaminate_docs": _q48_sql(),
         "q49_store_pit_distributed": _Q49_SQL,
         "q50_stratified_sample": _q50_sql(),
+        "q51_minhash_components": _q51_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
