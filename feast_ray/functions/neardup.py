@@ -55,7 +55,9 @@ def exact_dedup(
     def _combine(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         df = df.sort_values(id_col, kind="stable").drop_duplicates("content_hash", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
+        return pa.Table.from_pandas(
+            df, preserve_index=False, schema=tbl.schema
+        ).replace_schema_metadata(None)
 
     pre = hashed.map_batches(_combine, batch_format="pyarrow")
     bucketed = pre.map_batches(
@@ -516,12 +518,10 @@ def simhash_dups(
         out_sh = np.repeat(sh, 4)
         chunks = np.tile(np.arange(4, dtype=np.int64), len(tbl))
         chunk_vals = ((out_sh >> (chunks.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int64)
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {id_col: out_ids, "chunk": chunks, "chunk_val": chunk_vals,
-                 "simhash": out_sh.astype(np.int64)}
-            ),
-            preserve_index=False,
+        return pa.table(
+            {id_col: pa.array(out_ids), "chunk": pa.array(chunks),
+             "chunk_val": pa.array(chunk_vals),
+             "simhash": pa.array(out_sh.astype(np.int64))}
         )
 
     band_rows = hashed.map_batches(_explode, batch_format="pyarrow")

@@ -83,7 +83,7 @@ def approx_count_distinct(
             kv = kv if isinstance(kv, tuple) else (kv,)
             rows.append((*kv, hll_sketch(grp[col]).tobytes()))
         out = pd.DataFrame(rows, columns=[*keys, "__hll"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     bucketed = partials.map_batches(
@@ -139,7 +139,7 @@ def approx_quantiles(
             sample = _thin(grp[col].to_numpy(dtype=np.float64))
             rows.append((*kv, sample.tobytes(), len(grp)))
         out = pd.DataFrame(rows, columns=[*keys, "__sample", "__n"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     bucketed = partials.map_batches(

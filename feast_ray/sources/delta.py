@@ -182,9 +182,11 @@ def write_delta(data, path: str, *, mode: str = "overwrite") -> int:
     import pandas as pd
 
     if isinstance(data, ray.data.Dataset):
-        tbl = pa.Table.from_pandas(data.to_pandas(), preserve_index=False)
+        tbl = pa.Table.from_pandas(
+            data.to_pandas(), preserve_index=False
+        ).replace_schema_metadata(None)
     elif isinstance(data, pd.DataFrame):
-        tbl = pa.Table.from_pandas(data, preserve_index=False)
+        tbl = pa.Table.from_pandas(data, preserve_index=False).replace_schema_metadata(None)
     else:
         tbl = data
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)

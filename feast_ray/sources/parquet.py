@@ -76,13 +76,19 @@ def read_table(
             ds = ds.select_columns(columns)
     else:
         raise ValueError(f"unsupported source format {fmt!r}")
-    if field_mapping:
-        mapping = dict(field_mapping)
+    mapping = dict(field_mapping) if field_mapping else None
 
-        def _rename(tbl: pa.Table) -> pa.Table:
-            return tbl.rename_columns(
+    def _post(tbl: pa.Table) -> pa.Table:
+        # Strip schema metadata: pandas-written parquet embeds a
+        # b'pandas' metadata dict that makes pa.Schema unhashable, so
+        # every downstream block concat in Ray falls back to the slow
+        # unify-schemas path (transform_pyarrow.py:176-181 "Failed to
+        # hash the schemas"). Zero-copy.
+        tbl = tbl.replace_schema_metadata(None)
+        if mapping:
+            tbl = tbl.rename_columns(
                 [mapping.get(c, c) for c in tbl.column_names]
             )
+        return tbl
 
-        ds = ds.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
-    return ds
+    return ds.map_batches(_post, batch_format="pyarrow", zero_copy_batch=True)

@@ -108,7 +108,7 @@ def _make_partial_fn(keys: list[str], specs: list[AggSpec]):
                     s = g[spec.col].max()
                 out[pname] = s
         res = pd.DataFrame(out).reset_index()
-        return pa.Table.from_pandas(res, preserve_index=False)
+        return pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
     return _partial
 
@@ -218,7 +218,7 @@ def grouped_agg(
             g = df.groupby(gkeys, sort=False, dropna=False)
             return pa.Table.from_pandas(
                 pd.DataFrame({alias: g.size()}).reset_index(), preserve_index=False
-            )
+            ).replace_schema_metadata(None)
 
         def _cd_merge(df: pd.DataFrame, alias=spec.alias) -> pd.DataFrame:
             g = df.groupby(gkeys, sort=False, dropna=False)
@@ -286,7 +286,7 @@ def windowed_agg(
         if n_hops == 1:
             df = df.copy()
             df[window_col] = last_start.astype("datetime64[us]")
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         # row belongs to windows starting at last_start - j*slide, j in [0, n_hops)
         # (window covers [start, start+window)); explode
         idx = np.repeat(np.arange(len(df)), n_hops)
@@ -296,7 +296,7 @@ def windowed_agg(
         )
         out = df.iloc[idx].copy()
         out[window_col] = starts.astype("datetime64[us]")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     exploded = ds.map_batches(_assign, batch_format="pyarrow")
     return grouped_agg(exploded, keys + [window_col], specs)

@@ -38,7 +38,9 @@ def _block_combiner(keys: list[str], order_by: list[str]):
         df = tbl.to_pandas()
         df = df.sort_values(order_by, kind="stable", na_position="first")
         df = df.drop_duplicates(subset=keys, keep="last")
-        return pa.Table.from_pandas(df, preserve_index=False, schema=tbl.schema)
+        return pa.Table.from_pandas(
+            df, preserve_index=False, schema=tbl.schema
+        ).replace_schema_metadata(None)
 
     return _combine
 
@@ -111,7 +113,7 @@ def keep_latest(
     combine = _block_combiner(keys, order_by)
 
     def _per_bucket(df: pd.DataFrame) -> pa.Table:
-        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        tbl = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return combine(tbl).drop_columns([BUCKET_COL])
 
     return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")
@@ -241,7 +243,7 @@ def keep_latest_sketch(
         df = tbl.to_pandas()
         g = df.groupby("__kh", sort=False)
         out = pd.DataFrame({"__cnt": g.size(), "__max": g[event_ts].max()}).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = pairs.map_batches(_partial, batch_format="pyarrow")
 

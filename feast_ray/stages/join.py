@@ -67,10 +67,12 @@ def _to_arrow(obj) -> pa.Table:
     if isinstance(obj, pa.Table):
         return obj
     if isinstance(obj, pd.DataFrame):
-        return pa.Table.from_pandas(obj, preserve_index=False)
+        return pa.Table.from_pandas(obj, preserve_index=False).replace_schema_metadata(None)
     if isinstance(obj, ray.data.Dataset):
         # only for small sides — this materializes
-        return pa.Table.from_pandas(obj.to_pandas(), preserve_index=False)
+        return pa.Table.from_pandas(
+            obj.to_pandas(), preserve_index=False
+        ).replace_schema_metadata(None)
     raise TypeError(type(obj))
 
 
@@ -230,7 +232,7 @@ def asof_join(
                 if col in out.columns:
                     out.loc[late, col] = None
             out = out.drop(columns=[cutoff_col])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return left.map_batches(_asof, batch_format="pyarrow")
 
@@ -319,7 +321,7 @@ def copartitioned_asof_join(
                 suffixes=("", right_suffix),
             )
         return cast_to_schema(
-            pa.Table.from_pandas(out, preserve_index=False), out_schema
+            pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None), out_schema
         )
 
     return both.groupby(by).map_groups(_per_key, batch_format="pandas")
@@ -689,7 +691,7 @@ def interval_join(
         for c in rcols:
             lpart[c] = rpart[c].to_numpy()
         return cast_to_schema(
-            pa.Table.from_pandas(lpart, preserve_index=False), out_schema
+            pa.Table.from_pandas(lpart, preserve_index=False).replace_schema_metadata(None), out_schema
         )
 
     return left.map_batches(_join, batch_format="pyarrow")

@@ -105,7 +105,7 @@ class MicroBatchProcessor:
         log_df = df_full.copy()
         log_df[cc or "created"] = stamp
         pq.write_table(
-            pa.Table.from_pandas(log_df, preserve_index=False),
+            pa.Table.from_pandas(log_df, preserve_index=False).replace_schema_metadata(None),
             os.path.join(self.offline_log_dir, fname),
         )
         if offset is not None:
