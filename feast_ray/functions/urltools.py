@@ -1,0 +1,86 @@
+"""URL canonicalization — the standard web-dedup preprocessing step.
+
+Two pages that differ only in tracking parameters, host case, a
+default port, a fragment, or query-parameter order are the same
+resource; URL-keyed dedup (``keep_latest`` on ``url``) under-merges
+without canonicalizing first. Reference analog: none (Feast has no
+URL ops) — this belongs to the web-text operator surface the engine
+adds (SURVEY.md §2 extension, same tier as langid/scrub).
+
+Canonical form (deterministic, SQL-reproducible — the q52 oracle
+recomputes it in DuckDB):
+
+1. drop the fragment (everything from the first ``#``);
+2. lowercase the scheme and the host (never the path/query);
+3. drop a default port (``:80`` for http, ``:443`` for https);
+4. split the query (after the first ``?``) on ``&``, drop tracking
+   parameters (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``,
+   ``mc_cid``, ``mc_eid``), sort the survivors bytewise, rejoin;
+   drop the ``?`` when nothing survives.
+
+Vectorized end to end: pandas C-backed ``.str`` regex kernels for
+1-3, split→explode→mask→sort→groupby-join for the parameter step —
+no per-row Python in the batch path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+TRACKING_PARAM_RE = r"^(?:utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
+
+_SCHEME_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
+
+
+def canonicalize_url_series(s: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of a string Series (see module
+    docstring for the exact rules)."""
+    s = s.astype("string").fillna("").reset_index(drop=True)
+    # 1. fragment off
+    s = s.str.partition("#")[0]
+    # 2-3. scheme/host lowercase + default-port drop
+    parts = s.str.extract(_SCHEME_HOST_RE)
+    scheme, host, rest = (
+        parts[0].str.lower(),
+        parts[1].str.lower(),
+        parts[2].fillna(""),
+    )
+    host = host.mask(scheme == "http", host.str.replace(r":80$", "", regex=True))
+    host = host.mask(scheme == "https", host.str.replace(r":443$", "", regex=True))
+    rebuilt = (scheme + "://" + host + rest).where(parts[0].notna(), s)
+    # 4. query parameters
+    split = rebuilt.str.partition("?")
+    base, qmark, query = split[0], split[1], split[2]
+    out = base.copy()
+    qidx = query.index[qmark == "?"]
+    if len(qidx):
+        exploded = query.loc[qidx].str.split("&").explode()
+        exploded = exploded[
+            ~exploded.str.contains(TRACKING_PARAM_RE, regex=True, na=False)
+        ]
+        ef = exploded.rename("p").reset_index()
+        ef = ef.sort_values(["index", "p"], kind="stable")
+        joined = ef.groupby("index", sort=False)["p"].agg("&".join)
+        joined = joined[joined.str.len() > 0]
+        out.loc[joined.index] = base.loc[joined.index] + "?" + joined
+    return out
+
+
+def canonicalize_urls(
+    ds: ray.data.Dataset, url_col: str = "url", out_col: str | None = None
+) -> ray.data.Dataset:
+    """Add (or replace) the canonical-URL column on a Dataset."""
+    out = out_col or url_col
+
+    def _canon(tbl: pa.Table) -> pa.Table:
+        vals = pa.array(
+            canonicalize_url_series(tbl[url_col].to_pandas()).astype(object),
+            pa.string(),
+        )
+        if out in tbl.column_names:
+            return tbl.set_column(tbl.schema.get_field_index(out), out, vals)
+        return tbl.append_column(out, vals)
+
+    return ds.map_batches(_canon, batch_format="pyarrow")

@@ -2150,6 +2150,108 @@ def q51_minhash_components(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------- q52
+
+
+def q52_canonical_urls(sf_dir: str):
+    """URL canonicalization over a deterministically decorated URL per
+    event (mixed-case host/scheme, default ports, tracking params,
+    unsorted query, fragments — every rule exercised by construction).
+    The oracle rebuilds the same raw URL and canonical form in SQL."""
+    import pandas as pd
+
+    from feast_ray.functions.urltools import canonicalize_urls
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def _decorate(tbl: pa.Table) -> pa.Table:
+        i = pd.Series(tbl["event_id"].to_numpy(zero_copy_only=False))
+        host = pd.Series(
+            pd.NA, index=i.index, dtype="string"
+        ).fillna("ExAmple.COM")
+        port = pd.Series("", index=i.index, dtype="string")
+        port[i % 3 == 0] = ":80"
+        scheme = pd.Series("HtTp", index=i.index, dtype="string")
+        scheme[i % 5 == 0] = "HTTPS"
+        port[(i % 5 == 0) & (i % 3 == 0)] = ":443"
+        q = pd.Series("", index=i.index, dtype="string")
+        m = i % 2 == 0
+        q[m] = "?utm_source=feed&b=" + (i[m] % 7).astype(str) + "&a=1"
+        frag = pd.Series("", index=i.index, dtype="string")
+        f = i % 4 == 0
+        frag[f] = "#sec" + (i[f] % 5).astype(str)
+        raw = (
+            scheme + "://" + host + port + "/p/" + i.astype(str) + q + frag
+        )
+        return pa.table(
+            {"event_id": tbl["event_id"], "url": pa.array(raw.astype(object), pa.string())}
+        )
+
+    decorated = ev.map_batches(_decorate, batch_format="pyarrow")
+    return canonicalize_urls(decorated, "url", out_col="url_canon")
+
+
+def _q52_sql() -> str:
+    """SQL mirror of q52: identical raw-URL decoration, then the
+    canonicalization rules of ``functions/urltools.py`` (fragment off,
+    lowercase scheme/host, default-port drop, tracking-param filter +
+    bytewise param sort) in DuckDB string/list kernels."""
+    from feast_ray.functions.urltools import TRACKING_PARAM_RE
+
+    track = TRACKING_PARAM_RE.replace("'", "''")
+    return f"""
+with raw as (
+  select event_id,
+    (case when event_id % 5 = 0 then 'HTTPS' else 'HtTp' end)
+    || '://ExAmple.COM'
+    || (case when event_id % 3 = 0 then
+          (case when event_id % 5 = 0 then ':443' else ':80' end)
+        else '' end)
+    || '/p/' || event_id
+    || (case when event_id % 2 = 0
+        then '?utm_source=feed&b=' || (event_id % 7) || '&a=1' else '' end)
+    || (case when event_id % 4 = 0 then '#sec' || (event_id % 5) else '' end)
+    as url
+  from events),
+nofrag as (
+  select event_id, url, regexp_extract(url, '^[^#]*') as u from raw),
+sh as (
+  select event_id, url, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) as scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) as host,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') as rest,
+    regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\-]*://') as has_scheme
+  from nofrag),
+reb as (
+  select event_id, url,
+    case when not has_scheme then u
+         else scheme || '://' ||
+           (case when scheme = 'http' then regexp_replace(host, ':80$', '')
+                 when scheme = 'https' then regexp_replace(host, ':443$', '')
+                 else host end) || rest end as r
+  from sh),
+qs as (
+  select event_id, url,
+    case when position('?' in r) > 0
+         then substr(r, 1, position('?' in r) - 1) else r end as base,
+    case when position('?' in r) > 0
+         then substr(r, position('?' in r) + 1) else null end as q
+  from reb),
+canon as (
+  select event_id, url,
+    case when q is null then base else
+      (case when len(list_filter(string_split(q, '&'),
+                                 p -> not regexp_matches(p, '{track}'))) = 0
+            then base
+            else base || '?' ||
+              list_aggregate(list_sort(list_filter(string_split(q, '&'),
+                p -> not regexp_matches(p, '{track}'))), 'string_agg', '&')
+       end) end as url_canon
+  from qs)
+select event_id, url, url_canon from canon
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2207,6 +2309,7 @@ QUERIES = {
     "q49_store_pit_distributed": q49_store_pit_distributed,
     "q50_stratified_sample": q50_stratified_sample,
     "q51_minhash_components": q51_minhash_components,
+    "q52_canonical_urls": q52_canonical_urls,
 }
 
 
@@ -2262,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_store_pit_distributed": _Q49_SQL,
         "q50_stratified_sample": _q50_sql(),
         "q51_minhash_components": _q51_sql(),
+        "q52_canonical_urls": _q52_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -1,0 +1,46 @@
+"""URL canonicalization rules."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from feast_ray.functions.urltools import canonicalize_url_series, canonicalize_urls
+
+
+def test_canonicalize_rules():
+    cases = {
+        "HtTp://ExAmple.COM:80/Path/Q?utm_source=x&b=2&a=1#frag":
+            "http://example.com/Path/Q?a=1&b=2",
+        "https://Example.com:443/a?b=2&utm_campaign=z": "https://example.com/a?b=2",
+        "https://example.com/a?utm_source=x": "https://example.com/a",
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        "ftp://Other.Host:80/x": "ftp://other.host:80/x",
+        "no-scheme/path?z=1&a=2": "no-scheme/path?a=2&z=1",
+        "https://h.com/p?a=1&a=0": "https://h.com/p?a=0&a=1",
+        "": "",
+        "https://h.com/p#only-frag": "https://h.com/p",
+        "https://h.com/p?": "https://h.com/p",
+        "https://h.com/p?gclid=123&x=1": "https://h.com/p?x=1",
+    }
+    got = canonicalize_url_series(pd.Series(list(cases)))
+    for raw, want, g in zip(cases, cases.values(), got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
+def test_canonicalize_path_case_preserved():
+    # only scheme+host are case-folded, never path or query values
+    s = canonicalize_url_series(pd.Series(["https://H.com/CaseD/Path?Key=Val"]))
+    assert s[0] == "https://h.com/CaseD/Path?Key=Val"
+
+
+def test_canonicalize_dataset_replaces_and_appends():
+    ds = ray.data.from_arrow(
+        pa.table({"url": ["HTTP://A.com:80/x?utm_source=1&b=2"], "k": [1]})
+    )
+    rep = canonicalize_urls(ds, "url").take_batch(1, batch_format="pyarrow")
+    assert rep["url"][0].as_py() == "http://a.com/x?b=2"
+    app = canonicalize_urls(ds, "url", out_col="url_canon").take_batch(
+        1, batch_format="pyarrow"
+    )
+    assert app["url"][0].as_py().startswith("HTTP://")
+    assert app["url_canon"][0].as_py() == "http://a.com/x?b=2"
