@@ -2252,6 +2252,67 @@ select event_id, url, url_canon from canon
 """
 
 
+# --------------------------------------------------------------------- q53
+
+
+def q53_line_dedup(sf_dir: str):
+    """CCNet-style line-level boilerplate removal: each doc is
+    decorated with deterministic boilerplate lines (a global nav bar,
+    a per-source section header, a per-(doc_id%17) footer) and
+    ``line_dedup`` must strip exactly the lines shared by ≥2 docs
+    while preserving the unique body and line order."""
+    import pandas as pd
+
+    from feast_ray.functions.linedup import line_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _decorate(tbl: pa.Table) -> pa.Table:
+        i = pd.Series(tbl["doc_id"].to_numpy(zero_copy_only=False))
+        src = tbl["source"].to_pandas().astype("string")
+        body = tbl["text"].to_pandas().astype("string")
+        page = (
+            "Home | About | Contact\n"
+            + "Section: " + src + "\n"
+            + body + "\n"
+            + "doc footer " + (i % 17).astype(str)
+        )
+        return pa.table(
+            {"doc_id": tbl["doc_id"],
+             "page": pa.array(page.astype(object), pa.string())}
+        )
+
+    decorated = docs.map_batches(_decorate, batch_format="pyarrow")
+    out = line_dedup(decorated, "doc_id", "page", min_docs=2, out_col="text_clean")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_clean"]), batch_format="pyarrow"
+    )
+
+
+_Q53_SQL = """
+with decorated as (
+  select doc_id,
+    'Home | About | Contact' || chr(10) ||
+    'Section: ' || source || chr(10) ||
+    text || chr(10) ||
+    'doc footer ' || (doc_id % 17) as page
+  from documents),
+ls as (select doc_id, string_split(page, chr(10)) as l from decorated),
+lines as (
+  select doc_id, unnest(generate_series(1, len(l))) as i, l from ls),
+lines2 as (select doc_id, i, l[i] as line from lines),
+common as (
+  select line from lines2 group by line having count(distinct doc_id) >= 2),
+kept as (
+  select doc_id, i, line from lines2 where line not in (select line from common)),
+agg as (
+  select doc_id, string_agg(line, chr(10) order by i) as text_clean
+  from kept group by doc_id)
+select d.doc_id, coalesce(a.text_clean, '') as text_clean
+from decorated d left join agg a on a.doc_id = d.doc_id
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2310,6 +2371,7 @@ QUERIES = {
     "q50_stratified_sample": q50_stratified_sample,
     "q51_minhash_components": q51_minhash_components,
     "q52_canonical_urls": q52_canonical_urls,
+    "q53_line_dedup": q53_line_dedup,
 }
 
 
@@ -2366,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_stratified_sample": _q50_sql(),
         "q51_minhash_components": _q51_sql(),
         "q52_canonical_urls": _q52_sql(),
+        "q53_line_dedup": _Q53_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
