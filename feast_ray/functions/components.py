@@ -200,3 +200,67 @@ def minhash_components(
     return connected_components(
         pairs, "id_a", "id_b", out_node=id_col, out_comp=out_comp
     )
+
+
+def keep_best_per_cluster(
+    ds: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    id_col: str,
+    score_col: str,
+    *,
+    higher_is_better: bool = True,
+    comp_col: str = "component",
+) -> ray.data.Dataset:
+    """Cluster-aware dedup policy: keep ONE doc per near-dup cluster —
+    the best-scoring one (tie-break: min id) — instead of blindly
+    keeping the min id. ``labels`` is a (id, component) labeling as
+    produced by :func:`minhash_components`; docs absent from it are
+    singletons and survive untouched.
+
+    The labeling and the member scores are bounded by the DUPLICATE
+    count, not the corpus (same bound as minhash_dedup's drop set), so
+    both are gathered to the driver for the argmax and the drop set is
+    applied as a broadcast anti-join (``semi_join(anti=True)``, which
+    itself falls back to a distributed marker join above its size
+    gate)."""
+    from feast_ray.stages.join import semi_join
+
+    lab_df = labels.to_pandas()
+    if len(lab_df) == 0:
+        return ds
+    member_scores = semi_join(
+        ds.select_columns([id_col, score_col]), labels.select_columns([id_col]),
+        on=id_col,
+    ).to_pandas()
+    merged = member_scores.merge(lab_df[[id_col, comp_col]], on=id_col)
+    merged = merged.sort_values(
+        [comp_col, score_col, id_col],
+        ascending=[True, not higher_is_better, True],
+        kind="stable",
+    )
+    best = merged.drop_duplicates(comp_col, keep="first")[id_col]
+    drops = merged.loc[~merged[id_col].isin(best), [id_col]]
+    return semi_join(ds, pa.Table.from_pandas(drops, preserve_index=False),
+                     on=id_col, anti=True)
+
+
+def minhash_dedup_best(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    threshold: float = 0.8,
+    k: int = 3,
+    *,
+    higher_is_better: bool = True,
+    star_threshold: int = 16,
+) -> ray.data.Dataset:
+    """MinHash near-dup dedup keeping the BEST doc per cluster (by
+    ``score_col``; tie-break min id) — the production keep policy
+    (plain ``minhash_dedup`` keeps the min id)."""
+    labels = minhash_components(
+        ds, id_col, text_col, threshold, k, star_threshold=star_threshold
+    )
+    return keep_best_per_cluster(
+        ds, labels, id_col, score_col, higher_is_better=higher_is_better
+    )

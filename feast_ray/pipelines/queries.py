@@ -1007,10 +1007,19 @@ def _q51_sql() -> str:
     components via a recursive CTE that only ever propagates SMALLER
     labels (monotone, so it terminates), grouped to min reachable id
     per node. Mirrors ``connected_components``' hash-to-min fixpoint."""
+    return f"""
+with recursive {_minhash_components_ctes()}
+select node as doc_id, min(comp) as component from cc group by node
+"""
+
+
+def _minhash_components_ctes() -> str:
+    """CTE chain through the recursive components fixpoint (``cc``) —
+    shared by the q51 labeling oracle and the q54 best-per-cluster
+    dedup oracle. Returned without the leading WITH RECURSIVE."""
     from feast_ray.functions.neardup import NUM_PERM
 
-    return f"""
-with recursive {_minhash_common_ctes()},
+    return f"""{_minhash_common_ctes()},
 bstats as (
   select b, chunk, count(*) as n, min(doc_id) as mn
   from bandchunks group by b, chunk having count(*) > 1),
@@ -1038,9 +1047,7 @@ cc as (
   union
   select e.b as node, cc.comp
   from cc join edges e on e.a = cc.node
-  where cc.comp < e.b)
-select node as doc_id, min(comp) as component from cc group by node
-"""
+  where cc.comp < e.b)"""
 
 
 def q26_simhash_dups_docs(sf_dir: str):
@@ -2313,6 +2320,55 @@ from decorated d left join agg a on a.doc_id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------- q54
+
+
+def q54_minhash_dedup_best(sf_dir: str):
+    """Cluster-aware fuzzy dedup: MinHash components (q51's exact
+    clustering), then keep the BEST member of each near-dup cluster by
+    score — here character count, tie-break min doc_id — instead of
+    the blind keep-min-id rule (q25). The production keep policy for
+    training corpora (keep the longest / highest-quality variant)."""
+    import pyarrow.compute as pc
+
+    from feast_ray.functions.components import minhash_dedup_best
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = docs.map_batches(
+        lambda t: t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = minhash_dedup_best(
+        scored, "doc_id", "text", score_col="n_chars", threshold=0.8
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+def _q54_sql() -> str:
+    """q54 oracle: q51's recursive-components CTE chain, then the
+    keep-best rule as a window argmax (n_chars desc, doc_id asc) per
+    component; docs outside every component survive untouched."""
+    return f"""
+with recursive {_minhash_components_ctes()},
+labels as (select node as doc_id, min(comp) as component from cc group by node),
+scored as (
+  select l.doc_id, l.component, length(d.text) as n_chars
+  from labels l join documents d using (doc_id)),
+ranked as (
+  select doc_id,
+    row_number() over (partition by component
+                       order by n_chars desc, doc_id asc) as rn
+  from scored),
+drops as (select doc_id from ranked where rn > 1)
+select d.doc_id, length(d.text) as n_chars from documents d
+where d.doc_id not in (select doc_id from drops)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2372,6 +2428,7 @@ QUERIES = {
     "q51_minhash_components": q51_minhash_components,
     "q52_canonical_urls": q52_canonical_urls,
     "q53_line_dedup": q53_line_dedup,
+    "q54_minhash_dedup_best": q54_minhash_dedup_best,
 }
 
 
@@ -2429,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "q51_minhash_components": _q51_sql(),
         "q52_canonical_urls": _q52_sql(),
         "q53_line_dedup": _Q53_SQL,
+        "q54_minhash_dedup_best": _q54_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

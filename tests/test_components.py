@@ -118,3 +118,43 @@ def test_minhash_components_planted_clusters():
     assert 300 not in got and 301 not in got
     # the two families never merge
     assert not (set(got.values()) & {100}) or 100 not in {got[d] for d in fam_b}
+
+
+def test_minhash_dedup_best_keeps_highest_score():
+    """Cluster-aware keep policy: the SURVIVOR of each near-dup family
+    is the best-scoring member (longest text here), not the min id —
+    and singletons are untouched."""
+    from feast_ray.functions.components import minhash_dedup_best
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 8
+    base_b = "pack my box with five dozen liquor jugs for the long voyage " * 8
+    rows = [
+        (100, base_a + "t0", 1.0),
+        (101, base_a + "t1", 9.0),  # best of family a, NOT the min id
+        (102, base_a + "t2", 2.0),
+        (200, base_b + "s0", 3.0),
+        (201, base_b + "s1", 7.0),  # best of family b
+        (300, "completely unrelated tiny text about volcanoes", 0.1),
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "quality": [r[2] for r in rows],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = minhash_dedup_best(
+        ds, "doc_id", "text", score_col="quality", threshold=0.7
+    ).to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [101, 201, 300]
+
+
+def test_keep_best_per_cluster_empty_labels_is_noop():
+    from feast_ray.functions.components import keep_best_per_cluster
+
+    df = pd.DataFrame({"doc_id": [1, 2], "n_chars": [5, 9]})
+    ds = ray.data.from_pandas(df)
+    labels = ray.data.from_pandas(pd.DataFrame({"doc_id": [], "component": []}))
+    out = keep_best_per_cluster(ds, labels, "doc_id", "n_chars").to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [1, 2]
