@@ -2369,6 +2369,32 @@ where d.doc_id not in (select doc_id from drops)
 """
 
 
+# --------------------------------------------------------------------- q55
+
+
+def q55_host_quota(sf_dir: str):
+    """Per-source quota (the Common-Crawl "max N pages per host"
+    crawl-balancing rule): keep the 10 longest docs per source,
+    tie-break min doc_id — `group_limit` with per-block pre-limit +
+    bucketed grouped rank filter."""
+    from feast_ray.stages import group_limit
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return group_limit(
+        docs, "source", 10, ["n_chars", "doc_id"], ascending=[False, True]
+    )
+
+
+_Q55_SQL = """
+with ranked as (
+  select doc_id, source, n_chars,
+    row_number() over (partition by source
+                       order by n_chars desc, doc_id asc) as rn
+  from documents)
+select doc_id, source, n_chars from ranked where rn <= 10
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2429,6 +2455,7 @@ QUERIES = {
     "q52_canonical_urls": q52_canonical_urls,
     "q53_line_dedup": q53_line_dedup,
     "q54_minhash_dedup_best": q54_minhash_dedup_best,
+    "q55_host_quota": q55_host_quota,
 }
 
 
@@ -2487,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "q52_canonical_urls": _q52_sql(),
         "q53_line_dedup": _Q53_SQL,
         "q54_minhash_dedup_best": _q54_sql(),
+        "q55_host_quota": _Q55_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -11,7 +11,13 @@ from feast_ray.stages.join import (
     interval_join,
     semi_join,
 )
-from feast_ray.stages.relational import distinct, top_frequencies, topk, union_align
+from feast_ray.stages.relational import (
+    distinct,
+    group_limit,
+    top_frequencies,
+    topk,
+    union_align,
+)
 from feast_ray.stages.validate import validate_stage
 
 __all__ = [
@@ -35,6 +41,7 @@ __all__ = [
     "semi_join",
     "distinct",
     "topk",
+    "group_limit",
     "top_frequencies",
     "union_align",
     "validate_stage",

@@ -124,3 +124,51 @@ def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
     for other in aligned[1:]:
         out = out.union(other)
     return out
+
+
+def group_limit(
+    ds: ray.data.Dataset,
+    group_cols: list[str] | str,
+    n: int,
+    order_by: list[str] | str,
+    ascending: bool | list[bool] = True,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group quota: keep at most ``n`` rows of each group, ranked
+    by ``order_by`` — the Common-Crawl-style "max N pages per host"
+    crawl-balancing rule (and generally ranked-quota sampling per
+    domain / source / language). Deterministic iff ``order_by`` is a
+    total order within every group (add an id tie-break).
+
+    Scale design: the top-n of a union is the top-n of per-part
+    top-ns, so each BLOCK is pre-limited to ≤ n rows per group before
+    any data moves; the wide step is the bucketed grouped rank filter
+    (hash(group) % num_buckets shuffle, ONE vectorized sort + cumcount
+    per bucket — never a Python call per group). Partitioning
+    assumption: n × (groups in one bucket) rows fit in a worker's
+    heap; scale ``num_buckets`` with group cardinality.
+    """
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    asc = (
+        [ascending] * len(order_by) if isinstance(ascending, bool) else list(ascending)
+    )
+    sort_cols = group_cols + order_by
+    sort_asc = [True] * len(group_cols) + asc
+
+    def _limit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+        return df[df.groupby(group_cols, sort=False).cumcount() < n]
+
+    def _block_limit(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        return pa.Table.from_pandas(
+            _limit(tbl.to_pandas()), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    pre = ds.map_batches(_block_limit, batch_format="pyarrow")
+    return bucketed_group_reduce(pre, group_cols, _limit, num_buckets=num_buckets)

@@ -6,6 +6,7 @@ from datetime import timedelta
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 from feast_ray.sources import read_table
 from feast_ray.stages import (
@@ -608,3 +609,38 @@ def test_hash_join_salt_factor_exceeds_buckets():
         on="k", num_buckets=4, hot_keys=[42], salt_factor=8,
     ).to_pandas()
     assert len(out) == 9
+
+
+def test_group_limit_matches_pandas_rank():
+    import numpy as np
+
+    from feast_ray.stages import group_limit
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, 400),
+            "id": np.arange(400),
+            "score": rng.integers(0, 50, 400),
+        }
+    )
+    # many blocks so per-block pre-limit + bucketed merge both exercise
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        group_limit(ds, "g", 5, ["score", "id"], ascending=[False, True])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["g", "score", "id"], ascending=[True, False, True])
+    ref = ref[ref.groupby("g", sort=False).cumcount() < 5]
+    ref = ref.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["g", "id", "score"]], ref[["g", "id", "score"]])
+
+
+def test_group_limit_quota_not_hit_is_noop():
+    from feast_ray.stages import group_limit
+
+    df = pd.DataFrame({"g": [1, 1, 2], "id": [1, 2, 3]})
+    out = group_limit(ray.data.from_pandas(df), "g", 10, "id").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]
