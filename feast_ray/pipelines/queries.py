@@ -2395,6 +2395,45 @@ select doc_id, source, n_chars from ranked where rn <= 10
 """
 
 
+# --------------------------------------------------------------------- q56
+
+
+def q56_pack_sequences(sf_dir: str):
+    """Concat-and-chop sequence packing: per-source doc streams in
+    doc_id order, whitespace token counts, 2048-token context windows
+    — every doc tagged with the window its first token falls into and
+    the in-window offset (zero padding by construction)."""
+    from feast_ray.functions.packing import pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_tokens",
+            pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        ).drop_columns(["text"])
+
+    toks = docs.map_batches(_toks, batch_format="pyarrow")
+    return pack_sequences(toks, "source", "doc_id", "n_tokens", budget=2048)
+
+
+_Q56_SQL = r"""
+with toks as (
+  select doc_id, source,
+    cast(len(regexp_extract_all(text, '\S+')) as bigint) as n_tokens
+  from documents),
+pre as (
+  select doc_id, source, n_tokens,
+    coalesce(sum(n_tokens) over (partition by source order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as prefix
+  from toks)
+select doc_id, source, n_tokens,
+  cast(prefix // 2048 as bigint) as bin_id,
+  cast(prefix % 2048 as bigint) as bin_offset
+from pre
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2456,6 +2495,7 @@ QUERIES = {
     "q53_line_dedup": q53_line_dedup,
     "q54_minhash_dedup_best": q54_minhash_dedup_best,
     "q55_host_quota": q55_host_quota,
+    "q56_pack_sequences": q56_pack_sequences,
 }
 
 
@@ -2515,6 +2555,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_line_dedup": _Q53_SQL,
         "q54_minhash_dedup_best": _q54_sql(),
         "q55_host_quota": _Q55_SQL,
+        "q56_pack_sequences": _Q56_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

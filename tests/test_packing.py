@@ -1,0 +1,43 @@
+"""Sequence packing (concat-and-chop context-window assignment)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from feast_ray.functions.packing import pack_sequences
+
+
+def test_pack_sequences_matches_prefix_reference():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "src": rng.integers(0, 4, 300).astype(str),
+            "doc_id": np.arange(300),
+            "n_tokens": rng.integers(1, 900, 300),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        pack_sequences(ds, "src", "doc_id", "n_tokens", budget=1000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["src", "doc_id"]).copy()
+    prefix = ref.groupby("src")["n_tokens"].cumsum() - ref["n_tokens"]
+    ref["bin_id"] = prefix // 1000
+    ref["bin_offset"] = prefix % 1000
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    for c in ["bin_id", "bin_offset"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # windows are gap-free per stream: bin ids are contiguous from 0
+    for src, g in out.groupby("src"):
+        bins = sorted(g["bin_id"].unique())
+        assert bins == list(range(len(bins)))
+
+
+def test_pack_sequences_rejects_bad_budget():
+    ds = ray.data.from_pandas(pd.DataFrame({"s": ["a"], "i": [1], "t": [5]}))
+    with pytest.raises(ValueError):
+        pack_sequences(ds, "s", "i", "t", budget=0)
