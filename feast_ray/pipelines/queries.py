@@ -2434,6 +2434,40 @@ from pre
 """
 
 
+# --------------------------------------------------------------------- q57
+
+
+def q57_normalize_text(sf_dir: str):
+    """Unicode canonicalization (pre-dedup normalize): docs decorated
+    with combining sequences / case / tab+space runs so every rule
+    fires, then NFC + lower + whitespace-collapse + trim — all Arrow
+    kernels, byte-checked against DuckDB's normalize chain."""
+    from feast_ray.functions.textnorm import normalize_text
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _decorate(t: pa.Table) -> pa.Table:
+        dec = pc.binary_join_element_wise(
+            pa.array(["Cafe\u0301  HEADER\t"] * len(t), pa.string()),
+            t["text"],
+            "",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", dec)
+
+    decorated = docs.map_batches(_decorate, batch_format="pyarrow")
+    return normalize_text(decorated, "text", "text_norm")
+
+
+_Q57_SQL = r"""
+select doc_id,
+  'Cafe' || chr(769) || '  HEADER' || chr(9) || text as text,
+  trim(regexp_replace(lower(nfc_normalize(
+    'Cafe' || chr(769) || '  HEADER' || chr(9) || text)), '\s+', ' ', 'g'))
+    as text_norm
+from documents
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2496,6 +2530,7 @@ QUERIES = {
     "q54_minhash_dedup_best": q54_minhash_dedup_best,
     "q55_host_quota": q55_host_quota,
     "q56_pack_sequences": q56_pack_sequences,
+    "q57_normalize_text": q57_normalize_text,
 }
 
 
@@ -2556,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_minhash_dedup_best": _q54_sql(),
         "q55_host_quota": _Q55_SQL,
         "q56_pack_sequences": _Q56_SQL,
+        "q57_normalize_text": _Q57_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
