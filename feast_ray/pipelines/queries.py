@@ -2468,6 +2468,30 @@ from documents
 """
 
 
+# --------------------------------------------------------------------- q58
+
+
+def q58_top_trigrams(sf_dir: str):
+    """Corpus-wide top-20 word trigrams: in-block explode + pre-count,
+    bucketed gram-hash merge, block-local top-k — the explode never
+    crosses a block boundary unreduced."""
+    from feast_ray.functions.ngrams import ngram_top
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return ngram_top(docs, "text", n=3, k=20)
+
+
+_Q58_SQL = r"""
+with dw as (select doc_id, regexp_extract_all(text, '\S+') as w from documents),
+grams as (
+  select w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] as gram
+  from (select w, unnest(generate_series(1, len(w) - 2)) as i
+        from dw where len(w) >= 3)),
+counts as (select gram, count(*) as n from grams group by gram)
+select gram, n from counts order by n desc, gram asc limit 20
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2531,6 +2555,7 @@ QUERIES = {
     "q55_host_quota": q55_host_quota,
     "q56_pack_sequences": q56_pack_sequences,
     "q57_normalize_text": q57_normalize_text,
+    "q58_top_trigrams": q58_top_trigrams,
 }
 
 
@@ -2592,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_host_quota": _Q55_SQL,
         "q56_pack_sequences": _Q56_SQL,
         "q57_normalize_text": _Q57_SQL,
+        "q58_top_trigrams": _Q58_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
