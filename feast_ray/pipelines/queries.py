@@ -2492,6 +2492,43 @@ select gram, n from counts order by n desc, gram asc limit 20
 """
 
 
+# --------------------------------------------------------------------- q59
+
+
+def q59_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 keywords by tf-idf: thin df shuffle + vocab
+    broadcast + in-block scoring (a doc's tf never crosses blocks).
+    Integer output columns (tf, df) keep the hash engine-stable; the
+    float score only orders, with libm ln on both sides."""
+    from feast_ray.functions.tfidf import tfidf_top_terms
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+_Q59_SQL = r"""
+with toks0 as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tf as (
+  select doc_id, term, cast(count(*) as bigint) as tf
+  from toks0 group by doc_id, term),
+dfc as (
+  select term, cast(count(distinct doc_id) as bigint) as df
+  from toks0 group by term),
+scored as (
+  select tf.doc_id, tf.term, tf.tf, dfc.df,
+    tf.tf * ln((select count(*) from documents) / dfc.df) as score
+  from tf join dfc using (term)),
+ranked as (
+  select doc_id, term, tf, df,
+    row_number() over (partition by doc_id
+                       order by score desc, term asc) as rn
+  from scored)
+select doc_id, term, tf, df from ranked where rn <= 3
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2556,6 +2593,7 @@ QUERIES = {
     "q56_pack_sequences": q56_pack_sequences,
     "q57_normalize_text": q57_normalize_text,
     "q58_top_trigrams": q58_top_trigrams,
+    "q59_tfidf_top_terms": q59_tfidf_top_terms,
 }
 
 
@@ -2618,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_pack_sequences": _Q56_SQL,
         "q57_normalize_text": _Q57_SQL,
         "q58_top_trigrams": _Q58_SQL,
+        "q59_tfidf_top_terms": _Q59_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
