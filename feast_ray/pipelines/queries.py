@@ -657,12 +657,54 @@ select doc_id, text from (
 
 # --------------------------------------------------------------------- q20
 
+def _pii_decorate(t: pa.Table) -> pa.Table:
+    """Deterministic PII injection (doc_id-keyed) so every scrubber
+    pattern FIRES by construction — the raw synthetic documents contain
+    no @/digit-run text, which would make q20/q60's oracles vacuous.
+    Mirrored exactly by ``_PII_DECOR_SQL``."""
+    import pandas as pd
+
+    i = pd.Series(t["doc_id"].to_numpy(zero_copy_only=False))
+    txt = t["text"].to_pandas().astype(object)
+    suffix = pd.Series([""] * len(i), index=i.index, dtype=object)
+    m = i % 3 == 0
+    suffix[m] += " contact user" + i[m].astype(str) + "@example.com"
+    m = i % 5 == 0
+    suffix[m] += " call 555-123-4567"
+    m = i % 7 == 0
+    suffix[m] += " from 10.0." + (i[m] % 256).astype(str) + ".1"
+    m = i % 11 == 0
+    suffix[m] += " ssn 123-45-6789"
+    m = i % 13 == 0
+    suffix[m] += " ref 9" + (100000000 + i[m]).astype(str)
+    out = (txt + suffix).astype(object)
+    return t.set_column(
+        t.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+    )
+
+
+_PII_DECOR_SQL = (
+    "text"
+    " || case when doc_id % 3 = 0 then ' contact user' || doc_id ||"
+    " '@example.com' else '' end"
+    " || case when doc_id % 5 = 0 then ' call 555-123-4567' else '' end"
+    " || case when doc_id % 7 = 0 then ' from 10.0.' || (doc_id % 256) ||"
+    " '.1' else '' end"
+    " || case when doc_id % 11 = 0 then ' ssn 123-45-6789' else '' end"
+    " || case when doc_id % 13 = 0 then ' ref 9' || (100000000 + doc_id)"
+    " else '' end"
+)
+
+
 def q20_pii_scrub_docs(sf_dir: str):
-    """Regex PII scrub; the oracle applies the identical RE2 patterns in
-    the identical order via nested regexp_replace."""
+    """Regex PII scrub over PII-decorated docs (every pattern fires by
+    construction — raw synthetic docs have no PII-shaped text); the
+    oracle applies the identical RE2 patterns in the identical order
+    via nested regexp_replace on the identically decorated input."""
     from feast_ray.functions.scrub import Scrubber
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.map_batches(_pii_decorate, batch_format="pyarrow")
     return docs.map_batches(
         Scrubber,
         fn_constructor_kwargs={"text_col": "text", "out_col": "text_scrubbed", "include_toxic": False},
@@ -674,7 +716,7 @@ def q20_pii_scrub_docs(sf_dir: str):
 def _q20_sql() -> str:
     from feast_ray.functions.scrub import PII_PATTERNS
 
-    expr = "text"
+    expr = f"({_PII_DECOR_SQL})"
     for _, pat, repl in PII_PATTERNS:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
@@ -2529,6 +2571,61 @@ select doc_id, term, tf, df from ranked where rn <= 3
 """
 
 
+# --------------------------------------------------------------------- q60
+
+
+def q60_pii_audit(sf_dir: str):
+    """PII exposure audit per source: match counts and affected-doc
+    counts for every scrubber pattern (the compliance report that
+    precedes a scrub run) — pure RE2 kernels + two-phase agg, single
+    source of truth with scrub.py's PII_PATTERNS. Runs over the
+    PII-decorated corpus (``_pii_decorate``) so every pattern has
+    nonzero, doc_id-determined counts."""
+    from feast_ray.functions.scrub import PII_PATTERNS
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    docs = docs.map_batches(_pii_decorate, batch_format="pyarrow").map_batches(
+        lambda t: t.drop_columns(["doc_id"]), batch_format="pyarrow"
+    )
+
+    def _stats(t: pa.Table) -> pa.Table:
+        cols: dict = {"source": t["source"]}
+        for name, pat, _ in PII_PATTERNS:
+            hits = pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64())
+            cols[f"{name}_hits"] = hits
+            cols[f"{name}_docs"] = pc.cast(pc.greater(hits, 0), pa.int64())
+        return pa.table(cols)
+
+    stats = docs.map_batches(_stats, batch_format="pyarrow")
+    specs = [AggSpec(None, "count", "n_docs")]
+    for name, _, _ in PII_PATTERNS:
+        specs.append(AggSpec(f"{name}_hits", "sum", f"{name}_hits"))
+        specs.append(AggSpec(f"{name}_docs", "sum", f"{name}_docs"))
+    return grouped_agg(stats, ["source"], specs)
+
+
+def _q60_sql() -> str:
+    from feast_ray.functions.scrub import PII_PATTERNS
+
+    parts = []
+    for name, pat, _ in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        parts.append(
+            f"cast(sum(len(regexp_extract_all(text, '{sql_pat}'))) as bigint)"
+            f" as {name}_hits"
+        )
+        parts.append(
+            f"cast(sum(case when regexp_matches(text, '{sql_pat}') then 1"
+            f" else 0 end) as bigint) as {name}_docs"
+        )
+    cols = ",\n  ".join(parts)
+    return f"""
+select source, count(*) as n_docs,
+  {cols}
+from (select source, {_PII_DECOR_SQL} as text from documents) group by source
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2594,6 +2691,7 @@ QUERIES = {
     "q57_normalize_text": q57_normalize_text,
     "q58_top_trigrams": q58_top_trigrams,
     "q59_tfidf_top_terms": q59_tfidf_top_terms,
+    "q60_pii_audit": q60_pii_audit,
 }
 
 
@@ -2657,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "q57_normalize_text": _Q57_SQL,
         "q58_top_trigrams": _Q58_SQL,
         "q59_tfidf_top_terms": _Q59_SQL,
+        "q60_pii_audit": _q60_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
