@@ -131,3 +131,40 @@ def line_dedup(
         return tbl.append_column(out, arr)
 
     return ds.map_batches(_strip, batch_format="pyarrow")
+
+
+def dedup_within_doc(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+) -> ray.data.Dataset:
+    """WITHIN-document repetition removal: drop repeated ``sep``-split
+    segments (paragraphs) of each doc, keeping the FIRST occurrence in
+    order — the Gopher-style intra-doc boilerplate cut, complementary
+    to :func:`line_dedup`'s cross-doc rule. Purely block-local (a doc
+    is one row): explode → stable first-occurrence dedup → ordered
+    rejoin, all inside one ``map_batches`` — streams, no shuffle, no
+    state."""
+
+    def _dedup(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(tbl) == 0:
+            return tbl.append_column(out_col, pa.array([], pa.string()))
+        la = pc.split_pattern(tbl[text_col], sep).combine_chunks()
+        lens = np.diff(la.offsets.to_numpy())
+        df = pd.DataFrame(
+            {
+                "ridx": np.repeat(np.arange(len(tbl)), lens),
+                "para": la.flatten().to_pandas().to_numpy(dtype=object),
+            }
+        )
+        df = df.drop_duplicates(["ridx", "para"], keep="first")
+        joined = df.groupby("ridx", sort=True)["para"].agg(sep.join)
+        out = joined.reindex(np.arange(len(tbl))).fillna("").to_numpy(dtype=object)
+        return tbl.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(_dedup, batch_format="pyarrow")

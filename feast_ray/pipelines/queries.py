@@ -2626,6 +2626,62 @@ from (select source, {_PII_DECOR_SQL} as text from documents) group by source
 """
 
 
+# --------------------------------------------------------------------- q61
+
+
+def q61_paragraph_dedup(sf_dir: str):
+    """WITHIN-doc repetition removal: docs decorated into 4-paragraph
+    pages where paragraph 0 repeats at position 2 (doc_id-determined
+    content), `dedup_within_doc` must drop exactly the repeat and
+    preserve order — complementary to q53's cross-doc line rule."""
+    import pandas as pd
+
+    from feast_ray.functions.linedup import dedup_within_doc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _decorate(t: pa.Table) -> pa.Table:
+        i = pd.Series(t["doc_id"].to_numpy(zero_copy_only=False))
+        intro = "intro " + (i % 7).astype(str)
+        body = t["text"].to_pandas().astype(object)
+        page = (
+            intro + "\n\n" + body + "\n\n" + intro + "\n\ntail " + i.astype(str)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "page": pa.array(page.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    decorated = docs.map_batches(_decorate, batch_format="pyarrow")
+    out = dedup_within_doc(decorated, "doc_id", "page", out_col="text_clean")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_clean"]), batch_format="pyarrow"
+    )
+
+
+_Q61_SQL = """
+with decorated as (
+  select doc_id,
+    'intro ' || (doc_id % 7) || chr(10) || chr(10) ||
+    text || chr(10) || chr(10) ||
+    'intro ' || (doc_id % 7) || chr(10) || chr(10) ||
+    'tail ' || doc_id as page
+  from documents),
+ps as (select doc_id, string_split(page, chr(10) || chr(10)) as p from decorated),
+paras as (
+  select doc_id, unnest(generate_series(1, len(p))) as i, p from ps),
+paras2 as (select doc_id, i, p[i] as para from paras),
+firsts as (
+  select doc_id, min(i) as i, para from paras2 group by doc_id, para),
+agg as (
+  select doc_id, string_agg(para, chr(10) || chr(10) order by i) as text_clean
+  from firsts group by doc_id)
+select doc_id, text_clean from agg
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2692,6 +2748,7 @@ QUERIES = {
     "q58_top_trigrams": q58_top_trigrams,
     "q59_tfidf_top_terms": q59_tfidf_top_terms,
     "q60_pii_audit": q60_pii_audit,
+    "q61_paragraph_dedup": q61_paragraph_dedup,
 }
 
 
@@ -2756,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "q58_top_trigrams": _Q58_SQL,
         "q59_tfidf_top_terms": _Q59_SQL,
         "q60_pii_audit": _q60_sql(),
+        "q61_paragraph_dedup": _Q61_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

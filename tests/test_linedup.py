@@ -1,6 +1,7 @@
 """Line-level dedup (boilerplate removal)."""
 
 import pyarrow as pa
+import pandas as pd
 import ray.data
 
 from feast_ray.functions.linedup import common_line_hashes, line_dedup
@@ -59,3 +60,23 @@ def test_line_dedup_min_docs_threshold_and_out_col():
         ).take_all()
     }
     assert out == {1: "a", 2: "b", 3: "c", 4: "y\nd", 5: "y\ne"}
+
+
+def test_dedup_within_doc_keeps_first_occurrence_in_order():
+    from feast_ray.functions.linedup import dedup_within_doc
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "t": [
+                "a\n\nb\n\na\n\nc",   # repeat of 'a' dropped
+                "x\n\nx\n\nx",        # collapses to one
+            ],
+        }
+    )
+    out = (
+        dedup_within_doc(ray.data.from_pandas(df), "id", "t")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert out["text_clean"].tolist() == ["a\n\nb\n\nc", "x"]
