@@ -2682,6 +2682,85 @@ select doc_id, text_clean from agg
 """
 
 
+# --------------------------------------------------------------------- q62
+
+
+_BLOOM_M, _BLOOM_K = 2048, 4  # deliberately undersized at sf0.01 (load
+# ~0.65, FP ~5%) so the false-positive branch is value-checked, not
+# just the trivially-new path
+
+
+def q62_bloom_incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup via a distributed Bloom filter:
+    "corpus" = docs with doc_id % 3 != 0, "incoming" = all docs; keep
+    incoming rows whose key is not in the corpus filter. Members AND
+    the filter's false positives drop — the oracle reconstructs the
+    hash family (Horner+splitmix64, Kirsch–Mitzenmacher double
+    hashing) in HUGEINT arithmetic, so both branches are exact."""
+    from feast_ray.functions.bloom import bloom_build, bloom_filter_new
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["source"], pc.cast(t["doc_id"], pa.string()), ":"
+        )
+        return t.append_column("k", k)
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+
+    def _corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 3 != 0))
+
+    corpus = keyed.map_batches(_corpus_only, batch_format="pyarrow")
+    bloom = bloom_build(
+        corpus, "k", m_bits=_BLOOM_M, k=_BLOOM_K, num_segments=4
+    )
+    new = bloom_filter_new(keyed, bloom, "k")
+    return new.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+def _q62_sql() -> str:
+    """Bit-exact Bloom membership in SQL: the engine's 64-bit key
+    digest (Horner + splitmix64, HUGEINT mod-2^64), k positions via
+    pos_i = (h mod m + i*((h >> 33)*2 + 1)) mod m, corpus bit-set as a
+    DISTINCT position table, membership = all k probes present."""
+    m, k = _BLOOM_M, _BLOOM_K
+    two64 = 1 << 64
+    horner = _HORNER_SQL.format(s="k")
+    return f"""
+with keyed as (
+  select doc_id, source, source || ':' || doc_id as k from documents),
+ch0 as (
+  select {horner} as h0
+  from (select k from keyed where doc_id % 3 != 0)),
+chs as (
+  select {_splitmix64_sql("h0")} as h from ch0),
+cpos as (
+  select distinct
+    ((h % {m}) + i * (((h >> 33) * 2 + 1) % {two64}::HUGEINT)) % {m} as pos
+  from chs cross join
+    (select unnest(generate_series(0, {k - 1}))::HUGEINT as i)),
+ih0 as (
+  select doc_id, source, {horner} as h0 from keyed),
+ihs as (
+  select doc_id, source, {_splitmix64_sql("h0")} as h from ih0),
+iprobe as (
+  select doc_id, source, i,
+    ((h % {m}) + i * (((h >> 33) * 2 + 1) % {two64}::HUGEINT)) % {m} as pos
+  from ihs cross join
+    (select unnest(generate_series(0, {k - 1}))::HUGEINT as i)),
+member as (
+  select doc_id, source,
+    count(*) filter (where cpos.pos is not null) = {k} as is_member
+  from iprobe left join cpos using (pos)
+  group by doc_id, source)
+select doc_id, source from member where not is_member
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2749,6 +2828,7 @@ QUERIES = {
     "q59_tfidf_top_terms": q59_tfidf_top_terms,
     "q60_pii_audit": q60_pii_audit,
     "q61_paragraph_dedup": q61_paragraph_dedup,
+    "q62_bloom_incremental_dedup": q62_bloom_incremental_dedup,
 }
 
 
@@ -2814,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "q59_tfidf_top_terms": _Q59_SQL,
         "q60_pii_audit": _q60_sql(),
         "q61_paragraph_dedup": _Q61_SQL,
+        "q62_bloom_incremental_dedup": _q62_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
