@@ -2761,6 +2761,81 @@ select doc_id, source from member where not is_member
 """
 
 
+# --------------------------------------------------------------------- q63
+
+
+def q63_duplicate_span_removal(sf_dir: str):
+    """Lee-et-al-style duplicate-span removal: docs decorated with
+    per-(doc_id % 5) boilerplate tails (guard token prevents shared
+    body-crossing grams), `remove_duplicate_spans` must cut the span
+    everywhere except the lowest doc_id of each variant — plus
+    whatever 4-gram overlaps occur naturally in the corpus."""
+    from feast_ray.functions.spandup import remove_duplicate_spans
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _decorate(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        i = pd.Series(t["doc_id"].to_numpy(zero_copy_only=False))
+        page = (
+            t["text"].to_pandas().astype(object)
+            + " u" + i.astype(str) + "x subscribe to feed "
+            + (i % 5).astype(str) + " now today please"
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "page": pa.array(page.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    decorated = docs.map_batches(_decorate, batch_format="pyarrow")
+    out = remove_duplicate_spans(decorated, "doc_id", "page", n=4)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_despanned"]),
+        batch_format="pyarrow",
+    )
+
+
+_Q63_SQL = r"""
+with decorated as (
+  select doc_id,
+    text || ' u' || doc_id || 'x subscribe to feed ' || (doc_id % 5)
+         || ' now today please' as page
+  from documents),
+tok0 as (
+  select doc_id, regexp_extract_all(page, '\S+') as t from decorated),
+tok as (
+  select doc_id, unnest(generate_series(1, len(t))) as i,
+         unnest(t) as tok, len(t) as L
+  from tok0),
+grams as (
+  select doc_id, i,
+    tok || ' ' || lead(tok, 1) over w || ' ' || lead(tok, 2) over w
+        || ' ' || lead(tok, 3) over w as gram
+  from tok window w as (partition by doc_id order by i)
+  qualify i + 3 <= L),
+dup as (
+  select gram, min(doc_id) as surv from grams
+  group by gram having count(distinct doc_id) >= 2),
+cut as (
+  select distinct g.doc_id, g.i + k.k as j
+  from grams g join dup d using (gram)
+  cross join (select unnest(generate_series(0, 3)) as k) k
+  where g.doc_id != d.surv),
+kept as (
+  select t.doc_id, t.i, t.tok from tok t
+  left join cut c on c.doc_id = t.doc_id and c.j = t.i
+  where c.j is null),
+agg as (
+  select doc_id, string_agg(tok, ' ' order by i) as text_despanned
+  from kept group by doc_id)
+select d.doc_id, coalesce(a.text_despanned, '') as text_despanned
+from documents d left join agg a using (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2829,6 +2904,7 @@ QUERIES = {
     "q60_pii_audit": q60_pii_audit,
     "q61_paragraph_dedup": q61_paragraph_dedup,
     "q62_bloom_incremental_dedup": q62_bloom_incremental_dedup,
+    "q63_duplicate_span_removal": q63_duplicate_span_removal,
 }
 
 
@@ -2895,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_pii_audit": _q60_sql(),
         "q61_paragraph_dedup": _Q61_SQL,
         "q62_bloom_incremental_dedup": _q62_sql(),
+        "q63_duplicate_span_removal": _Q63_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
