@@ -86,6 +86,75 @@ def stratified_sample(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def rebalance_mix(
+    ds: ray.data.Dataset,
+    group: str,
+    weights: "dict[str, int]",
+    key: str,
+    *,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Resample to a TARGET mix (DoReMi/Pile-style domain weighting):
+    given integer weights per group, keep the largest corpus whose
+    group proportions match ``weights`` — the per-group keep fractions
+    are DERIVED from the corpus counts, unlike :func:`stratified_sample`
+    where the caller states them.
+
+    Exact integer semantics (no float thresholds, so the decision set
+    is SQL-oracle-reproducible — q64): with ``W = Σ weights`` and
+    per-group counts ``c_g``, the achievable total is
+    ``T = min_g floor(c_g·W / w_g)`` and a row survives iff
+    ``digest(key+salt) < thr_g = min(floor(w_g·T·2^64 / (W·c_g)),
+    2^64-1)``. Realized counts are hash-binomial around ``w_g·T/W``
+    (deterministic, resume-stable). Groups without a weight drop;
+    a weighted group absent from the corpus is an error (the mix is
+    unsatisfiable).
+
+    Two passes: a count pass that ships one (group, n) row per block
+    (groups are low-cardinality by construction — domains, languages),
+    then the streaming threshold filter."""
+    import numpy as np
+    import ray as _ray
+
+    from feast_ray.functions.neardup import word_hashes64
+
+    def _cnt(tbl: pa.Table) -> pa.Table:
+        vc = pd.Series(tbl.column(group).to_pylist()).value_counts()
+        return pa.table(
+            {
+                "g": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    cdf = ds.map_batches(_cnt, batch_format="pyarrow").to_pandas()
+    counts = cdf.groupby("g")["n"].sum().to_dict() if len(cdf) else {}
+    W = sum(weights.values())
+    if W <= 0:
+        raise ValueError("weights must sum to a positive total")
+    missing = [g for g, w in weights.items() if w > 0 and not counts.get(g)]
+    if missing:
+        raise ValueError(f"weighted groups absent from corpus: {missing}")
+    T = min(counts[g] * W // w for g, w in weights.items() if w > 0)
+    thr = {
+        g: np.uint64(min((w * T << 64) // (W * counts[g]), 2**64 - 1))
+        for g, w in weights.items()
+        if w > 0
+    }
+    ref = _ray.put(thr)
+    zero = np.uint64(0)
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        th = _ray.get(ref)
+        vals = [str(v) + salt for v in tbl.column(key).to_pylist()]
+        h = word_hashes64(vals)
+        groups = tbl.column(group).to_pylist()
+        lim = np.array([th.get(g, zero) for g in groups], dtype=np.uint64)
+        return tbl.filter(pa.array(h < lim))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def budget_sample(
     ds: ray.data.Dataset,
     group: str,

@@ -2836,6 +2836,60 @@ from documents d left join agg a using (doc_id)
 """
 
 
+# --------------------------------------------------------------------- q64
+
+
+_Q64_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(20)}
+
+
+def q64_rebalance_mix(sf_dir: str):
+    """Resample documents to a TARGET source mix (weights 1:2:3 cycling
+    over the 20 sources): per-source keep thresholds DERIVED from the
+    corpus counts in exact integer arithmetic, survivors decided by the
+    SQL-reconstructable digest — the oracle recomputes counts, T, every
+    threshold and the exact survivor set."""
+    from feast_ray.functions.sampling import rebalance_mix
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["source"], pc.cast(t["doc_id"], pa.string()), ":"
+        )
+        return t.append_column("k", k)
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    out = rebalance_mix(keyed, "source", _Q64_WEIGHTS, "k")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+def _q64_sql() -> str:
+    W = sum(_Q64_WEIGHTS.values())
+    vals = ", ".join(f"('{g}', {w})" for g, w in _Q64_WEIGHTS.items())
+    two64 = 1 << 64
+    horner = _HORNER_SQL.format(s="k")
+    return f"""
+with w(source, wt) as (values {vals}),
+c as (select source, count(*) as c from documents group by source),
+t as (
+  select min((c.c * {W}) // w.wt) as T
+  from c join w using (source) where w.wt > 0),
+thr as (
+  select w.source,
+    least((w.wt::HUGEINT * t.T::HUGEINT * {two64}::HUGEINT)
+            // ({W}::HUGEINT * c.c::HUGEINT),
+          {two64 - 1}::HUGEINT) as thr
+  from w join c using (source) cross join t where w.wt > 0),
+keyed as (
+  select doc_id, source, source || ':' || doc_id as k from documents),
+h0s as (select doc_id, source, {horner} as h0 from keyed),
+hs as (select doc_id, source, {_splitmix64_sql("h0")} as h from h0s)
+select doc_id, source from hs join thr using (source) where h < thr
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2905,6 +2959,7 @@ QUERIES = {
     "q61_paragraph_dedup": q61_paragraph_dedup,
     "q62_bloom_incremental_dedup": q62_bloom_incremental_dedup,
     "q63_duplicate_span_removal": q63_duplicate_span_removal,
+    "q64_rebalance_mix": q64_rebalance_mix,
 }
 
 
@@ -2972,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "q61_paragraph_dedup": _Q61_SQL,
         "q62_bloom_incremental_dedup": _q62_sql(),
         "q63_duplicate_span_removal": _Q63_SQL,
+        "q64_rebalance_mix": _q64_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -131,3 +131,57 @@ def test_stratified_sample(sf_small):
     out2 = stratified_sample(ev, "event_type", fr, "event_id",
                              default_frac=0.5).to_pandas()
     assert sorted(out.event_id) == sorted(out2.event_id)
+
+
+def test_rebalance_mix_hits_target_proportions(sf_small):
+    import numpy as np
+
+    from feast_ray.functions.sampling import rebalance_mix
+    from feast_ray.sources.parquet import read_table
+
+    docs = read_table(sf_small, "documents", columns=["doc_id", "source"])
+
+    def _key(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "k",
+            pc.binary_join_element_wise(
+                t["source"], pc.cast(t["doc_id"], pa.string()), ":"
+            ),
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    w = {"src0": 3, "src1": 1, "src2": 1}
+    out = rebalance_mix(keyed, "source", w, "k").to_pandas()
+    # unweighted sources fully dropped
+    assert set(out["source"]) <= set(w)
+    # deterministic across reruns
+    out2 = rebalance_mix(keyed, "source", w, "k").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # proportions near 3:1:1 (hash-binomial noise at n~25/group)
+    counts = out["source"].value_counts()
+    ratio = counts.get("src0", 0) / max(counts.get("src1", 0), 1)
+    assert 1.2 < ratio < 6.0
+    # exact-arithmetic invariant: no group exceeds its derived cap
+    total = docs.to_pandas()["source"].value_counts()
+    W, T = 5, min(int(total[g]) * 5 // w[g] for g in w)
+    for g, wg in w.items():
+        assert counts.get(g, 0) <= np.ceil(wg * T / W) + 2
+
+
+def test_rebalance_mix_missing_group_raises(sf_small):
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from feast_ray.functions.sampling import rebalance_mix
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"g": ["a", "a", "b"], "k": ["1", "2", "3"]})
+    )
+    with pytest.raises(ValueError, match="absent"):
+        rebalance_mix(ds, "g", {"a": 1, "zzz": 1}, "k")
+    with pytest.raises(ValueError, match="positive"):
+        rebalance_mix(ds, "g", {"a": 0}, "k")
