@@ -145,7 +145,16 @@ def q02_revenue_by_nation(sf_dir: str):
     def _prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = t.append_column("rev", rev)
-        return _cents(t, "rev", "rev_c").select(["l_orderkey", "rev_c"])
+        t = _cents(t, "rev", "rev_c").select(["l_orderkey", "rev_c"])
+        # in-block combiner (no extra shuffle): lineitem is clustered
+        # by orderkey, so per-block (orderkey -> sum, n_lines) cuts the
+        # join-shuffle input ~4x; n_items downstream = sum(n_lines)
+        g = (
+            t.to_pandas()
+            .groupby("l_orderkey", as_index=False, sort=False)
+            .agg(rev_c=("rev_c", "sum"), n_lines=("rev_c", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     lp = li.map_batches(_prep, batch_format="pyarrow")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -155,13 +164,24 @@ def q02_revenue_by_nation(sf_dir: str):
     )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    ds = hash_join(lp, orders, on="l_orderkey", num_buckets=32)
+    i64 = pa.int64()
+    ds = hash_join(
+        lp,
+        orders,
+        on="l_orderkey",
+        num_buckets=32,
+        # known schemas skip the two limit-1 lineage probes
+        left_schema=pa.schema(
+            [("l_orderkey", i64), ("rev_c", i64), ("n_lines", i64)]
+        ),
+        right_schema=pa.schema([("l_orderkey", i64), ("o_custkey", i64)]),
+    )
     ds = broadcast_join(ds, cust, on="o_custkey", right_on="c_custkey")
     ds = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey")
     agg = grouped_agg(
         ds,
         ["n_name"],
-        [AggSpec("rev_c", "sum", "rev_sum_c"), AggSpec(None, "count", "n_items")],
+        [AggSpec("rev_c", "sum", "rev_sum_c"), AggSpec("n_lines", "sum", "n_items")],
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:

@@ -449,11 +449,18 @@ def hash_join(
     right_suffix: str = "_r",
     hot_keys=None,
     salt_factor: int = 8,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides: co-partition both on
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
     assumption: one bucket (both sides) fits in a worker's heap —
     raise ``num_buckets`` with data size.
+
+    ``left_schema`` / ``right_schema``: pass the known Arrow schemas to
+    skip the limit-1 probe executions ``dataset_schema`` otherwise runs
+    against each side's lineage (a real task on a deep pipeline);
+    blocks are cast to the stated schema per bucket either way.
 
     **Skew**: pass ``hot_keys`` (an iterable of key VALUES of the
     first/only join key) to SALT them — hot LEFT rows spread
@@ -471,8 +478,8 @@ def hash_join(
     bucket, side = "__bucket", "__side"
     import pyarrow.compute as pc
 
-    lschema = dataset_schema(left)
-    rschema = dataset_schema(right)
+    lschema = left_schema if left_schema is not None else dataset_schema(left)
+    rschema = right_schema if right_schema is not None else dataset_schema(right)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     # unify join-key types across sides (int32 left vs int64 right must
