@@ -155,6 +155,55 @@ def rebalance_mix(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def shard_shuffle(
+    ds: ray.data.Dataset,
+    key: str,
+    num_shards: int,
+    *,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Deterministic training-order shuffle: the final corpus-prep
+    step that replaces ``random_shuffle``. Each row gets
+    ``shard = digest(key+salt) % num_shards`` and ``pos`` = its rank
+    within the shard ordered by ``(digest, key)`` — a pseudorandom but
+    REPRODUCIBLE global order (resume-stable, epoch-salted via
+    ``salt``, no RNG state to checkpoint).
+
+    Scale: ONE all-to-all on a small-int shard key (the engine's
+    standard skew-safe exchange — hash uniformity bounds shard sizes),
+    one vectorized argsort per shard; writing shards as partitioned
+    parquet afterwards gives resumable output. Contrast
+    ``ds.random_shuffle()``: same exchange cost but non-reproducible
+    and unpartitioned. Digest is the SQL-reconstructable
+    Horner+splitmix64, so shard AND position are oracle-checkable
+    (q65)."""
+    import numpy as np
+
+    from feast_ray.functions.neardup import word_hashes64
+
+    def _assign(tbl: pa.Table) -> pa.Table:
+        vals = [str(v) + salt for v in tbl.column(key).to_pylist()]
+        h = word_hashes64(vals)
+        tbl = tbl.append_column("__h", pa.array(h, pa.uint64()))
+        return tbl.append_column(
+            shard_col,
+            pa.array((h % np.uint64(num_shards)).astype(np.int64), pa.int64()),
+        )
+
+    def _order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h", key], kind="stable").reset_index(drop=True)
+        df[pos_col] = df.index.to_numpy(dtype="int64")
+        return df.drop(columns="__h")
+
+    return (
+        ds.map_batches(_assign, batch_format="pyarrow")
+        .groupby(shard_col)
+        .map_groups(_order, batch_format="pandas")
+    )
+
+
 def budget_sample(
     ds: ray.data.Dataset,
     group: str,

@@ -2910,6 +2910,35 @@ select doc_id, source from hs join thr using (source) where h < thr
 """
 
 
+# --------------------------------------------------------------------- q65
+
+
+def q65_shard_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: shard + within-shard rank
+    from the SQL-reconstructable digest — the oracle recomputes the
+    exact (shard, pos) for every doc via row_number over the same
+    hash order."""
+    from feast_ray.functions.sampling import shard_shuffle
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    out = shard_shuffle(docs, "doc_id", 8, salt="ep0")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "shard", "pos"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q65_sql() -> str:
+    horner = _HORNER_SQL.format(s="cast(doc_id as varchar) || 'ep0'")
+    return f"""
+with h0s as (select doc_id, {horner} as h0 from documents),
+hs as (select doc_id, {_splitmix64_sql("h0")} as h from h0s)
+select doc_id, (h % 8)::BIGINT as shard,
+  (row_number() over (partition by h % 8 order by h, doc_id) - 1) as pos
+from hs
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -2980,6 +3009,7 @@ QUERIES = {
     "q62_bloom_incremental_dedup": q62_bloom_incremental_dedup,
     "q63_duplicate_span_removal": q63_duplicate_span_removal,
     "q64_rebalance_mix": q64_rebalance_mix,
+    "q65_shard_shuffle": q65_shard_shuffle,
 }
 
 
@@ -3048,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_bloom_incremental_dedup": _q62_sql(),
         "q63_duplicate_span_removal": _Q63_SQL,
         "q64_rebalance_mix": _q64_sql(),
+        "q65_shard_shuffle": _q65_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -185,3 +185,26 @@ def test_rebalance_mix_missing_group_raises(sf_small):
         rebalance_mix(ds, "g", {"a": 1, "zzz": 1}, "k")
     with pytest.raises(ValueError, match="positive"):
         rebalance_mix(ds, "g", {"a": 0}, "k")
+
+
+def test_shard_shuffle_deterministic_and_dense(sf_small):
+    from feast_ray.functions.sampling import shard_shuffle
+    from feast_ray.sources.parquet import read_table
+
+    docs = read_table(sf_small, "documents", columns=["doc_id"])
+    a = shard_shuffle(docs, "doc_id", 4).to_pandas()
+    b = shard_shuffle(docs, "doc_id", 4).to_pandas()
+    key = ["doc_id", "shard", "pos"]
+    assert a[key].sort_values("doc_id").equals(
+        b[key].sort_values("doc_id")
+    )
+    # positions are dense 0..n-1 within each shard
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # a different salt reorders (new epoch)
+    c = shard_shuffle(docs, "doc_id", 4, salt="e1").to_pandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (
+        (merged["shard_a"] != merged["shard_c"])
+        | (merged["pos_a"] != merged["pos_c"])
+    ).any()
