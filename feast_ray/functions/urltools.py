@@ -84,3 +84,57 @@ def canonicalize_urls(
         return tbl.append_column(out, vals)
 
     return ds.map_batches(_canon, batch_format="pyarrow")
+
+
+def extract_host_series(s: pd.Series) -> pd.Series:
+    """Registrable host of each URL: the authority between ``://`` and
+    the first ``/?#``, userinfo and port stripped, lowercased; ''
+    when the URL has no authority. The exact rule the q66 oracle
+    restates in SQL."""
+    hostport = s.str.extract(r"://([^/?#]+)", expand=False)
+    hostport = hostport.str.replace(r"^.*@", "", regex=True)
+    hostport = hostport.str.replace(r":[0-9]+$", "", regex=True)
+    return hostport.str.lower().fillna("")
+
+
+def block_domains(
+    ds: ray.data.Dataset,
+    blocked: "list[str]",
+    url_col: str = "url",
+    *,
+    mode: str = "drop",
+    flag_col: str = "blocked",
+    max_labels: int = 10,
+) -> ray.data.Dataset:
+    """Domain-blocklist filter (the RefinedWeb/Dolma URL hygiene
+    step): a row is blocked when its host EQUALS a blocked domain or
+    is a subdomain of one (label-boundary suffix match — ``x.dom.com``
+    blocks, ``xdom.com`` does not).
+
+    Scale: the blocklist (typically 10^5-10^7 domains) broadcasts once
+    via ``ray.put``; the probe strips one label per iteration (a
+    vectorized pandas pass per DEPTH, never per row) and checks
+    membership against the hashed set — no shuffle, streams.
+    ``mode="drop"`` filters; ``mode="annotate"`` appends ``flag_col``.
+    """
+    import ray as _ray
+
+    ref = _ray.put(frozenset(d.lower() for d in blocked))
+
+    def _probe(tbl: pa.Table) -> pa.Table:
+        bset = _ray.get(ref)
+        host = extract_host_series(tbl[url_col].to_pandas())
+        hit = host.isin(bset)
+        suf = host
+        for _ in range(max_labels - 1):
+            suf = suf.str.split(".", n=1).str[1]
+            live = suf.notna()
+            if not live.any():
+                break
+            hit |= suf.fillna("").isin(bset)
+        blocked_arr = hit.to_numpy(dtype=bool)
+        if mode == "annotate":
+            return tbl.append_column(flag_col, pa.array(blocked_arr))
+        return tbl.filter(pa.array(~blocked_arr))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

@@ -2939,6 +2939,76 @@ from hs
 """
 
 
+# --------------------------------------------------------------------- q66
+
+
+_Q66_BLOCKED = ["dom3.com", "dom7.com", "sub2.dom5.com"]
+
+
+def q66_domain_blocklist(sf_dir: str):
+    """URL blocklist filter over deterministically decorated event
+    URLs (mixed-case hosts, ports, userinfo, bare + subdomain forms —
+    every extraction rule exercised); keeps events whose host is not
+    a blocked domain or a subdomain of one."""
+    import pandas as pd
+
+    from feast_ray.functions.urltools import block_domains
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def _decorate(tbl: pa.Table) -> pa.Table:
+        i = pd.Series(tbl["event_id"].to_numpy(zero_copy_only=False))
+        dom = "dom" + (i % 11).astype(str) + ".com"
+        host = dom.where(i % 2 == 0, "sub" + (i % 7).astype(str) + "." + dom)
+        host = host.where(i % 3 != 0, host.str.upper())
+        port = pd.Series("", index=i.index).where(i % 13 != 0, ":8080")
+        user = pd.Series("", index=i.index).where(i % 17 != 0, "u@")
+        url = "http://" + user + host + port + "/p/" + i.astype(str)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "url": pa.array(url.to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    dec = ev.map_batches(_decorate, batch_format="pyarrow")
+    kept = block_domains(dec, _Q66_BLOCKED, "url")
+    return kept.map_batches(
+        lambda t: t.select(["event_id"]), batch_format="pyarrow"
+    )
+
+
+def _q66_sql() -> str:
+    vals = ", ".join(f"('{d}')" for d in _Q66_BLOCKED)
+    return f"""
+with dec as (
+  select event_id,
+    'http://' ||
+    case when event_id % 17 = 0 then 'u@' else '' end ||
+    case when event_id % 3 = 0 then upper(h) else h end ||
+    case when event_id % 13 = 0 then ':8080' else '' end ||
+    '/p/' || event_id as url
+  from (
+    select event_id,
+      case when event_id % 2 = 0
+           then 'dom' || (event_id % 11) || '.com'
+           else 'sub' || (event_id % 7) || '.dom' || (event_id % 11) || '.com'
+      end as h
+    from events)),
+hosts as (
+  select event_id,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(url, '://([^/?#]+)', 1), '^.*@', ''), ':[0-9]+$', ''))
+    as host
+  from dec),
+blocked(d) as (values {vals})
+select event_id from hosts
+where not exists (
+  select 1 from blocked b
+  where hosts.host = b.d or hosts.host like '%.' || b.d)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3010,6 +3080,7 @@ QUERIES = {
     "q63_duplicate_span_removal": q63_duplicate_span_removal,
     "q64_rebalance_mix": q64_rebalance_mix,
     "q65_shard_shuffle": q65_shard_shuffle,
+    "q66_domain_blocklist": q66_domain_blocklist,
 }
 
 
@@ -3079,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
         "q63_duplicate_span_removal": _Q63_SQL,
         "q64_rebalance_mix": _q64_sql(),
         "q65_shard_shuffle": _q65_sql(),
+        "q66_domain_blocklist": _q66_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

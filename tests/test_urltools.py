@@ -44,3 +44,34 @@ def test_canonicalize_dataset_replaces_and_appends():
     )
     assert app["url"][0].as_py().startswith("HTTP://")
     assert app["url_canon"][0].as_py() == "http://a.com/x?b=2"
+
+
+def test_block_domains_suffix_semantics():
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.functions.urltools import block_domains
+
+    df = pd.DataFrame(
+        {
+            "id": range(8),
+            "url": [
+                "http://bad.com/x",            # exact -> blocked
+                "http://a.bad.com/x",          # subdomain -> blocked
+                "http://notbad.com/x",         # no label boundary -> kept
+                "http://BAD.COM:8080/x",       # case+port -> blocked
+                "http://u@deep.a.b.bad.com/x", # deep subdomain+user -> blocked
+                "http://good.com/bad.com",     # path only -> kept
+                "not a url",                   # no authority -> kept
+                "http://bad.company/x",        # different TLD -> kept
+            ],
+        }
+    )
+    kept = block_domains(
+        ray.data.from_pandas(df), ["bad.com"], "url"
+    ).to_pandas()
+    assert sorted(kept["id"]) == [2, 5, 6, 7]
+    ann = block_domains(
+        ray.data.from_pandas(df), ["bad.com"], "url", mode="annotate"
+    ).to_pandas()
+    assert ann["blocked"].sum() == 4 and len(ann) == 8
