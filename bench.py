@@ -137,6 +137,9 @@ def run_bench() -> dict:
         "q21_ann_cosine_topk",
         "q25_minhash_dedup_docs",
         "q29_ann_ivf",
+        "q62_bloom_incremental_dedup",
+        "q63_duplicate_span_removal",
+        "q65_shard_shuffle",
     ]
     for name in bench_queries:
         # best of 2 — single runs on this shared box vary ±40%, which
