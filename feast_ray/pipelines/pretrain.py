@@ -1,0 +1,126 @@
+"""End-to-end pretraining-corpus construction — the composed pipeline
+a training team actually runs, wiring this engine's operators in their
+production order:
+
+    raw pages
+      → quality filter        (extract, url-dedup, score, scrub — q28)
+      → domain blocklist      (urltools.block_domains — q66)
+      → duplicate-span removal (spandup — q63)
+      → benchmark decontamination (decontam — q48)
+      → target language mix   (rebalance_mix — q64)
+      → deterministic shard shuffle (shard_shuffle — q65)
+      → context-window packing (pack_sequences — q56)
+      → partitioned, resumable parquet (one dir per shard)
+
+Every stage is individually oracle-checked by the driver gate (query
+ids above); this module is the COMPOSITION: one lazy Dataset chain —
+the only execution barriers are the ones the component operators
+declare (span-dedup pass A, rebalance count pass, the shard exchange),
+each documented in its own module. Everything between barriers
+streams with backpressure; html is dropped at extraction, so the wide
+steps only ever carry scrubbed text and thin metadata.
+
+No reference analog: feast has no corpus-construction surface; this
+is the SURVEY.md §2 extension tier composed end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def pretraining_corpus(
+    pages: ray.data.Dataset,
+    *,
+    blocked_domains: "list[str] | None" = None,
+    benchmark_texts: "list[str] | None" = None,
+    lang_weights: "dict[str, int] | None" = None,
+    span_n: int = 8,
+    num_shards: int = 64,
+    context_tokens: int = 2048,
+    epoch_salt: str = "ep0",
+    write_dir: "str | None" = None,
+    checkpoint: bool = True,
+) -> ray.data.Dataset:
+    """Run the full corpus build over a pages Dataset (schema:
+    url, warc_ts, html, text, lang). Returns rows of
+    (url, lang_pred, n_words, text_final, shard, pos, bin_id,
+    bin_offset); with ``write_dir`` set, also writes shard-partitioned
+    parquet (``shard=K/`` dirs — resumable, never one giant file) and
+    returns the same dataset.
+
+    ``lang_weights``: target mix over predicted languages (e.g.
+    ``{"en": 8, "de": 1, "fr": 1}``); None skips rebalancing.
+    ``benchmark_texts``: eval corpus for n-gram decontamination; None
+    skips. ``blocked_domains``: URL hygiene list; None skips.
+
+    ``checkpoint`` (default True): materialize the POST-FILTER corpus
+    (thin rows — html is gone) into the object store before the
+    multi-pass stages. Span dedup's gram-count pass and rebalance's
+    count pass each re-execute their upstream; without the checkpoint
+    the extract+score prefix would run up to 3×. The materialized set
+    spills to disk under pressure; flip to False to trade recompute
+    for zero pinned memory (e.g. when the filtered corpus is larger
+    than cluster storage)."""
+    from feast_ray.functions.decontam import decontaminate
+    from feast_ray.functions.packing import pack_sequences
+    from feast_ray.functions.sampling import rebalance_mix, shard_shuffle
+    from feast_ray.functions.spandup import remove_duplicate_spans
+    from feast_ray.functions.urltools import block_domains
+    from feast_ray.pipelines.quality_filter import quality_filter
+
+    ds = quality_filter(pages, keep_only=True)
+    if blocked_domains:
+        ds = block_domains(ds, blocked_domains, "url")
+
+    # span dedup wants an integer doc id for its keep-first survivor
+    # rule: derive one from the url digest (deterministic, collision
+    # odds ~n²/2^64)
+    def _iid(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from feast_ray.functions.neardup import word_hashes64
+
+        h = word_hashes64(tbl["url"].to_pylist()).view(np.int64)
+        return tbl.append_column("doc_iid", pa.array(h, pa.int64()))
+
+    ds = ds.map_batches(_iid, batch_format="pyarrow")
+    if checkpoint:
+        ds = ds.materialize()
+    ds = remove_duplicate_spans(
+        ds, "doc_iid", "text_scrubbed", n=span_n, out_col="text_final"
+    )
+    if benchmark_texts:
+        ds = decontaminate(
+            ds,
+            benchmark_texts,
+            id_col="url",
+            text_col="text_final",
+            n=span_n,
+            mode="drop",
+        )
+    if lang_weights:
+        ds = rebalance_mix(ds, "lang_pred", lang_weights, "url")
+    ds = shard_shuffle(ds, "url", num_shards, salt=epoch_salt)
+    ds = pack_sequences(
+        ds, "shard", "pos", "n_words", context_tokens, num_buckets=num_shards
+    )
+
+    keep_cols = [
+        "url",
+        "lang_pred",
+        "n_words",
+        "text_final",
+        "shard",
+        "pos",
+        "bin_id",
+        "bin_offset",
+    ]
+    ds = ds.map_batches(
+        lambda t: t.select([c for c in keep_cols if c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    if write_dir:
+        ds.write_parquet(write_dir, partition_cols=["shard"])
+    return ds

@@ -3009,6 +3009,27 @@ where not exists (
 """
 
 
+# --------------------------------------------------------------------- q67
+
+
+def q67_pretraining_corpus(sf_dir: str):
+    """The composed end-to-end corpus build (quality filter → span
+    dedup → decontam → mix → shard shuffle → packing). No single SQL
+    oracle — every COMPONENT stage is oracle-checked individually
+    (q28, q48, q63, q64, q65, q66, q56); this entry proves the
+    composition runs and is schema-stable under the driver gate."""
+    from feast_ray.pipelines.pretrain import pretraining_corpus
+    from feast_ray.sources import synth_webpages
+
+    return pretraining_corpus(
+        synth_webpages(sf_dir),
+        benchmark_texts=["held out benchmark sequence " * 4],
+        lang_weights={"en": 1},
+        num_shards=8,
+        context_tokens=1024,
+    )
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3081,6 +3102,7 @@ QUERIES = {
     "q64_rebalance_mix": q64_rebalance_mix,
     "q65_shard_shuffle": q65_shard_shuffle,
     "q66_domain_blocklist": q66_domain_blocklist,
+    "q67_pretraining_corpus": q67_pretraining_corpus,
 }
 
 

@@ -1,0 +1,61 @@
+"""End-to-end pretraining-corpus composition."""
+
+import numpy as np
+import pandas as pd
+
+from feast_ray.pipelines.pretrain import pretraining_corpus
+from feast_ray.sources import synth_webpages
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pretraining_corpus_end_to_end(tmp_path):
+    out = pretraining_corpus(
+        synth_webpages(SF),
+        blocked_domains=["example-blocked.com"],
+        benchmark_texts=["completely absent benchmark gram " * 3],
+        lang_weights=None,  # keep all langs (tiny corpus)
+        span_n=8,
+        num_shards=4,
+        context_tokens=256,
+        write_dir=str(tmp_path / "corpus"),
+    ).to_pandas()
+
+    assert len(out) > 0
+    assert set(out.columns) == {
+        "url", "lang_pred", "n_words", "text_final",
+        "shard", "pos", "bin_id", "bin_offset",
+    }
+    # shards dense, positions dense within shard
+    assert set(out["shard"]) <= set(range(4))
+    for s, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+        # packing invariant: offsets stay within the context budget and
+        # reset across bins in pos order
+        g = g.sort_values("pos")
+        assert (g["bin_offset"] < 256).all() or (g["n_words"] >= 256).any()
+        assert (g["bin_id"].to_numpy()[1:] >= g["bin_id"].to_numpy()[:-1]).all()
+    # partitioned output exists, one dir per non-empty shard
+    dirs = sorted(p.name for p in (tmp_path / "corpus").iterdir())
+    assert all(d.startswith("shard=") for d in dirs) and len(dirs) >= 1
+
+
+def test_pretraining_corpus_rebalance_and_determinism():
+    a = pretraining_corpus(
+        synth_webpages(SF),
+        lang_weights={"en": 1},
+        num_shards=2,
+        checkpoint=False,
+    ).to_pandas()
+    b = pretraining_corpus(
+        synth_webpages(SF),
+        lang_weights={"en": 1},
+        num_shards=2,
+        checkpoint=False,
+    ).to_pandas()
+    key = ["url", "shard", "pos", "bin_id", "bin_offset"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("url").reset_index(drop=True),
+        b[key].sort_values("url").reset_index(drop=True),
+    )
+    assert set(a["lang_pred"]) == {"en"} and len(a) > 0
