@@ -170,3 +170,88 @@ def test_interval_join_matches_bruteforce(lrows, rrows):
     got = got.sort_values(["eid", "rid"]).reset_index(drop=True)
     assert list(got["eid"]) == list(exp["eid"])
     assert list(got["rid"]) == list(exp["rid"])
+
+
+@st.composite
+def doc_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(
+            draw(
+                st.lists(st.sampled_from(vocab), min_size=0, max_size=12)
+            )
+        )
+        for _ in range(n)
+    ]
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_frames())
+def test_spandup_matches_reference_implementation(df):
+    """Engine output == a direct single-process reimplementation of the
+    documented semantics, for arbitrary corpora (incl. heavy overlap,
+    empty docs, sub-n docs)."""
+    import ray.data
+
+    from feast_ray.functions.spandup import remove_duplicate_spans
+
+    n = 3
+    # reference: dup grams (>=2 distinct docs), survivor = min doc
+    occ = {}
+    toks = {int(r.doc_id): r.text.split() for r in df.itertuples()}
+    for d, ws in toks.items():
+        for i in range(max(0, len(ws) - n + 1)):
+            g = " ".join(ws[i : i + n])
+            occ.setdefault(g, set()).add(d)
+    dup = {g: min(ds_) for g, ds_ in occ.items() if len(ds_) >= 2}
+    expect = {}
+    for d, ws in toks.items():
+        covered = [False] * len(ws)
+        for i in range(max(0, len(ws) - n + 1)):
+            g = " ".join(ws[i : i + n])
+            if g in dup and dup[g] != d:
+                for j in range(i, i + n):
+                    covered[j] = True
+        expect[d] = " ".join(w for w, c in zip(ws, covered) if not c)
+    out = (
+        remove_duplicate_spans(
+            ray.data.from_pandas(df).repartition(3), "doc_id", "text", n=n
+        )
+        .to_pandas()
+        .set_index("doc_id")["text_despanned"]
+        .to_dict()
+    )
+    assert {int(k): v for k, v in out.items()} == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="abc:/.0123456789", min_size=0, max_size=20),
+             min_size=1, max_size=30),
+    st.integers(min_value=8, max_value=12),  # log2(m_bits) ≥ 64*segments
+)
+def test_bloom_membership_matches_positions(keys, logm):
+    """No false negatives ever; membership == all-k-bits-set against
+    the union of corpus positions, for arbitrary keys and filter
+    sizes."""
+    import ray.data
+
+    from feast_ray.functions.bloom import bloom_build, bloom_positions
+
+    m = 1 << logm
+    df = pd.DataFrame({"k": keys})
+    bf = bloom_build(
+        ray.data.from_pandas(df).repartition(2), "k", m_bits=m, k=3,
+        num_segments=2,
+    )
+    posset = set(bloom_positions(keys, m, 3).ravel().tolist())
+    probe = keys + ["zz" + k for k in keys]
+    got = bf.contains(probe)
+    want = [
+        all(int(p) in posset for p in row)
+        for row in bloom_positions(probe, m, 3)
+    ]
+    assert got.tolist() == want
+    assert got[: len(keys)].all()  # corpus keys always members
