@@ -25,10 +25,10 @@ Scale design:
   three numpy gathers per batch.
 * **limits**: one filter must fit the object store / worker heap
   (m ≤ 2^32 bits = 512 MB here). Beyond that — e.g. 10^10 keys at
-  1% FP needs ~12 GB — hash-partition the keys into P independent
-  filters and co-partition the probe side the same way (the same
-  size-gating doctrine as join.py); this module is the per-partition
-  primitive.
+  1% FP needs ~12 GB — use :func:`bloom_build_partitioned` +
+  :func:`bloom_filter_new_partitioned`: P independent filters, probe
+  rows co-partitioned so each task gathers ONLY its partition's bits
+  (the join.py size-gating doctrine applied to sketch state).
 
 Hash family: ONE ``word_hashes64`` digest per key (Horner+splitmix64,
 process-stable and SQL-reconstructable — q62's oracle re-derives
@@ -182,3 +182,153 @@ def bloom_filter_new(
         return tbl.filter(pa.array(~member))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def _partition_of(h: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Partition id from a SECOND splitmix pass over the digest —
+    independent of the bits the position scheme consumes (p = h % P
+    would alias the low position bits when both are powers of two,
+    collapsing pos_0 to m/P residues inside each filter)."""
+    from feast_ray.functions.neardup import _splitmix64
+
+    return (_splitmix64(h) % np.uint64(num_partitions)).astype(np.int64)
+
+
+@dataclass
+class PartitionedBloom:
+    """A family of P independent filters, one per key partition —
+    the beyond-broadcast-cap regime (e.g. 10^10 keys at 1% FP is
+    ~12 GB of bits: no single object to broadcast). Each probe task
+    gathers ONLY its partition's bits."""
+
+    m: int  # bits per partition filter
+    k: int
+    num_partitions: int
+    refs: "dict[int, object]"  # partition -> ray ObjectRef of uint64[]
+
+    def contains(self, keys: "list[str]") -> np.ndarray:
+        """Driver-side membership (testing/small batches)."""
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        h = word_hashes64(keys)
+        p = _partition_of(h, self.num_partitions)
+        out = np.zeros(len(keys), dtype=bool)
+        for pi in np.unique(p):
+            idx = np.flatnonzero(p == pi)
+            bits = ray.get(self.refs[int(pi)])
+            bf = BloomFilter(m=self.m, k=self.k, bits=bits)
+            out[idx] = bf.contains([keys[i] for i in idx])
+        return out
+
+
+def bloom_build_partitioned(
+    ds: ray.data.Dataset,
+    key_col: str,
+    num_partitions: int,
+    *,
+    m_bits_per: int = 1 << 22,
+    k: int = 4,
+    num_segments: int = 8,
+) -> PartitionedBloom:
+    """Build P filters in ONE pass: per-block (partition, pos)
+    distinct pairs → (partition, segment) shuffle → vectorized pack →
+    driver assembles P bit arrays and ``ray.put``s each separately
+    (so probe tasks can gather one without touching the rest)."""
+    if m_bits_per % (64 * num_segments):
+        raise ValueError("m_bits_per must be a multiple of 64*num_segments")
+    seg_bits = m_bits_per // num_segments
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        keys = tbl[key_col].to_pylist()
+        h = word_hashes64(keys)
+        p = _partition_of(h, num_partitions)
+        pos = bloom_positions(keys, m_bits_per, k)
+        df = pd.DataFrame(
+            {"p": np.repeat(p, k), "pos": pos.ravel()}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "p": pa.array(df["p"].to_numpy(), pa.int64()),
+                "pos": pa.array(df["pos"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def _pack_seg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        p = int(df["p"].iloc[0])
+        pos = np.unique(df["pos"].to_numpy(dtype=np.int64))
+        seg = int(pos[0]) // seg_bits
+        arr = _pack(pos - seg * seg_bits, seg_bits)
+        return pd.DataFrame(
+            {"p": [p], "seg": [seg], "bits": [arr.tobytes()]}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "pseg",
+            pa.array(
+                t["p"].to_numpy() * num_segments
+                + t["pos"].to_numpy() // seg_bits,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    segs = parts.groupby("pseg").map_groups(
+        lambda g: _pack_seg(g.drop(columns="pseg")), batch_format="pandas"
+    )
+    arrays = {
+        p: np.zeros(m_bits_per // 64, dtype=np.uint64)
+        for p in range(num_partitions)
+    }
+    words = seg_bits // 64
+    for row in segs.take_all():
+        p, s = int(row["p"]), int(row["seg"])
+        arrays[p][s * words : (s + 1) * words] = np.frombuffer(
+            row["bits"], dtype=np.uint64
+        )
+    refs = {p: ray.put(a) for p, a in arrays.items()}
+    return PartitionedBloom(
+        m=m_bits_per, k=k, num_partitions=num_partitions, refs=refs
+    )
+
+
+def bloom_filter_new_partitioned(
+    ds: ray.data.Dataset,
+    pb: PartitionedBloom,
+    key_col: str,
+    *,
+    member_col: str | None = None,
+) -> ray.data.Dataset:
+    """Probe side, CO-PARTITIONED: rows shuffle to their key's
+    partition and each group task ``ray.get``s only that partition's
+    bit array — the filter family is never assembled in one place.
+    Semantics identical to the single-filter probe (members and
+    false positives drop; ``member_col`` flips to audit mode)."""
+    m, k, P, refs = pb.m, pb.k, pb.num_partitions, pb.refs
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        h = word_hashes64(tbl[key_col].to_pylist())
+        return tbl.append_column(
+            "__bp", pa.array(_partition_of(h, P), pa.int64())
+        )
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        p = int(df["__bp"].iloc[0])
+        bf = BloomFilter(m=m, k=k, bits=ray.get(refs[p]))
+        member = bf.contains(df[key_col].tolist())
+        df = df.drop(columns="__bp")
+        if member_col is not None:
+            df[member_col] = member
+            return df
+        return df[~member]
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__bp")
+        .map_groups(_probe, batch_format="pandas")
+    )

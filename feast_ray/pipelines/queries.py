@@ -3030,6 +3030,80 @@ def q67_pretraining_corpus(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------- q68
+
+
+def q68_bloom_partitioned(sf_dir: str):
+    """The beyond-broadcast-cap Bloom regime: P=4 independent filters,
+    probe co-partitioned so each task gathers only its partition's
+    bits. Same corpus/incoming split as q62; oracle re-derives the
+    partition (second splitmix pass) AND per-partition membership in
+    HUGEINT SQL — false positives included (undersized filters)."""
+    from feast_ray.functions.bloom import (
+        bloom_build_partitioned,
+        bloom_filter_new_partitioned,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["source"], pc.cast(t["doc_id"], pa.string()), ":"
+        )
+        return t.append_column("k", k)
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+
+    def _corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 3 != 0))
+
+    corpus = keyed.map_batches(_corpus_only, batch_format="pyarrow")
+    pb = bloom_build_partitioned(
+        corpus, "k", 4, m_bits_per=512, k=4, num_segments=2
+    )
+    new = bloom_filter_new_partitioned(keyed, pb, "k")
+    return new.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+def _q68_sql() -> str:
+    m, k, P = 512, 4, 4
+    two64 = 1 << 64
+    horner = _HORNER_SQL.format(s="k")
+    return f"""
+with keyed as (
+  select doc_id, source, source || ':' || doc_id as k from documents),
+ch0 as (
+  select {horner} as h0
+  from (select k from keyed where doc_id % 3 != 0)),
+chs as (
+  select h, {_splitmix64_sql("h")} % {P} as p
+  from (select {_splitmix64_sql("h0")} as h from ch0)),
+cpos as (
+  select distinct p,
+    ((h % {m}) + i * ((h >> 33) * 2 + 1)) % {m} as pos
+  from chs cross join
+    (select unnest(generate_series(0, {k - 1}))::HUGEINT as i)),
+ih0 as (
+  select doc_id, source, {horner} as h0 from keyed),
+ihs as (
+  select doc_id, source, h, {_splitmix64_sql("h")} % {P} as p
+  from (select doc_id, source, {_splitmix64_sql("h0")} as h from ih0)),
+iprobe as (
+  select doc_id, source, p, i,
+    ((h % {m}) + i * ((h >> 33) * 2 + 1)) % {m} as pos
+  from ihs cross join
+    (select unnest(generate_series(0, {k - 1}))::HUGEINT as i)),
+member as (
+  select doc_id, source,
+    count(*) filter (where cpos.pos is not null) = {k} as is_member
+  from iprobe left join cpos using (p, pos)
+  group by doc_id, source)
+select doc_id, source from member where not is_member
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3103,6 +3177,7 @@ QUERIES = {
     "q65_shard_shuffle": q65_shard_shuffle,
     "q66_domain_blocklist": q66_domain_blocklist,
     "q67_pretraining_corpus": q67_pretraining_corpus,
+    "q68_bloom_partitioned": q68_bloom_partitioned,
 }
 
 
@@ -3173,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_rebalance_mix": _q64_sql(),
         "q65_shard_shuffle": _q65_sql(),
         "q66_domain_blocklist": _q66_sql(),
+        "q68_bloom_partitioned": _q68_sql(),
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

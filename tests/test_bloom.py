@@ -91,3 +91,48 @@ def test_bloom_empty_and_fill_ratio():
     assert bf.contains([]).shape == (0,)
     empty = BloomFilter(m=1 << 12, k=2, bits=np.zeros(64, dtype=np.uint64))
     assert not empty.contains(["anything"]).any()
+
+
+def test_partitioned_bloom_matches_per_partition_reference():
+    import ray
+
+    from feast_ray.functions.bloom import (
+        bloom_build_partitioned,
+        bloom_filter_new_partitioned,
+        bloom_positions,
+        _partition_of,
+    )
+    from feast_ray.functions.neardup import word_hashes64
+
+    corpus = _keys(400)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": corpus})).repartition(5)
+    pb = bloom_build_partitioned(
+        ds, "k", 4, m_bits_per=1 << 12, k=3, num_segments=4
+    )
+    # reference: per-partition position sets
+    h = word_hashes64(corpus)
+    p = _partition_of(h, 4)
+    pos = bloom_positions(corpus, 1 << 12, 3)
+    psets = {
+        pi: set(pos[p == pi].ravel().tolist()) for pi in range(4)
+    }
+    probe = corpus + _keys(600, prefix="new")
+    hp = word_hashes64(probe)
+    pp = _partition_of(hp, 4)
+    want = [
+        all(int(x) in psets.get(int(pp[i]), set()) for x in row)
+        for i, row in enumerate(bloom_positions(probe, 1 << 12, 3))
+    ]
+    got = pb.contains(probe)
+    assert got.tolist() == want
+    assert got[:400].all()  # no false negatives
+
+    out = bloom_filter_new_partitioned(
+        ray.data.from_pandas(pd.DataFrame({"k": probe})), pb, "k"
+    ).to_pandas()
+    assert set(out["k"]) == {k for k, m in zip(probe, want) if not m}
+    ann = bloom_filter_new_partitioned(
+        ray.data.from_pandas(pd.DataFrame({"k": probe})), pb, "k",
+        member_col="seen",
+    ).to_pandas()
+    assert len(ann) == len(probe) and ann["seen"].sum() == sum(want)
