@@ -122,5 +122,20 @@ def pretraining_corpus(
         batch_format="pyarrow",
     )
     if write_dir:
+        # write once, then hand back a READER over the written shards —
+        # consuming the return value must not re-execute the chain
+        # (the written corpus is also the resumable artifact)
         ds.write_parquet(write_dir, partition_cols=["shard"])
+        rd = ray.data.read_parquet(write_dir)
+
+        def _shard_int(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # hive partition values read back as dictionary<string>
+            col = pc.cast(pc.cast(t["shard"], pa.string()), pa.int64())
+            return t.set_column(
+                t.schema.get_field_index("shard"), "shard", col
+            )
+
+        return rd.map_batches(_shard_int, batch_format="pyarrow")
     return ds
