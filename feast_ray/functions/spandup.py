@@ -31,11 +31,13 @@ Scale design — two thin passes, same doctrine as ``linedup.py``:
   token buffer (ngrams.py's shape), one searchsorted, interval
   marking by a +1/-1 diff + cumsum, one grouped join per block.
 
-Partitioning assumption: the dup-gram table fits the object store
-(boilerplate vocabularies grow sublinearly in corpus size — the spans
-are duplicated by definition). ``max_broadcast_rows`` guards the
-assumption; past it, co-partition grams and docs by gram hash and run
-pass B as a shuffle join instead (the join.py size-gating doctrine).
+Partitioning assumption (``mode="broadcast"``): the dup-gram table
+fits the object store (boilerplate vocabularies grow sublinearly in
+corpus size — the spans are duplicated by definition);
+``max_broadcast_rows`` guards it. Past the cap, ``mode="copartition"``
+keeps the dup table distributed: occurrences are Bloom-prefiltered
+in-block (bits broadcast, not strings) and verified by an exact
+partitioned hash join — see :func:`_strip_copartitioned`.
 
 Matching is on exact n-gram STRINGS (FP-free, SQL-oracle-checkable —
 q63), same policy as decontam.py; swap in 64-bit gram hashes at
@@ -93,11 +95,25 @@ def remove_duplicate_spans(
     out_col: str = "text_despanned",
     num_buckets: int = 64,
     max_broadcast_rows: int = 50_000_000,
+    mode: str = "broadcast",
+    bloom_bits: int = 1 << 24,
 ) -> ray.data.Dataset:
     """Append ``out_col``: the text with cross-document duplicated
     n-gram spans removed everywhere except the lowest-``id_col``
     containing doc. Triggers execution of pass A (the dup-gram
-    reduce) at call time; pass B streams."""
+    reduce) at call time; pass B streams.
+
+    ``mode="broadcast"`` (default): the dup-gram table collects to
+    sorted arrays and broadcasts — right up to ``max_broadcast_rows``.
+    ``mode="copartition"``: the beyond-broadcast regime. The dup table
+    stays a distributed Dataset; pass B emits gram OCCURRENCES,
+    prefiltered in-block by a Bloom filter built over the dup grams
+    (16 MB of bits broadcast instead of the gram strings — false
+    positives only add join rows, the exact partitioned join removes
+    them), hash-joins them with the dup table on the gram, reduces to
+    per-doc cut lists, and joins those back to the docs. Three extra
+    exchanges, none of which carries document text more than once —
+    result identical to broadcast mode (parity-tested)."""
     from feast_ray.stages.dedup import bucketed_group_reduce
 
     def _partial(tbl: pa.Table) -> pa.Table:
@@ -142,6 +158,10 @@ def remove_duplicate_spans(
         _merge,
         num_buckets=num_buckets,
     )
+    if mode == "copartition":
+        return _strip_copartitioned(
+            ds, dup, id_col, text_col, n, out_col, num_buckets, bloom_bits
+        )
     ddf = dup.to_pandas()  # the reduced dup-gram table only
     if "gram" not in ddf.columns:  # gram-free corpus (all docs < n tokens)
         ddf = pd.DataFrame({"gram": [], "md": []})
@@ -188,3 +208,153 @@ def remove_duplicate_spans(
         return tbl.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(_strip, batch_format="pyarrow")
+
+
+def _mark_and_rejoin(
+    tbl: pa.Table,
+    text_col: str,
+    out_col: str,
+    n: int,
+    flat: np.ndarray,
+    offs: np.ndarray,
+    s_sel: np.ndarray,
+) -> pa.Table:
+    """Shared pass-B tail: mark [s, s+n) intervals over the flat token
+    buffer (absolute token positions) and rejoin kept tokens per row."""
+    lens = np.diff(offs)
+    covered = np.zeros(len(flat), dtype=bool)
+    if len(s_sel):
+        diff = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.add.at(diff, s_sel, 1)
+        np.add.at(diff, np.minimum(s_sel + n, len(flat)), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+    keep = ~covered
+    owner_row = np.repeat(np.arange(len(tbl)), lens)[keep]
+    joined = pd.Series(flat[keep]).groupby(owner_row, sort=True).agg(" ".join)
+    out = joined.reindex(np.arange(len(tbl))).fillna("").to_numpy(dtype=object)
+    return tbl.append_column(out_col, pa.array(out, pa.string()))
+
+
+def _strip_copartitioned(
+    ds: ray.data.Dataset,
+    dup: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_col: str,
+    num_buckets: int,
+    bloom_bits: int,
+) -> ray.data.Dataset:
+    """Pass B without broadcasting the dup-gram table — see
+    :func:`remove_duplicate_spans` (mode="copartition")."""
+    from feast_ray.functions.bloom import bloom_build, bloom_filter_new
+    from feast_ray.stages.dedup import bucketed_group_reduce
+    from feast_ray.stages.join import hash_join
+
+    dup_m = dup.materialize()  # consumed twice: bloom build + the join
+    bf = bloom_build(dup_m, "gram", m_bits=bloom_bits, k=4)
+
+    def _occ(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        if len(tbl) == 0:
+            return empty
+        flat, offs = _tokenize_block(tbl, text_col)
+        start = _gram_starts(flat, offs, n)
+        if len(start) == 0:
+            return empty
+        lens = np.diff(offs)
+        owner = np.repeat(tbl[id_col].to_numpy(), lens)[start]
+        # WITHIN-doc token index so cut positions survive re-tokenizing
+        rel = start - np.repeat(offs[:-1], lens)[start]
+        return pa.table(
+            {
+                "gram": pa.array(_gram_strings(flat, start, n), pa.string()),
+                "doc": pa.array(owner, pa.int64()),
+                "s": pa.array(rel, pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(_occ, batch_format="pyarrow")
+    # Bloom prefilter: drop occurrences that cannot be dup grams
+    occ = bloom_filter_new(occ, bf, "gram", member_col="__maybe")
+    occ = occ.map_batches(
+        lambda t: t.filter(t["__maybe"]).drop_columns(["__maybe"]),
+        batch_format="pyarrow",
+    )
+    _dup_schema = pa.schema([("gram", pa.string()), ("md", pa.int64())])
+
+    def _sel(t: pa.Table) -> pa.Table:
+        if "gram" not in t.column_names:  # dup-free corpus: empty block
+            return _dup_schema.empty_table()
+        return t.select(["gram", "md"]).cast(_dup_schema)
+
+    dup_sel = dup_m.map_batches(_sel, batch_format="pyarrow")
+    hits = hash_join(
+        occ,
+        dup_sel,
+        on="gram",
+        num_buckets=num_buckets,
+        left_schema=pa.schema(
+            [("gram", pa.string()), ("doc", pa.int64()), ("s", pa.int64())]
+        ),
+        right_schema=_dup_schema,
+    )
+    cuts = hits.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t["doc"], t["md"]))
+        ).select(["doc", "s"]),
+        batch_format="pyarrow",
+    )
+
+    def _enc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc" not in df.columns:
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "__cuts": pd.array([], dtype=object)})
+        g = df.groupby("doc", sort=False)["s"].agg(
+            lambda x: ",".join(map(str, sorted(set(x))))
+        )
+        return pd.DataFrame({id_col: g.index.to_numpy(dtype=np.int64),
+                             "__cuts": g.to_numpy(dtype=object)})
+
+    cuts_enc = bucketed_group_reduce(
+        cuts.map_batches(
+            lambda t: t.rename_columns(["doc", "s"]), batch_format="pyarrow"
+        ),
+        ["doc"],
+        _enc,
+        num_buckets=num_buckets,
+    )
+    joined = hash_join(
+        ds,
+        cuts_enc,
+        on=id_col,
+        how="left",
+        num_buckets=num_buckets,
+        right_schema=pa.schema([(id_col, pa.int64()), ("__cuts", pa.string())]),
+    )
+
+    def _strip(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            t = tbl.append_column(out_col, pa.array([], pa.string()))
+            return t.drop_columns(["__cuts"])
+        flat, offs = _tokenize_block(tbl, text_col)
+        cuts_col = tbl["__cuts"].to_pylist()
+        sel = []
+        for i, c in enumerate(cuts_col):
+            if c:
+                sel.append(
+                    np.array(c.split(","), dtype=np.int64) + offs[i]
+                )
+        s_sel = (
+            np.concatenate(sel) if sel else np.zeros(0, dtype=np.int64)
+        )
+        out = _mark_and_rejoin(tbl, text_col, out_col, n, flat, offs, s_sel)
+        return out.drop_columns(["__cuts"])
+
+    return joined.map_batches(_strip, batch_format="pyarrow")

@@ -582,16 +582,21 @@ def hash_join(
 
     both = union_align([lt, rt])
 
+    rschema_orig = pa.schema(
+        [pa.field(o, rschema.field(n).type) for n, o in zip(r_renamed, rnames)]
+    )
+
     def _per_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g[side], "L")
         # cast each side to its captured schema — a pandas-origin block
         # can surface an all-null column as Arrow `null` type, which
-        # the C++ join refuses as a payload field
-        ltab = cast_to_schema(g.filter(lmask).select(lnames), lschema)
-        rtab = g.filter(pc.invert(lmask)).select(rnames)
+        # the C++ join refuses as a payload field; cast BEFORE select so
+        # a side whose columns never reached the union (an empty
+        # schema-less input) still yields a typed empty table
+        ltab = cast_to_schema(g.filter(lmask), lschema)
+        rtab = cast_to_schema(g.filter(pc.invert(lmask)), rschema_orig)
         if r_renamed != rnames:
             rtab = rtab.rename_columns(r_renamed)
-        rtab = cast_to_schema(rtab, rschema)
         out = ltab.join(rtab, keys=on, join_type=_JOIN_TYPE[how])
         return out.select(out_cols)
 

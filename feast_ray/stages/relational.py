@@ -89,7 +89,12 @@ def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
             [pa.field(n, _to_pa_type(t)) for n, t in zip(s.names, s.types)]
         )
         for s in schemas
+        # a fully-empty schema-less side (e.g. an empty reduce output)
+        # contributes no rows and no columns — skip it in unification
+        if s is not None
     ]
+    if not per_ds:
+        return datasets[0]
     try:
         unified = pa.unify_schemas(per_ds, promote_options="permissive")
     except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):

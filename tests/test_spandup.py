@@ -104,3 +104,48 @@ def test_distributed_blocks_match_single_block():
             assert "subscribe to channel" in t
         else:
             assert "subscribe" not in t
+
+
+def test_copartition_mode_matches_broadcast():
+    import ray.data
+
+    rows = []
+    for i in range(60):
+        boiler = f"subscribe to channel {i % 3} now today please"
+        rows.append(
+            {"doc_id": i, "text": f"w{i}a w{i}b w{i}c {boiler} t{i}x t{i}y"}
+        )
+    rows.append({"doc_id": 60, "text": ""})          # empty doc
+    rows.append({"doc_id": 61, "text": "too short"})  # sub-n doc
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(8)
+    a = (
+        remove_duplicate_spans(ds, "doc_id", "text", n=4)
+        .to_pandas().sort_values("doc_id")["text_despanned"].tolist()
+    )
+    b = (
+        remove_duplicate_spans(
+            ds, "doc_id", "text", n=4, mode="copartition",
+            num_buckets=8, bloom_bits=1 << 12,
+        )
+        .to_pandas().sort_values("doc_id")["text_despanned"].tolist()
+    )
+    assert a == b
+
+
+def test_copartition_mode_no_dups_corpus():
+    import ray.data
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["only one doc here", "something else x"]}
+    )
+    out = (
+        remove_duplicate_spans(
+            ray.data.from_pandas(df), "doc_id", "text", n=4,
+            mode="copartition", num_buckets=4,
+        )
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["text_despanned"].tolist() == [
+        "only one doc here", "something else x"
+    ]
