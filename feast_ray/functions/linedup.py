@@ -135,7 +135,6 @@ def line_dedup(
 
 def dedup_within_doc(
     ds: ray.data.Dataset,
-    id_col: str,
     text_col: str,
     *,
     sep: str = "\n\n",

@@ -182,7 +182,7 @@ def remove_duplicate_spans(
         flat, offs = _tokenize_block(tbl, text_col)
         lens = np.diff(offs)
         start = _gram_starts(flat, offs, n)
-        covered = np.zeros(len(flat), dtype=bool)
+        s_sel = np.zeros(0, dtype=np.int64)
         if len(start) and len(G):
             grams = _gram_strings(flat, start, n)
             ix = np.searchsorted(G, grams)
@@ -190,22 +190,7 @@ def remove_duplicate_spans(
             owner = np.repeat(tbl[id_col].to_numpy(), lens)[start]
             hit = (G[ix_c] == grams) & (S[ix_c] != owner)
             s_sel = start[hit]
-            if len(s_sel):
-                diff = np.zeros(len(flat) + 1, dtype=np.int64)
-                np.add.at(diff, s_sel, 1)
-                np.add.at(diff, s_sel + n, -1)
-                covered = np.cumsum(diff[:-1]) > 0
-        keep = ~covered
-        owner_row = np.repeat(np.arange(len(tbl)), lens)[keep]
-        joined = (
-            pd.Series(flat[keep]).groupby(owner_row, sort=True).agg(" ".join)
-        )
-        out = (
-            joined.reindex(np.arange(len(tbl)))
-            .fillna("")
-            .to_numpy(dtype=object)
-        )
-        return tbl.append_column(out_col, pa.array(out, pa.string()))
+        return _mark_and_rejoin(tbl, text_col, out_col, n, flat, offs, s_sel)
 
     return ds.map_batches(_strip, batch_format="pyarrow")
 
@@ -252,7 +237,12 @@ def _strip_copartitioned(
     from feast_ray.stages.join import hash_join
 
     dup_m = dup.materialize()  # consumed twice: bloom build + the join
-    bf = bloom_build(dup_m, "gram", m_bits=bloom_bits, k=4)
+    bf = bloom_build(
+        dup_m, "gram", m_bits=bloom_bits, k=4,
+        # honor any power-of-two bloom_bits ≥ 64 without surfacing
+        # bloom_build's m_bits % (64*segments) == 0 constraint
+        num_segments=max(1, min(32, bloom_bits // 64)),
+    )
 
     def _occ(tbl: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -104,7 +104,6 @@ def block_domains(
     *,
     mode: str = "drop",
     flag_col: str = "blocked",
-    max_labels: int = 10,
 ) -> ray.data.Dataset:
     """Domain-blocklist filter (the RefinedWeb/Dolma URL hygiene
     step): a row is blocked when its host EQUALS a blocked domain or
@@ -126,10 +125,11 @@ def block_domains(
         host = extract_host_series(tbl[url_col].to_pandas())
         hit = host.isin(bset)
         suf = host
-        for _ in range(max_labels - 1):
+        while True:  # one pass per label DEPTH; unbounded like the
+            # documented suffix rule (no cap an adversarial deep
+            # subdomain could hide behind)
             suf = suf.str.split(".", n=1).str[1]
-            live = suf.notna()
-            if not live.any():
+            if not suf.notna().any():
                 break
             hit |= suf.fillna("").isin(bset)
         blocked_arr = hit.to_numpy(dtype=bool)

@@ -45,8 +45,10 @@ def pretraining_corpus(
 ) -> ray.data.Dataset:
     """Run the full corpus build over a pages Dataset (schema:
     url, warc_ts, html, text, lang). Returns rows of
-    (url, lang_pred, n_words, text_final, shard, pos, bin_id,
-    bin_offset); with ``write_dir`` set, also writes shard-partitioned
+    (url, lang_pred, n_tokens_final, text_final, shard, pos, bin_id,
+    bin_offset) — ``n_tokens_final`` is recounted from the FINAL text
+    so bin offsets match what a consumer concatenates; with
+    ``write_dir`` set, also writes shard-partitioned
     parquet (``shard=K/`` dirs — resumable, never one giant file) and
     returns the same dataset.
 
@@ -103,14 +105,33 @@ def pretraining_corpus(
     if lang_weights:
         ds = rebalance_mix(ds, "lang_pred", lang_weights, "url")
     ds = shard_shuffle(ds, "url", num_shards, salt=epoch_salt)
+
+    # packing must budget the FINAL text — span removal / scrubbing
+    # changed the token count since the quality filter computed n_words
+    def _recount(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cnt = pc.list_value_length(
+            pc.split_pattern_regex(tbl["text_final"], r"\s+")
+        )
+        # split of '' yields [''] (length 1) — count empty docs as 0
+        cnt = pc.if_else(
+            pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(tbl["text_final"])), 0),
+            pa.scalar(0, pa.int32()),
+            cnt,
+        )
+        return tbl.append_column("n_tokens_final", pc.cast(cnt, pa.int64()))
+
+    ds = ds.map_batches(_recount, batch_format="pyarrow")
     ds = pack_sequences(
-        ds, "shard", "pos", "n_words", context_tokens, num_buckets=num_shards
+        ds, "shard", "pos", "n_tokens_final", context_tokens,
+        num_buckets=num_shards,
     )
 
     keep_cols = [
         "url",
         "lang_pred",
-        "n_words",
+        "n_tokens_final",
         "text_final",
         "shard",
         "pos",

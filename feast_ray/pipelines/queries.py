@@ -2675,7 +2675,7 @@ def q61_paragraph_dedup(sf_dir: str):
         )
 
     decorated = docs.map_batches(_decorate, batch_format="pyarrow")
-    out = dedup_within_doc(decorated, "doc_id", "page", out_col="text_clean")
+    out = dedup_within_doc(decorated, "page", out_col="text_clean")
     return out.map_batches(
         lambda t: t.select(["doc_id", "text_clean"]), batch_format="pyarrow"
     )

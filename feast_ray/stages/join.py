@@ -580,11 +580,20 @@ def hash_join(
     rt = right.map_batches(_tag("R"), batch_format="pyarrow")
     from feast_ray.stages.relational import union_align
 
-    both = union_align([lt, rt])
-
     rschema_orig = pa.schema(
         [pa.field(o, rschema.field(n).type) for n, o in zip(r_renamed, rnames)]
     )
+    # when both side schemas are stated, the tagged schemas are fully
+    # known too — skip union_align's ds.schema() probes (each is a
+    # limit-1 execution of the side's whole lineage)
+    tagged = None
+    if left_schema is not None and right_schema is not None:
+        extra = [pa.field(bucket, pa.int64()), pa.field(side, pa.string())]
+        tagged = [
+            pa.schema(list(lschema) + extra),
+            pa.schema(list(rschema_orig) + extra),
+        ]
+    both = union_align([lt, rt], schemas=tagged)
 
     def _per_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g[side], "L")

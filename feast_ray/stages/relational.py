@@ -65,12 +65,19 @@ def top_frequencies(
     return topk(counts, ["n", col], n, descending=[True, False])
 
 
-def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
+def union_align(
+    datasets: list[ray.data.Dataset],
+    schemas: "list[pa.Schema] | None" = None,
+) -> ray.data.Dataset:
     """Union datasets after aligning their column SETS (missing columns
     become nulls) and column TYPES (same-named columns with different
     types — int32 vs int64, float32 vs float64 — are promoted to one
     unified type and every block cast to it, so the union emits one
-    uniform schema), mirroring `_align_and_union_entities_ray`."""
+    uniform schema), mirroring `_align_and_union_entities_ray`.
+
+    ``schemas``: pass the known per-dataset Arrow schemas to skip the
+    ``ds.schema()`` probes — each probe executes a limit-1 run of that
+    dataset's full lineage, a real cost on deep pipelines."""
     import numpy as np
 
     def _to_pa_type(typ) -> pa.DataType:
@@ -83,7 +90,8 @@ def union_align(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
             return pa.from_numpy_dtype(typ)
         return pa.string()
 
-    schemas = [ds.schema() for ds in datasets]
+    if schemas is None:
+        schemas = [ds.schema() for ds in datasets]
     per_ds = [
         pa.schema(
             [pa.field(n, _to_pa_type(t)) for n, t in zip(s.names, s.types)]

@@ -75,7 +75,7 @@ def test_dedup_within_doc_keeps_first_occurrence_in_order():
         }
     )
     out = (
-        dedup_within_doc(ray.data.from_pandas(df), "id", "t")
+        dedup_within_doc(ray.data.from_pandas(df), "t")
         .to_pandas()
         .sort_values("id")
     )

@@ -6,10 +6,9 @@ import pandas as pd
 from feast_ray.pipelines.pretrain import pretraining_corpus
 from feast_ray.sources import synth_webpages
 
-SF = "/root/testdata/sf0.001"
 
-
-def test_pretraining_corpus_end_to_end(tmp_path):
+def test_pretraining_corpus_end_to_end(tmp_path, sf_small):
+    SF = sf_small
     out = pretraining_corpus(
         synth_webpages(SF),
         blocked_domains=["example-blocked.com"],
@@ -23,7 +22,7 @@ def test_pretraining_corpus_end_to_end(tmp_path):
 
     assert len(out) > 0
     assert set(out.columns) == {
-        "url", "lang_pred", "n_words", "text_final",
+        "url", "lang_pred", "n_tokens_final", "text_final",
         "shard", "pos", "bin_id", "bin_offset",
     }
     # shards dense, positions dense within shard
@@ -33,14 +32,18 @@ def test_pretraining_corpus_end_to_end(tmp_path):
         # packing invariant: offsets stay within the context budget and
         # reset across bins in pos order
         g = g.sort_values("pos")
-        assert (g["bin_offset"] < 256).all() or (g["n_words"] >= 256).any()
+        assert (g["bin_offset"] < 256).all() or (g["n_tokens_final"] >= 256).any()
         assert (g["bin_id"].to_numpy()[1:] >= g["bin_id"].to_numpy()[:-1]).all()
+    # n_tokens_final is the FINAL text's count (packing budget basis)
+    ref = out["text_final"].str.split().str.len()
+    assert (out["n_tokens_final"] == ref).all()
     # partitioned output exists, one dir per non-empty shard
     dirs = sorted(p.name for p in (tmp_path / "corpus").iterdir())
     assert all(d.startswith("shard=") for d in dirs) and len(dirs) >= 1
 
 
-def test_pretraining_corpus_rebalance_and_determinism():
+def test_pretraining_corpus_rebalance_and_determinism(sf_small):
+    SF = sf_small
     a = pretraining_corpus(
         synth_webpages(SF),
         lang_weights={"en": 1},

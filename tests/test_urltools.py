@@ -54,7 +54,7 @@ def test_block_domains_suffix_semantics():
 
     df = pd.DataFrame(
         {
-            "id": range(8),
+            "id": range(9),
             "url": [
                 "http://bad.com/x",            # exact -> blocked
                 "http://a.bad.com/x",          # subdomain -> blocked
@@ -64,14 +64,15 @@ def test_block_domains_suffix_semantics():
                 "http://good.com/bad.com",     # path only -> kept
                 "not a url",                   # no authority -> kept
                 "http://bad.company/x",        # different TLD -> kept
+                "http://" + ".".join("abcdefghijkl") + ".bad.com/",  # 14 labels -> blocked
             ],
         }
     )
     kept = block_domains(
         ray.data.from_pandas(df), ["bad.com"], "url"
     ).to_pandas()
-    assert sorted(kept["id"]) == [2, 5, 6, 7]
+    assert sorted(kept["id"]) == [2, 5, 6, 7]  # deep host (id 8) blocked
     ann = block_domains(
         ray.data.from_pandas(df), ["bad.com"], "url", mode="annotate"
     ).to_pandas()
-    assert ann["blocked"].sum() == 4 and len(ann) == 8
+    assert ann["blocked"].sum() == 5 and len(ann) == 9
