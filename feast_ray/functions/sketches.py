@@ -186,3 +186,111 @@ def approx_quantiles(
     return bucketed.groupby(BUCKET_COL).map_groups(
         lambda g: _merge(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
     )
+
+
+def misra_gries_block(values: "pd.Series", capacity: int) -> pd.Series:
+    """Misra–Gries summary of one block: at most ``capacity`` items
+    with lower-bound counters (undercount ≤ block_n / capacity).
+    Vectorized: exact value_counts, keep top-``capacity`` counters,
+    subtract the (capacity+1)-th count (the MG decrement batched)."""
+    vc = values.value_counts()
+    if len(vc) <= capacity:
+        return vc
+    cut = vc.iloc[capacity]
+    out = (vc.iloc[:capacity] - cut)
+    return out[out > 0]
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    *,
+    capacity: int = 1024,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT global top-``k`` of an UNBOUNDED-vocabulary column in
+    bounded memory — the frequent-items complement of the HLL/quantile
+    sketches: a Misra–Gries pass bounds the candidate set, an exact
+    recount pass restores true counts.
+
+    Pass 1 ships ≤ ``capacity`` (item, lower-bound) rows per block —
+    bounded regardless of vocabulary size (where ``ngram_top``'s exact
+    shuffle carries every distinct item). Any item with true frequency
+    > N/capacity is guaranteed a candidate (the mergeable-MG bound:
+    summed undercount ≤ N/capacity), so the result equals the exact
+    top-k whenever the k-th frequency clears N/capacity — which is the
+    regime heavy-hitter queries ask about; size ``capacity`` ≥ N/f_k.
+    Pass 2 broadcasts the candidate set (sorted array + searchsorted)
+    and recounts EXACTLY, so reported counts carry no sketch error.
+    Output: (item, n), count desc / item asc, exactly k rows (fewer if
+    the column has < k distinct candidates). Triggers execution of
+    pass 1 at call time; pass 2 streams."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from feast_ray.stages.relational import topk
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {"item": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        mg = misra_gries_block(
+            pd.Series(tbl[col].to_pylist()).astype(str), capacity
+        )
+        return pa.table(
+            {
+                "item": pa.array(mg.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(mg.to_numpy(), pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    # union of block summaries (≤ capacity × blocks rows) — summing
+    # partial counters only ever widens the candidate set, keeping the
+    # > N/capacity guarantee
+    if len(cand) == 0 or "item" not in cand.columns:
+        items = np.array([], dtype=object)
+    else:
+        agg = cand.groupby("item", sort=False)["n"].sum()
+        items = np.sort(
+            agg.sort_values(ascending=False)
+            .head(max(capacity, k))
+            .index.to_numpy(dtype=object)
+        )
+    ref = _ray.put(items)
+
+    def _recount(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"item": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if len(tbl) == 0:
+            return empty
+        cands = _ray.get(ref)
+        if len(cands) == 0:
+            return empty
+        vals = pd.Series(tbl[col].to_pylist()).astype(str)
+        ix = np.searchsorted(cands, vals.to_numpy(dtype=object))
+        ix_c = np.minimum(ix, len(cands) - 1)
+        hit = cands[ix_c] == vals.to_numpy(dtype=object)
+        vc = vals[hit].value_counts()
+        return pa.table(
+            {
+                "item": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    counts = bucketed_group_reduce(
+        ds.map_batches(_recount, batch_format="pyarrow"),
+        ["item"],
+        lambda df: df.groupby("item", as_index=False, sort=False)["n"].sum()
+        if "item" in df.columns and len(df)
+        else pd.DataFrame({"item": [], "n": []}),
+        num_buckets=num_buckets,
+    )
+    return topk(counts, ["n", "item"], k, descending=[True, False])

@@ -3104,6 +3104,44 @@ select doc_id, source from member where not is_member
 """
 
 
+# --------------------------------------------------------------------- q69
+
+
+def q69_heavy_hitters(sf_dir: str):
+    """Frequent-items sketch with exact recount: a skewed token column
+    decorated onto events (7 hot values over a long cold tail);
+    `heavy_hitters` must return the EXACT top-7 with exact counts —
+    the Misra–Gries guarantee holds by construction (f_7 ≈ 0.11·N ≫
+    N/256), so the plain SQL top-k is a valid oracle."""
+    from feast_ray.functions.sketches import heavy_hitters
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def _decorate(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        i = pd.Series(tbl["event_id"].to_numpy(zero_copy_only=False))
+        tok = ("hot" + (i % 7).astype(str)).where(
+            i % 5 != 0, "cold" + i.astype(str)
+        )
+        return pa.table(
+            {"item_src": pa.array(tok.to_numpy(dtype=object), pa.string())}
+        )
+
+    dec = ev.map_batches(_decorate, batch_format="pyarrow")
+    return heavy_hitters(dec, "item_src", k=7, capacity=256)
+
+
+_Q69_SQL = """
+with dec as (
+  select case when event_id % 5 != 0 then 'hot' || (event_id % 7)
+              else 'cold' || event_id end as item
+  from events)
+select item, count(*) as n from dec
+group by item order by n desc, item asc limit 7
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3178,6 +3216,7 @@ QUERIES = {
     "q66_domain_blocklist": q66_domain_blocklist,
     "q67_pretraining_corpus": q67_pretraining_corpus,
     "q68_bloom_partitioned": q68_bloom_partitioned,
+    "q69_heavy_hitters": q69_heavy_hitters,
 }
 
 
@@ -3249,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_shard_shuffle": _q65_sql(),
         "q66_domain_blocklist": _q66_sql(),
         "q68_bloom_partitioned": _q68_sql(),
+        "q69_heavy_hitters": _Q69_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

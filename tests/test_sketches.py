@@ -208,3 +208,51 @@ def test_shard_shuffle_deterministic_and_dense(sf_small):
         (merged["shard_a"] != merged["shard_c"])
         | (merged["pos_a"] != merged["pos_c"])
     ).any()
+
+
+def test_heavy_hitters_exact_on_skewed_column():
+    import numpy as np
+    import ray.data
+
+    from feast_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    # 5 hot items (~80% of mass) over a 5000-item cold tail
+    hot = [f"hot{i}" for i in range(5)]
+    vals = list(rng.choice(hot, size=8000)) + [
+        f"cold{i}" for i in range(2000)
+    ]
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    out = (
+        heavy_hitters(
+            ray.data.from_pandas(df).repartition(8), "v", k=5, capacity=64
+        )
+        .to_pandas()
+        .sort_values("n", ascending=False)
+    )
+    exact = df["v"].value_counts().head(5)
+    assert out["item"].tolist() == exact.index.tolist()
+    assert out["n"].tolist() == exact.tolist()  # counts are EXACT
+
+
+def test_heavy_hitters_small_and_empty():
+    import ray.data
+
+    from feast_ray.functions.sketches import heavy_hitters
+
+    df = pd.DataFrame({"v": ["a", "b", "a"]})
+    out = heavy_hitters(
+        ray.data.from_pandas(df), "v", k=10, capacity=4
+    ).to_pandas()
+    assert dict(zip(out["item"], out["n"])) == {"a": 2, "b": 1}
+
+
+def test_misra_gries_block_bound():
+    from feast_ray.functions.sketches import misra_gries_block
+
+    s = pd.Series(["x"] * 50 + [f"t{i}" for i in range(100)])
+    mg = misra_gries_block(s, capacity=8)
+    assert len(mg) <= 8
+    # undercount bound: true 50, lower bound >= 50 - 150/8
+    assert mg.get("x", 0) >= 50 - 150 / 8
