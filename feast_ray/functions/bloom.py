@@ -55,15 +55,20 @@ import ray.data
 from feast_ray.functions.neardup import word_hashes64
 
 
-def bloom_positions(keys: "list[str]", m: int, k: int) -> np.ndarray:
-    """(n, k) int64 bit positions for each key."""
-    h = word_hashes64(keys)
+def positions_from_hashes(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions from uint64 digests."""
+    h = h.astype(np.uint64, copy=False)
     h1 = (h % np.uint64(m)).astype(np.int64)
     h2 = (((h >> np.uint64(33)) << np.uint64(1)) + np.uint64(1)).astype(
         np.int64
     )
     i = np.arange(k, dtype=np.int64)[None, :]
     return (h1[:, None] + i * h2[:, None]) % m
+
+
+def bloom_positions(keys: "list[str]", m: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions for each key."""
+    return positions_from_hashes(word_hashes64(keys), m, k)
 
 
 def _pack(rel: np.ndarray, nbits: int) -> np.ndarray:
@@ -87,7 +92,14 @@ class BloomFilter:
         """bool[n]: True = possibly present (all k bits set)."""
         if not keys:
             return np.zeros(0, dtype=bool)
-        pos = bloom_positions(keys, self.m, self.k)
+        return self.contains_hashes(word_hashes64(keys))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Membership from precomputed uint64 digests (no string
+        round-trip — the prehashed probe path)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = positions_from_hashes(h, self.m, self.k)
         word = self.bits[pos >> 6]
         hit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
         return hit.all(axis=1)
@@ -106,6 +118,7 @@ def bloom_build(
     m_bits: int = 1 << 22,
     k: int = 4,
     num_segments: int = 32,
+    prehashed: bool = False,
 ) -> BloomFilter:
     """Build a Bloom filter over ``ds[key_col]`` distributed: in-block
     position dedup → segment shuffle (distinct positions only) → one
@@ -114,7 +127,9 @@ def bloom_build(
 
     ``m_bits`` must be a multiple of 64 × num_segments and ≤ 2^32
     (single-filter regime; partition keys into multiple filters past
-    that — see module docstring)."""
+    that — see module docstring). ``prehashed=True``: ``key_col``
+    already holds uint64/int64 digests — used directly as h, probe
+    with :meth:`BloomFilter.contains_hashes`."""
     if m_bits % (64 * num_segments):
         raise ValueError("m_bits must be a multiple of 64*num_segments")
     if m_bits > 1 << 32:
@@ -124,8 +139,13 @@ def bloom_build(
     def _partial(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return pa.table({"pos": pa.array([], pa.int64())})
-        keys = tbl[key_col].to_pylist()
-        pos = np.unique(bloom_positions(keys, m_bits, k))
+        if prehashed:
+            h = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.unique(positions_from_hashes(h, m_bits, k))
+        else:
+            pos = np.unique(
+                bloom_positions(tbl[key_col].to_pylist(), m_bits, k)
+            )
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
     def _pack_segment(df: pd.DataFrame) -> pd.DataFrame:

@@ -106,14 +106,17 @@ def remove_duplicate_spans(
     ``mode="broadcast"`` (default): the dup-gram table collects to
     sorted arrays and broadcasts — right up to ``max_broadcast_rows``.
     ``mode="copartition"``: the beyond-broadcast regime. The dup table
-    stays a distributed Dataset; pass B emits gram OCCURRENCES,
-    prefiltered in-block by a Bloom filter built over the dup grams
-    (16 MB of bits broadcast instead of the gram strings — false
-    positives only add join rows, the exact partitioned join removes
-    them), hash-joins them with the dup table on the gram, reduces to
-    per-doc cut lists, and joins those back to the docs. Three extra
-    exchanges, none of which carries document text more than once —
-    result identical to broadcast mode (parity-tested)."""
+    stays a distributed Dataset; pass B emits gram occurrences keyed
+    by their 64-bit DIGEST (~4× fewer bytes than gram strings),
+    prefiltered in-block by a Bloom filter built over the dup-gram
+    digests (bits broadcast, not strings — false positives only add
+    join rows, the partitioned digest join removes them), joins them
+    with the dup table, reduces to per-doc cut lists, and joins those
+    back to the docs. Three extra exchanges, none carrying document
+    text more than once. Digest-collision caveat: two distinct grams
+    sharing a 64-bit digest merge decisions (odds ~(#grams)²/2^64);
+    broadcast mode stays string-exact (parity-tested on dup-bearing
+    corpora)."""
     from feast_ray.stages.dedup import bucketed_group_reduce
 
     def _partial(tbl: pa.Table) -> pa.Table:
@@ -232,22 +235,43 @@ def _strip_copartitioned(
 ) -> ray.data.Dataset:
     """Pass B without broadcasting the dup-gram table — see
     :func:`remove_duplicate_spans` (mode="copartition")."""
-    from feast_ray.functions.bloom import bloom_build, bloom_filter_new
+    from feast_ray.functions.bloom import bloom_build
     from feast_ray.stages.dedup import bucketed_group_reduce
     from feast_ray.stages.join import hash_join
 
     dup_m = dup.materialize()  # consumed twice: bloom build + the join
+    from feast_ray.functions.neardup import word_hashes64
+
+    # the exchange is keyed on the 64-bit gram DIGEST, not the gram
+    # string — ~4× fewer bytes per occurrence row through both the
+    # prefilter and the join. Collision cost: two distinct grams
+    # sharing a digest merge their dup/survivor decisions; odds
+    # ~(#grams)²/2^64 (≈1e-8 even at 10^9 distinct grams) —
+    # broadcast mode stays string-exact for the oracle-checked path.
+    def _gh_col(t: pa.Table) -> pa.Table:
+        if "gram" not in t.column_names:  # dup-free corpus: empty block
+            return pa.schema(
+                [("gh", pa.uint64()), ("md", pa.int64())]
+            ).empty_table()
+        gh = word_hashes64(t["gram"].to_pylist())
+        return pa.table(
+            {"gh": pa.array(gh, pa.uint64()), "md": t["md"]}
+        )
+
+    dup_sel = dup_m.map_batches(_gh_col, batch_format="pyarrow")
     bf = bloom_build(
-        dup_m, "gram", m_bits=bloom_bits, k=4,
+        dup_sel, "gh", m_bits=bloom_bits, k=4, prehashed=True,
         # honor any power-of-two bloom_bits ≥ 64 without surfacing
         # bloom_build's m_bits % (64*segments) == 0 constraint
         num_segments=max(1, min(32, bloom_bits // 64)),
     )
+    bits_ref = ray.put(bf.bits)
+    bm, bk = bf.m, bf.k
 
     def _occ(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "gram": pa.array([], pa.string()),
+                "gh": pa.array([], pa.uint64()),
                 "doc": pa.array([], pa.int64()),
                 "s": pa.array([], pa.int64()),
             }
@@ -262,38 +286,32 @@ def _strip_copartitioned(
         owner = np.repeat(tbl[id_col].to_numpy(), lens)[start]
         # WITHIN-doc token index so cut positions survive re-tokenizing
         rel = start - np.repeat(offs[:-1], lens)[start]
+        gh = word_hashes64(list(_gram_strings(flat, start, n)))
+        # in-block Bloom prefilter on the digests: only probable dup
+        # occurrences enter the exchange
+        from feast_ray.functions.bloom import BloomFilter
+
+        keep = BloomFilter(
+            m=bm, k=bk, bits=ray.get(bits_ref)
+        ).contains_hashes(gh)
         return pa.table(
             {
-                "gram": pa.array(_gram_strings(flat, start, n), pa.string()),
-                "doc": pa.array(owner, pa.int64()),
-                "s": pa.array(rel, pa.int64()),
+                "gh": pa.array(gh[keep], pa.uint64()),
+                "doc": pa.array(owner[keep], pa.int64()),
+                "s": pa.array(rel[keep], pa.int64()),
             }
         )
 
     occ = ds.map_batches(_occ, batch_format="pyarrow")
-    # Bloom prefilter: drop occurrences that cannot be dup grams
-    occ = bloom_filter_new(occ, bf, "gram", member_col="__maybe")
-    occ = occ.map_batches(
-        lambda t: t.filter(t["__maybe"]).drop_columns(["__maybe"]),
-        batch_format="pyarrow",
-    )
-    _dup_schema = pa.schema([("gram", pa.string()), ("md", pa.int64())])
-
-    def _sel(t: pa.Table) -> pa.Table:
-        if "gram" not in t.column_names:  # dup-free corpus: empty block
-            return _dup_schema.empty_table()
-        return t.select(["gram", "md"]).cast(_dup_schema)
-
-    dup_sel = dup_m.map_batches(_sel, batch_format="pyarrow")
     hits = hash_join(
         occ,
         dup_sel,
-        on="gram",
+        on="gh",
         num_buckets=num_buckets,
         left_schema=pa.schema(
-            [("gram", pa.string()), ("doc", pa.int64()), ("s", pa.int64())]
+            [("gh", pa.uint64()), ("doc", pa.int64()), ("s", pa.int64())]
         ),
-        right_schema=_dup_schema,
+        right_schema=pa.schema([("gh", pa.uint64()), ("md", pa.int64())]),
     )
     cuts = hits.map_batches(
         lambda t: t.filter(
