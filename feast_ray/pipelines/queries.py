@@ -3142,6 +3142,131 @@ group by item order by n desc, item asc limit 7
 """
 
 
+# --------------------------------------------------------------------- q70
+
+
+def q70_priority_with_discounted_lines(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS: orders having ≥1 heavily-discounted
+    bulk lineitem, counted per priority — size-gated semi-join over
+    the distinct qualifying orderkeys (broadcast under the cap,
+    distributed marker join above)."""
+    from feast_ray.stages import semi_join
+    from feast_ray.stages.relational import distinct
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_discount", "l_quantity"]
+    )
+
+    def _qual(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["l_discount"], pa.scalar(0.08)),
+            pc.greater(t["l_quantity"], pa.scalar(30.0)),
+        )
+        return t.filter(keep).select(["l_orderkey"])
+
+    keys = distinct(li.map_batches(_qual, batch_format="pyarrow"), ["l_orderkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    )
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    hit = semi_join(orders, keys, on="l_orderkey")
+    return grouped_agg(
+        hit, ["o_orderpriority"], [AggSpec(None, "count", "n_orders")]
+    )
+
+
+_Q70_SQL = """
+select o_orderpriority, count(*) as n_orders
+from orders
+where exists (
+  select 1 from lineitem
+  where l_orderkey = o_orderkey
+    and l_discount > 0.08 and l_quantity > 30.0)
+group by o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- q71
+
+
+def q71_rich_customers_without_orders(sf_dir: str):
+    """TPC-H Q22-shaped anti join + scalar subquery: customers with
+    above-average positive balance and NO URGENT orders, per nation
+    (every sf0.01 customer has SOME order — the urgent restriction
+    keeps the anti set non-vacuous). The
+    average threshold is applied in EXACT integer arithmetic
+    (bal_cents · count > Σcents — no float-epsilon borderline flips
+    between engine and oracle); the anti side is the size-gated
+    semi_join(anti=True) over distinct customer keys of orders."""
+    from feast_ray.stages import semi_join
+    from feast_ray.stages.relational import distinct
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    cust = cust.map_batches(
+        lambda t: _cents(t, "c_acctbal", "bal_c", 100.0),
+        batch_format="pyarrow",
+    )
+    pos = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["bal_c"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    stats = grouped_agg(
+        pos, [], [AggSpec("bal_c", "sum", "s"), AggSpec(None, "count", "c")]
+    ).to_pandas()  # one row
+    s, c = int(stats["s"].iloc[0]), int(stats["c"].iloc[0])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["bal_c"], pa.scalar(c, pa.int64())),
+                       pa.scalar(s, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        ).select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    okeys = distinct(urgent, ["c_custkey"])
+    lonely = semi_join(rich, okeys, on="c_custkey", anti=True)
+    agg = grouped_agg(
+        lonely,
+        ["c_nationkey"],
+        [AggSpec(None, "count", "n_cust"), AggSpec("bal_c", "sum", "bal_sum_c")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c_nationkey", "n_cust"]].copy()
+        out["total_bal"] = df["bal_sum_c"] / 100.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q71_SQL = f"""
+with c as (
+  select c_custkey, c_nationkey,
+         {_SQL_CENTS.format(expr='c_acctbal', scale=100)} as bal_c
+  from customer),
+t as (select sum(bal_c) as s, count(*) as cnt from c where bal_c > 0)
+select c_nationkey, count(*) as n_cust, sum(bal_c) / 100.0 as total_bal
+from c, t
+where bal_c * cnt > s
+  and not exists (
+    select 1 from orders
+    where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+group by c_nationkey
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3217,6 +3342,8 @@ QUERIES = {
     "q67_pretraining_corpus": q67_pretraining_corpus,
     "q68_bloom_partitioned": q68_bloom_partitioned,
     "q69_heavy_hitters": q69_heavy_hitters,
+    "q70_priority_with_discounted_lines": q70_priority_with_discounted_lines,
+    "q71_rich_customers_without_orders": q71_rich_customers_without_orders,
 }
 
 
@@ -3289,6 +3416,8 @@ def oracle_sql() -> dict[str, str]:
         "q66_domain_blocklist": _q66_sql(),
         "q68_bloom_partitioned": _q68_sql(),
         "q69_heavy_hitters": _Q69_SQL,
+        "q70_priority_with_discounted_lines": _Q70_SQL,
+        "q71_rich_customers_without_orders": _Q71_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
