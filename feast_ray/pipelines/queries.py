@@ -3267,6 +3267,59 @@ group by c_nationkey
 """
 
 
+# --------------------------------------------------------------------- q72
+
+
+def q72_supplier_variety_by_brand(sf_dir: str):
+    """TPC-H Q16-shaped NOT IN + COUNT DISTINCT: distinct suppliers
+    serving each part brand, excluding negative-balance suppliers —
+    a partitioned hash join (lineitem×part on partkey: both fact-
+    sized, never broadcast) feeding the two-phase count_distinct,
+    with the exclusion as a broadcast anti-join on the tiny supplier
+    key set."""
+    from feast_ray.stages import hash_join, semi_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    bad = (
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.less(t["s_acctbal"], pa.scalar(0.0))
+            ).select(["s_suppkey"]).rename_columns(["l_suppkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    li = semi_join(li, bad, on="l_suppkey", anti=True)
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    part = part.map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    i64 = pa.int64()
+    joined = hash_join(
+        li,
+        part,
+        on="l_partkey",
+        num_buckets=32,
+        left_schema=pa.schema([("l_partkey", i64), ("l_suppkey", i64)]),
+        right_schema=pa.schema([("l_partkey", i64), ("p_brand", pa.string())]),
+    )
+    return grouped_agg(
+        joined,
+        ["p_brand"],
+        [AggSpec("l_suppkey", "count_distinct", "n_suppliers")],
+    )
+
+
+_Q72_SQL = """
+select p_brand, count(distinct l_suppkey) as n_suppliers
+from lineitem join part on l_partkey = p_partkey
+where l_suppkey not in (
+  select s_suppkey from supplier where s_acctbal < 0.0)
+group by p_brand
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3344,6 +3397,7 @@ QUERIES = {
     "q69_heavy_hitters": q69_heavy_hitters,
     "q70_priority_with_discounted_lines": q70_priority_with_discounted_lines,
     "q71_rich_customers_without_orders": q71_rich_customers_without_orders,
+    "q72_supplier_variety_by_brand": q72_supplier_variety_by_brand,
 }
 
 
@@ -3418,6 +3472,7 @@ def oracle_sql() -> dict[str, str]:
         "q69_heavy_hitters": _Q69_SQL,
         "q70_priority_with_discounted_lines": _Q70_SQL,
         "q71_rich_customers_without_orders": _Q71_SQL,
+        "q72_supplier_variety_by_brand": _Q72_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
