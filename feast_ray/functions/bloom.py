@@ -140,7 +140,15 @@ def bloom_build(
         if len(tbl) == 0:
             return pa.table({"pos": pa.array([], pa.int64())})
         if prehashed:
-            h = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            col = tbl[key_col]
+            if col.null_count:
+                # a null digest would round-trip through float64 NaN
+                # into a garbage position — fail loudly like the
+                # string path does
+                raise ValueError(
+                    f"prehashed bloom_build: {key_col} contains nulls"
+                )
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             pos = np.unique(positions_from_hashes(h, m_bits, k))
         else:
             pos = np.unique(

@@ -221,8 +221,9 @@ def heavy_hitters(
     summed undercount ≤ N/capacity), so the result equals the exact
     top-k whenever the k-th frequency clears N/capacity — which is the
     regime heavy-hitter queries ask about; size ``capacity`` ≥ N/f_k.
-    Pass 2 broadcasts the candidate set (sorted array + searchsorted)
-    and recounts EXACTLY, so reported counts carry no sketch error.
+    Pass 2 is plain operator composition — ``semi_join`` (broadcast
+    candidate probe) + ``top_frequencies`` (two-phase exact count) —
+    so reported counts carry no sketch error.
     Output: (item, n), count desc / item asc, exactly k rows (fewer if
     the column has < k distinct candidates). Triggers execution of
     pass 1 at call time; pass 2 streams."""
@@ -247,50 +248,50 @@ def heavy_hitters(
             }
         )
 
-    cand = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    # union of block summaries (≤ capacity × blocks rows) — summing
-    # partial counters only ever widens the candidate set, keeping the
-    # > N/capacity guarantee
-    if len(cand) == 0 or "item" not in cand.columns:
-        items = np.array([], dtype=object)
-    else:
-        agg = cand.groupby("item", sort=False)["n"].sum()
-        items = np.sort(
-            agg.sort_values(ascending=False)
-            .head(max(capacity, k))
-            .index.to_numpy(dtype=object)
-        )
-    ref = _ray.put(items)
-
-    def _recount(tbl: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"item": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-        )
-        if len(tbl) == 0:
-            return empty
-        cands = _ray.get(ref)
-        if len(cands) == 0:
-            return empty
-        vals = pd.Series(tbl[col].to_pylist()).astype(str)
-        ix = np.searchsorted(cands, vals.to_numpy(dtype=object))
-        ix_c = np.minimum(ix, len(cands) - 1)
-        hit = cands[ix_c] == vals.to_numpy(dtype=object)
-        vc = vals[hit].value_counts()
-        return pa.table(
-            {
-                "item": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "n": pa.array(vc.to_numpy(), pa.int64()),
-            }
-        )
-
     from feast_ray.stages.dedup import bucketed_group_reduce
+    from feast_ray.stages.join import semi_join
+    from feast_ray.stages.relational import top_frequencies
 
-    counts = bucketed_group_reduce(
-        ds.map_batches(_recount, batch_format="pyarrow"),
+    # merge block summaries DISTRIBUTED (repo merge doctrine: the
+    # driver never sees the unreduced union), then keep the top
+    # ``capacity`` by summed lower bound — safe: evicting an item with
+    # true f > N/capacity from the top-capacity would require total
+    # decrementer mass > N. Driver materializes ≤ capacity rows.
+    counts1 = bucketed_group_reduce(
+        ds.map_batches(_partial, batch_format="pyarrow"),
         ["item"],
         lambda df: df.groupby("item", as_index=False, sort=False)["n"].sum()
         if "item" in df.columns and len(df)
         else pd.DataFrame({"item": [], "n": []}),
         num_buckets=num_buckets,
     )
-    return topk(counts, ["n", "item"], k, descending=[True, False])
+    cand = topk(
+        counts1, ["n", "item"], max(capacity, k), descending=[True, False]
+    ).to_pandas()
+    items = (
+        cand["item"].tolist() if "item" in cand.columns else []
+    )
+    if not items:
+        return ray.data.from_arrow(
+            pa.table(
+                {"item": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        )
+
+    # pass 2: exact recount restricted to the candidates — plain
+    # operator composition (semi_join broadcast probe + two-phase
+    # top_frequencies; identical count-desc/item-asc tie-break)
+    ds_items = ds.map_batches(
+        lambda t: pa.table(
+            {"item": pa.array(
+                pd.Series(t[col].to_pylist()).astype(str).to_numpy(
+                    dtype=object
+                ),
+                pa.string(),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    hit = semi_join(ds_items, items, on="item")
+    return top_frequencies(hit, "item", k)

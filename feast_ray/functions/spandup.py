@@ -39,10 +39,11 @@ keeps the dup table distributed: occurrences are Bloom-prefiltered
 in-block (bits broadcast, not strings) and verified by an exact
 partitioned hash join — see :func:`_strip_copartitioned`.
 
-Matching is on exact n-gram STRINGS (FP-free, SQL-oracle-checkable —
-q63), same policy as decontam.py; swap in 64-bit gram hashes at
-extreme corpus sizes. Reference has no analog (SURVEY.md §2 extension
-surface).
+Matching: pass A and broadcast-mode pass B are exact n-gram STRINGS
+(FP-free, SQL-oracle-checkable — q63); copartition-mode pass B keys
+its exchange on 64-bit gram digests (collision odds ~(#grams)²/2^64 —
+see :func:`remove_duplicate_spans`). Reference has no analog
+(SURVEY.md §2 extension surface).
 """
 
 from __future__ import annotations

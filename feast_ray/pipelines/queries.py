@@ -3218,6 +3218,18 @@ def q71_rich_customers_without_orders(sf_dir: str):
     stats = grouped_agg(
         pos, [], [AggSpec("bal_c", "sum", "s"), AggSpec(None, "count", "c")]
     ).to_pandas()  # one row
+    if len(stats) == 0 or "s" not in stats.columns:
+        # no positive balances: the oracle's NOT-NULL comparison yields
+        # zero rows — return the same empty TYPED result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "n_cust": pa.array([], pa.int64()),
+                    "total_bal": pa.array([], pa.float64()),
+                }
+            )
+        )
     s, c = int(stats["s"].iloc[0]), int(stats["c"].iloc[0])
 
     rich = cust.map_batches(
