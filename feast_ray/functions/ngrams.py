@@ -40,8 +40,10 @@ def _block_gram_counts(tbl: pa.Table, text_col: str, n: int) -> pa.Table:
             {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
         )
     # mirror regexp_extract_all(text, '\S+'): trim + collapse, then
-    # split on single spaces (empty docs produce a single empty token
-    # which can never reach an n-gram: they have < n tokens)
+    # split on single spaces. Empty/whitespace-only docs produce a
+    # single EMPTY token — harmless for n >= 2 (one token can't form
+    # an n-gram) but a phantom '' gram at n=1, so unigrams filter it
+    # below (regexp_extract_all('\S+') yields no token for such docs).
     txt = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(tbl[text_col], r"\s+", " ")
     )
@@ -53,6 +55,8 @@ def _block_gram_counts(tbl: pa.Table, text_col: str, n: int) -> pa.Table:
     ends = np.repeat(offs[1:], lens)
     idx = np.arange(len(flat))
     start = idx[idx + (n - 1) < ends]
+    if n == 1 and len(start):
+        start = start[flat[start] != ""]
     if len(start) == 0:
         return pa.table(
             {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}

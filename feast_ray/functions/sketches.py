@@ -216,11 +216,17 @@ def heavy_hitters(
 
     Pass 1 ships ≤ ``capacity`` (item, lower-bound) rows per block —
     bounded regardless of vocabulary size (where ``ngram_top``'s exact
-    shuffle carries every distinct item). Any item with true frequency
-    > N/capacity is guaranteed a candidate (the mergeable-MG bound:
-    summed undercount ≤ N/capacity), so the result equals the exact
-    top-k whenever the k-th frequency clears N/capacity — which is the
-    regime heavy-hitter queries ask about; size ``capacity`` ≥ N/f_k.
+    shuffle carries every distinct item). Merged lower bounds satisfy
+    lb(x) ≥ f_x − N/(capacity+1) (summed per-block MG undercount), and
+    the recount pass keeps the top ``2·capacity`` candidates by lb:
+    the m-th largest lb is ≤ N/m (Σlb ≤ N), so any item with
+    lb_x > N/(2·capacity) — i.e. true frequency
+    f_x > N/(2·capacity) + N/(capacity+1) < 1.5·N/capacity — is
+    guaranteed to survive the cut. The result therefore equals the
+    exact top-k whenever the k-th frequency clears 1.5·N/capacity;
+    size ``capacity`` ≥ 2N/f_k for a comfortable margin. (Keeping only
+    top-``capacity`` would weaken this to f_k > 2N/capacity — an item
+    can trail ``capacity`` others whose lbs each reach N/capacity.)
     Pass 2 is plain operator composition — ``semi_join`` (broadcast
     candidate probe) + ``top_frequencies`` (two-phase exact count) —
     so reported counts carry no sketch error.
@@ -254,9 +260,10 @@ def heavy_hitters(
 
     # merge block summaries DISTRIBUTED (repo merge doctrine: the
     # driver never sees the unreduced union), then keep the top
-    # ``capacity`` by summed lower bound — safe: evicting an item with
-    # true f > N/capacity from the top-capacity would require total
-    # decrementer mass > N. Driver materializes ≤ capacity rows.
+    # ``2·capacity`` by summed lower bound — the 2c-th largest lb is
+    # ≤ N/(2c), so an item evicted here has f ≤ N/(2c) + N/(c+1)
+    # (see docstring for the resulting exactness regime). Driver
+    # materializes ≤ 2·capacity rows.
     counts1 = bucketed_group_reduce(
         ds.map_batches(_partial, batch_format="pyarrow"),
         ["item"],
@@ -266,7 +273,7 @@ def heavy_hitters(
         num_buckets=num_buckets,
     )
     cand = topk(
-        counts1, ["n", "item"], max(capacity, k), descending=[True, False]
+        counts1, ["n", "item"], max(2 * capacity, k), descending=[True, False]
     ).to_pandas()
     items = (
         cand["item"].tolist() if "item" in cand.columns else []

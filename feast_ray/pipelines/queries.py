@@ -2268,7 +2268,7 @@ def _q52_sql() -> str:
     from feast_ray.functions.urltools import TRACKING_PARAM_RE
 
     track = TRACKING_PARAM_RE.replace("'", "''")
-    return f"""
+    return rf"""
 with raw as (
   select event_id,
     (case when event_id % 5 = 0 then 'HTTPS' else 'HtTp' end)

@@ -26,10 +26,12 @@ at scale):
 ``count_distinct`` is two-phase too: global distinct on (keys, col)
 (itself per-block-deduped before the shuffle) then a grouped count.
 
-Windowed aggregation assigns each row its hop bucket(s) in a
-vectorized ``map_batches`` (tumbling: one bucket; sliding: exploded to
-window//slide buckets — the sawtooth), then runs the same two-phase
-grouped aggregation on (keys, window_start).
+Windowed aggregation assigns each row its ONE hop bucket in a
+vectorized ``map_batches``; tumbling windows then run the two-phase
+grouped aggregation on (keys, window_start) directly, while sliding
+windows compose per-(key, hop) merged IR TILES into windows
+(``_tiled_sliding_agg``) — the reference's tiling engine shape, with
+O(1) rows per input row through the heavy phase.
 """
 
 from __future__ import annotations
@@ -268,10 +270,15 @@ def windowed_agg(
 ) -> ray.data.Dataset:
     """Tumbling (slide=None) or sliding windowed aggregation.
 
-    Sliding windows follow the reference's sawtooth tiling
-    (tiling/orchestrator.py): rows are exploded to their hop buckets
-    (window//slide per row), partial-aggregated per (key, hop) inside
-    the batch, and merged in one small shuffle.
+    Sliding windows follow the reference's sawtooth TILING
+    (feast/aggregation/tiling/orchestrator.py:18-189,
+    tiling/tile_subtraction.py:1-177): each row is assigned its ONE hop
+    bucket (no row amplification), partial tiles are computed and
+    merged per (key, hop), and windows are composed from the ≤
+    |distinct (key, hop)| merged tiles — O(1) rows per input row
+    through the heavy phase regardless of window//slide. (A naive
+    sawtooth that explodes every raw row into window//slide hop copies
+    is 60× row amplification for a 1 h window with a 1 min slide.)
     """
     win_us = int(window.total_seconds() * 1e6)
     slide_us = int(slide.total_seconds() * 1e6) if slide else win_us
@@ -280,23 +287,119 @@ def windowed_agg(
     n_hops = win_us // slide_us
 
     def _assign(tbl: pa.Table) -> pa.Table:
-        df = tbl.to_pandas()
+        df = tbl.to_pandas().copy()
         ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        last_start = (ts // slide_us) * slide_us
-        if n_hops == 1:
-            df = df.copy()
-            df[window_col] = last_start.astype("datetime64[us]")
-            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-        # row belongs to windows starting at last_start - j*slide, j in [0, n_hops)
-        # (window covers [start, start+window)); explode
+        df[window_col] = ((ts // slide_us) * slide_us).astype("datetime64[us]")
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    hopped = ds.map_batches(_assign, batch_format="pyarrow")
+    if n_hops == 1:
+        return grouped_agg(hopped, keys + [window_col], specs)
+    return _tiled_sliding_agg(hopped, keys, window_col, slide_us, n_hops, specs)
+
+
+def _tiled_sliding_agg(
+    hopped: ray.data.Dataset,
+    keys: list[str],
+    window_col: str,
+    slide_us: int,
+    n_hops: int,
+    specs: list[AggSpec],
+) -> ray.data.Dataset:
+    """Compose sliding windows from merged per-(key, hop) tiles.
+
+    Three small stages after the one O(rows) partial pass:
+    1. merge block tiles → one IR tile per (key, hop) (bucketed reduce,
+       IR columns kept un-finalized so tiles stay combinable);
+    2. explode each merged tile into the n_hops windows containing its
+       hop — amplification applies to the TILE table (one row per key
+       per slide period), never to raw rows;
+    3. merge + finalize per (key, window_start).
+    count_distinct can't compose from additive tiles: it runs
+    distinct-(key, hop, value) → explode → distinct-(key, window,
+    value) → grouped count, so the explode touches only per-hop
+    DISTINCT values.
+    """
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    tkeys = keys + [window_col]
+    cd_specs = [s for s in specs if s.fn == "count_distinct"]
+    main_specs = [s for s in specs if s.fn != "count_distinct"]
+
+    def _explode_to_windows(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        hop = df[window_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        # hop h is inside windows starting at h - j*slide, j in [0, n_hops)
+        # (window covers [start, start + window))
         idx = np.repeat(np.arange(len(df)), n_hops)
         starts = (
-            np.repeat(last_start, n_hops)
+            np.repeat(hop, n_hops)
             - np.tile(np.arange(n_hops, dtype=np.int64) * slide_us, len(df))
         )
         out = df.iloc[idx].copy()
         out[window_col] = starts.astype("datetime64[us]")
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    exploded = ds.map_batches(_assign, batch_format="pyarrow")
-    return grouped_agg(exploded, keys + [window_col], specs)
+    result: ray.data.Dataset | None = None
+    if main_specs:
+        kinds: dict[str, str] = {}
+        for i, spec in enumerate(main_specs):
+            kinds.update(_partial_cols(spec, i))
+
+        def _merge_ir(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(tkeys, sort=False, dropna=False)
+            out: dict[str, pd.Series] = {}
+            for pname, kind in kinds.items():
+                if kind in ("sum", "count", "sumsq"):
+                    out[pname] = g[pname].sum()
+                elif kind == "min":
+                    out[pname] = g[pname].min()
+                else:
+                    out[pname] = g[pname].max()
+            return pd.DataFrame(out).reset_index()
+
+        finalize = _make_finalize_fn(tkeys, main_specs)
+        block_tiles = hopped.map_batches(
+            _make_partial_fn(tkeys, main_specs), batch_format="pyarrow"
+        )
+        tiles = bucketed_group_reduce(block_tiles, tkeys, _merge_ir)
+        exploded = tiles.map_batches(_explode_to_windows, batch_format="pyarrow")
+        result = bucketed_group_reduce(
+            exploded, tkeys, lambda df: finalize(_merge_ir(df))
+        )
+
+    for spec in cd_specs:
+        import pyarrow.compute as _pc
+
+        from feast_ray.stages.relational import distinct
+
+        dcols = tkeys + [spec.col]
+        # COUNT(DISTINCT) ignores NULL values (grouped_agg semantics)
+        nonnull = hopped.select_columns(dcols).map_batches(
+            lambda t, c=spec.col: t.filter(_pc.is_valid(t[c])),
+            batch_format="pyarrow",
+        )
+        hop_dist = distinct(nonnull, dcols)
+        win_pairs = hop_dist.map_batches(_explode_to_windows, batch_format="pyarrow")
+        win_dist = distinct(win_pairs, dcols)
+        # count of distinct rows per (key, window) == count_distinct;
+        # grouped_agg's count path is the two-phase bucketed shape
+        cd = grouped_agg(win_dist, tkeys, [AggSpec(spec.col, "count", spec.alias)])
+        if result is None:
+            result = cd
+        else:
+            import ray as _ray
+
+            # aggregate outputs are small — broadcast-merge (pandas
+            # merge, not the Arrow join: Arrow never matches null keys)
+            cd_df = cd.to_pandas()
+            _ref = _ray.put(cd_df)
+            result = result.map_batches(
+                lambda df, r=_ref, k=tuple(tkeys): df.merge(
+                    _ray.get(r), on=list(k), how="left"
+                ),
+                batch_format="pandas",
+            )
+
+    assert result is not None, "no agg specs given"
+    return result

@@ -82,15 +82,16 @@ class MicroBatchProcessor:
         df = df.copy()
         # stamp the view's DECLARED created column (any name — a
         # hardcoded "created" crashed upsert's order_by for views
-        # declaring e.g. "created_at"); undeclared views get a
-        # "created" audit column in the offline log only
+        # declaring e.g. "created_at") ONLY when the payload didn't
+        # carry one: a source-supplied created timestamp must survive
+        # so upsert tie-breaks honor the producer's ordering, not
+        # ingest time; undeclared views get a "created" audit column
+        # in the offline log only
         cc = self.view.created_timestamp_column
         stamp = pd.Timestamp(datetime.now(timezone.utc)).tz_localize(None)
-        df[cc or "created"] = stamp
-        if cc:
-            self.store.push(self.view.name, df)
-        else:
-            self.store.push(self.view.name, df.drop(columns=["created"]))
+        if cc and cc not in df.columns:
+            df[cc] = stamp
+        self.store.push(self.view.name, df)
         # offline append: one parquet file per micro-batch (append-only log)
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -103,7 +104,8 @@ class MicroBatchProcessor:
         else:
             fname = f"batch_adhoc_{len(os.listdir(self.offline_log_dir))}.parquet"
         log_df = df_full.copy()
-        log_df[cc or "created"] = stamp
+        if (cc or "created") not in log_df.columns:
+            log_df[cc or "created"] = stamp
         pq.write_table(
             pa.Table.from_pandas(log_df, preserve_index=False).replace_schema_metadata(None),
             os.path.join(self.offline_log_dir, fname),
