@@ -3332,6 +3332,68 @@ group by p_brand
 """
 
 
+# --------------------------------------------------------------------- q73
+
+def q73_fine_slide_activity(sf_dir: str):
+    """Fine-slide sliding window: 1 h window / 5 min slide (12 hops),
+    keyed by event_type, the full agg-fn mix incl. count_distinct.
+
+    Exercises the tile-composition path of ``windowed_agg``
+    (stages/aggregate.py ``_tiled_sliding_agg``): each raw row is
+    assigned ONE hop; only the merged per-(key, hop) IR tiles are
+    amplified ×12 — where the naive sawtooth explosion would 12× every
+    raw event row before the partial aggregate."""
+    ev = read_table(
+        sf_dir, "events", columns=["ts", "event_type", "user_id", "value"]
+    )
+    prepped = ev.map_batches(
+        lambda t: _cents(t, "value", "value_c", 100.0), batch_format="pyarrow"
+    )
+    agg = windowed_agg(
+        prepped,
+        ["event_type"],
+        "ts",
+        timedelta(hours=1),
+        [
+            AggSpec(None, "count", "n_events"),
+            AggSpec("value_c", "sum", "value_sum_c"),
+            AggSpec("value_c", "min", "value_min_c"),
+            AggSpec("value_c", "max", "value_max_c"),
+            AggSpec("user_id", "count_distinct", "n_users"),
+        ],
+        slide=timedelta(minutes=5),
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "window_start", "n_events", "n_users"]].copy()
+        out["sum_value"] = df["value_sum_c"] / 100.0
+        out["min_value"] = df["value_min_c"] / 100.0
+        out["max_value"] = df["value_max_c"] / 100.0
+        return out
+
+    return _us(agg.map_batches(_final, batch_format="pandas"))
+
+
+_Q73_SQL = f"""
+with e as (
+  select event_type, user_id,
+    time_bucket(interval '5 minutes', ts) as hop,
+    {_SQL_CENTS.format(expr='value', scale=100)} as v_c
+  from events),
+w as (
+  select event_type, user_id, v_c,
+    hop - j.j * interval '5 minutes' as window_start
+  from e cross join (select unnest(range(12)) as j) j)
+select event_type, window_start,
+  count(*) as n_events,
+  count(distinct user_id) as n_users,
+  sum(v_c) / 100.0 as sum_value,
+  min(v_c) / 100.0 as min_value,
+  max(v_c) / 100.0 as max_value
+from w group by event_type, window_start
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3410,6 +3472,7 @@ QUERIES = {
     "q70_priority_with_discounted_lines": q70_priority_with_discounted_lines,
     "q71_rich_customers_without_orders": q71_rich_customers_without_orders,
     "q72_supplier_variety_by_brand": q72_supplier_variety_by_brand,
+    "q73_fine_slide_activity": q73_fine_slide_activity,
 }
 
 
@@ -3485,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "q70_priority_with_discounted_lines": _Q70_SQL,
         "q71_rich_customers_without_orders": _Q71_SQL,
         "q72_supplier_variety_by_brand": _Q72_SQL,
+        "q73_fine_slide_activity": _Q73_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
