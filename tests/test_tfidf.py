@@ -44,3 +44,35 @@ def test_tfidf_matches_reference_score_order():
     # each doc's top term is its unique w{i} (tf=2, df=1)
     assert sorted(out["term"]) == sorted(f"w{i}" for i in range(8))
     assert (out["tf"] == 2).all() and (out["df"] == 1).all()
+
+
+def test_tfidf_distributed_gate_parity():
+    """Forcing broadcast_max_terms=0 routes through the distributed
+    hash_join path; the result must be identical to the broadcast path
+    (same gate-flip doctrine as the PIT join / partitioned Bloom)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(20)),
+            "text": [
+                f"w{i} w{i} shared x{i % 3} shared filler{i % 5}"
+                for i in range(20)
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    broad = (
+        tfidf_top_terms(ds, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        tfidf_top_terms(ds, k=2, broadcast_max_terms=0)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        broad, dist[broad.columns], check_dtype=False
+    )
+    assert len(broad) == 40
