@@ -26,6 +26,9 @@ is the SURVEY.md §2 extension tier composed end-to-end.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyarrow as pa
 import ray.data
 
@@ -41,7 +44,7 @@ def pretraining_corpus(
     context_tokens: int = 2048,
     epoch_salt: str = "ep0",
     write_dir: "str | None" = None,
-    checkpoint: bool = True,
+    checkpoint: "bool | str" = True,
 ) -> ray.data.Dataset:
     """Run the full corpus build over a pages Dataset (schema:
     url, warc_ts, html, text, lang). Returns rows of
@@ -57,14 +60,22 @@ def pretraining_corpus(
     ``benchmark_texts``: eval corpus for n-gram decontamination; None
     skips. ``blocked_domains``: URL hygiene list; None skips.
 
-    ``checkpoint`` (default True): materialize the POST-FILTER corpus
-    (thin rows — html is gone) into the object store before the
-    multi-pass stages. Span dedup's gram-count pass and rebalance's
-    count pass each re-execute their upstream; without the checkpoint
-    the extract+score prefix would run up to 3×. The materialized set
-    spills to disk under pressure; flip to False to trade recompute
-    for zero pinned memory (e.g. when the filtered corpus is larger
-    than cluster storage)."""
+    ``checkpoint`` (default True): checkpoint the POST-FILTER corpus
+    (thin rows — html is gone) before the multi-pass stages. Span
+    dedup's gram-count pass and rebalance's count pass each re-execute
+    their upstream; without a checkpoint the extract+score prefix
+    would run up to 3×. Three modes:
+
+    * ``True`` — object-store ``materialize()``; spills under
+      pressure but PINS the corpus for the run's lifetime.
+    * a ``str`` path — SPILL-TO-PARQUET (the 100 TB shape): write the
+      filtered corpus once to that directory, hand the multi-pass
+      stages a parquet READER, and drop the object-store pin. Also
+      makes the chain RESUMABLE mid-pipeline: a rerun pointing at the
+      same path skips the whole extract→filter→scrub prefix when the
+      ``<path>.done`` marker exists (a crashed partial write has no
+      marker and is cleaned + rewritten).
+    * ``False`` — no checkpoint; trade recompute for zero footprint."""
     from feast_ray.functions.decontam import decontaminate
     from feast_ray.functions.packing import pack_sequences
     from feast_ray.functions.sampling import rebalance_mix, shard_shuffle
@@ -72,24 +83,37 @@ def pretraining_corpus(
     from feast_ray.functions.urltools import block_domains
     from feast_ray.pipelines.quality_filter import quality_filter
 
-    ds = quality_filter(pages, keep_only=True)
-    if blocked_domains:
-        ds = block_domains(ds, blocked_domains, "url")
+    ckpt_dir = checkpoint if isinstance(checkpoint, str) else None
+    if ckpt_dir is not None and os.path.exists(ckpt_dir + ".done"):
+        # resume: the filtered corpus is already on disk — the whole
+        # extract→filter→scrub prefix is skipped (``pages`` untouched)
+        ds = ray.data.read_parquet(ckpt_dir)
+    else:
+        ds = quality_filter(pages, keep_only=True)
+        if blocked_domains:
+            ds = block_domains(ds, blocked_domains, "url")
 
-    # span dedup wants an integer doc id for its keep-first survivor
-    # rule: derive one from the url digest (deterministic, collision
-    # odds ~n²/2^64)
-    def _iid(tbl: pa.Table) -> pa.Table:
-        import numpy as np
+        # span dedup wants an integer doc id for its keep-first
+        # survivor rule: derive one from the url digest (deterministic,
+        # collision odds ~n²/2^64)
+        def _iid(tbl: pa.Table) -> pa.Table:
+            import numpy as np
 
-        from feast_ray.functions.neardup import word_hashes64
+            from feast_ray.functions.neardup import word_hashes64
 
-        h = word_hashes64(tbl["url"].to_pylist()).view(np.int64)
-        return tbl.append_column("doc_iid", pa.array(h, pa.int64()))
+            h = word_hashes64(tbl["url"].to_pylist()).view(np.int64)
+            return tbl.append_column("doc_iid", pa.array(h, pa.int64()))
 
-    ds = ds.map_batches(_iid, batch_format="pyarrow")
-    if checkpoint:
-        ds = ds.materialize()
+        ds = ds.map_batches(_iid, batch_format="pyarrow")
+        if ckpt_dir is not None:
+            if os.path.isdir(ckpt_dir):
+                shutil.rmtree(ckpt_dir)  # partial write from a crashed run
+            ds.write_parquet(ckpt_dir)
+            with open(ckpt_dir + ".done", "w") as f:
+                f.write("ok")
+            ds = ray.data.read_parquet(ckpt_dir)
+        elif checkpoint:
+            ds = ds.materialize()
     ds = remove_duplicate_spans(
         ds, "doc_iid", "text_scrubbed", n=span_n, out_col="text_final"
     )

@@ -65,6 +65,7 @@ def bucketed_group_reduce(
     *,
     num_buckets: int = 64,
     bucket_col: str = "__bg",
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """THE high-cardinality-safe merge shape (used by grouped_agg,
     distinct, keep_latest_sketch, count_distinct): shuffle on
@@ -72,13 +73,52 @@ def bucketed_group_reduce(
     pandas reduce, typically one groupby over the bucket) once per
     bucket — never one Python call per key, which is where Ray's
     native per-key aggregate loses at high key cardinality (measured
-    5.8 s vs 0.7 s at 147k groups)."""
+    5.8 s vs 0.7 s at 147k groups).
+
+    ``exchange``: "raw" moves the rows through the raw-Ray bucketed
+    exchange (stages/exchange.py — partition-only, no sort), "sort"
+    keeps the Ray-Data groupby shuffle; None follows
+    ``raw_exchange_default()``. Both paths call ``merge_fn`` once per
+    bucket with the bucket column already dropped; on the raw path
+    EMPTY buckets also get a call (typed 0-row frame), which every
+    repo merge_fn tolerates."""
+    from feast_ray.stages.exchange import bucket_exchange, raw_exchange_default
+
     bucketed = ds.map_batches(
         lambda t: add_hash_bucket(t, keys, num_buckets, col=bucket_col),
         batch_format="pyarrow",
     )
-    return bucketed.groupby(bucket_col).map_groups(
-        lambda g: merge_fn(g.drop(columns=bucket_col)), batch_format="pandas"
+
+    def _sort_path() -> ray.data.Dataset:
+        return bucketed.groupby(bucket_col).map_groups(
+            lambda g: merge_fn(g.drop(columns=bucket_col)), batch_format="pandas"
+        )
+
+    use_raw = raw_exchange_default() if exchange is None else exchange == "raw"
+    if not use_raw:
+        return _sort_path()
+
+    def _reduce(parts: list) -> pa.Table:
+        cands = [p for p in parts if len(p)]
+        if not cands:
+            # typed 0-row slice → merge_fn still runs, emitting the
+            # correct (empty) output schema; all-schema-less parts mean
+            # the whole exchange was empty — emit the 0-col empty block
+            # the sort path's "no groups" also produces
+            typed = [p for p in parts if p.num_columns]
+            if not typed:
+                return pa.table({})
+            cands = typed[:1]
+        tbl = pa.concat_tables(cands, promote_options="permissive")
+        out = merge_fn(tbl.to_pandas())
+        if isinstance(out, pa.Table):
+            return out.replace_schema_metadata(None)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return bucket_exchange(
+        bucketed, bucket_col, num_buckets, _reduce, fallback=_sort_path
     )
 
 

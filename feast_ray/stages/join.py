@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from feast_ray.stages.exchange import raw_exchange_default, two_sided_exchange
+
 _JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
@@ -451,11 +453,17 @@ def hash_join(
     salt_factor: int = 8,
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides: co-partition both on
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
     assumption: one bucket (both sides) fits in a worker's heap —
     raise ``num_buckets`` with data size.
+
+    ``exchange``: "raw" routes the co-partition through the raw-Ray
+    bucketed exchange (stages/exchange.py — partition-only, skips the
+    sort the Ray-Data groupby shuffle pays), "sort" keeps the native
+    sort shuffle; None (default) follows ``raw_exchange_default()``.
 
     ``left_schema`` / ``right_schema``: pass the known Arrow schemas to
     skip the limit-1 probe executions ``dataset_schema`` otherwise runs
@@ -609,7 +617,30 @@ def hash_join(
         out = ltab.join(rtab, keys=on, join_type=_JOIN_TYPE[how])
         return out.select(out_cols)
 
-    return both.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")
+    def _sort_path() -> ray.data.Dataset:
+        return both.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")
+
+    use_raw = raw_exchange_default() if exchange is None else exchange == "raw"
+    if not use_raw:
+        return _sort_path()
+
+    # raw bucketed exchange (stages/exchange.py): partition-only, no
+    # sort — the same per-bucket C++ join, reached without paying the
+    # sort-exchange constant. Semantics identical to _sort_path
+    # (gate-parity-tested both ways).
+    def _join_bucket(lparts: list, rparts: list) -> pa.Table:
+        lparts = [cast_to_schema(p, lschema) for p in lparts if len(p)]
+        rparts = [cast_to_schema(p, rschema_orig) for p in rparts if len(p)]
+        ltab = pa.concat_tables(lparts) if lparts else lschema.empty_table()
+        rtab = pa.concat_tables(rparts) if rparts else rschema_orig.empty_table()
+        if r_renamed != rnames:
+            rtab = rtab.rename_columns(r_renamed)
+        out = ltab.join(rtab, keys=on, join_type=_JOIN_TYPE[how])
+        return out.select(out_cols)
+
+    return two_sided_exchange(
+        both, bucket, side, "R", num_buckets, _join_bucket, fallback=_sort_path
+    )
 
 
 def interval_join(

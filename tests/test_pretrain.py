@@ -62,3 +62,35 @@ def test_pretraining_corpus_rebalance_and_determinism(sf_small):
         b[key].sort_values("url").reset_index(drop=True),
     )
     assert set(a["lang_pred"]) == {"en"} and len(a) > 0
+
+
+def test_pretraining_corpus_parquet_checkpoint_resume(tmp_path, sf_small):
+    """checkpoint=<dir> spills the post-filter corpus to parquet; a
+    rerun with the same dir must SKIP the whole filter prefix (we prove
+    it by passing pages=None — building the prefix would crash) and
+    produce identical rows (VERDICT r2 #7)."""
+    ck = str(tmp_path / "ckpt")
+    first = pretraining_corpus(
+        synth_webpages(sf_small),
+        num_shards=2,
+        checkpoint=ck,
+    ).to_pandas()
+    assert (tmp_path / "ckpt.done").exists()
+    resumed = pretraining_corpus(
+        None,  # never touched on resume
+        num_shards=2,
+        checkpoint=ck,
+    ).to_pandas()
+    key = ["url", "shard", "pos", "bin_id", "bin_offset"]
+    pd.testing.assert_frame_equal(
+        first.sort_values(key).reset_index(drop=True),
+        resumed.sort_values(key).reset_index(drop=True),
+    )
+    # a crashed partial write (dir present, no marker) is cleaned and
+    # rewritten, never appended
+    (tmp_path / "ckpt.done").unlink()
+    rewritten = pretraining_corpus(
+        synth_webpages(sf_small), num_shards=2, checkpoint=ck
+    ).to_pandas()
+    assert len(rewritten) == len(first)
+    assert rewritten["url"].is_unique

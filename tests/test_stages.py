@@ -644,3 +644,15 @@ def test_group_limit_quota_not_hit_is_noop():
     df = pd.DataFrame({"g": [1, 1, 2], "id": [1, 2, 3]})
     out = group_limit(ray.data.from_pandas(df), "g", 10, "id").to_pandas()
     assert sorted(out["id"]) == [1, 2, 3]
+
+
+def test_q02_customer_gate_parity(sf_small, duck):
+    """q02 with the customer-broadcast gate forced to 0 routes customer
+    through the partitioned hash join; result must match the oracle
+    (VERDICT r2 #6 — customer scales with sf, unlike nation/region)."""
+    from feast_ray.pipelines.queries import q02_revenue_by_nation, oracle_sql
+    from scripts.check_correctness import compare, to_pandas
+
+    got = to_pandas(q02_revenue_by_nation(sf_small, customer_broadcast_max_rows=0))
+    exp = duck.execute(oracle_sql()["q02_revenue_by_nation"]).fetchdf()
+    assert compare("q02_gated", got, exp) == []
