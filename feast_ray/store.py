@@ -45,15 +45,25 @@ from feast_ray.views import FeatureService, OnDemandView, TableSource, View
 
 class OnlineParquetStore:
     """Latest-per-key KV plane as hash-partitioned Parquet (one dir per
-    view, one subdirectory per key-hash bucket). Upsert merges ONLY the
-    buckets the new rows touch — each bucket merged and atomically
-    replaced by a worker task in parallel (the reference writes
-    online batches worker-side the same way, ray/nodes.py:864-908) —
-    so write cost scales with the delta, not the store size.
-    Last-write-wins by (event_ts, created_ts), the reference's online
-    semantics (online_store.py:44-130)."""
+    view, one subdirectory per key-hash bucket). Upsert APPENDS one
+    sequence-numbered delta file to each touched bucket (worker tasks
+    in parallel — the reference writes online batches worker-side the
+    same way, ray/nodes.py:864-908), so write cost scales with the
+    DELTA, never the bucket (the previous read-merge-rewrite paid the
+    whole bucket per push). Buckets compact back to one base file when
+    they exceed ``COMPACT_FILES`` — the LSM shape: bounded read fan-in
+    (lookup latency flat under repeated pushes), bounded write
+    amplification (one full-bucket rewrite per ``COMPACT_FILES``
+    appends). Readers merge base+deltas with last-write-wins by
+    (event_ts, created_ts) — the reference's online semantics
+    (online_store.py:44-130) — with file sequence breaking exact ties
+    (later upsert wins), exactly the old concat-order behavior. The
+    merge recipe (keys, ordering) persists in ``_meta.json`` per view
+    so name-only readers (``read``, the CLI) can merge."""
 
     NUM_BUCKETS = 16
+    #: compact a bucket once it holds more than this many files
+    COMPACT_FILES = 8
 
     def __init__(self, root: str):
         self.root = root
@@ -61,6 +71,64 @@ class OnlineParquetStore:
 
     def _dir(self, view: str) -> str:
         return os.path.join(self.root, view)
+
+    # ---------------------------------------------------------- LSM
+
+    def _meta(self, view_name: str) -> "dict | None":
+        p = os.path.join(self._dir(view_name), "_meta.json")
+        if not os.path.exists(p):
+            return None
+        import json
+
+        with open(p) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _bucket_files(bdir: str) -> "list[tuple[int, str]]":
+        """(seq, path) of a bucket's parquet files, merge order.
+        Legacy single ``data.parquet`` (pre-LSM layout) reads as seq 0;
+        ties (a compacted base beside the same-seq delta it merged)
+        order base-first — their overlapping keys carry equal values,
+        so the winner is immaterial."""
+        out = []
+        for f in sorted(os.listdir(bdir)):
+            if not f.endswith(".parquet"):
+                continue
+            stem = f[: -len(".parquet")]
+            if stem == "data":
+                out.append((0, os.path.join(bdir, f)))
+            else:
+                try:
+                    out.append((int(stem.split("_")[-1]), os.path.join(bdir, f)))
+                except ValueError:
+                    out.append((0, os.path.join(bdir, f)))
+        out.sort(key=lambda t: (t[0], t[1]))
+        return out
+
+    @staticmethod
+    def _merge_files(
+        files: "list[tuple[int, str]]", meta: dict
+    ) -> pd.DataFrame:
+        """Merge-on-read: concat in sequence order, last-write-wins."""
+        frames = []
+        for seq, path in files:
+            df = pq.read_table(path).to_pandas()
+            if not meta["has_ts"]:
+                # no event timestamp: the file sequence IS the ordering
+                df["__mat_gen"] = seq
+            frames.append(df)
+        df = pd.concat(frames, ignore_index=True)
+        df = df.sort_values(meta["order_by"], kind="stable", na_position="first")
+        df = df.drop_duplicates(meta["upsert_keys"], keep="last")
+        if "__mat_gen" in df.columns:
+            df = df.drop(columns="__mat_gen")
+        return df.reset_index(drop=True)
+
+    def _read_bucket(self, bdir: str, meta: dict) -> "pd.DataFrame | None":
+        files = self._bucket_files(bdir)
+        if not files:
+            return None
+        return self._merge_files(files, meta)
 
     def upsert(self, view: View, ds: ray.data.Dataset) -> int:
         out = self._dir(view.name)
@@ -73,16 +141,6 @@ class OnlineParquetStore:
         # windowed views are keyed by (entities, window_start): each
         # window is its own online row (stream-view tiling semantics)
         upsert_keys = view.join_keys + (["window_start"] if view.window else [])
-
-        if not has_ts:
-            import numpy as np
-
-            ds = ds.map_batches(
-                lambda t: t.append_column(
-                    "__mat_gen", pa.array(np.full(len(t), 1, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
-            )
 
         if not upsert_keys:
             # keyless global row set: replace wholesale
@@ -103,39 +161,63 @@ class OnlineParquetStore:
             batch_format="pyarrow",
         )
         order_by = [ts] + ([created] if created else [])
-        view_dir = out
+        meta = {
+            "upsert_keys": upsert_keys,
+            "order_by": order_by,
+            "has_ts": has_ts,
+        }
+        import json
 
-        def _merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            """One task per touched bucket: read existing bucket, merge
-            with the new rows, keep latest per key, atomic replace."""
+        with open(os.path.join(out, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        view_dir = out
+        compact_files = self.COMPACT_FILES
+        bucket_files = self._bucket_files
+        merge_files = self._merge_files
+
+        def _append_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            """One task per touched bucket: thin the delta to latest-
+            per-key, APPEND it as the next sequence-numbered file
+            (atomic tmp+rename), compact past the file threshold.
+            Never reads the bucket on the append path — write cost is
+            O(delta), a full-bucket rewrite happens once per
+            COMPACT_FILES appends."""
             bucket = int(df["__ob"].iloc[0])
             df = df.drop(columns="__ob")
-            bdir = os.path.join(view_dir, f"bucket={bucket}")
-            if os.path.isdir(bdir):
-                old = pq.read_table(bdir).to_pandas()
-                if "__mat_gen" in df.columns and "__mat_gen" not in old.columns:
-                    old["__mat_gen"] = 0  # stored rows predate this upsert
-                df = pd.concat([old, df], ignore_index=True)
-            df = df.sort_values(order_by, kind="stable", na_position="first")
+            # no-timestamp views order by the FILE sequence (assigned
+            # at read) — within a batch, row order breaks ties
+            sort_cols = [c for c in order_by if c in df.columns]
+            if sort_cols:
+                df = df.sort_values(sort_cols, kind="stable", na_position="first")
             df = df.drop_duplicates(upsert_keys, keep="last")
-            if "__mat_gen" in df.columns:
-                df = df.drop(columns="__mat_gen")
-            tmp = bdir + ".tmp"
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pandas(df, preserve_index=False),
-                os.path.join(tmp, "data.parquet"),
-            )
-            shutil.rmtree(bdir, ignore_errors=True)
-            os.replace(tmp, bdir)
-            return pd.DataFrame({"bucket": [bucket], "rows": [len(df)]})
+            n_new = len(df)
+            bdir = os.path.join(view_dir, f"bucket={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            files = bucket_files(bdir)
+            seq = (files[-1][0] + 1) if files else 0
+            path = os.path.join(bdir, f"delta_{seq:012d}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+            os.replace(tmp, path)
+            files.append((seq, path))
+            if len(files) > compact_files:
+                merged = merge_files(files, meta)
+                base = os.path.join(bdir, f"base_{seq:012d}.parquet")
+                tmp = base + ".tmp"
+                pq.write_table(
+                    pa.Table.from_pandas(merged, preserve_index=False), tmp
+                )
+                os.replace(tmp, base)
+                # a crash here leaves the merged base beside its inputs
+                # — merge-on-read stays correct (equal values dedup)
+                for _, p in files:
+                    if p != base:
+                        os.remove(p)
+            return pd.DataFrame({"bucket": [bucket], "rows": [n_new]})
 
         stats = (
             bucketed.groupby("__ob")
-            .map_groups(_merge_bucket, batch_format="pandas")
+            .map_groups(_append_bucket, batch_format="pandas")
             .to_pandas()
         )
         if len(stats) == 0 or "rows" not in stats.columns:
@@ -143,9 +225,24 @@ class OnlineParquetStore:
         return int(stats["rows"].sum())
 
     def read(self, view_name: str) -> pa.Table:
-        tbl = pq.read_table(self._dir(view_name))
-        drop = [c for c in ("bucket", "__mat_gen") if c in tbl.column_names]
-        return tbl.drop_columns(drop) if drop else tbl
+        d = self._dir(view_name)
+        meta = self._meta(view_name)
+        bdirs = sorted(
+            f for f in os.listdir(d)
+            if f.startswith("bucket=") and os.path.isdir(os.path.join(d, f))
+        )
+        if meta is None or not bdirs:
+            # keyless wholesale-replaced view (or legacy layout)
+            tbl = pq.read_table(d, ignore_prefixes=[".", "_"])
+            drop = [c for c in ("bucket", "__mat_gen") if c in tbl.column_names]
+            return tbl.drop_columns(drop) if drop else tbl
+        frames = []
+        for b in bdirs:
+            df = self._read_bucket(os.path.join(d, b), meta)
+            if df is not None:
+                frames.append(df)
+        merged = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     def lookup(self, view: View, entity_rows: list[dict]) -> pd.DataFrame:
         """Point lookup: entity key dicts → latest feature values.
@@ -174,11 +271,14 @@ class OnlineParquetStore:
                 view.join_keys, self.NUM_BUCKETS, col="__ob",
             )
             buckets = sorted(set(keyed["__ob"].to_pylist()))
+        meta = self._meta(view.name)
         frames = []
         for b in buckets:
             bdir = os.path.join(self._dir(view.name), f"bucket={b}")
-            if os.path.isdir(bdir):
-                frames.append(pq.read_table(bdir).to_pandas())
+            if os.path.isdir(bdir) and meta is not None:
+                df = self._read_bucket(bdir, meta)
+                if df is not None:
+                    frames.append(df)
         if not frames:
             return req.reindex(columns=list(req.columns) + view.features)
         tbl = pd.concat(frames, ignore_index=True)
@@ -704,7 +804,9 @@ class Store:
 
         view = self.views[view_name]
         id_col = id_col or view.join_keys[0]
-        ds = ray.data.read_parquet(self.online._dir(view_name))
+        # merge-on-read via the online plane (delta files may carry
+        # superseded rows a raw read_parquet over the dir would double)
+        ds = ray.data.from_arrow(self.online.read(view_name))
         res = ann_topk_bruteforce(
             ds, np.asarray([query]), k=top_k, id_col=id_col, vec_col=vec_col,
             round_to=None, metric=metric,

@@ -307,3 +307,44 @@ def test_plan_detects_udf_constant_change(store, sf_small):
     assert p["to_update"] == ["scaled"]
     p2 = store.plan([make(2)])
     assert p2["unchanged"] == ["scaled"]
+
+
+def test_online_lsm_compaction_bounds_files(store, tmp_path):
+    """Repeated small pushes append delta files; compaction keeps
+    every bucket at <= COMPACT_FILES+1 files so lookup fan-in (and
+    latency) stays flat, while last-write-wins survives across the
+    compaction boundary (VERDICT r2 #10)."""
+    import os
+    import time
+
+    from datetime import datetime
+
+    n_pushes = 25
+    for i in range(n_pushes):
+        store.push(
+            "user_values",
+            pd.DataFrame(
+                {
+                    "user_id": [1, 2],
+                    "ts": [datetime(2024, 1, 1, 0, i), datetime(2024, 1, 1, 0, i)],
+                    "value": [float(i), float(100 + i)],
+                }
+            ),
+        )
+    vdir = store.online._dir("user_values")
+    cap = store.online.COMPACT_FILES + 1
+    bdirs = [d for d in os.listdir(vdir) if d.startswith("bucket=")]
+    assert bdirs
+    for b in bdirs:
+        n_files = len(
+            [f for f in os.listdir(os.path.join(vdir, b)) if f.endswith(".parquet")]
+        )
+        assert n_files <= cap, (b, n_files)
+    # latest value per key wins across all the deltas + compactions
+    out = store.get_online_features(
+        ["user_values:value"], [{"user_id": 1}, {"user_id": 2}]
+    )
+    assert list(out["value"]) == [float(n_pushes - 1), float(100 + n_pushes - 1)]
+    # merge-on-read yields exactly one row per key
+    merged = store.online.read("user_values").to_pandas()
+    assert merged["user_id"].value_counts().max() == 1
