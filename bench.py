@@ -90,13 +90,15 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     from feast_ray.pipelines.quality_filter import quality_filter_from_parquet
 
-    # best of 2 (same policy as the per-query timings): the second run
-    # reuses warm worker processes, so the number reports steady-state
-    # pipeline compute — the regime a multi-hour 100 TB job lives in —
-    # instead of one-off session/actor warmup (~3-6 s on this box,
-    # single fresh runs vary ±40%)
+    # warm/cold split (VERDICT r2 #9): the FIRST run of the session is
+    # the COLD number (session + worker + model warmup — reported
+    # separately so shared-box spikes and one-off warmup stop
+    # contaminating cross-round comparisons); the headline is then the
+    # best of 2 WARM runs — steady-state pipeline compute, the regime
+    # a multi-hour 100 TB job lives in (single fresh runs vary ±40%)
     headline = None
-    for _ in range(2):
+    cold = None
+    for i in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         result = quality_filter_from_parquet(
@@ -106,8 +108,12 @@ def run_bench() -> dict:
         )
         result.write_parquet(out_dir)
         dt = time.perf_counter() - t0
-        headline = dt if headline is None else min(headline, dt)
+        if i == 0:
+            cold = dt
+        else:
+            headline = dt if headline is None else min(headline, dt)
     timings["quality_filter"] = round(headline, 3)
+    timings["quality_filter_cold"] = round(cold, 3)
     import pyarrow.parquet as pq_meta
 
     # throughput numerator = INPUT pages processed (pre-dedup): the
@@ -140,6 +146,7 @@ def run_bench() -> dict:
         "q62_bloom_incremental_dedup",
         "q63_duplicate_span_removal",
         "q65_shard_shuffle",
+        "q73_fine_slide_activity",
     ]
     for name in bench_queries:
         # best of 2 — single runs on this shared box vary ±40%, which
@@ -168,6 +175,25 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         simhash_dups(corpus, "url", "text", max_hamming=3).count()
         timings["simhash_dups_corpus"] = round(time.perf_counter() - t0, 3)
+
+        # span-dedup beyond-broadcast regime over the same corpus
+        # (the r2 weak point: 192 s; raw exchange target <60 s)
+        from feast_ray.functions.spandup import remove_duplicate_spans
+        from feast_ray.functions.neardup import word_hashes64
+        import pyarrow as _pa
+
+        def _iid(t):
+            import numpy as _np
+
+            h = word_hashes64(t["url"].to_pylist()).view(_np.int64)
+            return t.append_column("doc_iid", _pa.array(h, _pa.int64()))
+
+        corpus_iid = corpus.map_batches(_iid, batch_format="pyarrow").materialize()
+        t0 = time.perf_counter()
+        remove_duplicate_spans(
+            corpus_iid, "doc_iid", "text", n=8, mode="copartition"
+        ).count()
+        timings["spandup_copartition_corpus"] = round(time.perf_counter() - t0, 3)
 
     out = {
         "metric": "quality_filter_wall_sec",

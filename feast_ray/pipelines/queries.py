@@ -756,13 +756,20 @@ def q20_pii_scrub_docs(sf_dir: str):
     ).map_batches(lambda t: t.select(["doc_id", "text_scrubbed"]), batch_format="pyarrow")
 
 
-def _q20_sql() -> str:
+def _scrub_sql_expr(col: str) -> str:
+    """The engine's Scrubber regex chain as nested regexp_replace —
+    shared by the q20 oracle and q67's composed-pipeline oracle."""
     from feast_ray.functions.scrub import PII_PATTERNS
 
-    expr = f"({_PII_DECOR_SQL})"
+    expr = col
     for _, pat, repl in PII_PATTERNS:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr
+
+
+def _q20_sql() -> str:
+    expr = _scrub_sql_expr(f"({_PII_DECOR_SQL})")
     return f"select doc_id, {expr} as text_scrubbed from documents"
 
 
@@ -1252,7 +1259,7 @@ def q28_quality_pipeline_pages(sf_dir: str):
     return res.map_batches(_proj, batch_format="pyarrow")
 
 
-def _q28_sql() -> str:
+def _q28_sql(with_text: bool = False) -> str:
     """Full-pipeline oracle for q28, generated from the SAME constants
     the engine uses (single source of truth): reconstructs the
     deterministic synthetic page corpus in SQL (decorate_text planted
@@ -1260,7 +1267,11 @@ def _q28_sql() -> str:
     the q15/q16 stats fragments, the q23 langid model SQL, the q24
     perplexity model-table join, the Gopher dup-2gram repetition
     metric (DuckDB list ops), and the engine's exact rule-priority
-    chain. ASCII corpus assumption as in q24."""
+    chain. ASCII corpus assumption as in q24.
+
+    ``with_text=True`` additionally emits ``text_scrubbed`` (the
+    engine Scrubber's regex chain over the extracted text) — the
+    handoff column q67's composed-pipeline oracle builds on."""
     from feast_ray.functions.langid import _CJK_PATTERN, _LANG_ORDER, _PROFILES
     from feast_ray.functions.textstats import (
         MAX_DIGIT_FRAC,
@@ -1311,6 +1322,11 @@ def _q28_sql() -> str:
       when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
     end"""
 
+    text_stat = ",\n    ft" if with_text else ""
+    text_scored = ",\n    ft" if with_text else ""
+    text_sel = (
+        f",\n  {_scrub_sql_expr('ft')} as text_scrubbed" if with_text else ""
+    )
     return f"""
 with d0 as (
   select doc_id as d, text, source,
@@ -1369,7 +1385,7 @@ stats as (
          else 1.0 - cast(len(list_distinct(g.grams)) as double)
                   / cast(len(g.grams) as double) end as dup2,
     coalesce(exp(-ps.mlogp), 256.0) as ppl_raw,
-    round(coalesce(exp(-ps.mlogp), 256.0), 4) as ppl,
+    round(coalesce(exp(-ps.mlogp), 256.0), 4) as ppl{text_stat},
     {score_cols}
   from pages p
   left join ppl_scored ps on p.url = ps.url,
@@ -1386,7 +1402,7 @@ scored as (
          {pred}
          else '{_LANG_ORDER[-1]}' end as lang_pred,
     {heuristic} as h_reason,
-    dup2
+    dup2{text_scored}
   from stats)
 select url, lang_pred, n_words, ppl,
   coalesce(h_reason,
@@ -1396,7 +1412,7 @@ select url, lang_pred, n_words, ppl,
   coalesce(h_reason,
     case when lang_pred = 'und' then 'lang_unknown'
          when ppl_raw > {MAX_PPL} then 'high_perplexity'
-         when dup2 > {MAX_DUP_2GRAM_FRAC} then 'repetition' end) is null as keep
+         when dup2 > {MAX_DUP_2GRAM_FRAC} then 'repetition' end) is null as keep{text_sel}
 from scored
 """
 
@@ -3053,6 +3069,109 @@ def q67_pretraining_corpus(sf_dir: str):
     )
 
 
+def _q67_sql() -> str:
+    """COMPOSED oracle for q67 (VERDICT r2 #8): the whole
+    corpus-construction chain in one generated SQL, stitched from the
+    same fragments that individually oracle each component —
+    q28 (quality filter + scrub, via ``_q28_sql(with_text=True)``),
+    q63-shaped span dedup (n=8, survivor = min SIGNED doc_iid),
+    q48-shaped decontamination, q64-shaped mix rebalance (single
+    weight {'en': 1} ⇒ threshold identically 2^64−1), q65-shaped
+    shard shuffle (salt 'ep0', 8 shards) and q56-shaped prefix-sum
+    packing (budget 1024). Hashes are the engine's Horner+splitmix64
+    reconstructed in HUGEINT SQL; doc_iid is the SIGNED view of the
+    url digest exactly as ``pretraining_corpus`` derives it."""
+    n = 8
+    two63, two64 = 1 << 63, 1 << 64
+    bench = "held out benchmark sequence " * 4
+    horner_url = _HORNER_SQL.format(s="url")
+    horner_sh = _HORNER_SQL.format(s="url || 'ep0'")
+    gram8 = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) over w" for j in range(1, n)]
+    )
+    bgram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+with q28 as ({_q28_sql(with_text=True)}),
+kept as (
+  select url, lang_pred, text_scrubbed from q28 where keep),
+h0s as (select url, {horner_url} as h0 from kept),
+hus as (select url, {_splitmix64_sql("h0")} as hu from h0s),
+docs as (
+  select k.url, k.lang_pred, k.text_scrubbed, h.hu,
+    (case when h.hu >= {two63}::HUGEINT
+          then h.hu - {two64}::HUGEINT else h.hu end)::BIGINT as doc_iid
+  from kept k join hus h using (url)),
+tok0 as (
+  select url, doc_iid, regexp_extract_all(text_scrubbed, '\\S+') as t
+  from docs),
+tok as (
+  select url, doc_iid, unnest(generate_series(1, len(t))) as i,
+         unnest(t) as tok, len(t) as L
+  from tok0),
+grams as (
+  select url, doc_iid, i, {gram8} as gram
+  from tok window w as (partition by url order by i)
+  qualify i + {n - 1} <= L),
+dup as (
+  select gram, min(doc_iid) as surv from grams
+  group by gram having count(distinct doc_iid) >= 2),
+cut as (
+  select distinct g.url, g.i + k.k as j
+  from grams g join dup d using (gram)
+  cross join (select unnest(generate_series(0, {n - 1})) as k) k
+  where g.doc_iid != d.surv),
+keptok as (
+  select t.url, t.i, t.tok from tok t
+  left join cut c on c.url = t.url and c.j = t.i
+  where c.j is null),
+despan as (
+  select url, string_agg(tok, ' ' order by i) as text_final
+  from keptok group by url),
+final0 as (
+  select d.url, d.lang_pred, d.hu,
+    coalesce(a.text_final, '') as text_final
+  from docs d left join despan a using (url)),
+bw as (select regexp_extract_all('{bench}', '\\S+') as w),
+bgrams as (
+  select distinct {bgram} as g
+  from (select w, unnest(generate_series(1, len(w) - {n - 1})) as i
+        from bw where len(w) >= {n})),
+fw as (select url, regexp_extract_all(text_final, '\\S+') as w from final0),
+fgrams as (
+  select distinct url, {bgram} as g
+  from (select url, w, unnest(generate_series(1, len(w) - {n - 1})) as i
+        from fw where len(w) >= {n})),
+contaminated as (
+  select distinct f.url from fgrams f join bgrams b using (g)),
+clean as (
+  select * from final0
+  where url not in (select url from contaminated)),
+-- mix {{'en': 1}}: single positive weight => T = c_en, thr = 2^64-1
+mixed as (
+  select url, lang_pred, text_final from clean
+  where lang_pred = 'en' and hu < {two64 - 1}::HUGEINT),
+sh0 as (select url, {horner_sh} as s0 from mixed),
+shs as (select url, {_splitmix64_sql("s0")} as h2 from sh0),
+sharded as (
+  select m.url, m.lang_pred, m.text_final,
+    (s.h2 % 8)::BIGINT as shard,
+    (row_number() over (partition by s.h2 % 8 order by s.h2, m.url) - 1)
+      as pos,
+    cast(len(regexp_extract_all(m.text_final, '\\S+')) as bigint)
+      as n_tokens_final
+  from mixed m join shs s using (url)),
+packed as (
+  select *, coalesce(sum(n_tokens_final) over (partition by shard
+      order by pos rows between unbounded preceding and 1 preceding),
+      0) as prefix
+  from sharded)
+select url, lang_pred, n_tokens_final, text_final, shard, pos,
+  cast(prefix // 1024 as bigint) as bin_id,
+  cast(prefix % 1024 as bigint) as bin_offset
+from packed
+"""
+
+
 # --------------------------------------------------------------------- q68
 
 
@@ -3566,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_rebalance_mix": _q64_sql(),
         "q65_shard_shuffle": _q65_sql(),
         "q66_domain_blocklist": _q66_sql(),
+        "q67_pretraining_corpus": _q67_sql(),
         "q68_bloom_partitioned": _q68_sql(),
         "q69_heavy_hitters": _Q69_SQL,
         "q70_priority_with_discounted_lines": _Q70_SQL,
