@@ -3536,6 +3536,53 @@ from w group by event_type, window_start
 """
 
 
+# --------------------------------------------------------------------- q74
+
+def q74_session_windows(sf_dir: str):
+    """Gap-based session windows (session_agg — data-driven windows
+    neither the reference's tumbling/sliding surface nor Ray Data
+    express): per user, events within 30 min of the previous event
+    share a session; emits session bounds + count + sum."""
+    from feast_ray.stages.aggregate import session_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    prepped = ev.map_batches(
+        lambda t: _cents(t, "value", "value_c", 100.0), batch_format="pyarrow"
+    )
+    agg = session_agg(
+        prepped,
+        ["user_id"],
+        "ts",
+        timedelta(minutes=30),
+        [AggSpec(None, "count", "n_events"), AggSpec("value_c", "sum", "value_sum_c")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "session_start", "session_end", "n_events"]].copy()
+        out["sum_value"] = df["value_sum_c"] / 100.0
+        return out
+
+    return _us(agg.map_batches(_final, batch_format="pandas"))
+
+
+_Q74_SQL = f"""
+with e as (
+  select user_id, ts,
+    {_SQL_CENTS.format(expr='value', scale=100)} as v_c from events),
+m as (
+  select *, case when ts - lag(ts) over (partition by user_id order by ts)
+                     <= interval '30 minutes' then 0 else 1 end as brk
+  from e),
+g as (
+  select *, sum(brk) over (partition by user_id order by ts
+    rows between unbounded preceding and current row) as sid
+  from m)
+select user_id, min(ts) as session_start, max(ts) as session_end,
+  count(*) as n_events, sum(v_c) / 100.0 as sum_value
+from g group by user_id, sid
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3615,6 +3662,7 @@ QUERIES = {
     "q71_rich_customers_without_orders": q71_rich_customers_without_orders,
     "q72_supplier_variety_by_brand": q72_supplier_variety_by_brand,
     "q73_fine_slide_activity": q73_fine_slide_activity,
+    "q74_session_windows": q74_session_windows,
 }
 
 
@@ -3692,6 +3740,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_rich_customers_without_orders": _Q71_SQL,
         "q72_supplier_variety_by_brand": _Q72_SQL,
         "q73_fine_slide_activity": _Q73_SQL,
+        "q74_session_windows": _Q74_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

@@ -656,3 +656,39 @@ def test_q02_customer_gate_parity(sf_small, duck):
     got = to_pandas(q02_revenue_by_nation(sf_small, customer_broadcast_max_rows=0))
     exp = duck.execute(oracle_sql()["q02_revenue_by_nation"]).fetchdf()
     assert compare("q02_gated", got, exp) == []
+
+
+def test_session_agg_gap_semantics():
+    """Exact-gap events stay in one session (dt > gap splits); key
+    changes always split; single-event sessions emit one row."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, session_agg
+
+    t0 = datetime(2024, 1, 1)
+    rows = {
+        # user 1: 0min, 30min (== gap, same session), 61min (new)
+        # user 2: one event at 0min
+        "user_id": [1, 1, 1, 2],
+        "ts": [t0, t0 + timedelta(minutes=30), t0 + timedelta(minutes=61), t0],
+        "v": [1.0, 2.0, 4.0, 8.0],
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    out = (
+        session_agg(
+            ds, ["user_id"], "ts", timedelta(minutes=30),
+            [AggSpec(None, "count", "n"), AggSpec("v", "sum", "s"),
+             AggSpec("v", "count_distinct", "nd")],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert list(out["n"]) == [2, 1, 1]
+    assert list(out["s"]) == [3.0, 4.0, 8.0]
+    assert list(out["nd"]) == [2, 1, 1]
+    assert out.loc[0, "session_end"] - out.loc[0, "session_start"] == timedelta(minutes=30)
