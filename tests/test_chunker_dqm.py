@@ -67,3 +67,51 @@ def test_profile_and_validate(tmp_path, sf_small, duck):
     )
     problems = validate_against_profile(skewed, prof2)
     assert any("mean" in p for p in problems)
+
+
+def test_expectation_suite_vocabulary():
+    """Row-level kinds evaluate in one pass with GE element_count
+    semantics (nulls excluded except not_null); aggregate kinds ride
+    grouped_agg / the quantile sketch; mostly is the success knob."""
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.dqm import Expectation, run_expectations
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 4],
+            "cat": ["a", "b", "a", None, "z"],
+            "v": [1.0, 2.0, 3.0, 100.0, None],
+        }
+    )
+    out = run_expectations(
+        ray.data.from_pandas(df).repartition(2),
+        [
+            Expectation("in_set", "cat", (["a", "b"],), mostly=0.75),
+            Expectation("not_null", "cat"),
+            Expectation("between", "v", (0.0, 10.0), mostly=0.7),
+            Expectation("match_regex", "cat", (r"^[ab]$",), mostly=0.75),
+            Expectation("unique", "id"),
+            Expectation("mean_between", "v", (0.0, 50.0)),
+            Expectation("quantile_between", "v", (0.5, 1.0, 3.0)),
+        ],
+    ).set_index("exp_id")
+    # in_set: 4 nonnull, 1 bad ('z') -> 1 <= 0.25*4 OK
+    assert (out.loc["cat:in_set", ["n", "bad"]] == [4, 1]).all()
+    assert bool(out.loc["cat:in_set", "success"])
+    # not_null: 5 rows, 1 null -> fail at mostly=1.0
+    assert (out.loc["cat:not_null", ["n", "bad"]] == [5, 1]).all()
+    assert not bool(out.loc["cat:not_null", "success"])
+    # between: 4 nonnull, 1 outside -> 1 <= 0.3*4 OK
+    assert (out.loc["v:between", ["n", "bad"]] == [4, 1]).all()
+    assert bool(out.loc["v:between", "success"])
+    # regex mirrors in_set here
+    assert (out.loc["cat:match_regex", ["n", "bad"]] == [4, 1]).all()
+    # unique: id 4 duplicated -> bad=1, fail
+    assert (out.loc["id:unique", ["n", "bad"]] == [5, 1]).all()
+    assert not bool(out.loc["id:unique", "success"])
+    # mean = 26.5 in [0, 50]
+    assert bool(out.loc["v:mean_between", "success"])
+    # median of (1,2,3,100) = 2.5 in [1, 3]
+    assert bool(out.loc["v:quantile_between", "success"])
