@@ -8,11 +8,15 @@ Ray-side plumbing for the same shape: opaque ``binary`` payload column
 + typed metadata, decoded / featurized by an actor-pool ``map_batches``
 stage with a small batch size (payloads are fat — SURVEY.md §7.5).
 
-The image/audio codec libraries are NOT in this container, so the
-actual decode is STUBBED: ``mode="real"`` raises NotImplementedError;
-``mode="fake"`` produces a deterministic fake decode (seeded by a
-content digest) so the schema, batch sizing, actor signature and output
-layout are real and testable end to end.
+Codec status (honest capability boundary): the compressed-format
+libraries (PIL/ffmpeg) are NOT in this container, so ``mode="real"``
+decodes the CONTAINER-FREE formats natively — uncompressed 24-bit BMP
+(struct header + one numpy reshape) and PCM WAV (stdlib ``wave`` +
+numpy) — and raises NotImplementedError for anything else (JPEG, PNG,
+MP4…). ``mode="fake"`` (default) produces a deterministic pseudo
+decode seeded by a content digest, so the schema, batch sizing, actor
+signature and output layout are exercised end to end either way (the
+fake path is additionally SQL-oracle-checked — q30).
 """
 
 from __future__ import annotations
@@ -36,10 +40,14 @@ class MediaDecoder:
     """Actor-pool stage: binary payload → (width, height, n_bytes,
     feature list<float>[16]).
 
-    ``mode="real"`` would decode with PIL/ffmpeg — unavailable here:
-    raises NotImplementedError by design. ``mode="fake"`` derives
-    deterministic pseudo-decode outputs from a blake2b digest of the
-    payload, exercising the full distributed path.
+    ``mode="real"`` decodes uncompressed 24-bit BMP (width/height from
+    the header, feature = L1-normalized 16-bin luminance histogram of
+    the actual pixels) and PCM WAV (width = sample rate, height =
+    channel count, feature = 16-bin amplitude histogram over [-1, 1)),
+    sniffed by magic bytes; other formats raise NotImplementedError
+    (PIL/ffmpeg unavailable — module docstring). ``mode="fake"``
+    derives deterministic pseudo-decode outputs from a content digest,
+    exercising the full distributed path.
     """
 
     def __init__(self, mode: str = "fake", payload_col: str = "payload"):
@@ -68,18 +76,78 @@ class MediaDecoder:
             feat /= feat.sum()
         return width, height, feat
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        if self.mode == "real":
+    @staticmethod
+    def _decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Uncompressed 24-bit BI_RGB BMP → (w, h, luminance histogram)."""
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
             raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg, not available in this environment"
+                f"BMP decode supports uncompressed 24-bit only (bpp={bpp}, compression={comp})"
             )
+        H = abs(h)
+        row_size = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        px = (
+            np.frombuffer(payload, np.uint8, count=row_size * H, offset=data_off)
+            .reshape(H, row_size)[:, : w * 3]
+            .reshape(H, w, 3)
+        )
+        if h > 0:  # bottom-up storage (the default)
+            px = px[::-1]
+        # BGR byte order → ITU-R 601 luminance
+        lum = px @ np.array([0.114, 0.587, 0.299])
+        feat = np.bincount(
+            (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+        ).astype(np.float64)
+        s = feat.sum()
+        return w, H, (feat / s if s else feat)
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """PCM WAV → (sample_rate, n_channels, amplitude histogram)."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as f:
+            nch, sw, rate, n = (
+                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+            )
+            raw = f.readframes(n)
+        if sw == 2:
+            arr = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        elif sw == 1:
+            arr = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"WAV decode supports 8/16-bit PCM (got {8 * sw}-bit)")
+        feat = np.histogram(arr, bins=FEATURE_DIM, range=(-1.0, 1.0))[0].astype(np.float64)
+        s = feat.sum()
+        return rate, nch, (feat / s if s else feat)
+
+    def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
+        raise NotImplementedError(
+            "real decode supports uncompressed BMP and PCM WAV natively; "
+            "compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, "
+            "not available in this environment"
+        )
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        decode = self._decode_real if self.mode == "real" else self._decode_fake
         payloads = tbl[self.payload_col].to_pylist()
         widths = np.empty(len(payloads), dtype=np.int32)
         heights = np.empty(len(payloads), dtype=np.int32)
         nbytes = np.empty(len(payloads), dtype=np.int64)
         feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float64)
         for i, p in enumerate(payloads):
-            w, h, f = self._decode_fake(p)
+            w, h, f = decode(p)
             widths[i], heights[i], nbytes[i] = w, h, len(p)
             feats[i] = f
         tbl = tbl.drop_columns([self.payload_col])  # decoded → payload is spent
