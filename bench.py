@@ -96,9 +96,12 @@ def run_bench() -> dict:
     # contaminating cross-round comparisons); the headline is then the
     # best of 2 WARM runs — steady-state pipeline compute, the regime
     # a multi-hour 100 TB job lives in (single fresh runs vary ±40%)
+    # GRAFT_BENCH_RUNS=2 (the --scaling inner runs) keeps round-2
+    # comparability: best of BOTH runs, no separate cold iteration
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     headline = None
     cold = None
-    for i in range(3):
+    for i in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         result = quality_filter_from_parquet(
@@ -110,7 +113,7 @@ def run_bench() -> dict:
         dt = time.perf_counter() - t0
         if i == 0:
             cold = dt
-        else:
+        if i > 0 or n_runs < 3:
             headline = dt if headline is None else min(headline, dt)
     timings["quality_filter"] = round(headline, 3)
     timings["quality_filter_cold"] = round(cold, 3)
@@ -227,6 +230,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_PAGE_REPLICATE=scaling_replicate,
             GRAFT_HEADLINE_ONLY="1",
+            GRAFT_BENCH_RUNS="2",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
