@@ -692,3 +692,60 @@ def test_session_agg_gap_semantics():
     assert list(out["s"]) == [3.0, 4.0, 8.0]
     assert list(out["nd"]) == [2, 1, 1]
     assert out.loc[0, "session_end"] - out.loc[0, "session_start"] == timedelta(minutes=30)
+
+
+def test_exchange_raw_vs_sort_parity():
+    """hash_join and bucketed_group_reduce produce identical results
+    through the raw exchange (default) and the Ray-native sort shuffle
+    (exchange="sort") — including empty buckets and a 0-row side."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+    from feast_ray.stages.join import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0])})
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 3, 9], pa.int64()),
+                  "w": pa.array(["a", "b", "c", "d"])})
+    ).repartition(2)
+
+    def _j(exchange):
+        return (
+            hash_join(left, right, on="k", num_buckets=4, exchange=exchange)
+            .to_pandas()
+            .sort_values(["k", "w"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(_j("raw"), _j("sort"))
+
+    def _g(exchange):
+        return (
+            bucketed_group_reduce(
+                left,
+                ["k"],
+                lambda df: df.groupby("k", as_index=False)["v"].sum(),
+                num_buckets=8,  # > #keys: raw path hits EMPTY buckets
+                exchange=exchange,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(_g("raw"), _g("sort"))
+
+    # 0-row (typed) side through the raw path
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "w": pa.array([], pa.string())})
+    )
+    joined = hash_join(left, empty, on="k", num_buckets=4, exchange="raw")
+    blocks = [ray.get(r) for r in joined.to_arrow_refs()]
+    assert all(b.column_names == ["k", "v", "w"] for b in blocks)
+    assert sum(len(b) for b in blocks) == 0
