@@ -120,6 +120,11 @@ def remove_duplicate_spans(
     corpora)."""
     from feast_ray.stages.dedup import bucketed_group_reduce
 
+    if n < 2:
+        # the single empty token an empty doc produces would become a
+        # phantom '' unigram (ngrams.py caveat); spans need n >= 2
+        raise ValueError(f"span n-gram size must be >= 2, got {n}")
+
     def _partial(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
             {

@@ -3647,6 +3647,39 @@ select 'value:mean_between', n_btw::BIGINT,
 """
 
 
+# --------------------------------------------------------------------- q76
+
+def q76_substrait_transform(sf_dir: str):
+    """Portable-plan transform (the reference's third ODFV mode,
+    transformation/substrait_transformation.py): expressions serialized
+    to a Substrait ExtendedExpression with pyarrow, evaluated
+    Arrow-native per batch — no pickled Python udf crosses the wire."""
+    import pyarrow.substrait as pss
+
+    from feast_ray.stages.transform import substrait_transform
+
+    plan = bytes(
+        pss.serialize_expressions(
+            [
+                pc.multiply(pc.field("value"), pa.scalar(2.0)),
+                pc.add(pc.field("value"), pc.field("user_id").cast(pa.float64(), safe=False)),
+            ],
+            ["value_x2", "score"],
+            pa.schema([("user_id", pa.int64()), ("value", pa.float64())]),
+        )
+    )
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return substrait_transform(ev, plan)
+
+
+_Q76_SQL = """
+select event_id, user_id, value,
+  value * 2.0 as value_x2,
+  value + cast(user_id as double) as score
+from events
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3728,6 +3761,7 @@ QUERIES = {
     "q73_fine_slide_activity": q73_fine_slide_activity,
     "q74_session_windows": q74_session_windows,
     "q75_expectation_suite": q75_expectation_suite,
+    "q76_substrait_transform": q76_substrait_transform,
 }
 
 
@@ -3807,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
         "q73_fine_slide_activity": _Q73_SQL,
         "q74_session_windows": _Q74_SQL,
         "q75_expectation_suite": _Q75_SQL,
+        "q76_substrait_transform": _Q76_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }

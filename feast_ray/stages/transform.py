@@ -98,3 +98,45 @@ def sql_transform(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def substrait_eval(tbl, plan: bytes):
+    """Evaluate a serialized Substrait ExtendedExpression over one
+    Arrow table: every named expression in the plan becomes an output
+    column appended to the input columns. Plans are produced with
+    ``pyarrow.substrait.serialize_expressions`` (or any Substrait
+    producer) against the input schema — the portable-expression
+    interchange the reference exposes as the ODFV "substrait" mode
+    (feast/on_demand_feature_view.py:116-210 / transformation/
+    substrait_transformation.py)."""
+    import pyarrow.dataset as pads
+    import pyarrow.substrait as ps
+
+    bound = ps.deserialize_expressions(plan)
+    # Substrait field references are POSITIONAL against the plan's
+    # embedded input schema — project the batch to that schema by NAME
+    # (and cast) before evaluating, so a batch with extra/reordered
+    # columns (the retrieval result) still binds correctly
+    sub = tbl.select(bound.schema.names).cast(bound.schema)
+    out = pads.dataset(sub).to_table(columns=dict(bound.expressions))
+    for name in out.column_names:
+        tbl = tbl.append_column(name, out[name])
+    return tbl
+
+
+def substrait_transform(
+    ds: ray.data.Dataset,
+    plan: bytes,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed Substrait expression transform: the (tiny) plan is
+    captured by value in the task closure; evaluation is Arrow-native
+    C++ per batch (no pandas round-trip)."""
+    return ds.map_batches(
+        lambda t, p=plan: substrait_eval(t, p),
+        batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
+        **({"batch_size": batch_size} if batch_size else {}),
+    )

@@ -735,7 +735,7 @@ class Store:
                 result = cross_join(result, vdf.drop(columns=[c for c in [ts, created] if c]))
         for odfv in odfvs:
             fmt = "pandas" if odfv.mode == "pandas" else "pyarrow"
-            result = result.map_batches(odfv.udf, batch_format=fmt)
+            result = result.map_batches(odfv.transform_fn(), batch_format=fmt)
         return result
 
     # -------------------------------------------- saved datasets / logs
@@ -846,10 +846,11 @@ class Store:
             for f in feats:
                 out[f] = looked[f].to_numpy()
         for odfv in odfvs:
+            fn = odfv.transform_fn()
             if odfv.mode == "pandas":
-                out = odfv.udf(out)
+                out = fn(out)
             else:
-                out = odfv.udf(
+                out = fn(
                     pa.Table.from_pandas(out, preserve_index=False)
                 ).to_pandas()
         return out

@@ -95,13 +95,36 @@ class FeatureService:
 class OnDemandView:
     """Request-time transform over joined features (+ request data) —
     the reference's OnDemandFeatureView
-    (feast/on_demand_feature_view.py:116-210): a udf applied to the
-    retrieval result at collection time, in pandas or pyarrow mode.
-    ``sources`` are "view:feature" refs pulled in before the udf runs;
-    ``features`` are the columns the udf adds."""
+    (feast/on_demand_feature_view.py:116-210): a transform applied to
+    the retrieval result at collection time, in pandas, pyarrow or
+    SUBSTRAIT mode (the reference's third transformation kind,
+    transformation/substrait_transformation.py). ``sources`` are
+    "view:feature" refs pulled in before the transform runs;
+    ``features`` are the columns the transform adds.
+
+    ``mode="substrait"``: ``substrait_plan`` is a serialized Substrait
+    ExtendedExpression (e.g. from ``pyarrow.substrait
+    .serialize_expressions``); each named expression becomes an output
+    column, evaluated Arrow-native per batch — a portable plan instead
+    of a pickled Python udf."""
 
     name: str
-    udf: Callable  # pd.DataFrame -> pd.DataFrame  (mode="pandas")
+    udf: "Callable | None" = None  # pd.DataFrame -> pd.DataFrame (mode="pandas")
     sources: tuple[str, ...] = ()
     features: tuple[str, ...] = ()
-    mode: str = "pandas"  # or "pyarrow": pa.Table -> pa.Table
+    mode: str = "pandas"  # "pyarrow": pa.Table -> pa.Table; "substrait"
+    substrait_plan: "bytes | None" = None
+
+    def transform_fn(self) -> Callable:
+        """The batch callable for this view's mode (pandas/pyarrow:
+        the udf itself; substrait: the plan evaluator)."""
+        if self.mode == "substrait":
+            if self.substrait_plan is None:
+                raise ValueError(f"OnDemandView {self.name}: mode='substrait' needs substrait_plan")
+            from feast_ray.stages.transform import substrait_eval
+
+            plan = bytes(self.substrait_plan)
+            return lambda t, p=plan: substrait_eval(t, p)
+        if self.udf is None:
+            raise ValueError(f"OnDemandView {self.name}: udf required for mode={self.mode!r}")
+        return self.udf
