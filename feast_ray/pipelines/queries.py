@@ -15,7 +15,7 @@ formulas on both sides.
 from __future__ import annotations
 
 import os
-from datetime import timedelta
+from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
@@ -3680,6 +3680,254 @@ from events
 """
 
 
+# --------------------------------------------------------------------- q77
+
+def q77_priority_lines_by_flag(sf_dir: str):
+    """TPC-H Q12-shaped: fact-fact join + CASE aggregation (high/low
+    priority line counts per return flag, shipdate-windowed). Both
+    sides stream through the partitioned hash join; the CASE columns
+    are computed vectorized pre-aggregate so the grouped agg is plain
+    sums."""
+    from feast_ray.stages import hash_join
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    )
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1999, 1, 1)
+    li = li.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    i64 = pa.int64()
+    joined = hash_join(
+        li,
+        orders,
+        on="l_orderkey",
+        num_buckets=32,
+        left_schema=pa.schema([("l_orderkey", i64), ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", i64), ("o_orderpriority", pa.string())]),
+    )
+
+    def _case(t: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            t["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high": pc.cast(high, pa.int64()),
+                "low": pc.cast(pc.invert(high), pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(_case, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [AggSpec("high", "sum", "high_lines"), AggSpec("low", "sum", "low_lines")],
+    )
+
+
+_Q77_SQL = """
+select l_returnflag,
+  sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+      then 1 else 0 end)::BIGINT as high_lines,
+  sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+      then 1 else 0 end)::BIGINT as low_lines
+from lineitem join orders on l_orderkey = o_orderkey
+where l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1999-01-01'
+group by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- q78
+
+_Q78_BRANCHES = [
+    ("Brand#11", 1, 15, 1.0, 20.0),
+    ("Brand#22", 10, 30, 10.0, 35.0),
+    ("Brand#33", 20, 50, 20.0, 50.0),
+]
+
+
+def q78_disjunctive_predicates(sf_dir: str):
+    """TPC-H Q19-shaped: disjunctive multi-branch predicates spanning
+    BOTH join sides. Each side pre-filters to the UNION of its branch
+    ranges before the partitioned join (part scales with sf — never
+    broadcast, q02 doctrine), and the per-branch conjunctions apply
+    vectorized post-join; one global two-phase aggregate."""
+    from feast_ray.stages import hash_join
+
+    brands = [b for b, *_ in _Q78_BRANCHES]
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    qlo = min(b[3] for b in _Q78_BRANCHES)
+    qhi = max(b[4] for b in _Q78_BRANCHES)
+
+    def _li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_quantity"], pa.scalar(qlo)),
+                pc.less_equal(t["l_quantity"], pa.scalar(qhi)),
+            )
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c").select(["l_partkey", "l_quantity", "rev_c"])
+
+    lp = li.map_batches(_li_prep, batch_format="pyarrow")
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["p_brand"], value_set=pa.array(brands))
+        ).rename_columns(["l_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    i64 = pa.int64()
+    joined = hash_join(
+        lp,
+        part,
+        on="l_partkey",
+        num_buckets=32,
+        left_schema=pa.schema(
+            [("l_partkey", i64), ("l_quantity", pa.float64()), ("rev_c", i64)]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", i64), ("p_brand", pa.string()), ("p_size", pa.int64())]
+        ),
+    )
+
+    def _branches(t: pa.Table) -> pa.Table:
+        keep = None
+        for brand, slo, shi, blo, bhi in _Q78_BRANCHES:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.and_(
+                        pc.greater_equal(t["p_size"], pa.scalar(slo, pa.int64())),
+                        pc.less_equal(t["p_size"], pa.scalar(shi, pa.int64())),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], pa.scalar(blo)),
+                    pc.less_equal(t["l_quantity"], pa.scalar(bhi)),
+                ),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        return t.filter(keep).select(["rev_c"])
+
+    agg = grouped_agg(
+        joined.map_batches(_branches, batch_format="pyarrow"),
+        [],
+        [AggSpec(None, "count", "n_lines"), AggSpec("rev_c", "sum", "rev_sum_c")],
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["n_lines"]].copy()
+        out["revenue"] = df["rev_sum_c"] / 10000.0
+        return out
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+_Q78_SQL = f"""
+select count(*)::BIGINT as n_lines,
+  sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000)}) / 10000.0 as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#11' and p_size between 1 and 15
+       and l_quantity between 1.0 and 20.0)
+   or (p_brand = 'Brand#22' and p_size between 10 and 30
+       and l_quantity between 10.0 and 35.0)
+   or (p_brand = 'Brand#33' and p_size between 20 and 50
+       and l_quantity between 20.0 and 50.0)
+"""
+
+
+# --------------------------------------------------------------------- q79
+
+def q79_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped: aggregate-then-scalar-subquery-max — the
+    supplier(s) whose windowed revenue EQUALS the maximum (ties kept).
+    Exact integer cents make the equality oracle-stable (no float
+    epsilon); the max is one tiny global aggregate broadcast back as a
+    filter, and supplier joins the (≤ few rows) winners via the
+    broadcast join — supplier itself streams."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo = datetime(1998, 1, 1)
+    hi = datetime(1999, 1, 1)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c").select(["l_suppkey", "rev_c"])
+
+    rev = grouped_agg(
+        li.map_batches(_prep, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [AggSpec("rev_c", "sum", "rev_sum_c")],
+    ).materialize()  # consumed twice: max + winner filter (tiny: one row/supplier)
+    mx = rev.map_batches(
+        lambda t: t.select(["rev_sum_c"]), batch_format="pyarrow"
+    )
+    mx_val = int(
+        grouped_agg(mx, [], [AggSpec("rev_sum_c", "max", "m")]).to_pandas()["m"].iloc[0]
+    )
+    winners = rev.map_batches(
+        lambda t, m=mx_val: t.filter(pc.equal(t["rev_sum_c"], pa.scalar(m, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # ties only — a handful of rows
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = broadcast_join(
+        supp, winners.rename(columns={"l_suppkey": "s_suppkey"}), on="s_suppkey"
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["s_suppkey", "s_name"]].copy()
+        out["total_revenue"] = df["rev_sum_c"] / 10000.0
+        return out
+
+    return out.map_batches(_final, batch_format="pandas")
+
+
+_Q79_SQL = f"""
+with rev as (
+  select l_suppkey as s_suppkey,
+    sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000)}) as rev_c
+  from lineitem
+  where l_shipdate >= timestamp '1998-01-01'
+    and l_shipdate < timestamp '1999-01-01'
+  group by l_suppkey)
+select s.s_suppkey, s.s_name, rev_c / 10000.0 as total_revenue
+from supplier s join rev using (s_suppkey)
+where rev_c = (select max(rev_c) from rev)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 
@@ -3762,6 +4010,9 @@ QUERIES = {
     "q74_session_windows": q74_session_windows,
     "q75_expectation_suite": q75_expectation_suite,
     "q76_substrait_transform": q76_substrait_transform,
+    "q77_priority_lines_by_flag": q77_priority_lines_by_flag,
+    "q78_disjunctive_predicates": q78_disjunctive_predicates,
+    "q79_top_supplier": q79_top_supplier,
 }
 
 
@@ -3842,6 +4093,9 @@ def oracle_sql() -> dict[str, str]:
         "q74_session_windows": _Q74_SQL,
         "q75_expectation_suite": _Q75_SQL,
         "q76_substrait_transform": _Q76_SQL,
+        "q77_priority_lines_by_flag": _Q77_SQL,
+        "q78_disjunctive_predicates": _Q78_SQL,
+        "q79_top_supplier": _Q79_SQL,
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
