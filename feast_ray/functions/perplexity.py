@@ -47,14 +47,65 @@ class PerplexityModel:
         self.add_k = add_k
         self.tri_keys, self.tri_counts = tri_keys, tri_counts.astype(np.float64)
         self.bi_keys, self.bi_counts = bi_keys, bi_counts.astype(np.float64)
-        # dense O(1) lookup tables, built once per actor: 2^24 float32
-        # (64 MiB) for trigrams, 2^16 for bigrams — this is "the model
-        # in memory", exactly what the actor-pool pattern amortizes.
-        # searchsorted lookups were the hot path (~60 us/doc).
-        self.tri_dense = np.zeros(1 << 24, dtype=np.float32)
-        self.tri_dense[tri_keys] = tri_counts
-        self.bi_dense = np.zeros(1 << 16, dtype=np.float32)
-        self.bi_dense[bi_keys] = bi_counts
+        # dense O(1) log-prob table, built once per actor: the trigram
+        # id's PRECOMPUTED logp — log((c_tri + k) / (c_bi + k·V)) where
+        # the bigram prefix is tri >> 8 — as 2^24 float64 (128 MiB).
+        # One gather + segment-mean is the whole hot path; the per-batch
+        # add/div/log chain over the concatenated byte stream (the r2
+        # shape) was ~40% of the fused scorer's CPU. float64 table so
+        # the values are BIT-IDENTICAL to computing the chain per batch
+        # (same float64 ratio + same libm log) — the q24/q28 oracles
+        # compare keep decisions at the MAX_PPL threshold, so a float32
+        # table's rounding could flip borderline docs.
+        # dense PRECOMPUTED log-prob table: logp_dense[t] =
+        # log((c_tri[t]+k)/(c_bi[t>>8]+k·V)) as 2^24 float64 (128 MiB
+        # per worker — "the model in memory", amortized by worker-
+        # process reuse exactly like an actor pool). Built from the
+        # seed model's SPARSITY: all but ~7e2 ids share their
+        # bigram-prefix value, so one 2^16 log + one repeat writes the
+        # table in a single streaming pass (a full 2^24
+        # gather/div/log chain measured ~4 s on this box), then the
+        # seed trigrams are patched with the identical elementwise
+        # formula. Every entry is bit-equal to computing the add/div/
+        # log chain per batch (same float64 inputs, same libm), so the
+        # q24/q28 oracles — which compare keep decisions at the
+        # MAX_PPL threshold — stay exact. Hot path becomes ONE gather
+        # (measured 3× over the per-batch chain, 6× over the two-level
+        # cache-resident variant whose seed-override searchsorted
+        # dominated).
+        # built ONCE PER NODE and memory-mapped by every worker (the
+        # page cache is the shared copy — N workers cold-starting in
+        # parallel would otherwise serialize on N×128 MiB of writes):
+        # atomic tmp+rename publish, content-keyed filename, parallel
+        # builders are idempotent (deterministic bytes, last rename
+        # wins). This is the 100 TB shape for node-local model state.
+        import hashlib
+        import os
+        import tempfile
+
+        key = hashlib.blake2b(
+            f"{corpus}|{add_k}".encode(), digest_size=10
+        ).hexdigest()
+        cache = os.path.join(
+            tempfile.gettempdir(), f"feast_ray_ppl_logp_{key}.npy"
+        )
+        if not os.path.exists(cache):
+            bi_dense = np.zeros(1 << 16, dtype=np.float64)
+            bi_dense[bi_keys] = bi_counts
+            logp = np.repeat(
+                np.log((0.0 + add_k) / (bi_dense + add_k * self.V)), 256
+            )
+            logp[tri_keys] = np.log(
+                (tri_counts + add_k)
+                / (bi_dense[tri_keys >> np.uint32(8)] + add_k * self.V)
+            )
+            fd, tmp = tempfile.mkstemp(
+                dir=tempfile.gettempdir(), suffix=".npy.tmp"
+            )
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, logp)  # file OBJECT: no .npy suffix appended
+            os.replace(tmp, cache)
+        self.logp_dense = np.load(cache, mmap_mode="r")
 
     def _lookup(self, keys: np.ndarray, table_keys: np.ndarray, table_vals: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(table_keys, keys)
@@ -86,10 +137,8 @@ class PerplexityModel:
         blob = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint32)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         tri = (blob[:-2] << 16) | (blob[1:-1] << 8) | blob[2:]
-        bi = (blob[:-2] << 8) | blob[1:-1]
-        c_tri = self.tri_dense[tri].astype(np.float64)
-        c_bi = self.bi_dense[bi].astype(np.float64)
-        logp = np.log((c_tri + self.add_k) / (c_bi + self.add_k * self.V))
+        logp = self.logp_dense[tri]  # one gather — the add/div/log
+        # chain is baked into the table (bit-identical, see __init__)
         # zero out the 2 cross-document boundary trigrams per doc, then
         # segment-sum: doc i's trigrams live at [starts[i], starts[i]+len-2)
         csum = np.concatenate([[0.0], np.cumsum(logp)])

@@ -73,19 +73,44 @@ class Scrubber:
         import numpy as np
         import pyarrow.compute as pc
 
-        col = batch[self.text_col]
+        col = batch[self.text_col].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
         cand = pc.match_substring_regex(col, self._CANDIDATE_RE).to_numpy(
             zero_copy_only=False
         )
-        if any(repl == "<TOX>" for _, repl in self.patterns):
+        has_toxic = any(repl == "<TOX>" for _, repl in self.patterns)
+        if has_toxic:
             cand = cand | pc.match_substring_regex(
                 col, f"(?i:{_TOXIC_PATTERN})"
             ).to_numpy(zero_copy_only=False)
-        texts = col.to_pylist()
-        out: list = list(texts)
-        for i in np.flatnonzero(cand):
-            out[i] = self.scrub(texts[i])
+        # dirty-path VECTORIZED: take the candidate rows, run the
+        # pattern chain as RE2 column kernels (same engine the DuckDB
+        # oracle uses — byte-identity is exactly what the oracle
+        # verifies), scatter back. Clean docs never leave the prescan;
+        # no per-row Python on either path (the r2 shape ran re.sub
+        # per candidate row — ~20% of the fused scorer's CPU on the
+        # PII-decorated bench corpus where most docs carry digits).
+        idx = np.flatnonzero(cand)
+        if len(idx):
+            sub = pc.take(col, pa.array(idx, pa.int64()))
+            for _, pat, repl in PII_PATTERNS:
+                sub = pc.replace_substring_regex(
+                    sub, pattern=pat, replacement=repl
+                )
+            if has_toxic:
+                sub = pc.replace_substring_regex(
+                    sub, pattern=f"(?i:{_TOXIC_PATTERN})", replacement="<TOX>"
+                )
+            mask = np.zeros(len(col), dtype=bool)
+            mask[idx] = True
+            out = pc.replace_with_mask(
+                col, pa.array(mask), sub.combine_chunks()
+                if isinstance(sub, pa.ChunkedArray) else sub
+            )
+        else:
+            out = col
         if self.only_where is not None:
-            keep = batch[self.only_where].to_pylist()
-            out = [t if m else None for t, m in zip(out, keep)]
-        return batch.append_column(self.out_col, pa.array(out, pa.string()))
+            keep = batch[self.only_where]
+            out = pc.if_else(keep, out, pa.scalar(None, pa.string()))
+        return batch.append_column(self.out_col, out)
