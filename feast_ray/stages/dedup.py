@@ -202,8 +202,11 @@ def keep_latest_exchange(
             for i in range(B)
         )
 
+    # sub-table refs ride inside a list argument (not as task args) —
+    # same Ray 2.49 arg-inlining-race hardening as stages/exchange.py
     @ray.remote
-    def _reduce(*subs):
+    def _reduce(sub_refs):
+        subs = ray.get(list(sub_refs))
         parts = [s for s in subs if len(s)]
         if not parts:
             return subs[0]  # empty table keeps the schema
@@ -213,7 +216,7 @@ def keep_latest_exchange(
     if not refs:
         return ds
     split_refs = [_split.remote(r) for r in refs]
-    reduce_refs = [_reduce.remote(*[sr[b] for sr in split_refs]) for b in range(B)]
+    reduce_refs = [_reduce.remote([sr[b] for sr in split_refs]) for b in range(B)]
     return ray.data.from_arrow_refs(reduce_refs)
 
 

@@ -112,15 +112,21 @@ def bucket_exchange(
         raise ValueError("bucket_exchange on a zero-block Dataset")
     _split = _split_remote(bucket_col, B, _key, [bucket_col])
 
+    # slice refs ride INSIDE a list argument (not as task args): Ray
+    # then never runs dependency resolution/inlining over thousands of
+    # tiny slice objects — a path where Ray 2.49's reference counter
+    # can fatally race (reference_count.cc:581 check failure, observed
+    # once under heavy co-tenant load) — and the reduce task fetches
+    # its bucket's slices itself
     @ray.remote
-    def _reduce(*parts):
-        return reduce_fn(list(parts))
+    def _reduce(part_refs):
+        return reduce_fn(list(ray.get(list(part_refs))))
 
     split_refs = [_split.remote(r) for r in refs]
     if B == 1:
-        out = [_reduce.remote(*split_refs)]
+        out = [_reduce.remote(split_refs)]
     else:
-        out = [_reduce.remote(*[sr[b] for sr in split_refs]) for b in range(B)]
+        out = [_reduce.remote([sr[b] for sr in split_refs]) for b in range(B)]
     return ray.data.from_arrow_refs(out)
 
 
@@ -157,16 +163,17 @@ def two_sided_exchange(
         raise ValueError("two_sided_exchange on a zero-block Dataset")
     _split = _split_remote(bucket_col, 2 * B, _key, [bucket_col, side_col])
 
+    # refs inside list args — see bucket_exchange for why (Ray 2.49
+    # arg-inlining race under thousands of tiny multi-return objects)
     @ray.remote
-    def _reduce(nl: int, *parts):
-        return join_fn(list(parts[:nl]), list(parts[nl:]))
+    def _reduce(l_refs, r_refs):
+        return join_fn(list(ray.get(list(l_refs))), list(ray.get(list(r_refs))))
 
     split_refs = [_split.remote(r) for r in refs]
     out = [
         _reduce.remote(
-            len(split_refs),
-            *[sr[b] for sr in split_refs],
-            *[sr[B + b] for sr in split_refs],
+            [sr[b] for sr in split_refs],
+            [sr[B + b] for sr in split_refs],
         )
         for b in range(B)
     ]
