@@ -219,6 +219,61 @@ def ann_topk_ivf(
     return candidates.repartition(1).map_batches(_final, batch_format="pandas")
 
 
+def _kmeans_refine_distributed(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    centroids: np.ndarray,
+    iters: int,
+) -> np.ndarray:
+    """Distributed Lloyd iterations over the WHOLE corpus: each pass is
+    one ``map_batches`` emitting per-block (cell, count, sum-vector)
+    partials — k×d floats per block, never the vectors — merged on the
+    driver (k rows total) into the next centroid set. This is the
+    100 TB k-means shape: corpus stays distributed, driver state is
+    k×d, iterations stream with backpressure."""
+    k, d = centroids.shape
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def _partial(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            cent = ray.get(cref)
+            mat = _normalize(_batch_matrix(tbl, vec_col))
+            a = np.argmax(mat @ cent.T, axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "vsum": pa.array(list(sums)),
+                }
+            )
+
+        pdf = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        if not len(pdf):
+            break
+        nxt = centroids.copy()
+        for c, grp in pdf.groupby("cell"):
+            n = int(grp["n"].sum())
+            if n == 0:
+                continue
+            v = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                nxt[int(c)] = v / norm
+        centroids = nxt
+    return centroids
+
+
 def ivf_build(
     ds: ray.data.Dataset,
     path: str,
@@ -227,17 +282,45 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     sample_size: int = 2048,
+    sample_mode: str = "head",
+    refine_iters: int = 0,
 ) -> "IVFIndex":
     """Partition the corpus by assigned IVF cell ONCE (hive-partitioned
     parquet, one directory per cell) so searches read only probed
     cells' files instead of filtering every block (VERDICT r1 #10 —
     the scan-pruning the flat IVF variant lacked). Centroids are saved
-    alongside (``_centroids.npy``) so later searches reuse the index."""
+    alongside (``_centroids.npy``) so later searches reuse the index.
+
+    Index-build scale knobs (defaults preserve the q29-pinned
+    behavior):
+
+    * ``sample_mode="hash"`` draws the k-means seed sample with the
+      deterministic hash sampler (``functions.sampling.sample_by_hash``)
+      instead of ``limit()`` — UNBIASED across the corpus, where
+      ``limit`` reads only the first blocks (a 100 TB corpus's head is
+      rarely representative). Needs one metadata-cheap ``count()``.
+    * ``refine_iters=N`` runs N distributed Lloyd passes over the FULL
+      corpus after the sample fit (``_kmeans_refine_distributed`` —
+      per-block k×d partials, driver merges k rows), so centroids
+      converge on the data the sample missed."""
     import os
 
-    sample_tbl = ds.limit(sample_size).to_pandas()
+    if sample_mode == "hash":
+        from feast_ray.functions.sampling import sample_by_hash
+
+        n_total = ds.count()
+        frac = min(1.0, sample_size / max(1, n_total))
+        sample_tbl = sample_by_hash(ds, id_col, frac).to_pandas()
+        if len(sample_tbl) == 0:  # degenerate tiny corpus
+            sample_tbl = ds.limit(sample_size).to_pandas()
+    else:
+        sample_tbl = ds.limit(sample_size).to_pandas()
     sample = np.stack(sample_tbl[vec_col].to_numpy())
     index = IVFIndex(sample, n_cells=n_cells)
+    if refine_iters > 0:
+        index.centroids = _kmeans_refine_distributed(
+            ds, vec_col, index.centroids, refine_iters
+        )
     cref = ray.put(index.centroids)
 
     def _assign(tbl: pa.Table) -> pa.Table:

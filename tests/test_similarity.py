@@ -168,3 +168,50 @@ def test_cosine_lsh_distributed_verify(emb):
                                  driver_verify_max=0
                                  ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert list(a["id_a"]) == list(b["id_a"]) and list(a["id_b"]) == list(b["id_b"])
+
+
+def test_ivf_build_distributed_sample_and_refine(tmp_path):
+    """sample_mode="hash" + refine_iters: unbiased distributed seed
+    sample and full-corpus Lloyd partials. Search results through the
+    refined partitioned index must equal brute force for high nprobe
+    (probe-everything = exact regardless of centroid placement)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_partitioned,
+        ivf_build,
+    )
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 16
+    vecs = rng.randn(n, d).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    path = str(tmp_path / "ivf")
+    idx = ivf_build(
+        ds, path, n_cells=8, sample_size=128,
+        sample_mode="hash", refine_iters=2,
+    )
+    assert idx.centroids.shape == (8, 16)
+    # centroids stay unit-normalized after distributed refinement
+    norms = np.linalg.norm(idx.centroids, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
+    queries = vecs[:3]
+    exact = (
+        ann_topk_bruteforce(ds, queries, k=5, round_to=6)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    via_ds, _stats = ann_topk_ivf_partitioned(path, queries, k=5, nprobe=8)
+    via_ivf = (
+        via_ds.to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id"]], via_ivf[["query_id", "vec_id"]]
+    )
