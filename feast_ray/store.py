@@ -224,6 +224,72 @@ class OnlineParquetStore:
             return 0  # empty input (e.g. incremental run with no new rows)
         return int(stats["rows"].sum())
 
+    def read_ds(self, view_name: str) -> "ray.data.Dataset":
+        """DISTRIBUTED merge-on-read: one Dataset over every bucket's
+        base+delta files with the last-write-wins merge running inside
+        the cluster — the shape for views too big to assemble on the
+        driver (e.g. an embedding store behind ANN retrieval). File
+        sequence is recovered from the file PATH column
+        (``include_paths``) and breaks exact order-by ties exactly
+        like the driver-side reader; rows co-locate per bucket through
+        the engine's bucketed reduce keyed on the view's upsert keys
+        (same keys ⇒ same bucket dir ⇒ same reducer)."""
+        d = self._dir(view_name)
+        meta = self._meta(view_name)
+        bdirs = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("bucket=") and os.path.isdir(os.path.join(d, f))
+        )
+        if meta is None or not bdirs:
+            return ray.data.from_arrow(self.read(view_name))
+        files = [
+            os.path.join(b, f)
+            for b in bdirs
+            for f in sorted(os.listdir(b))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return ray.data.from_arrow(self.read(view_name))
+        ds = ray.data.read_parquet(files, include_paths=True)
+        mt = dict(meta)
+
+        def _seq_col(tbl: pa.Table) -> pa.Table:
+            import numpy as np
+
+            paths = tbl["path"].to_pylist()
+            seqs = np.empty(len(paths), dtype=np.int64)
+            for i, p in enumerate(paths):
+                stem = os.path.basename(p)[: -len(".parquet")]
+                try:
+                    seqs[i] = int(stem.split("_")[-1])
+                except ValueError:
+                    seqs[i] = 0
+            return tbl.drop_columns(["path"]).append_column(
+                "__seq", pa.array(seqs)
+            )
+
+        from feast_ray.stages.dedup import bucketed_group_reduce
+
+        def _merge(df: pd.DataFrame) -> pd.DataFrame:
+            # (order_by…, seq): equal event/created timestamps resolve
+            # to the later FILE — the driver reader's concat-order
+            # semantics. Each delta is already latest-per-key, so
+            # (key, seq) is unique and the order is total per key.
+            if mt["has_ts"]:
+                order = [c for c in mt["order_by"] if c in df.columns] + ["__seq"]
+            else:
+                order = ["__seq"]
+            df = df.sort_values(order, kind="stable", na_position="first")
+            df = df.drop_duplicates(mt["upsert_keys"], keep="last")
+            return df.drop(columns="__seq")
+
+        return bucketed_group_reduce(
+            ds.map_batches(_seq_col, batch_format="pyarrow"),
+            mt["upsert_keys"],
+            _merge,
+        )
+
     def read(self, view_name: str) -> pa.Table:
         d = self._dir(view_name)
         meta = self._meta(view_name)
@@ -804,9 +870,10 @@ class Store:
 
         view = self.views[view_name]
         id_col = id_col or view.join_keys[0]
-        # merge-on-read via the online plane (delta files may carry
-        # superseded rows a raw read_parquet over the dir would double)
-        ds = ray.data.from_arrow(self.online.read(view_name))
+        # DISTRIBUTED merge-on-read (delta files may carry superseded
+        # rows a raw read_parquet over the dir would double); the
+        # vector corpus never assembles on the driver
+        ds = self.online.read_ds(view_name)
         res = ann_topk_bruteforce(
             ds, np.asarray([query]), k=top_k, id_col=id_col, vec_col=vec_col,
             round_to=None, metric=metric,

@@ -348,3 +348,35 @@ def test_online_lsm_compaction_bounds_files(store, tmp_path):
     # merge-on-read yields exactly one row per key
     merged = store.online.read("user_values").to_pandas()
     assert merged["user_id"].value_counts().max() == 1
+
+
+def test_online_read_ds_matches_driver_reader(store):
+    """Distributed merge-on-read (read_ds) must produce exactly the
+    driver-side reader's rows across base+delta files."""
+    from datetime import datetime
+
+    for i in range(6):  # several deltas, below the compaction bound
+        store.push(
+            "user_values",
+            pd.DataFrame(
+                {
+                    "user_id": [10 + (i % 3), 99],
+                    "ts": [datetime(2024, 2, 1, 0, i)] * 2,
+                    "value": [float(i), float(50 + i)],
+                }
+            ),
+        )
+    a = (
+        store.online.read("user_values")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        store.online.read_ds("user_values")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    assert (b[b.user_id == 99]["value"] == 55.0).all()
