@@ -153,3 +153,87 @@ def test_simhash_max_hamming_guard(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"id": [1], "text": ["x y z"]}))
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_dups(ds, "id", "text", max_hamming=4)
+
+
+def test_session_agg_empty_and_single_row():
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, session_agg
+
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "v": pa.array([], pa.float64())})
+    )
+    out = session_agg(
+        empty, ["k"], "ts", timedelta(minutes=5), [AggSpec("v", "sum", "s")]
+    ).to_pandas()
+    assert len(out) == 0
+    one = ray.data.from_arrow(
+        pa.table({"k": [1], "ts": [datetime(2024, 1, 1)], "v": [2.5]})
+    )
+    out = session_agg(
+        one, ["k"], "ts", timedelta(minutes=5), [AggSpec("v", "sum", "s")]
+    ).to_pandas()
+    assert len(out) == 1 and out.loc[0, "s"] == 2.5
+    assert out.loc[0, "session_start"] == out.loc[0, "session_end"]
+
+
+def test_windowed_agg_tiled_single_key_gap():
+    """Tile composition emits a window for every start containing >= 1
+    hop — including windows whose OTHER hops are empty (gap in the
+    stream)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, windowed_agg
+
+    t0 = datetime(2024, 1, 1)
+    # two events 3 hops apart; window = 2 hops
+    ds = ray.data.from_arrow(
+        pa.table({
+            "k": [1, 1],
+            "ts": [t0, t0 + timedelta(minutes=30)],
+            "v": [1.0, 10.0],
+        })
+    )
+    out = (
+        windowed_agg(
+            ds, ["k"], "ts", timedelta(minutes=20),
+            [AggSpec("v", "sum", "s")], slide=timedelta(minutes=10),
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # event A in windows starting -10, 0; event B in 20, 30 — no
+    # window sees both (gap), 4 windows total
+    assert len(out) == 4
+    assert list(out["s"]) == [1.0, 1.0, 10.0, 10.0]
+
+
+def test_substrait_eval_reordered_columns():
+    """Plans bind positionally to their embedded schema; the evaluator
+    must re-bind by NAME when the batch has extra/reordered columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.substrait as pss
+
+    from feast_ray.stages.transform import substrait_eval
+
+    plan = bytes(
+        pss.serialize_expressions(
+            [pc.add(pc.field("b"), pc.field("a"))],
+            ["a_plus_b"],
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+    )
+    tbl = pa.table({"x": ["p", "q"], "b": [10, 20], "a": [1, 2]})
+    out = substrait_eval(tbl, plan)
+    assert out["a_plus_b"].to_pylist() == [11, 22]
+    assert out.column_names == ["x", "b", "a", "a_plus_b"]
