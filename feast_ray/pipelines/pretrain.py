@@ -26,11 +26,34 @@ is the SURVEY.md §2 extension tier composed end-to-end.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 import pyarrow as pa
 import ray.data
+
+
+def _marker_valid(ckpt_dir: str, fp: dict) -> bool:
+    """A checkpoint is reusable only when its ``.done`` marker exists,
+    the data dir exists, AND the marker's fingerprint matches this
+    run's inputs — a marker beside a deleted dir, or one written for
+    different pages/blocklist, forces a rebuild instead of silently
+    reusing a stale filtered corpus (ADVICE r3). Legacy "ok" markers
+    (pre-fingerprint) never match and rebuild once. ``fp["input"]`` of
+    None (caller passed ``pages=None``, the explicit same-input resume
+    contract) skips the input term but still checks the blocklist."""
+    marker = ckpt_dir + ".done"
+    if not (os.path.exists(marker) and os.path.isdir(ckpt_dir)):
+        return False
+    try:
+        with open(marker) as f:
+            got = json.loads(f.read())
+    except (ValueError, OSError):
+        return False  # legacy / corrupt marker → rebuild
+    if got.get("v") != 1 or got.get("blocked") != fp["blocked"]:
+        return False
+    return fp["input"] is None or got.get("input") == fp["input"]
 
 
 def pretraining_corpus(
@@ -45,6 +68,7 @@ def pretraining_corpus(
     epoch_salt: str = "ep0",
     write_dir: "str | None" = None,
     checkpoint: "bool | str" = True,
+    ckpt_token: "str | None" = None,
 ) -> ray.data.Dataset:
     """Run the full corpus build over a pages Dataset (schema:
     url, warc_ts, html, text, lang). Returns rows of
@@ -73,8 +97,14 @@ def pretraining_corpus(
       stages a parquet READER, and drop the object-store pin. Also
       makes the chain RESUMABLE mid-pipeline: a rerun pointing at the
       same path skips the whole extract→filter→scrub prefix when the
-      ``<path>.done`` marker exists (a crashed partial write has no
-      marker and is cleaned + rewritten).
+      ``<path>.done`` marker exists AND its input/param fingerprint
+      (page identity + blocked_domains) matches this run — different
+      inputs rebuild instead of reusing a stale corpus; a crashed
+      partial write has no marker and is cleaned + rewritten.
+      ``ckpt_token``: caller-supplied input-identity string (e.g.
+      "crawl-2024-w31") used in the fingerprint instead of
+      ``pages.count()`` — pass it when counting the input is not
+      metadata-cheap.
     * ``False`` — no checkpoint; trade recompute for zero footprint."""
     from feast_ray.functions.decontam import decontaminate
     from feast_ray.functions.packing import pack_sequences
@@ -84,11 +114,33 @@ def pretraining_corpus(
     from feast_ray.pipelines.quality_filter import quality_filter
 
     ckpt_dir = checkpoint if isinstance(checkpoint, str) else None
-    if ckpt_dir is not None and os.path.exists(ckpt_dir + ".done"):
+    fp = None
+    if ckpt_dir is not None:
+        # the checkpoint holds the PREFIX's output, so its identity is
+        # the prefix's inputs only: the pages table + blocked_domains
+        # (span_n / lang_weights / salt apply downstream of the
+        # checkpoint and may change freely across a resume). Callers
+        # who know their input's identity pass ckpt_token (e.g.
+        # "synth-3000000-seed7") to skip the count pass; pages=None is
+        # the explicit same-input resume contract.
+        if ckpt_token is not None:
+            ident = ckpt_token
+        elif pages is not None:
+            ident = f"n={pages.count()}"
+        else:
+            ident = None
+        fp = {"v": 1, "input": ident, "blocked": sorted(blocked_domains or [])}
+    if ckpt_dir is not None and _marker_valid(ckpt_dir, fp):
         # resume: the filtered corpus is already on disk — the whole
         # extract→filter→scrub prefix is skipped (``pages`` untouched)
         ds = ray.data.read_parquet(ckpt_dir)
     else:
+        if pages is None:
+            raise ValueError(
+                f"pages=None requires a valid checkpoint at {ckpt_dir!r} "
+                "(marker missing/stale or data dir gone) — rerun with the "
+                "pages Dataset to rebuild it"
+            )
         ds = quality_filter(pages, keep_only=True)
         if blocked_domains:
             ds = block_domains(ds, blocked_domains, "url")
@@ -106,11 +158,15 @@ def pretraining_corpus(
 
         ds = ds.map_batches(_iid, batch_format="pyarrow")
         if ckpt_dir is not None:
+            # stale marker (fingerprint mismatch / missing dir) or
+            # partial write from a crashed run: clean BOTH and rebuild
+            if os.path.exists(ckpt_dir + ".done"):
+                os.remove(ckpt_dir + ".done")
             if os.path.isdir(ckpt_dir):
-                shutil.rmtree(ckpt_dir)  # partial write from a crashed run
+                shutil.rmtree(ckpt_dir)
             ds.write_parquet(ckpt_dir)
             with open(ckpt_dir + ".done", "w") as f:
-                f.write("ok")
+                f.write(json.dumps(fp))
             ds = ray.data.read_parquet(ckpt_dir)
         elif checkpoint:
             ds = ds.materialize()

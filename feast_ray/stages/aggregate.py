@@ -448,7 +448,12 @@ def session_agg(
 
     def _sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([*keys, ts_col], kind="stable")
-        key_change = (df[keys] != df[keys].shift()).any(axis=1)
+        # NULL keys form their own partition (grouped_agg's
+        # dropna=False doctrine; SQL window PARTITION BY keeps NULLs):
+        # NaN != NaN is True, so a plain shift-compare would split
+        # every consecutive null-key pair — treat both-null as equal.
+        cur, prev = df[keys], df[keys].shift()
+        key_change = (cur.ne(prev) & ~(cur.isna() & prev.isna())).any(axis=1)
         dt = df[ts_col] - df[ts_col].shift()
         df = df.assign(__sid=(key_change | (dt > gap)).cumsum())
         agg_kwargs: dict = {
@@ -460,9 +465,9 @@ def session_agg(
                 agg_kwargs[s.alias] = (ts_col, "size")
             else:
                 agg_kwargs[s.alias] = (s.col, _PD_FN[s.fn])
-        out = df.groupby([*keys, "__sid"], as_index=False, sort=False).agg(
-            **agg_kwargs
-        )
+        out = df.groupby(
+            [*keys, "__sid"], as_index=False, sort=False, dropna=False
+        ).agg(**agg_kwargs)
         return out.drop(columns="__sid")
 
     return bucketed_group_reduce(ds, keys, _sessions, num_buckets=num_buckets)

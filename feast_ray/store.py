@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from datetime import datetime
 
 import pandas as pd
@@ -84,6 +85,20 @@ class OnlineParquetStore:
             return json.load(f)
 
     @staticmethod
+    def _view_meta(view: "View") -> dict:
+        """The merge recipe upsert() persists as ``_meta.json``,
+        derived from the View alone — the fallback for pre-LSM stores
+        whose bucket dirs predate the meta file."""
+        has_ts = view.timestamp_field is not None and not view.aggregations
+        ts = view.timestamp_field if has_ts else "__mat_gen"
+        created = view.created_timestamp_column if has_ts else None
+        return {
+            "upsert_keys": view.join_keys + (["window_start"] if view.window else []),
+            "order_by": [ts] + ([created] if created else []),
+            "has_ts": has_ts,
+        }
+
+    @staticmethod
     def _bucket_files(bdir: str) -> "list[tuple[int, str]]":
         """(seq, path) of a bucket's parquet files, merge order.
         Legacy single ``data.parquet`` (pre-LSM layout) reads as seq 0;
@@ -97,11 +112,14 @@ class OnlineParquetStore:
             stem = f[: -len(".parquet")]
             if stem == "data":
                 out.append((0, os.path.join(bdir, f)))
-            else:
-                try:
-                    out.append((int(stem.split("_")[-1]), os.path.join(bdir, f)))
-                except ValueError:
-                    out.append((0, os.path.join(bdir, f)))
+                continue
+            # delta_{seq}[_{uuid}] / base_{seq}[_{uuid}]: the seq is
+            # the first all-digit token (uuid suffix makes concurrent
+            # same-seq writers collision-free; ordering stays seq-first)
+            seq = next(
+                (int(tok) for tok in stem.split("_")[1:] if tok.isdigit()), 0
+            )
+            out.append((seq, os.path.join(bdir, f)))
         out.sort(key=lambda t: (t[0], t[1]))
         return out
 
@@ -109,7 +127,11 @@ class OnlineParquetStore:
     def _merge_files(
         files: "list[tuple[int, str]]", meta: dict
     ) -> pd.DataFrame:
-        """Merge-on-read: concat in sequence order, last-write-wins."""
+        """Merge-on-read: concat in sequence order, last-write-wins.
+        Raises FileNotFoundError if a listed file vanished (a
+        concurrent compaction's os.remove) — the caller re-lists and
+        retries; skipping here would silently drop the rows the
+        compactor folded into a base written AFTER our listing."""
         frames = []
         for seq, path in files:
             df = pq.read_table(path).to_pandas()
@@ -125,21 +147,25 @@ class OnlineParquetStore:
         return df.reset_index(drop=True)
 
     def _read_bucket(self, bdir: str, meta: dict) -> "pd.DataFrame | None":
-        files = self._bucket_files(bdir)
-        if not files:
-            return None
-        return self._merge_files(files, meta)
+        # a concurrent compaction can remove a delta between our
+        # listing and its read — re-list and retry (the fresh listing
+        # holds the base the compactor wrote first)
+        for _ in range(3):
+            files = self._bucket_files(bdir)
+            if not files:
+                return None
+            try:
+                return self._merge_files(files, meta)
+            except FileNotFoundError:
+                continue
+        return self._merge_files(self._bucket_files(bdir), meta)
 
     def upsert(self, view: View, ds: ray.data.Dataset) -> int:
         out = self._dir(view.name)
         os.makedirs(out, exist_ok=True)
-        # aggregation views carry no event timestamp — order upserts by
-        # a per-call generation counter instead (still last-write-wins)
-        has_ts = view.timestamp_field is not None and not view.aggregations
-        ts = view.timestamp_field if has_ts else "__mat_gen"
-        created = view.created_timestamp_column if has_ts else None
-        # windowed views are keyed by (entities, window_start): each
-        # window is its own online row (stream-view tiling semantics)
+        # merge recipe (keys / ordering / has_ts) derives from the
+        # View — see _view_meta; windowed views key on
+        # (entities, window_start): each window is its own online row
         upsert_keys = view.join_keys + (["window_start"] if view.window else [])
 
         if not upsert_keys:
@@ -160,12 +186,8 @@ class OnlineParquetStore:
             lambda t: add_hash_bucket(t, upsert_keys, nb, col="__ob"),
             batch_format="pyarrow",
         )
-        order_by = [ts] + ([created] if created else [])
-        meta = {
-            "upsert_keys": upsert_keys,
-            "order_by": order_by,
-            "has_ts": has_ts,
-        }
+        meta = self._view_meta(view)
+        order_by = meta["order_by"]
         import json
 
         with open(os.path.join(out, "_meta.json"), "w") as f:
@@ -195,14 +217,22 @@ class OnlineParquetStore:
             os.makedirs(bdir, exist_ok=True)
             files = bucket_files(bdir)
             seq = (files[-1][0] + 1) if files else 0
-            path = os.path.join(bdir, f"delta_{seq:012d}.parquet")
+            # uuid suffix: two concurrent upserts that list the same
+            # tail compute the same seq — distinct names keep both
+            # (merge order: seq, then path; equal-seq rows are
+            # concurrent writes with no defined order between them)
+            path = os.path.join(
+                bdir, f"delta_{seq:012d}_{uuid.uuid4().hex[:8]}.parquet"
+            )
             tmp = path + ".tmp"
             pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
             os.replace(tmp, path)
             files.append((seq, path))
             if len(files) > compact_files:
                 merged = merge_files(files, meta)
-                base = os.path.join(bdir, f"base_{seq:012d}.parquet")
+                base = os.path.join(
+                    bdir, f"base_{seq:012d}_{uuid.uuid4().hex[:8]}.parquet"
+                )
                 tmp = base + ".tmp"
                 pq.write_table(
                     pa.Table.from_pandas(merged, preserve_index=False), tmp
@@ -337,11 +367,15 @@ class OnlineParquetStore:
                 view.join_keys, self.NUM_BUCKETS, col="__ob",
             )
             buckets = sorted(set(keyed["__ob"].to_pylist()))
-        meta = self._meta(view.name)
+        # a store written before the LSM layout has bucket dirs but no
+        # _meta.json — synthesize the merge recipe from the View (the
+        # same derivation upsert() persists), mirroring read()'s
+        # legacy fallback instead of returning all-null features
+        meta = self._meta(view.name) or self._view_meta(view)
         frames = []
         for b in buckets:
             bdir = os.path.join(self._dir(view.name), f"bucket={b}")
-            if os.path.isdir(bdir) and meta is not None:
+            if os.path.isdir(bdir):
                 df = self._read_bucket(bdir, meta)
                 if df is not None:
                     frames.append(df)

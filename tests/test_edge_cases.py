@@ -237,3 +237,34 @@ def test_substrait_eval_reordered_columns():
     out = substrait_eval(tbl, plan)
     assert out["a_plus_b"].to_pylist() == [11, 22]
     assert out.column_names == ["x", "b", "a", "a_plus_b"]
+
+
+def test_session_agg_null_keys_kept():
+    """NULL keys form their own session partition (ADVICE r3): the
+    pandas groupby must run dropna=False, and consecutive null-key
+    rows within the gap must sessionize TOGETHER (NaN != NaN would
+    otherwise split every pair)."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, session_agg
+
+    t0 = datetime(2024, 1, 1)
+    df = pd.DataFrame({
+        "k": [1.0, np.nan, np.nan, np.nan],
+        "ts": [t0, t0, t0 + timedelta(minutes=1), t0 + timedelta(minutes=30)],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = session_agg(
+        ray.data.from_pandas(df), ["k"], "ts", timedelta(minutes=5),
+        [AggSpec("v", "sum", "s")],
+    ).to_pandas()
+    # key=1: one session; key=NULL: two sessions (rows 2+3 together,
+    # row 4 past the gap)
+    assert len(out) == 3
+    null_rows = out[out["k"].isna()].sort_values("session_start")
+    assert list(null_rows["s"]) == [5.0, 4.0]
+    assert out.loc[out["k"] == 1.0, "s"].iloc[0] == 1.0

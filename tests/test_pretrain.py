@@ -94,3 +94,47 @@ def test_pretraining_corpus_parquet_checkpoint_resume(tmp_path, sf_small):
     ).to_pandas()
     assert len(rewritten) == len(first)
     assert rewritten["url"].is_unique
+
+
+def test_checkpoint_fingerprint_invalidation(tmp_path, sf_small):
+    """ADVICE r3: a .done marker is only honored when its fingerprint
+    (input identity + blocklist) matches the rerun — different inputs
+    or params rebuild instead of silently reusing the stale corpus,
+    and a marker beside a deleted dir rebuilds cleanly."""
+    ck = str(tmp_path / "ck")
+    first = pretraining_corpus(
+        synth_webpages(sf_small), num_shards=2, checkpoint=ck,
+        ckpt_token="run-a",
+    ).to_pandas()
+    # same token → resume honored even with pages=None
+    resumed = pretraining_corpus(
+        None, num_shards=2, checkpoint=ck, ckpt_token="run-a"
+    ).to_pandas()
+    assert len(resumed) == len(first)
+    # different token → stale marker, must rebuild (pages required)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires a valid checkpoint"):
+        pretraining_corpus(None, num_shards=2, checkpoint=ck,
+                           ckpt_token="run-B")
+    rebuilt = pretraining_corpus(
+        synth_webpages(sf_small), num_shards=2, checkpoint=ck,
+        ckpt_token="run-B",
+    ).to_pandas()
+    assert len(rebuilt) == len(first)
+    # blocklist change invalidates too (prefix-affecting param)
+    rebuilt2 = pretraining_corpus(
+        synth_webpages(sf_small), num_shards=2, checkpoint=ck,
+        ckpt_token="run-B", blocked_domains=["никогда.example"],
+    ).to_pandas()
+    assert len(rebuilt2) == len(first)
+    # marker beside a deleted dir → rebuild, not read_parquet crash
+    import shutil as _sh
+
+    _sh.rmtree(ck)
+    assert (tmp_path / "ck.done").exists()
+    rebuilt3 = pretraining_corpus(
+        synth_webpages(sf_small), num_shards=2, checkpoint=ck,
+        ckpt_token="run-B", blocked_domains=["никогда.example"],
+    ).to_pandas()
+    assert len(rebuilt3) == len(first)

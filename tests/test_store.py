@@ -380,3 +380,62 @@ def test_online_read_ds_matches_driver_reader(store):
     )
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
     assert (b[b.user_id == 99]["value"] == 55.0).all()
+
+
+def test_online_lookup_pre_lsm_legacy_layout(store, sf_small):
+    """ADVICE r3: a store written before the LSM layout has bucket
+    dirs but no _meta.json — lookup() must synthesize the merge recipe
+    from the View (like read()'s fallback) instead of silently
+    returning all-null features."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    store.materialize(views=["user_values"])
+    # simulate the pre-LSM store: strip the meta file and rename each
+    # bucket's delta to the legacy single data.parquet
+    vdir = os.path.join(store.online.root, "user_values")
+    os.remove(os.path.join(vdir, "_meta.json"))
+    for b in os.listdir(vdir):
+        bdir = os.path.join(vdir, b)
+        if not os.path.isdir(bdir):
+            continue
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1  # single materialize → one delta
+        os.rename(os.path.join(bdir, files[0]),
+                  os.path.join(bdir, "data.parquet"))
+    events = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    latest = events.sort_values("ts").drop_duplicates("user_id", keep="last")
+    some_users = latest.user_id.head(5).tolist()
+    out = store.get_online_features(
+        ["user_values:value"], [{"user_id": u} for u in some_users]
+    )
+    exp = latest.set_index("user_id").loc[some_users, "value"].to_numpy()
+    np.testing.assert_allclose(out["value"].to_numpy(), exp)
+
+
+def test_concurrent_upsert_seq_collision_no_lost_write(store):
+    """ADVICE r3: delta filenames carry a uuid suffix, so two writers
+    that computed the same seq cannot overwrite each other. Simulate
+    the collision by copying a same-seq delta under a different uuid
+    and checking both survive the merge listing."""
+    import os
+    import shutil
+
+    now = pd.Timestamp("2024-01-01")
+    store.push("user_values",
+               pd.DataFrame({"user_id": [1], "ts": [now], "value": [1.0]}))
+    vdir = os.path.join(store.online.root, "user_values")
+    bdirs = [os.path.join(vdir, b) for b in os.listdir(vdir)
+             if os.path.isdir(os.path.join(vdir, b))]
+    (bdir,) = [b for b in bdirs if os.listdir(b)]
+    (f0,) = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    assert "_" in f0.rsplit(".", 1)[0][6:], "delta name should carry uuid"
+    # same-seq concurrent write under another uuid: distinct filename
+    clone = f0.rsplit("_", 1)[0] + "_deadbeef.parquet"
+    shutil.copy(os.path.join(bdir, f0), os.path.join(bdir, clone))
+    files = store.online._bucket_files(bdir)
+    assert len(files) == 2 and files[0][0] == files[1][0]
+    # merge-on-read still returns exactly one latest row per key
+    got = store.online.read("user_values").to_pandas()
+    assert len(got) == 1 and got.loc[0, "value"] == 1.0
