@@ -282,7 +282,7 @@ def ivf_build(
     vec_col: str = "embedding",
     n_cells: int = 16,
     sample_size: int = 2048,
-    sample_mode: str = "head",
+    sample_mode: str = "hash",
     refine_iters: int = 0,
 ) -> "IVFIndex":
     """Partition the corpus by assigned IVF cell ONCE (hive-partitioned
@@ -291,14 +291,16 @@ def ivf_build(
     the scan-pruning the flat IVF variant lacked). Centroids are saved
     alongside (``_centroids.npy``) so later searches reuse the index.
 
-    Index-build scale knobs (defaults preserve the q29-pinned
-    behavior):
+    Index-build scale knobs:
 
-    * ``sample_mode="hash"`` draws the k-means seed sample with the
-      deterministic hash sampler (``functions.sampling.sample_by_hash``)
-      instead of ``limit()`` — UNBIASED across the corpus, where
-      ``limit`` reads only the first blocks (a 100 TB corpus's head is
-      rarely representative). Needs one metadata-cheap ``count()``.
+    * ``sample_mode="hash"`` (the DEFAULT since VERDICT r3 #5) draws
+      the k-means seed sample with the deterministic hash sampler
+      (``functions.sampling.sample_by_hash``) instead of ``limit()``
+      — UNBIASED across the corpus, where ``limit`` reads only the
+      first blocks (a 100 TB corpus's head is rarely representative;
+      head-bias survives every small-sf test and silently ruins
+      recall at scale). Needs one metadata-cheap ``count()``;
+      ``sample_mode="head"`` keeps the old limit() sample.
     * ``refine_iters=N`` runs N distributed Lloyd passes over the FULL
       corpus after the sample fit (``_kmeans_refine_distributed`` —
       per-block k×d partials, driver merges k rows), so centroids
@@ -385,6 +387,7 @@ def ann_topk_ivf_partitioned(
     qn = _normalize(np.asarray(queries))
     q_cells = index.cells_for(qn, nprobe)
     probed = set(int(c) for c in np.unique(q_cells))
+    probes = q_cells  # exposed via stats for the SQL oracle (q29)
     files = []
     cell_of_file = {}
     for c in sorted(probed):
@@ -396,6 +399,7 @@ def ann_topk_ivf_partitioned(
                     files.append(p)
                     cell_of_file[p] = c
     stats = ivf_scan_stats(index_path, probed)
+    stats["probes"] = probes
     if not files:
         return ray.data.from_arrow(_empty_topk_table(id_col)), stats
     ds = ray.data.read_parquet(files)
@@ -466,12 +470,35 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    broadcast_max_rows: int = 200_000,
+    block_rows: int = 4096,
 ) -> ray.data.Dataset:
     """Exact embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    The full (normalized) matrix is broadcast once; each batch matmuls
-    against it — O(n²) exact baseline for the oracle. The LSH-bucketed
-    scale path is ``simhash_dups`` / IVF-cell blocking."""
-    pdf = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+
+    Size-gated like ``tfidf.py`` / ``spandup.py`` (VERDICT r3 #4):
+    below ``broadcast_max_rows`` the full (normalized) matrix is
+    broadcast once and each batch matmuls against it; above the gate
+    :func:`_cosine_neardup_pairs_blocked` tiles the corpus into
+    ~``block_rows``-row chunks and runs one Ray task per chunk PAIR —
+    the same exact O(n²) FLOPs, but distributed, with per-task memory
+    bounded by one tile pair and no driver materialization. Exactness
+    is inherent to the operator (every pair is scored), so both sides
+    of the gate are value-identical — the approximate alternative when
+    n² flops themselves are unaffordable is
+    :func:`cosine_neardup_pairs_lsh` (SRP-LSH, exact precision,
+    probabilistic recall)."""
+    thin = ds.select_columns([id_col, vec_col]).materialize()
+    n = thin.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}))
+    if n > broadcast_max_rows:
+        return _cosine_neardup_pairs_blocked(
+            thin, threshold, id_col=id_col, vec_col=vec_col,
+            round_to=round_to, block_rows=block_rows)
+    pdf = thin.to_pandas().sort_values(id_col)
     all_ids = pdf[id_col].to_numpy()
     all_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
     ref = ray.put((all_ids, all_mat))
@@ -505,7 +532,79 @@ def cosine_neardup_pairs(
             }
         )
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    return thin.map_batches(_pairs, batch_format="pyarrow")
+
+
+def _cosine_neardup_pairs_blocked(
+    thin: ray.data.Dataset,
+    threshold: float,
+    *,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+    block_rows: int,
+) -> ray.data.Dataset:
+    """Above-gate exact path: tile the (id, vector) corpus into B
+    chunks of ~``block_rows`` rows and score every chunk pair (i ≤ j)
+    in its own Ray task — B(B+1)/2 tasks, each one tile-pair matmul.
+
+    Raw tasks (SURVEY custom-operator rule (c)): all-pairs needs no
+    co-location, so there is no shuffle at all — just the one eager
+    ``materialize()`` barrier the exchange doctrine already pays, and
+    every task reads its two tiles zero-copy from the object store.
+    Per-task memory = 2 tiles + one (block_rows × block_rows) score
+    matrix (~128 MB float64 at the default), independent of n. Pairs
+    where the smaller id lands in the j-side tile are emitted as
+    (min, max), so each unordered pair surfaces exactly once."""
+    n = thin.count()
+    B = max(1, -(-n // block_rows))
+    # row-balanced tiles: repartition (split/coalesce, no shuffle —
+    # all-pairs needs no co-location) so every tile is ~block_rows
+    refs = thin.repartition(B).to_arrow_refs()
+    groups = [[r] for r in refs]
+
+    @ray.remote
+    def _tile_pair(refs_a, refs_b, same: bool):
+        ta = pa.concat_tables([t if isinstance(t, pa.Table)
+                               else pa.Table.from_pandas(t, preserve_index=False)
+                               for t in ray.get(list(refs_a))])
+        ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat_a = _normalize(_batch_matrix(ta, vec_col))
+        if same:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            tb = pa.concat_tables([t if isinstance(t, pa.Table)
+                                   else pa.Table.from_pandas(t, preserve_index=False)
+                                   for t in ray.get(list(refs_b))])
+            ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat_b = _normalize(_batch_matrix(tb, vec_col))
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = mat_a @ mat_b.T
+        mask = sims >= threshold
+        if same:
+            # upper triangle by id keeps each within-tile pair once
+            mask &= ids_b[None, :] > ids_a[:, None]
+        else:
+            mask &= ids_b[None, :] != ids_a[:, None]
+        ii, jj = np.nonzero(mask)
+        a, b = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ss = sims[ii, jj]
+        if round_to is not None:
+            ss = ss.round(round_to)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(ss, pa.float64())})
+
+    out = []
+    for i in range(len(groups)):
+        out.append(_tile_pair.remote(groups[i], None, True))
+        for j in range(i + 1, len(groups)):
+            out.append(_tile_pair.remote(groups[i], groups[j], False))
+    return ray.data.from_arrow_refs(out)
 
 
 def cosine_neardup_pairs_lsh(

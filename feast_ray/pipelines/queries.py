@@ -1421,7 +1421,15 @@ def q29_ann_ivf(sf_dir: str):
     """IVF ANN with cell-partition pruning: the corpus is partitioned
     by assigned centroid once (cached), the search scans ONLY probed
     cells' files (VERDICT r1 #10). Scanned fraction is exposed via
-    ``LAST_IVF_SCAN_STATS`` for BENCH."""
+    ``LAST_IVF_SCAN_STATS`` for BENCH.
+
+    SQL-oracled since VERDICT r3 #2 via the q24 model-table pattern:
+    the INDEX (per-row cell assignment) and the per-query probe sets
+    are dumped to parquet as oracle inputs, and the search itself —
+    scan only probed cells, exact cosine top-k among them, ties by
+    vec_id — is re-expressed in DuckDB over the same tables. The
+    build is one-time state (like q24's trigram counts); the
+    per-query pruned search is what gets value-checked."""
     import shutil
 
     from feast_ray.functions.similarity import ann_topk_ivf_partitioned, ivf_build
@@ -1453,13 +1461,75 @@ def q29_ann_ivf(sf_dir: str):
         with open(marker, "w") as fh:
             fh.write(fingerprint)
     out, stats = ann_topk_ivf_partitioned(index_path, queries, k=10)
+    q_cells = stats.pop("probes")
     LAST_IVF_SCAN_STATS.clear()
     LAST_IVF_SCAN_STATS.update(stats)
-    return out
+    # ---- oracle input tables (fixed paths — one gate at a time, like
+    # the q24 ppl model dump): per-query probed cells + per-row cell
+    import pyarrow.parquet as _pq
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    qid = np.repeat(np.arange(q_cells.shape[0]), q_cells.shape[1])
+    _pq.write_table(
+        pa.table({"query_id": pa.array(qid, pa.int64()),
+                  "cell": pa.array(q_cells.ravel(), pa.int64())}),
+        os.path.join(_PPL_ORACLE_DIR, "ivf_probes.parquet"),
+    )
+    assign = []
+    for cdir in sorted(os.listdir(index_path)):
+        if not cdir.startswith("cell="):
+            continue
+        cell = int(cdir.split("=", 1)[1])
+        t = _pq.read_table(os.path.join(index_path, cdir), columns=["vec_id"])
+        assign.append(t.append_column(
+            "cell", pa.array(np.full(len(t), cell), pa.int64())))
+    _pq.write_table(
+        pa.concat_tables(assign),
+        os.path.join(_PPL_ORACLE_DIR, "ivf_assign.parquet"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 4)),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 #: scan-pruning stats of the most recent q29 run (BENCH reports these)
 LAST_IVF_SCAN_STATS: dict = {}
+
+
+def _q29_sql() -> str:
+    """IVF search semantics over the dumped index tables: for each
+    query, rank ONLY corpus rows whose assigned cell is among that
+    query's probed cells — exact cosine within the pruned set, ties by
+    vec_id, top 10. The probe/assignment tables are written by the
+    q29 query run (gate runs the query before its oracle)."""
+    return f"""
+with probes as (
+  select query_id, cell
+  from read_parquet('{_PPL_ORACLE_DIR}/ivf_probes.parquet')),
+assign as (
+  select vec_id, cell
+  from read_parquet('{_PPL_ORACLE_DIR}/ivf_assign.parquet')),
+q as (select vec_id as qid, cast(embedding as double[]) as qe
+      from embeddings where vec_id < 5),
+c as (select e.vec_id, cast(e.embedding as double[]) as v, a.cell
+      from embeddings e join assign a using (vec_id)
+      where e.vec_id >= 5),
+scored as (
+  select p.query_id, c.vec_id,
+         list_cosine_similarity(c.v, q.qe) as raw,
+         row_number() over (partition by p.query_id
+             order by list_cosine_similarity(c.v, q.qe) desc,
+                      c.vec_id asc) as rn
+  from probes p
+  join c on c.cell = p.cell
+  join q on q.qid = p.query_id)
+select query_id, vec_id, round(raw, 4) as score
+from scored where rn <= 10
+"""
 
 
 def q30_multimodal_decode(sf_dir: str):
@@ -4015,9 +4085,18 @@ QUERIES = {
     "q79_top_supplier": q79_top_supplier,
 }
 
+# Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
+# truncated at the first ~50 catalog entries two rounds running,
+# leaving the newest queries with no driver-side record. Present the
+# catalog NEWEST-FIRST (q51+ before q01–q50) so whatever window the
+# gate has always covers the queries with the least prior evidence;
+# within each tier, ascending id keeps runs reproducible.
+_GATE_ORDER = sorted(QUERIES, key=lambda k: (int(k[1:3]) <= 50, int(k[1:3])))
+QUERIES = {k: QUERIES[k] for k in _GATE_ORDER}
+
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q01_pricing_summary": _Q01_SQL,
         "q02_revenue_by_nation": _Q02_SQL,
         "q03_top_customers": _Q03_SQL,
@@ -4046,6 +4125,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_simhash_dups_docs": _q26_sql(),
         "q27_fingerprints_docs": _q27_sql(),
         "q28_quality_pipeline_pages": _q28_sql(),
+        "q29_ann_ivf": _q29_sql(),
         "q30_multimodal_decode": _q30_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
@@ -4099,3 +4179,5 @@ def oracle_sql() -> dict[str, str]:
         # q23..q30: model/sketch/pipeline ops — not SQL-expressible;
         # the driver records rows-only checks for these.
     }
+    # mirror the catalog's newest-first gate order
+    return {k: sql[k] for k in QUERIES if k in sql}
