@@ -388,18 +388,32 @@ def _tiled_sliding_agg(
         if result is None:
             result = cd
         else:
-            import ray as _ray
+            # bucketed (keys, window) join — NOT a driver to_pandas +
+            # broadcast (VERDICT r3 #3): both sides hash-bucket on
+            # tkeys and each bucket runs one pandas merge (pandas, not
+            # the Arrow join, because merge matches NULL keys — the
+            # dropna=False doctrine). Scales with (key, window)
+            # cardinality instead of pinning the cd table on the driver.
+            from feast_ray.stages.relational import union_align
 
-            # aggregate outputs are small — broadcast-merge (pandas
-            # merge, not the Arrow join: Arrow never matches null keys)
-            cd_df = cd.to_pandas()
-            _ref = _ray.put(cd_df)
-            result = result.map_batches(
-                lambda df, r=_ref, k=tuple(tkeys): df.merge(
-                    _ray.get(r), on=list(k), how="left"
-                ),
-                batch_format="pandas",
-            )
+            alias = spec.alias
+            tagged = union_align([
+                result.map_batches(
+                    lambda t: t.append_column(
+                        "__cdside", pa.array(np.zeros(len(t), np.int8))),
+                    batch_format="pyarrow"),
+                cd.map_batches(
+                    lambda t: t.append_column(
+                        "__cdside", pa.array(np.ones(len(t), np.int8))),
+                    batch_format="pyarrow"),
+            ])
+
+            def _bucket_join(df: pd.DataFrame, a=alias, k=tuple(tkeys)) -> pd.DataFrame:
+                left = df[df["__cdside"] == 0].drop(columns=["__cdside", a])
+                right = df[df["__cdside"] == 1][[*k, a]]
+                return left.merge(right, on=list(k), how="left")
+
+            result = bucketed_group_reduce(tagged, tkeys, _bucket_join)
 
     assert result is not None, "no agg specs given"
     return result
