@@ -45,16 +45,20 @@ def _block_combiner(keys: list[str], order_by: list[str]):
     return _combine
 
 
-def add_hash_bucket(tbl: pa.Table, keys: list[str], num_buckets: int,
+def add_hash_bucket(tbl: pa.Table, keys: list[str], num_buckets: "int | None",
                     col: str = BUCKET_COL) -> pa.Table:
     """Stable int bucket from key columns (pandas siphash — process-
-    stable, unlike Python's hash())."""
+    stable, unlike Python's hash()). ``num_buckets=None`` stores the
+    RAW uint64 hash (as int64) for exchanges that pick the bucket
+    count after materializing (``bucket_exchange(premodded=False)``)."""
     import numpy as np
 
     h = np.zeros(len(tbl), dtype=np.uint64)
     for k in keys:
         s = tbl.column(k).to_pandas()
         h ^= pd.util.hash_pandas_object(s, index=False).to_numpy()
+    if num_buckets is None:
+        return tbl.append_column(col, pa.array(h.view(np.int64)))
     return tbl.append_column(col, pa.array((h % num_buckets).astype(np.int64)))
 
 
@@ -63,7 +67,7 @@ def bucketed_group_reduce(
     keys: list[str],
     merge_fn,
     *,
-    num_buckets: int = 64,
+    num_buckets: "int | None" = None,
     bucket_col: str = "__bg",
     exchange: str | None = None,
 ) -> ray.data.Dataset:
@@ -75,6 +79,13 @@ def bucketed_group_reduce(
     native per-key aggregate loses at high key cardinality (measured
     5.8 s vs 0.7 s at 147k groups).
 
+    ``num_buckets=None`` (the default since VERDICT r3 #7) AUTO-SIZES
+    the bucket count from the exchange's materialized input bytes
+    (``exchange.auto_num_buckets`` — one-bucket-fits-heap derived, not
+    hard-coded); pass an int to pin it (key-cardinality-driven shapes
+    like session windows, or tests). The sort fallback can't see the
+    size pre-shuffle, so None degrades to 64 there.
+
     ``exchange``: "raw" moves the rows through the raw-Ray bucketed
     exchange (stages/exchange.py — partition-only, no sort), "sort"
     keeps the Ray-Data groupby shuffle; None follows
@@ -84,19 +95,26 @@ def bucketed_group_reduce(
     repo merge_fn tolerates."""
     from feast_ray.stages.exchange import bucket_exchange, raw_exchange_default
 
+    use_raw = raw_exchange_default() if exchange is None else exchange == "raw"
+    auto = num_buckets is None
+    sort_b = 64 if auto else num_buckets
+
+    def _sort_path() -> ray.data.Dataset:
+        sb = ds.map_batches(
+            lambda t: add_hash_bucket(t, keys, sort_b, col=bucket_col),
+            batch_format="pyarrow",
+        )
+        return sb.groupby(bucket_col).map_groups(
+            lambda g: merge_fn(g.drop(columns=bucket_col)), batch_format="pandas"
+        )
+
+    if not use_raw:
+        return _sort_path()
+
     bucketed = ds.map_batches(
         lambda t: add_hash_bucket(t, keys, num_buckets, col=bucket_col),
         batch_format="pyarrow",
     )
-
-    def _sort_path() -> ray.data.Dataset:
-        return bucketed.groupby(bucket_col).map_groups(
-            lambda g: merge_fn(g.drop(columns=bucket_col)), batch_format="pandas"
-        )
-
-    use_raw = raw_exchange_default() if exchange is None else exchange == "raw"
-    if not use_raw:
-        return _sort_path()
 
     def _reduce(parts: list) -> pa.Table:
         cands = [p for p in parts if len(p)]
@@ -118,7 +136,8 @@ def bucketed_group_reduce(
         )
 
     return bucket_exchange(
-        bucketed, bucket_col, num_buckets, _reduce, fallback=_sort_path
+        bucketed, bucket_col, num_buckets, _reduce, fallback=_sort_path,
+        premodded=not auto,
     )
 
 

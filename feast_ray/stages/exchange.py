@@ -50,6 +50,40 @@ def raw_exchange_default() -> bool:
     return os.environ.get("FEAST_RAY_EXCHANGE", "raw") != "sort"
 
 
+#: target bytes per bucket for auto-sized exchanges — the documented
+#: one-bucket-fits-heap invariant made a derived quantity instead of a
+#: constant sprinkled through pipelines (VERDICT r3 #7): a reducer
+#: concatenates one bucket (~this many bytes) plus its merge output,
+#: comfortably inside a worker heap at the default 2 GiB/CPU.
+TARGET_BUCKET_BYTES = 128 << 20
+
+
+def auto_num_buckets(
+    total_bytes: int,
+    *,
+    target_bytes: "int | None" = None,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+) -> int:
+    """Bucket count from input size: ``ceil(total / target)`` clamped
+    to [min, max]. ``total_bytes=0`` (unknown size — e.g. object-store
+    metadata unavailable) degrades to ``min_buckets``, which is still
+    correct, just coarser-grained."""
+    tgt = TARGET_BUCKET_BYTES if target_bytes is None else target_bytes
+    b = -(-max(int(total_bytes), 1) // tgt)
+    return max(min_buckets, min(max_buckets, b))
+
+
+def refs_total_bytes(refs) -> int:
+    """Total object-store bytes of materialized block refs — free
+    metadata (no fetch). Returns 0 when sizes are unavailable."""
+    try:
+        locs = ray.experimental.get_object_locations(refs, timeout_ms=2000)
+        return sum(int(v.get("object_size") or 0) for v in locs.values())
+    except Exception:  # noqa: BLE001 — degrade to the coarse default
+        return 0
+
+
 def _split_remote(bucket_col: str, n_out: int, key_fn, drop_cols: Sequence[str]):
     """Build the map-side task: block → ``n_out`` per-bucket slices.
 
@@ -82,10 +116,11 @@ def _split_remote(bucket_col: str, n_out: int, key_fn, drop_cols: Sequence[str])
 def bucket_exchange(
     ds: ray.data.Dataset,
     bucket_col: str,
-    num_buckets: int,
+    num_buckets: "int | None",
     reduce_fn: Callable[[list[pa.Table]], pa.Table],
     *,
     fallback: Callable[[], ray.data.Dataset] | None = None,
+    premodded: bool = True,
 ) -> ray.data.Dataset:
     """One-sided raw exchange: partition ``ds`` on its precomputed
     int ``bucket_col`` and run ``reduce_fn(parts)`` once per bucket
@@ -94,22 +129,39 @@ def bucket_exchange(
     with all-empty typed parts — reducers must tolerate empty input).
 
     ``fallback`` builds the sort-shuffle equivalent; it is used when
-    the input materializes to zero blocks (no schema to exchange)."""
-    B = num_buckets
+    the input materializes to zero blocks (no schema to exchange).
 
+    ``num_buckets=None`` AUTO-SIZES the bucket count from the
+    materialized input's object-store bytes (``auto_num_buckets``) —
+    possible here because the exchange materializes at build time, so
+    the size is known before any slice moves. Requires
+    ``premodded=False``: ``bucket_col`` then carries the RAW uint64
+    key hash (stored as int64) and each map task mods it by the
+    derived count."""
     def _key(tbl: pa.Table) -> np.ndarray:
         # Ray Data emits 0-row map_batches outputs as SCHEMA-LESS empty
         # blocks (no columns at all) — route them to bucket 0; they
         # carry no rows
         if bucket_col not in tbl.column_names:
             return np.zeros(len(tbl), dtype=np.int64)
-        return tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl[bucket_col].to_numpy(zero_copy_only=False)
+        if premodded:
+            return v.astype(np.int64)
+        return (v.astype(np.int64).view(np.uint64) % np.uint64(B)).astype(
+            np.int64
+        )
 
     refs = ds.to_arrow_refs()
     if not refs:
         if fallback is not None:
             return fallback()
         raise ValueError("bucket_exchange on a zero-block Dataset")
+    if num_buckets is None:
+        if premodded:
+            raise ValueError("num_buckets=None requires premodded=False")
+        B = auto_num_buckets(refs_total_bytes(refs))
+    else:
+        B = num_buckets
     _split = _split_remote(bucket_col, B, _key, [bucket_col])
 
     # slice refs ride INSIDE a list argument (not as task args): Ray
