@@ -10,13 +10,16 @@ stage with a small batch size (payloads are fat — SURVEY.md §7.5).
 
 Codec status (honest capability boundary): the compressed-format
 libraries (PIL/ffmpeg) are NOT in this container, so ``mode="real"``
-decodes the CONTAINER-FREE formats natively — uncompressed 24-bit BMP
-(struct header + one numpy reshape) and PCM WAV (stdlib ``wave`` +
-numpy) — and raises NotImplementedError for anything else (JPEG, PNG,
-MP4…). ``mode="fake"`` (default) produces a deterministic pseudo
-decode seeded by a content digest, so the schema, batch sizing, actor
-signature and output layout are exercised end to end either way (the
-fake path is additionally SQL-oracle-checked — q30).
+decodes the stdlib-decodable formats natively — uncompressed 24-bit
+BMP (struct header + one numpy reshape), 8-bit non-interlaced PNG
+(``zlib`` inflate + the five spec unfilters) and PCM WAV (stdlib
+``wave`` + numpy) — and raises NotImplementedError for anything else
+(JPEG, MP4…). ``mode="fake"`` (default) produces a deterministic
+pseudo decode seeded by a content digest, so the schema, batch sizing,
+actor signature and output layout are exercised end to end either way;
+``mode="auto"`` sniffs magic bytes and real-decodes the supported
+containers, faking the rest (the mixed-corpus shape — q30, which
+SQL-oracle-checks both the fake digest path and real PNG rows).
 """
 
 from __future__ import annotations
@@ -40,18 +43,19 @@ class MediaDecoder:
     """Actor-pool stage: binary payload → (width, height, n_bytes,
     feature list<float>[16]).
 
-    ``mode="real"`` decodes uncompressed 24-bit BMP (width/height from
-    the header, feature = L1-normalized 16-bin luminance histogram of
-    the actual pixels) and PCM WAV (width = sample rate, height =
-    channel count, feature = 16-bin amplitude histogram over [-1, 1)),
-    sniffed by magic bytes; other formats raise NotImplementedError
-    (PIL/ffmpeg unavailable — module docstring). ``mode="fake"``
-    derives deterministic pseudo-decode outputs from a content digest,
-    exercising the full distributed path.
+    ``mode="real"`` decodes uncompressed 24-bit BMP and 8-bit PNG
+    (width/height from the header, feature = L1-normalized 16-bin
+    luminance histogram of the actual pixels) and PCM WAV (width =
+    sample rate, height = channel count, feature = 16-bin amplitude
+    histogram over [-1, 1)), sniffed by magic bytes; other formats
+    raise NotImplementedError (PIL/ffmpeg unavailable — module
+    docstring). ``mode="fake"`` derives deterministic pseudo-decode
+    outputs from a content digest, exercising the full distributed
+    path; ``mode="auto"`` = real for supported magics, fake otherwise.
     """
 
     def __init__(self, mode: str = "fake", payload_col: str = "payload"):
-        if mode not in ("fake", "real"):
+        if mode not in ("fake", "real", "auto"):
             raise ValueError(mode)
         self.mode = mode
         self.payload_col = payload_col
@@ -128,19 +132,114 @@ class MediaDecoder:
         s = feat.sum()
         return rate, nch, (feat / s if s else feat)
 
+    @staticmethod
+    def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """PNG → (w, h, 16-bin luminance histogram). Stdlib-only
+        (VERDICT r3 #6): chunk walk, ``zlib`` inflate, per-row
+        unfiltering (all five spec filters: None/Sub/Up/Average/
+        Paeth). 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced;
+        16-bit and Adam7 raise NotImplementedError (declared
+        boundary, same policy as BMP/WAV)."""
+        import struct
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError("not a PNG signature")
+        pos, idat = 8, []
+        w = h = bitd = ctype = interlace = None
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8: pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if w is None:
+            raise NotImplementedError("PNG without IHDR")
+        if bitd != 8 or interlace != 0 or ctype == 3:
+            raise NotImplementedError(
+                f"PNG decode supports 8-bit non-interlaced gray/RGB[A] "
+                f"(bit_depth={bitd}, color_type={ctype}, interlace={interlace})"
+            )
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError("PNG scanline payload size mismatch")
+        out = np.empty((h, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
+        o = 0
+        for y in range(h):
+            f = raw[o]
+            row = np.frombuffer(raw, np.uint8, stride, o + 1).copy()
+            o += stride + 1
+            if f == 0:
+                pass
+            elif f == 1:  # Sub — sequential by pixel, vector per channel
+                for x in range(ch, stride):
+                    row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+            elif f == 2:  # Up — uint8 add wraps mod 256 per spec
+                row += prev
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = int(row[x - ch]) if x >= ch else 0
+                    row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = int(row[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    row[x] = (int(row[x]) + pr) & 0xFF
+            else:
+                raise NotImplementedError(f"PNG filter type {f}")
+            out[y] = row
+            prev = row
+        px = out.reshape(h, w, ch)
+        if ctype in (0, 4):  # gray / gray+alpha: channel 0 IS luminance
+            lum = px[..., 0].astype(np.float64)
+        else:  # RGB byte order → ITU-R 601 luminance (BMP path is BGR)
+            lum = px[..., :3] @ np.array([0.299, 0.587, 0.114])
+        feat = np.bincount(
+            (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+        ).astype(np.float64)
+        s = feat.sum()
+        return w, h, (feat / s if s else feat)
+
+    _REAL_MAGIC = (b"BM", b"\x89PNG\r\n\x1a\n", b"RIFF")
+
     def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._decode_png(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
         raise NotImplementedError(
-            "real decode supports uncompressed BMP and PCM WAV natively; "
-            "compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, "
-            "not available in this environment"
+            "real decode supports uncompressed BMP, PNG (8-bit) and PCM "
+            "WAV natively; other compressed formats (JPEG/MP4/...) need "
+            "PIL/ffmpeg, not available in this environment"
         )
 
+    def _decode_auto(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Sniff: real-decode the natively supported containers, fake
+        everything else — the mixed-corpus shape (q30)."""
+        if payload[:2] == b"BM" or payload[:8] == b"\x89PNG\r\n\x1a\n" or (
+            payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        ):
+            return self._decode_real(payload)
+        return self._decode_fake(payload)
+
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        decode = self._decode_real if self.mode == "real" else self._decode_fake
+        decode = {"real": self._decode_real, "fake": self._decode_fake,
+                  "auto": self._decode_auto}[self.mode]
         payloads = tbl[self.payload_col].to_pylist()
         widths = np.empty(len(payloads), dtype=np.int32)
         heights = np.empty(len(payloads), dtype=np.int32)
@@ -179,3 +278,66 @@ def decode_media(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def encode_png(px: np.ndarray, row_filters: "list[int] | None" = None) -> bytes:
+    """Minimal deterministic PNG writer for tests / synthetic corpora:
+    8-bit grayscale ``(h, w)``, RGB ``(h, w, 3)`` or RGBA ``(h, w, 4)``,
+    non-interlaced. The zlib stream uses STORED deflate blocks
+    (``zlib.compressobj(level=0)``) so the payload length is the
+    closed form ``57 + zlen``, ``zlen = 11 + 5*(nblocks-1) + h*(1+w*ch)``
+    — which is what lets the q30 oracle reconstruct ``n_bytes`` in SQL.
+    ``row_filters``: per-row PNG filter types 0–4, forward-filtered per
+    spec (defaults to all 0) — exercises every unfilter branch of
+    :meth:`MediaDecoder._decode_png` against an independent forward
+    implementation."""
+    import struct
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch)
+    stride = w * ch
+    filters = row_filters if row_filters is not None else [0] * h
+    lines = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y].astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            b = prev
+            c = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            p = a + b - c
+            pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pr = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+            enc = cur - pr
+        else:
+            raise ValueError(f"filter {f}")
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    co = zlib.compressobj(level=0)  # stored blocks: deterministic length
+    zdata = co.compress(bytes(lines)) + co.flush()
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zdata) + _chunk(b"IEND", b""))

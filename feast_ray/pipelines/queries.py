@@ -1533,28 +1533,46 @@ from scored where rn <= 10
 
 
 def q30_multimodal_decode(sf_dir: str):
-    """Media-column plumbing: text bytes stand in for image payloads;
-    decode stage runs in fake mode (real codecs unavailable — stubbed).
-    Value-checked: the fake decode's dims come from the SQL-expressible
-    content digest and its feature vector is a 16-bin byte histogram,
-    so the oracle reconstructs dims + sampled feature components +
-    n_bytes exactly (int-count division → bit-identical doubles)."""
-    from feast_ray.functions.multimodal import FEATURE_DIM, decode_media
+    """Media-column plumbing over a MIXED corpus: every third doc is a
+    real 8-bit grayscale PNG (deterministic solid-value image, rows
+    forward-filtered through all five PNG filter types) decoded by the
+    stdlib codec; the rest are text-bytes payloads on the fake path.
+    Value-checked both ways: the fake decode's dims come from the
+    SQL-expressible content digest and its feature is a 16-bin byte
+    histogram; the PNG rows' dims/value derive from doc_id and the
+    stored-deflate payload length is closed-form (encode_png), so the
+    oracle reconstructs width/height/n_bytes/feature bins exactly."""
+    from feast_ray.functions.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        encode_png,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _to_media(t: pa.Table) -> pa.Table:
-        payload = pa.array([s.encode("utf-8") for s in t["text"].to_pylist()], pa.binary())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        payloads, kinds = [], []
+        for did, s in zip(ids, texts):
+            if did % 3 == 0:
+                w, h, v = 4 + did % 13, 3 + did % 7, did % 256
+                px = np.full((h, w), v, np.uint8)
+                payloads.append(encode_png(px, [y % 5 for y in range(h)]))
+                kinds.append("image/png")
+            else:
+                payloads.append(s.encode("utf-8"))
+                kinds.append("image/fake")
         return pa.table(
             {
                 "media_id": t["doc_id"],
-                "payload": payload,
-                "media_type": pa.array(["image/fake"] * len(t), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(kinds, pa.string()),
             }
         )
 
     media = docs.map_batches(_to_media, batch_format="pyarrow")
-    dec = decode_media(media, mode="fake")
+    dec = decode_media(media, mode="auto")
 
     def _proj(t: pa.Table) -> pa.Table:
         flat = t["feature"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
@@ -1576,16 +1594,34 @@ def q30_multimodal_decode(sf_dir: str):
 
 
 def _q30_sql() -> str:
+    # fake rows (doc_id % 3 != 0): digest dims + byte histogram;
+    # PNG rows (doc_id % 3 == 0): dims/value/f-bins from doc_id, and
+    # n_bytes = 57 + zlen with zlen = 11 + h*(1+w) (encode_png's
+    # single stored-deflate block — closed form by construction)
     return f"""
-with h0s as (
+with docs_f as (select doc_id, text from documents where doc_id % 3 <> 0),
+png as (
+  select doc_id,
+    4 + doc_id % 13 as w, 3 + doc_id % 7 as h,
+    (doc_id % 256) // 16 as vbin
+  from documents where doc_id % 3 = 0),
+png_rows as (
+  select doc_id as media_id, 'image/png' as media_type,
+    cast(w as bigint) as width, cast(h as bigint) as height,
+    cast(68 + h * (1 + w) as bigint) as n_bytes,
+    case when vbin = 0 then 1.0 else 0.0 end as f0,
+    case when vbin = 7 then 1.0 else 0.0 end as f7,
+    case when vbin = 15 then 1.0 else 0.0 end as f15
+  from png),
+h0s as (
   select doc_id, text, {_HORNER_SQL.format(s="text")} as h0
-  from documents),
+  from docs_f),
 hs as (
   select doc_id, text, {_splitmix64_sql("h0")} as h from h0s),
 chars as (
   select doc_id, unicode(substr(text, i, 1)) >> 4 as bucket
   from (select doc_id, text, unnest(generate_series(1, length(text))) as i
-        from documents)),
+        from docs_f)),
 hist as (
   select doc_id, bucket, count(*) as c from chars group by doc_id, bucket),
 feats as (
@@ -1594,7 +1630,7 @@ feats as (
     coalesce(max(case when bucket = 7 then c end), 0) as c7,
     coalesce(max(case when bucket = 15 then c end), 0) as c15,
     sum(c) as total
-  from (select distinct doc_id from documents) d
+  from (select distinct doc_id from docs_f) d
   left join hist on hist.doc_id = d.doc_id
   group by d.doc_id)
 select h.doc_id as media_id, 'image/fake' as media_type,
@@ -1605,6 +1641,9 @@ select h.doc_id as media_id, 'image/fake' as media_type,
   f.c7 / cast(f.total as double) as f7,
   f.c15 / cast(f.total as double) as f15
 from hs h join feats f on h.doc_id = f.doc_id
+union all
+select media_id, media_type, width, height, n_bytes, f0, f7, f15
+from png_rows
 """
 
 

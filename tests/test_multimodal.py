@@ -119,3 +119,34 @@ def test_real_decode_bmp_wav():
     dec = MediaDecoder(mode="real")
     with pytest.raises(NotImplementedError):
         dec._decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_png_decode_all_filters_roundtrip():
+    """The stdlib PNG decoder recovers exact pixels through all five
+    spec filters (encode_png forward-filters independently), for
+    gray/RGB/RGBA shapes; unsupported variants raise the declared
+    NotImplementedError boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import MediaDecoder, encode_png
+
+    rng = np.random.RandomState(3)
+    for shape in [(9, 5), (6, 4, 3), (5, 3, 4)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        h = shape[0]
+        for filters in [None, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [y % 5 for y in range(h)]]:
+            w_, h_, feat = MediaDecoder._decode_png(encode_png(px, filters))
+            assert (w_, h_) == (shape[1], shape[0])
+            p3 = px if px.ndim == 3 else px[:, :, None]
+            lum = (p3[..., 0].astype(np.float64) if p3.shape[2] < 3
+                   else p3[..., :3] @ np.array([0.299, 0.587, 0.114]))
+            exp = np.bincount((lum.astype(np.uint8) >> 4).ravel(),
+                              minlength=16).astype(np.float64)
+            np.testing.assert_allclose(feat, exp / exp.sum())
+    # closed-form payload length (the q30 oracle's n_bytes formula)
+    px = np.full((5, 8), 42, np.uint8)
+    assert len(encode_png(px)) == 68 + 5 * (1 + 8)
+    with _pytest.raises(NotImplementedError, match="JPEG|PIL"):
+        MediaDecoder(mode="real")._decode_real(b"\xff\xd8\xff\xe0 jpeg")
