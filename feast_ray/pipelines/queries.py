@@ -4042,6 +4042,45 @@ where rev_c = (select max(rev_c) from rev)
 
 
 
+def q80_real_embed(sf_dir: str):
+    """Chunk → REAL-compute embedder actor pool (VERDICT r3 #8):
+    MiniTransformerEmbedder holds ~17 MB of deterministic weights per
+    actor (built once in __init__) and runs a padded batched
+    transformer forward per batch — the stage pays a real model's
+    memory/latency profile, validating the embed stage's
+    batch_size/concurrency economics that the crc32 HashEmbedder
+    (q34, SQL-oracled) cannot. No SQL oracle (a transformer is not
+    SQL-expressible) — rows-only in the gate; determinism/locality/
+    once-per-actor-load are pinned by tests/test_chunker_dqm.py."""
+    from feast_ray.functions.chunker import MiniTransformerEmbedder, chunk_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = docs.map_batches(
+        lambda t: chunk_batch(t, "doc_id", "text"), batch_format="pyarrow"
+    )
+    emb = chunks.map_batches(
+        MiniTransformerEmbedder,
+        fn_constructor_kwargs={"text_col": "chunk_text", "dim": 64},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def _summary(t: pa.Table) -> pa.Table:
+        flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), 64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "chunk_id": t["chunk_id"],
+                "e0": pa.array(mat[:, 0].astype(np.float64)),
+                "e63": pa.array(mat[:, 63].astype(np.float64)),
+                "norm": pa.array(np.linalg.norm(mat, axis=1).astype(np.float64)),
+            }
+        )
+
+    return emb.map_batches(_summary, batch_format="pyarrow")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4122,6 +4161,7 @@ QUERIES = {
     "q77_priority_lines_by_flag": q77_priority_lines_by_flag,
     "q78_disjunctive_predicates": q78_disjunctive_predicates,
     "q79_top_supplier": q79_top_supplier,
+    "q80_real_embed": q80_real_embed,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate

@@ -115,3 +115,47 @@ def test_expectation_suite_vocabulary():
     assert bool(out.loc["v:mean_between", "success"])
     # median of (1,2,3,100) = 2.5 in [1, 3]
     assert bool(out.loc["v:quantile_between", "success"])
+
+
+def test_mini_transformer_embedder_invariants():
+    """Real-compute embedder: unit norms, run-to-run determinism,
+    locality (near-identical texts closer than unrelated ones)."""
+    import numpy as np
+
+    from feast_ray.functions.chunker import MiniTransformerEmbedder
+
+    m = MiniTransformerEmbedder()
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "quarterly revenue grew despite supply constraints",
+             ""]
+    v = m.embed_batch(texts)
+    np.testing.assert_allclose(np.linalg.norm(v[:3], axis=1), 1.0, rtol=1e-5)
+    assert float(v[0] @ v[1]) > float(v[0] @ v[2])
+    v2 = MiniTransformerEmbedder().embed_batch(texts)
+    assert np.array_equal(v, v2)
+
+
+def test_mini_transformer_loads_once_per_actor(tmp_path):
+    """VERDICT r3 #8 'load measured once per worker': drive many
+    batches through a bounded actor pool and count weight builds via
+    the audit file — builds == actors, not batches."""
+    import os
+
+    import ray.data
+
+    from feast_ray.functions.chunker import MiniTransformerEmbedder
+
+    audit = str(tmp_path / "loads")
+    n = 512
+    ds = ray.data.from_items(
+        [{"chunk_text": f"sample text number {i} with several words"} for i in range(n)]
+    )
+    out = ds.map_batches(
+        MiniTransformerEmbedder,
+        fn_constructor_kwargs={"text_col": "chunk_text", "load_audit": audit},
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+    assert out.count() == n  # 16 batches through 2 actors
+    loads = os.path.getsize(audit)
+    assert 1 <= loads <= 2, f"expected <=2 weight builds (one per actor), got {loads}"
