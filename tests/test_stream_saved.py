@@ -196,3 +196,68 @@ def test_stream_avro_payloads(tmp_path, sf_small):
     assert n == 2  # latest-per-key within the batch
     out = s.get_online_features(["clicks:value"], [{"user_id": 1}, {"user_id": 2}])
     assert out["value"].tolist() == [9.0, 3.0]
+
+
+def test_file_tail_crash_resume(store, tmp_path):
+    """VERDICT r3 #9: tail a segment directory, crash mid-stream, and
+    resume from the committed offset — no segment skipped, redelivered
+    segments idempotent, online plane = latest event per key."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feast_ray.stream import FileTailSource, run_tail
+
+    seg_dir = tmp_path / "segments"
+    os.makedirs(seg_dir)
+    t0 = pd.Timestamp("2024-05-01 00:00")
+    for off in range(6):
+        rows = pd.DataFrame({
+            "event_id": np.arange(off * 10, off * 10 + 10),
+            "ts": [t0 + pd.Timedelta(minutes=off * 10 + i) for i in range(10)],
+            "user_id": (np.arange(10) % 4) + 1,
+            "event_type": "s",
+            "value": np.arange(off * 10, off * 10 + 10, dtype=np.float64),
+            "props": "{}",
+        })
+        pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                       str(seg_dir / f"seg_{off:06d}.parquet"))
+    src = FileTailSource(str(seg_dir))
+
+    proc = MicroBatchProcessor(store, "user_values")
+    # "crash" after 3 segments: consume a truncated iterator
+    it = src.iter_from(proc._offset())
+    for _ in range(3):
+        off, df = next(it)
+        proc.process_batch(df, off)
+    assert proc._offset() == 2
+
+    # resume with a FRESH processor (new process after the crash);
+    # also redeliver segment 2 explicitly — must be a no-op
+    proc2 = MicroBatchProcessor(store, "user_values")
+    assert proc2.process_batch(src.read_segment(
+        str(seg_dir / "seg_000002.parquet")), 2) == 0
+    run_tail(proc2, src)
+    assert proc2._offset() == 5
+    # online: latest event per user over ALL 60 events
+    out = store.get_online_features(
+        ["user_values:value"], [{"user_id": u} for u in (1, 2, 3, 4)])
+    # last segment has values 50..59 at indices 0..9, users cycling
+    # 1,2,3,4: user1's latest is idx 8 (58), user2 idx 9 (59), ...
+    exp = {1: 58.0, 2: 59.0, 3: 56.0, 4: 57.0}
+    for u, v in zip(out["user_id"], out["value"]):
+        assert v == exp[int(u)]
+    # offline log holds every event exactly once
+    logged = pq.read_table(proc2.offline_log_dir).to_pandas()
+    assert len(logged) == 60 and logged["event_id"].is_unique
+    # new segments appearing later are picked up by the next poll
+    rows = pd.DataFrame({
+        "event_id": [100], "ts": [t0 + pd.Timedelta(hours=2)],
+        "user_id": [1], "event_type": ["s"], "value": [99.0], "props": ["{}"],
+    })
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   str(seg_dir / "seg_000006.parquet"))
+    assert run_tail(proc2, src) == 1
+    out = store.get_online_features(["user_values:value"], [{"user_id": 1}])
+    assert out["value"][0] == 99.0
