@@ -54,6 +54,25 @@ class LangIdModel:
         self.re_patterns = {l: re.compile(p) for l, p in self.patterns.items()}
         self.re_cjk = re.compile(_CJK_PATTERN)
         self.re_tokens = re.compile(r"\S+")
+        # packed uint64 keys per profile for the byte fast path —
+        # non-pure-\w words (e.g. "für") are excluded: they contain a
+        # non-ASCII byte, so they can only match in docs the fast path
+        # already routes to the RE2 fallback
+        from .textstats import is_pure_word, pack_word
+
+        self._dict_keys = {
+            lang: np.sort(
+                np.array(
+                    [
+                        pack_word(w.encode())
+                        for w in profile.split("|")
+                        if is_pure_word(w.encode())
+                    ],
+                    np.uint64,
+                )
+            )
+            for lang, profile in _PROFILES.items()
+        }
 
     def predict(self, text: str) -> tuple[str, float]:
         """Record-at-a-time scoring — same formula as the batch path."""
@@ -76,8 +95,50 @@ class LangIdModel:
             return "und", 0.0
         return best_lang, min(1.0, best / n_tokens)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.text_col]
+    def __call__(self, batch: pa.Table, ctx=None) -> pa.Table:
+        from .textstats import ByteText, count_dict_words
+
+        if ctx is None:
+            ctx = ByteText(batch[self.text_col])
+        text = ctx.text
+        if ctx.view is None:
+            langs, conf = self._scores_re2(text)
+        else:
+            # byte fast path: function-word counts = packed-key
+            # dictionary hits over \w+ runs (every ASCII profile word
+            # is pure-\w; "für" can only occur in non-ASCII docs,
+            # which are patched below). CJK chars imply non-ASCII, so
+            # cjk = 0 on this path by construction.
+            buf, offs = ctx.view
+            n = len(text)
+            n_chars_i, _, _, _, n_words_i = ctx.counts
+            run_doc, keys = ctx.runs
+            scores = np.stack(
+                [
+                    count_dict_words(run_doc, keys, self._dict_keys[lang], n).astype(
+                        np.float64
+                    )
+                    for lang in _LANG_ORDER
+                ]
+            )
+            langs, conf = self._decide(
+                scores,
+                n_chars_i.astype(np.float64),
+                n_words_i.astype(np.float64),
+                np.zeros(n),
+            )
+            impure = np.flatnonzero(np.diff(offs) != n_chars_i)
+            if len(impure):
+                sub_l, sub_c = self._scores_re2(text.take(pa.array(impure, pa.int64())))
+                langs[impure] = sub_l
+                conf[impure] = sub_c
+
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        return batch.append_column("lang_conf", pa.array(conf))
+
+    def _scores_re2(self, text) -> tuple[np.ndarray, np.ndarray]:
+        """Reference batch path: RE2 alternation scans (the fast path
+        is parity-tested against this; non-ASCII docs always use it)."""
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
         n_tokens = pc.count_substring_regex(text, r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
         cjk = pc.count_substring_regex(text, _CJK_PATTERN).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -90,7 +151,10 @@ class LangIdModel:
                 for lang in _LANG_ORDER
             ]
         )  # (n_langs, n)
+        return self._decide(scores, n_chars, n_tokens, cjk)
 
+    def _decide(self, scores, n_chars, n_tokens, cjk):
+        """Shared decision math — identical IEEE ops on both paths."""
         best_idx = scores.argmax(axis=0)  # first max wins (profile order)
         best = scores[best_idx, np.arange(scores.shape[1])]
         safe_chars = np.maximum(n_chars, 1.0)
@@ -105,6 +169,4 @@ class LangIdModel:
         conf = np.minimum(1.0, best / safe_tokens)
         conf = np.where(is_zh, np.minimum(1.0, cjk_ratio), conf)
         conf = np.where(is_und, 0.0, conf)
-
-        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
-        return batch.append_column("lang_conf", pa.array(conf))
+        return langs, conf

@@ -118,9 +118,15 @@ class QualityScorer:
         self.scrub = Scrubber(text_col=text_col, out_col="text_scrubbed", only_where="keep")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        tbl = compute_textstats(tbl, self.text_col)
-        tbl = add_repetition_stats(tbl, self.text_col)
-        tbl = self.langid(tbl)
+        from feast_ray.functions.textstats import ByteText
+
+        # one byte-classification context shared by the three
+        # byte-path stages (buffer view, counts, \w+ runs each
+        # computed once per batch, not once per stage)
+        ctx = ByteText(tbl[self.text_col])
+        tbl = compute_textstats(tbl, self.text_col, ctx=ctx)
+        tbl = add_repetition_stats(tbl, self.text_col, ctx=ctx)
+        tbl = self.langid(tbl, ctx=ctx)
         tbl = self.ppl(tbl)
         tbl = apply_quality_rules(tbl)
         tbl = _model_rules(tbl)

@@ -151,7 +151,8 @@ def bucket_exchange(
             np.int64
         )
 
-    refs = ds.to_arrow_refs()
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
     if not refs:
         if fallback is not None:
             return fallback()
@@ -159,7 +160,11 @@ def bucket_exchange(
     if num_buckets is None:
         if premodded:
             raise ValueError("num_buckets=None requires premodded=False")
-        B = auto_num_buckets(refs_total_bytes(refs))
+        # size from the materialized dataset's own block metadata —
+        # free and reliable; the object-location query is only a
+        # fallback (it can time out under load)
+        size = mat.size_bytes() or 0
+        B = auto_num_buckets(size if size > 0 else refs_total_bytes(refs))
     else:
         B = num_buckets
     _split = _split_remote(bucket_col, B, _key, [bucket_col])
