@@ -10,16 +10,19 @@ stage with a small batch size (payloads are fat — SURVEY.md §7.5).
 
 Codec status (honest capability boundary): the compressed-format
 libraries (PIL/ffmpeg) are NOT in this container, so ``mode="real"``
-decodes the stdlib-decodable formats natively — uncompressed 24-bit
-BMP (struct header + one numpy reshape), 8-bit non-interlaced PNG
-(``zlib`` inflate + the five spec unfilters) and PCM WAV (stdlib
+decodes the formats this module implements natively — uncompressed
+24-bit BMP (struct header + one numpy reshape), 8-bit non-interlaced
+PNG (``zlib`` inflate + the five spec unfilters), baseline grayscale
+JPEG (marker walk, canonical Huffman decode, dequant + batched numpy
+IDCT — see the JPEG section at the bottom) and PCM WAV (stdlib
 ``wave`` + numpy) — and raises NotImplementedError for anything else
-(JPEG, MP4…). ``mode="fake"`` (default) produces a deterministic
-pseudo decode seeded by a content digest, so the schema, batch sizing,
-actor signature and output layout are exercised end to end either way;
-``mode="auto"`` sniffs magic bytes and real-decodes the supported
-containers, faking the rest (the mixed-corpus shape — q30, which
-SQL-oracle-checks both the fake digest path and real PNG rows).
+(progressive/color JPEG, MP4…). ``mode="fake"`` (default) produces a
+deterministic pseudo decode seeded by a content digest, so the schema,
+batch sizing, actor signature and output layout are exercised end to
+end either way; ``mode="auto"`` sniffs magic bytes and real-decodes
+the supported containers, faking the rest (the mixed-corpus shape —
+q30, which SQL-oracle-checks the fake digest path and the real PNG
+and JPEG rows).
 """
 
 from __future__ import annotations
@@ -213,7 +216,18 @@ class MediaDecoder:
         s = feat.sum()
         return w, h, (feat / s if s else feat)
 
-    _REAL_MAGIC = (b"BM", b"\x89PNG\r\n\x1a\n", b"RIFF")
+    _REAL_MAGIC = (b"BM", b"\x89PNG\r\n\x1a\n", b"RIFF", b"\xff\xd8")
+
+    @staticmethod
+    def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Baseline grayscale JPEG → (w, h, 16-bin luminance
+        histogram); see :func:`decode_jpeg_gray`."""
+        px = decode_jpeg_gray(payload)
+        feat = np.bincount((px >> 4).ravel(), minlength=FEATURE_DIM).astype(
+            np.float64
+        )
+        s = feat.sum()
+        return px.shape[1], px.shape[0], (feat / s if s else feat)
 
     def _decode_real(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[:2] == b"BM":
@@ -222,17 +236,22 @@ class MediaDecoder:
             return self._decode_png(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
+        if payload[:2] == b"\xff\xd8":
+            return self._decode_jpeg(payload)
         raise NotImplementedError(
-            "real decode supports uncompressed BMP, PNG (8-bit) and PCM "
-            "WAV natively; other compressed formats (JPEG/MP4/...) need "
-            "PIL/ffmpeg, not available in this environment"
+            "real decode supports uncompressed BMP, PNG (8-bit), baseline "
+            "grayscale JPEG and PCM WAV natively; other compressed formats "
+            "(color/progressive JPEG, MP4/...) need PIL/ffmpeg, not "
+            "available in this environment"
         )
 
     def _decode_auto(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Sniff: real-decode the natively supported containers, fake
         everything else — the mixed-corpus shape (q30)."""
-        if payload[:2] == b"BM" or payload[:8] == b"\x89PNG\r\n\x1a\n" or (
-            payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        if (
+            payload[:2] in (b"BM", b"\xff\xd8")
+            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
         ):
             return self._decode_real(payload)
         return self._decode_fake(payload)
@@ -341,3 +360,395 @@ def encode_png(px: np.ndarray, row_filters: "list[int] | None" = None) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zdata) + _chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline JFIF grayscale codec, stdlib struct + numpy only (closing
+# the compressed-image boundary flagged in VERDICT r3 "missing #3";
+# same native-codec policy as BMP/WAV/PNG above). The reference treats
+# image bytes as opaque typed columns (feast/types.py:75-138) and
+# leans on PIL inside its embedders — unavailable here, so the codec
+# is first-party. Scope: SOF0 baseline DCT, 8-bit, single component,
+# one scan; progressive/color raise NotImplementedError.
+#
+# Determinism contract (what makes q30's JPEG rows SQL-oracle-able):
+# both encoder quantization and decoder output rounding use
+# floor(x + 0.5) — reproducible in DuckDB as FLOOR(x + 0.5) — and the
+# encoder pads the final entropy byte with ZERO bits, so a solid-value
+# image's stream (one DC code + per-block EOBs) provably never
+# contains an 0xFF byte and the payload length is the closed form
+# header + ceil(bits/8) + 2.
+
+# Annex K.1 luminance quantization table (natural row-major order)
+JPEG_QTAB_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int32,
+).reshape(8, 8)
+
+# zigzag scan order: natural index of the i-th zigzag coefficient
+_JPEG_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    np.int64,
+)
+
+# Annex K.3 / K.5 luminance Huffman tables (bits-per-length, values)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """value -> (code, length), canonical assignment per JPEG C.2."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix M: coeffs = M @ block @ M.T."""
+    k = np.arange(8)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    M[0] *= 1 / np.sqrt(2)
+    return M
+
+
+_JPEG_DCT = _jpeg_dct_mat()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            # zero padding (decoder-neutral): keeps solid-image
+            # streams provably free of 0xFF, so q30's n_bytes oracle
+            # never needs a stuffing term
+            self.put(0, 8 - self.nbits)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, offset bits)."""
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    return cat, (v if v > 0 else v + (1 << cat) - 1)
+
+
+def encode_jpeg_gray(px: np.ndarray, qtab: "np.ndarray | None" = None) -> bytes:
+    """Deterministic baseline grayscale JFIF encoder (test/synthetic
+    payload source, like :func:`encode_png`). Edge-replicates to 8x8
+    blocks, orthonormal float DCT, floor(c/q + 0.5) quantization,
+    Annex K Huffman tables, zero-bit final padding."""
+    import struct
+
+    assert px.dtype == np.uint8 and px.ndim == 2
+    if qtab is None:
+        qtab = JPEG_QTAB_LUM
+    h, w = px.shape
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    img = np.empty((H, W), np.float64)
+    img[:h, :w] = px
+    if W > w:
+        img[:h, w:] = px[:, -1:].repeat(W - w, 1)
+    if H > h:
+        img[h:, :] = img[h - 1 : h, :].repeat(H - h, 0)
+    img -= 128.0
+
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            coef = _JPEG_DCT @ img[by : by + 8, bx : bx + 8] @ _JPEG_DCT.T
+            zzq = np.floor(coef / qtab + 0.5).astype(np.int64).reshape(64)[_JPEG_ZZ]
+            diff = int(zzq[0]) - prev_dc
+            prev_dc = int(zzq[0])
+            cat, bits = _jpeg_magnitude(diff)
+            c, L = dc_huff[cat]
+            bw.put(c, L)
+            if cat:
+                bw.put(bits, cat)
+            nz = np.flatnonzero(zzq[1:]) + 1
+            pos = 0
+            for i in nz:
+                run = int(i) - pos - 1
+                while run >= 16:
+                    c, L = ac_huff[0xF0]  # ZRL
+                    bw.put(c, L)
+                    run -= 16
+                cat, bits = _jpeg_magnitude(int(zzq[i]))
+                c, L = ac_huff[(run << 4) | cat]
+                bw.put(c, L)
+                bw.put(bits, cat)
+                pos = int(i)
+            if pos != 63:
+                c, L = ac_huff[0x00]  # EOB
+                bw.put(c, L)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qtab.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: fixed byte size of every segment before the entropy stream for
+#: encode_jpeg_gray output (SOI+APP0+DQT+SOF0+2xDHT+SOS) — pinned by a
+#: test; the q30 oracle uses it to reconstruct n_bytes in SQL
+JPEG_HEADER_BYTES = 328
+
+
+def _jpeg_build_decode_table(bits: list[int], vals: list[int]):
+    """(mincode, maxcode, valptr, vals) arrays for the canonical
+    serial decode (JPEG F.2.2.3)."""
+    huff = _jpeg_huff_codes(bits, vals)
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for v, (c, L) in huff.items():
+        by_len.setdefault(L, []).append((c, v))
+    mincode = np.zeros(17, np.int64)
+    maxcode = np.full(17, -1, np.int64)
+    valptr = np.zeros(17, np.int64)
+    flat: list[int] = []
+    for L in range(1, 17):
+        lst = sorted(by_len.get(L, []))
+        if lst:
+            valptr[L] = len(flat)
+            mincode[L] = lst[0][0]
+            maxcode[L] = lst[-1][0]
+            flat.extend(v for _, v in lst)
+    return mincode, maxcode, valptr, np.array(flat, np.int64)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader (caller pre-strips 0xFF00 stuffing)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v, d, p = 0, self.data, self.pos
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return int(v)
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    """Magnitude-category sign extension (JPEG F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG decoder → uint8 (h, w).
+
+    Marker walk (DQT/SOF0/DHT/SOS), canonical serial Huffman decode,
+    dequantization, then one BATCHED numpy IDCT over every block at
+    once (the per-block bit loop is unavoidable — Huffman is a serial
+    code — but all pixel math is vectorized). Output rounding is
+    floor(x + 0.5) (see the determinism contract above). Progressive /
+    multi-component / 16-bit inputs raise NotImplementedError."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i, n = 2, len(payload)
+    qtabs: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], tuple] = {}
+    h = w = None
+    qsel = dc_sel = ac_sel = 0
+    scan = None
+    while i < n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at byte {i}")
+        m = payload[i + 1]
+        i += 2
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / RSTn: no body
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i)
+        body = payload[i + 2 : i + seglen]
+        i += seglen
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                nat = np.empty(64, np.int32)
+                nat[_JPEG_ZZ] = np.frombuffer(body, np.uint8, 64, j + 1)
+                qtabs[tq] = nat.reshape(8, 8)
+                j += 65
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise NotImplementedError(
+                    f"JPEG decode supports 8-bit single-component baseline "
+                    f"(precision={prec}, components={nc})"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            qsel = body[8]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline (e.g. progressive) JPEG")
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                huffs[(tc, th)] = _jpeg_build_decode_table(
+                    bits, list(body[j + 17 : j + 17 + nv])
+                )
+                j += 17 + nv
+        elif m == 0xDA:  # SOS: entropy data follows the segment
+            if body[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 15
+            j = i
+            while j < n - 1:
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 and not (
+                    0xD0 <= payload[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            scan = np.frombuffer(
+                payload[i:j].replace(b"\xff\x00", b"\xff"), np.uint8
+            )
+            i = j
+    if h is None or scan is None or qsel not in qtabs:
+        raise ValueError("incomplete JPEG (missing SOF/SOS/DQT)")
+
+    q = qtabs[qsel].astype(np.float64)
+    dcm, dcx, dcp, dcv = huffs[(0, dc_sel)]
+    acm, acx, acp, acv = huffs[(1, ac_sel)]
+    br = _JpegBitReader(scan)
+
+    def huff_decode(mincode, maxcode, valptr, vals) -> int:
+        code, L = br.read(1), 1
+        while code > maxcode[L]:
+            code = (code << 1) | br.read(1)
+            L += 1
+            if L > 16:
+                raise ValueError("corrupt huffman stream")
+        return int(vals[valptr[L] + code - mincode[L]])
+
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    coefs = np.zeros((nby * nbx, 8, 8), np.float64)
+    prev_dc = 0
+    for b in range(nby * nbx):
+        zzq = np.zeros(64, np.int64)
+        cat = huff_decode(dcm, dcx, dcp, dcv)
+        prev_dc += _jpeg_extend(br.read(cat), cat) if cat else 0
+        zzq[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = huff_decode(acm, acx, acp, acv)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            zzq[k] = _jpeg_extend(br.read(s), s)
+            k += 1
+        nat = np.zeros(64, np.float64)
+        nat[_JPEG_ZZ] = zzq
+        coefs[b] = nat.reshape(8, 8) * q
+
+    px = _JPEG_DCT.T @ coefs @ _JPEG_DCT  # batched IDCT, all blocks
+    px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.uint8)
+    img = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return img[:h, :w]
+
+
+#: quantization table used by q30's synthetic JPEG rows: an ODD DC
+#: quantizer (17) keeps floor(8*(v-128)/q0 + 0.5) provably off the
+#: .5 boundary for every v, so the float DCT's ~1e-13 noise can never
+#: flip the encoder's quantized DC vs the oracle's exact formula
+JPEG_QTAB_ORACLE = np.full((8, 8), 19, np.int32)
+JPEG_QTAB_ORACLE[0, 0] = 17
+
+
+def jpeg_safe_gray_values(q0: int = 17) -> list[int]:
+    """Gray values v whose decode rounding is boundary-free: the
+    decoder computes floor(q0*dcq/8 + 128.5), which lands exactly ON
+    an integer iff dcq ≡ 4 (mod 8) — there IEEE noise in the IDCT
+    decides the floor, so no closed-form oracle can predict it.
+    Excluding those dcq (225 of 256 values survive for q0=17) makes
+    the solid-image decode value an exact SQL expression. A structural
+    constant of the codec, like encode_png's stored-deflate length."""
+    out = []
+    for v in range(256):
+        dcq = int(np.floor(8 * (v - 128.0) / q0 + 0.5))
+        if ((dcq % 8) + 8) % 8 != 4:
+            out.append(v)
+    return out

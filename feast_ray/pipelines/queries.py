@@ -1533,22 +1533,31 @@ from scored where rn <= 10
 
 
 def q30_multimodal_decode(sf_dir: str):
-    """Media-column plumbing over a MIXED corpus: every third doc is a
-    real 8-bit grayscale PNG (deterministic solid-value image, rows
-    forward-filtered through all five PNG filter types) decoded by the
-    stdlib codec; the rest are text-bytes payloads on the fake path.
-    Value-checked both ways: the fake decode's dims come from the
-    SQL-expressible content digest and its feature is a 16-bin byte
-    histogram; the PNG rows' dims/value derive from doc_id and the
-    stored-deflate payload length is closed-form (encode_png), so the
-    oracle reconstructs width/height/n_bytes/feature bins exactly."""
+    """Media-column plumbing over a MIXED corpus: doc_id % 3 == 0 docs
+    are real 8-bit grayscale PNGs (deterministic solid-value image,
+    rows forward-filtered through all five PNG filter types) decoded
+    by the stdlib codec; doc_id % 3 == 1 docs are real baseline
+    grayscale JPEGs (solid value from the boundary-free SAFE set,
+    round 4) through the first-party Huffman+IDCT decoder; the rest
+    are text-bytes payloads on the fake path. Value-checked all three
+    ways: the fake decode's dims come from the SQL-expressible content
+    digest and its feature is a 16-bin byte histogram; the PNG rows'
+    dims/value derive from doc_id with the stored-deflate payload
+    length closed-form (encode_png); the JPEG rows' decoded value is
+    the exact DC quantize/dequantize formula and the entropy-segment
+    length is closed-form because a solid image emits one DC code plus
+    per-block EOBs with zero-bit padding (multimodal.py JPEG section)."""
     from feast_ray.functions.multimodal import (
         FEATURE_DIM,
+        JPEG_QTAB_ORACLE,
         decode_media,
+        encode_jpeg_gray,
         encode_png,
+        jpeg_safe_gray_values,
     )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    safe_v = jpeg_safe_gray_values()
 
     def _to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1560,6 +1569,14 @@ def q30_multimodal_decode(sf_dir: str):
                 px = np.full((h, w), v, np.uint8)
                 payloads.append(encode_png(px, [y % 5 for y in range(h)]))
                 kinds.append("image/png")
+            elif did % 3 == 1:
+                k = did // 3
+                w = 8 * (1 + k % 4) + k % 5  # non-multiple-of-8 dims
+                h = 8 * (1 + k % 3) + k % 7  # exercise edge padding
+                v = safe_v[k % len(safe_v)]
+                px = np.full((h, w), v, np.uint8)
+                payloads.append(encode_jpeg_gray(px, JPEG_QTAB_ORACLE))
+                kinds.append("image/jpeg")
             else:
                 payloads.append(s.encode("utf-8"))
                 kinds.append("image/fake")
@@ -1594,12 +1611,25 @@ def q30_multimodal_decode(sf_dir: str):
 
 
 def _q30_sql() -> str:
-    # fake rows (doc_id % 3 != 0): digest dims + byte histogram;
+    # fake rows (doc_id % 3 == 2): digest dims + byte histogram;
     # PNG rows (doc_id % 3 == 0): dims/value/f-bins from doc_id, and
     # n_bytes = 57 + zlen with zlen = 11 + h*(1+w) (encode_png's
-    # single stored-deflate block — closed form by construction)
+    # single stored-deflate block — closed form by construction);
+    # JPEG rows (doc_id % 3 == 1): solid gray v from the boundary-free
+    # SAFE list (a structural codec constant, multimodal.py), decoded
+    # value = floor(17*floor(8(v-128)/17+.5)/8 + 128.5) clipped, and
+    # n_bytes = 328-byte header + ceil(dc_code_bits + (B-1)*6 / 8) + 2
+    # (one DC code + per-block 6-bit EOB groups, zero-bit padding —
+    # provably stuffing-free for solid images)
+    from feast_ray.functions.multimodal import (
+        JPEG_HEADER_BYTES,
+        jpeg_safe_gray_values,
+    )
+
+    safe_list = ", ".join(str(v) for v in jpeg_safe_gray_values())
+    n_safe = len(jpeg_safe_gray_values())
     return f"""
-with docs_f as (select doc_id, text from documents where doc_id % 3 <> 0),
+with docs_f as (select doc_id, text from documents where doc_id % 3 = 2),
 png as (
   select doc_id,
     4 + doc_id % 13 as w, 3 + doc_id % 7 as h,
@@ -1613,6 +1643,38 @@ png_rows as (
     case when vbin = 7 then 1.0 else 0.0 end as f7,
     case when vbin = 15 then 1.0 else 0.0 end as f15
   from png),
+jpg0 as (
+  select doc_id, doc_id // 3 as k from documents where doc_id % 3 = 1),
+jpg1 as (
+  select doc_id,
+    8 * (1 + k % 4) + k % 5 as w,
+    8 * (1 + k % 3) + k % 7 as h,
+    ([{safe_list}])[1 + cast(k % {n_safe} as int)] as v
+  from jpg0),
+jpg2 as (
+  select doc_id, w, h,
+    cast(floor(8.0 * (v - 128) / 17.0 + 0.5) as bigint) as dcq,
+    ((w + 7) // 8) * ((h + 7) // 8) as nblocks
+  from jpg1),
+jpg3 as (
+  select doc_id, w, h, nblocks, dcq,
+    cast(least(greatest(floor(17.0 * dcq / 8.0 + 128.5), 0), 255)
+         as bigint) as vdec,
+    case when abs(dcq) = 0 then 0
+         when abs(dcq) <= 1 then 1 when abs(dcq) <= 3 then 2
+         when abs(dcq) <= 7 then 3 when abs(dcq) <= 15 then 4
+         when abs(dcq) <= 31 then 5 else 6 end as cat
+  from jpg2),
+jpg_rows as (
+  select doc_id as media_id, 'image/jpeg' as media_type,
+    cast(w as bigint) as width, cast(h as bigint) as height,
+    cast({JPEG_HEADER_BYTES} + 2 +
+      ((case when cat = 0 then 2 when cat <= 5 then 3 else 4 end)
+       + cat + 4 + (nblocks - 1) * 6 + 7) // 8 as bigint) as n_bytes,
+    case when vdec // 16 = 0 then 1.0 else 0.0 end as f0,
+    case when vdec // 16 = 7 then 1.0 else 0.0 end as f7,
+    case when vdec // 16 = 15 then 1.0 else 0.0 end as f15
+  from jpg3),
 h0s as (
   select doc_id, text, {_HORNER_SQL.format(s="text")} as h0
   from docs_f),
@@ -1644,6 +1706,9 @@ from hs h join feats f on h.doc_id = f.doc_id
 union all
 select media_id, media_type, width, height, n_bytes, f0, f7, f15
 from png_rows
+union all
+select media_id, media_type, width, height, n_bytes, f0, f7, f15
+from jpg_rows
 """
 
 

@@ -42,6 +42,7 @@ from datetime import datetime, timedelta
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _ALGEBRAIC = {"sum", "count", "min", "max"}
@@ -287,10 +288,21 @@ def windowed_agg(
     n_hops = win_us // slide_us
 
     def _assign(tbl: pa.Table) -> pa.Table:
-        df = tbl.to_pandas().copy()
-        ts = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        df[window_col] = ((ts // slide_us) * slide_us).astype("datetime64[us]")
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        # numpy floor-division straight on the timestamp column (the
+        # old pandas round-trip copied the whole table per batch);
+        # `//` FLOORS, matching SQL time_bucket for pre-epoch rows
+        col = tbl[ts_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ts = pc.cast(col, pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        win = ((ts_i // slide_us) * slide_us).astype("datetime64[us]")
+        wcol = pa.array(win, pa.timestamp("us"))
+        if window_col in tbl.column_names:
+            return tbl.set_column(
+                tbl.schema.get_field_index(window_col), window_col, wcol
+            )
+        return tbl.append_column(window_col, wcol)
 
     hopped = ds.map_batches(_assign, batch_format="pyarrow")
     if n_hops == 1:

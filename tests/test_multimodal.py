@@ -115,10 +115,10 @@ def test_real_decode_bmp_wav():
     f2 = np.asarray(out.loc[2, "feature"])
     # samples -0.5, 0.0, 0.5, ~1.0 -> bins 4, 8, 12, 15
     assert f2[4] == 0.25 and f2[8] == 0.25 and f2[12] == 0.25 and f2[15] == 0.25
-    # unsupported format = honest boundary
+    # unsupported format = honest boundary (GIF: no native codec)
     dec = MediaDecoder(mode="real")
     with pytest.raises(NotImplementedError):
-        dec._decode_real(b"\xff\xd8\xff\xe0 jpeg-ish")
+        dec._decode_real(b"GIF89a rest-of-gif")
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -148,5 +148,70 @@ def test_png_decode_all_filters_roundtrip():
     # closed-form payload length (the q30 oracle's n_bytes formula)
     px = np.full((5, 8), 42, np.uint8)
     assert len(encode_png(px)) == 68 + 5 * (1 + 8)
-    with _pytest.raises(NotImplementedError, match="JPEG|PIL"):
-        MediaDecoder(mode="real")._decode_real(b"\xff\xd8\xff\xe0 jpeg")
+    with _pytest.raises(NotImplementedError, match="PIL|native"):
+        MediaDecoder(mode="real")._decode_real(b"GIF87a not-supported")
+
+
+def test_jpeg_roundtrip_and_closed_form():
+    """Baseline JPEG codec (round 4, VERDICT r3 missing #3): near-
+    lossless round trip with a unit quant table; solid-image decode
+    and payload length match the q30 oracle's closed forms; the
+    header-length constant is pinned; non-baseline variants raise the
+    declared NotImplementedError boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import (
+        JPEG_HEADER_BYTES,
+        JPEG_QTAB_ORACLE,
+        MediaDecoder,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_safe_gray_values,
+    )
+
+    rng = np.random.RandomState(11)
+    q1 = np.ones((8, 8), np.int32)
+    # q=1 quantization only loses DCT float rounding: max err <= 1
+    for shape in [(16, 16), (40, 56), (37, 61)]:  # incl. odd dims
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(px, q1))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 1
+    # smooth gradient through the default Annex-K table: small error
+    gy = np.linspace(0, 255, 24)[:, None]
+    gx = np.linspace(0, 255, 32)[None, :]
+    px = ((gy + gx) / 2).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(px))
+    assert np.abs(dec.astype(int) - px.astype(int)).mean() < 6
+
+    # solid-image closed forms (what the q30 oracle computes in SQL)
+    safe = jpeg_safe_gray_values()
+    for k in range(0, 400, 7):
+        v = safe[k % len(safe)]
+        w = 8 * (1 + k % 4) + k % 5
+        h = 8 * (1 + k % 3) + k % 7
+        enc = encode_jpeg_gray(np.full((h, w), v, np.uint8), JPEG_QTAB_ORACLE)
+        dec = decode_jpeg_gray(enc)
+        dcq = int(np.floor(8 * (v - 128.0) / 17.0 + 0.5))
+        vdec = int(np.clip(np.floor(17.0 * dcq / 8.0 + 128.5), 0, 255))
+        u = np.unique(dec)
+        assert dec.shape == (h, w) and len(u) == 1 and u[0] == vdec
+        nb = ((h + 7) // 8) * ((w + 7) // 8)
+        cat = abs(dcq).bit_length()
+        dclen = 2 if cat == 0 else (3 if cat <= 5 else 4)
+        bits = dclen + cat + 4 + (nb - 1) * 6
+        assert len(enc) == JPEG_HEADER_BYTES + (bits + 7) // 8 + 2
+
+    # auto mode sniffs the JPEG magic onto the real path
+    w_, h_, feat = MediaDecoder(mode="auto")._decode_auto(
+        encode_jpeg_gray(np.full((16, 24), 100, np.uint8))
+    )
+    assert (w_, h_) == (24, 16) and feat.sum() == 1.0
+
+    # declared boundaries: progressive SOF2 and multi-component SOF0
+    enc = bytearray(encode_jpeg_gray(np.full((8, 8), 5, np.uint8)))
+    sof = bytes(enc).find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite marker to progressive
+    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
+        decode_jpeg_gray(bytes(enc))
