@@ -61,6 +61,38 @@ def _make_handler(store):
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid json"})
                 return
+            # per-request principal from the dev bearer header
+            # ``Authorization: Bearer <user>[:role1,role2]`` — the
+            # reference's intra-server auth-manager shape
+            # (permissions/security_manager.py; its OIDC/k8s token
+            # verifiers need network, out of scope). The contextvar
+            # scopes the user to THIS request thread; PermissionDenied
+            # surfaces as 403.
+            from feast_ray.permissions import (
+                PermissionDenied,
+                User,
+                set_current_user,
+            )
+
+            auth = self.headers.get("Authorization", "")
+            token = None
+            if auth.startswith("Bearer "):
+                spec = auth[len("Bearer ") :].strip()
+                name, _, roles = spec.partition(":")
+                token = set_current_user(
+                    User(name, tuple(r for r in roles.split(",") if r))
+                )
+            try:
+                self._route(req)
+            except PermissionDenied as e:
+                self._send(403, {"error": f"PermissionDenied: {e}"})
+            finally:
+                if token is not None:
+                    from feast_ray.permissions import _current_user
+
+                    _current_user.reset(token)
+
+        def _route(self, req):
             if self.path == "/get-online-features":
                 try:
                     features = req["features"]
@@ -78,6 +110,10 @@ def _make_handler(store):
                         {"metadata": {"feature_names": names}, "results": results},
                     )
                 except Exception as e:  # noqa: BLE001 — serving surface
+                    from feast_ray.permissions import PermissionDenied
+
+                    if isinstance(e, PermissionDenied):
+                        raise
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
             elif self.path == "/retrieve-documents":
                 try:
@@ -89,6 +125,10 @@ def _make_handler(store):
                     )
                     self._send(200, {"results": res.to_dict(orient="records")})
                 except Exception as e:  # noqa: BLE001
+                    from feast_ray.permissions import PermissionDenied
+
+                    if isinstance(e, PermissionDenied):
+                        raise
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
             else:
                 self._send(404, {"error": "not found"})

@@ -414,15 +414,56 @@ class Store:
         self.views: dict[str, View] = {}
         self.services: dict[str, FeatureService] = {}
         self.on_demand_views: dict[str, OnDemandView] = {}
+        from feast_ray.permissions import SecurityManager
+
+        #: role-based enforcement (open until Permissions are applied)
+        self.security = SecurityManager()
         if broadcast_threshold_bytes is not None:
             self.BROADCAST_THRESHOLD_BYTES = broadcast_threshold_bytes
 
     # ------------------------------------------------------------ apply
 
     def apply(self, objects: list) -> None:
-        """Register views/services (the reference's `feast apply`,
-        feature_store.py:1556 — declarative catalog update)."""
+        """Register views/services/permissions (the reference's
+        `feast apply`, feature_store.py:1556 — declarative catalog
+        update). Each object is authorized as CREATE or UPDATE against
+        the permissions in force when the call started
+        (feast/permissions/enforcer.py semantics)."""
+        from feast_ray.permissions import (
+            Action,
+            Permission,
+            current_user,
+            enforce_policy,
+        )
+
+        # one apply() is atomic w.r.t. enforcement: every object —
+        # including new Permission objects — is authorized against the
+        # permissions in force when the call STARTED (otherwise the
+        # first permission in a bootstrap batch would lock out the
+        # second)
+        snapshot = list(self.security.permissions)
+
+        def guard(obj, act):
+            if snapshot:
+                enforce_policy(snapshot, current_user(), [obj], [act])
+
         for obj in objects:
+            name = getattr(obj, "name", None)
+            if isinstance(obj, Permission):
+                registered = any(
+                    q.name == name for q in self.security.permissions
+                )
+                guard(obj, Action.UPDATE if registered else Action.CREATE)
+                self.security.permissions = [
+                    q for q in self.security.permissions if q.name != name
+                ] + [obj]
+                continue
+            registered = (
+                name in self.views
+                or name in self.services
+                or name in self.on_demand_views
+            )
+            guard(obj, Action.UPDATE if registered else Action.CREATE)
             if isinstance(obj, View):
                 self.views[obj.name] = obj
             elif isinstance(obj, OnDemandView):
@@ -505,6 +546,11 @@ class Store:
         """Remove all materialized state (online plane + registry) —
         the reference's `feast teardown`."""
         import shutil
+
+        from feast_ray.permissions import Action
+
+        for view in self.views.values():
+            self._guard(view, Action.DELETE)
 
         shutil.rmtree(self.online.root, ignore_errors=True)
         os.makedirs(self.online.root, exist_ok=True)
@@ -604,6 +650,33 @@ class Store:
             return total
         return None
 
+    # -------------------------------------------------------- security
+
+    def _guard(self, view_or_name, action) -> None:
+        """Authorize ``action`` on a view (by object or registered
+        name) for the contextvar current user — no-op until
+        Permissions are applied (feast_ray.permissions docstring)."""
+        if not self.security.permissions:
+            return
+        obj = (
+            self.views.get(view_or_name)
+            or self.on_demand_views.get(view_or_name)
+            or self.services.get(view_or_name)
+            or view_or_name
+        ) if isinstance(view_or_name, str) else view_or_name
+        self.security.assert_permissions(obj, action)
+
+    def _guard_refs(self, features, action) -> None:
+        """Authorize ``action`` on every view referenced by
+        "view:feature" refs (or a FeatureService)."""
+        if not self.security.permissions:
+            return
+        refs = list(features.features) if isinstance(
+            features, FeatureService
+        ) else features
+        for vname in {r.split(":")[0] for r in refs}:
+            self._guard(vname, action)
+
     # ------------------------------------------------------- materialize
 
     def write_to_offline_store(self, view_name: str, ds_or_df) -> str:
@@ -612,6 +685,9 @@ class Store:
         dask.py:572-610, feature_store.py:3796): one new parquet file
         per call in ``offline/<view>/`` — append-only, idempotent to
         replay at the file level."""
+        from feast_ray.permissions import Action
+
+        self._guard(view_name, Action.WRITE_OFFLINE)
         import uuid as _uuid
 
         path = os.path.join(self.repo_dir, "offline", view_name)
@@ -627,6 +703,9 @@ class Store:
     def read_offline(self, view_name: str) -> ray.data.Dataset:
         """The view's offline log as a Dataset (derived views can chain
         from it — the sink_source read side)."""
+        from feast_ray.permissions import Action
+
+        self._guard(view_name, Action.READ_OFFLINE)
         return ray.data.read_parquet(os.path.join(self.repo_dir, "offline", view_name))
 
     def materialize(
@@ -639,11 +718,14 @@ class Store:
         """Offline→online load per view; records watermarks. With
         ``offline=True`` also appends each view's output to its offline
         log (sink_source materialization)."""
+        from feast_ray.permissions import Action
+
         out = {}
         for name in views or list(self.views):
             view = self.views[name]
             if not view.online:
                 continue
+            self._guard(view, Action.WRITE_ONLINE)
             ds = self.build_view_ds(view, start, end)
             # upsert already returns the post-merge row count — re-reading
             # the whole online plane per view was O(store size) I/O
@@ -692,6 +774,9 @@ class Store:
         stamped with ``end`` (reference: dask.py:162-172,
         contrib/ray_offline_store/ray.py:2321-2345
         `_distinct_entities_for_feature_view_ray` + align/union)."""
+        from feast_ray.permissions import Action
+
+        self._guard_refs(features, Action.READ_OFFLINE)
         if isinstance(features, FeatureService):
             features = list(features.features)
         # resolve on-demand views: pull their source features in, run
@@ -879,6 +964,9 @@ class Store:
     def push(self, view_name: str, df: pd.DataFrame) -> None:
         """Stream/push ingest: latest-per-key upsert of new rows
         (feature_store.py:3338-3404 push path)."""
+        from feast_ray.permissions import Action
+
+        self._guard(view_name, Action.WRITE_ONLINE)
         view = self.views[view_name]
         self.online.upsert(view, ray.data.from_pandas(df))
 
@@ -898,6 +986,9 @@ class Store:
         — brute-force top-k via the similarity operators. ``metric``
         mirrors `_v2`'s configurable distance metrics:
         cosine | dot | l2 (l2 scores are negated distances)."""
+        from feast_ray.permissions import Action
+
+        self._guard(view_name, Action.READ_ONLINE)
         import numpy as np
 
         from feast_ray.functions.similarity import ann_topk_bruteforce
@@ -923,6 +1014,9 @@ class Store:
         on_demand_feature_view transform path): their source features
         are fetched from the online plane, then the udf runs over the
         assembled frame."""
+        from feast_ray.permissions import Action
+
+        self._guard_refs(features, Action.READ_ONLINE)
         if isinstance(features, FeatureService):
             features = list(features.features)
         odfvs: list[OnDemandView] = []

@@ -65,6 +65,7 @@ class View:
     slide: timedelta | None = None       # with window: sliding hop
     features: list[str] = field(default_factory=list)  # feature column names
     online: bool = True
+    tags: dict = field(default_factory=dict)  # metadata; permission required_tags match these
 
     @property
     def join_keys(self) -> list[str]:
