@@ -567,10 +567,54 @@ class Store:
         os.replace(tmp, self.registry_path)
 
     def _save_registry(self) -> None:
+        from feast_ray.views import service_to_dict, view_to_dict
+
         reg = self._load_registry()
         reg["views"] = sorted(self.views)
         reg["services"] = sorted(self.services)
+        # full object specs (the reference registry persists protos,
+        # infra/registry/file.py; JSON specs here) — what the remote
+        # registry serves and a fresh process rebuilds from
+        reg["view_specs"] = {
+            n: view_to_dict(v) for n, v in sorted(self.views.items())
+        }
+        reg["service_specs"] = {
+            n: service_to_dict(s) for n, s in sorted(self.services.items())
+        }
         self._write_registry(reg)
+
+    def sync_from(self, remote) -> int:
+        """Pull every view/service spec from a
+        :class:`feast_ray.registry_server.RemoteRegistry` and apply it
+        locally — the serving-replica bootstrap (replicas share the
+        online plane on disk; the object catalog comes from the
+        registry service). Returns the number of objects applied."""
+        objs = [remote.get_view(n) for n in remote.list_views()]
+        objs += [remote.get_service(n) for n in remote.list_services()]
+        self.apply(objs)
+        return len(objs)
+
+    def load_applied(self) -> int:
+        """Rebuild applied views/services from the registry specs —
+        what a fresh process (a serving replica, the registry server's
+        peer) does instead of re-running the apply script. Views whose
+        spec recorded a Python ``udf`` come back with udf=None (the
+        spec keeps ``udf_name``; sql/aggregation/window views rebuild
+        fully — views.py serialization note). Returns the number of
+        objects loaded."""
+        from feast_ray.views import service_from_dict, view_from_dict
+
+        reg = self._load_registry()
+        n = 0
+        for spec in (reg.get("view_specs") or {}).values():
+            v = view_from_dict(spec)
+            self.views[v.name] = v
+            n += 1
+        for spec in (reg.get("service_specs") or {}).values():
+            s = service_from_dict(spec)
+            self.services[s.name] = s
+            n += 1
+        return n
 
     def _load_registry(self) -> dict:
         if os.path.exists(self.registry_path):

@@ -129,3 +129,121 @@ class OnDemandView:
         if self.udf is None:
             raise ValueError(f"OnDemandView {self.name}: udf required for mode={self.mode!r}")
         return self.udf
+
+
+# ------------------------------------------------------- serialization
+# Registry wire format (the reference serializes registry objects as
+# protos, e.g. feature_view.py to_proto/from_proto; JSON dicts here —
+# no proto toolchain in this environment). Python ``udf`` callables
+# don't survive the wire (the reference ships pickled transformation
+# bytecode; out of scope): a view spec records the udf's NAME and
+# rebuilds with udf=None, while ``sql`` / ``aggregations`` / substrait
+# plans round-trip fully.
+
+
+def _dtype_str(dt) -> str:
+    return str(dt)
+
+
+def _parse_dtype(s: str):
+    import pyarrow as pa
+
+    if s.startswith("timestamp"):
+        unit = s[s.index("[") + 1 : s.index("]")] if "[" in s else "us"
+        return pa.timestamp(unit)
+    if s.startswith("list<item: ") and s.endswith(">"):
+        return pa.list_(_parse_dtype(s[len("list<item: ") : -1]))
+    return pa.type_for_alias(s)
+
+
+def _schema_to_list(schema: "Schema | None"):
+    if schema is None:
+        return None
+    return [[f.name, _dtype_str(f.dtype)] for f in schema.fields]
+
+
+def _schema_from_list(lst):
+    if lst is None:
+        return None
+    return Schema([(n, _parse_dtype(t)) for n, t in lst])
+
+
+def _td_s(td: "timedelta | None") -> "float | None":
+    return None if td is None else td.total_seconds()
+
+
+def _td(s: "float | None") -> "timedelta | None":
+    return None if s is None else timedelta(seconds=s)
+
+
+def source_to_dict(src: "TableSource | View") -> dict:
+    if isinstance(src, View):
+        return {"kind": "view", **view_to_dict(src)}
+    return {
+        "kind": "table",
+        "name": src.name,
+        "table": src.table,
+        "path": src.path,
+        "timestamp_field": src.timestamp_field,
+        "created_timestamp_column": src.created_timestamp_column,
+        "field_mapping": dict(src.field_mapping),
+    }
+
+
+def source_from_dict(d: dict) -> "TableSource | View":
+    if d["kind"] == "view":
+        return view_from_dict(d)
+    return TableSource(
+        name=d["name"],
+        table=d.get("table"),
+        path=d.get("path"),
+        timestamp_field=d.get("timestamp_field"),
+        created_timestamp_column=d.get("created_timestamp_column"),
+        field_mapping=d.get("field_mapping") or {},
+    )
+
+
+def view_to_dict(v: View) -> dict:
+    return {
+        "name": v.name,
+        "source": source_to_dict(v.source),
+        "entities": [[e.name, e.join_key] for e in v.entities],
+        "schema": _schema_to_list(v.schema),
+        "ttl_s": _td_s(v.ttl),
+        "udf_name": getattr(v.udf, "__name__", None) if v.udf else None,
+        "sql": v.sql,
+        "aggregations": [
+            {"col": a.col, "fn": a.fn, "alias": a.alias} for a in v.aggregations
+        ],
+        "window_s": _td_s(v.window),
+        "slide_s": _td_s(v.slide),
+        "features": list(v.features),
+        "online": v.online,
+        "tags": dict(v.tags),
+    }
+
+
+def view_from_dict(d: dict) -> View:
+    return View(
+        name=d["name"],
+        source=source_from_dict(d["source"]),
+        entities=[Entity(n, jk) for n, jk in d.get("entities", [])],
+        schema=_schema_from_list(d.get("schema")),
+        ttl=_td(d.get("ttl_s")),
+        udf=None,  # callables don't round-trip; udf_name preserved in the spec
+        sql=d.get("sql"),
+        aggregations=[AggSpec(**a) for a in d.get("aggregations", [])],
+        window=_td(d.get("window_s")),
+        slide=_td(d.get("slide_s")),
+        features=list(d.get("features", [])),
+        online=d.get("online", True),
+        tags=d.get("tags") or {},
+    )
+
+
+def service_to_dict(s: FeatureService) -> dict:
+    return {"name": s.name, "features": list(s.features)}
+
+
+def service_from_dict(d: dict) -> FeatureService:
+    return FeatureService(name=d["name"], features=tuple(d["features"]))
