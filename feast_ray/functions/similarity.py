@@ -812,3 +812,271 @@ def cosine_neardup_pairs_lsh(
         return out.filter(pa.array(keep))
 
     return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- IVF-PQ
+# Product-quantized IVF (round 4): the memory-frugal scale path for
+# 100 TB embedding corpora. The reference's vector search surface
+# (feature_store.py:4044 retrieve_online_documents over vector_index
+# fields) delegates compression to the backing store; here the engine
+# owns it: d-dim float vectors compress to m uint8 codes (m=8 on d=32
+# floats = 16x smaller scan payload), searches scan only probed cell
+# partitions and only the CODE columns, and score by asymmetric
+# distance (ADC): one (m x ks) lookup table per query, score =
+# sum_j lut[j, code_j] — no float vector ever leaves storage unless
+# exact reranking asks for it.
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ks: int = 256, iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train per-subspace codebooks (m, ks, d/m) by k-means over a
+    normalized sample. Deterministic (fixed seed). ks shrinks to the
+    sample size on tiny corpora; unused code slots repeat codeword 0
+    so any uint8 decodes."""
+    x = _normalize(np.asarray(sample, np.float64))
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, ks, sub), np.float64)
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        rng = np.random.RandomState(seed + j)
+        ke = min(ks, n)
+        cent = xj[np.sort(rng.choice(n, size=ke, replace=False))].copy()
+        for _ in range(iters):
+            # ||x-c||^2 argmin == argmax(x.c - ||c||^2/2)
+            a = np.argmax(xj @ cent.T - 0.5 * (cent**2).sum(1), axis=1)
+            for c in range(ke):
+                mem = xj[a == c]
+                if len(mem):
+                    cent[c] = mem.mean(0)
+        books[j, :ke] = cent
+        if ke < ks:
+            books[j, ke:] = cent[0]
+    return books
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Nearest-codeword codes (n, m) uint8 for NORMALIZED vectors."""
+    n = len(mat)
+    m, ks, sub = codebooks.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        xj = mat[:, j * sub : (j + 1) * sub]
+        cb = codebooks[j]
+        codes[:, j] = np.argmax(
+            xj @ cb.T - 0.5 * (cb**2).sum(1), axis=1
+        ).astype(np.uint8)
+    return codes
+
+
+def ivfpq_build(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    sample_size: int = 2048,
+    sample_mode: str = "hash",
+) -> np.ndarray:
+    """Build the cell-partitioned PQ index: IVF centroids + PQ
+    codebooks fit on one unbiased hash sample (ivf_build's doctrine),
+    then a single pass assigns each row its cell and m uint8 codes
+    (``code_0..code_{m-1}`` columns — individually prunable at read)
+    and writes hive-partitioned parquet. The float ``embedding``
+    column rides along for optional exact rerank; a codes-only layout
+    is the same call with the column dropped upstream. Saves
+    ``_centroids.npy`` + ``_codebooks.npy``. Returns the codebooks."""
+    import os
+
+    if sample_mode == "hash":
+        from feast_ray.functions.sampling import sample_by_hash
+
+        n_total = ds.count()
+        frac = min(1.0, sample_size / max(1, n_total))
+        sample_tbl = sample_by_hash(ds, id_col, frac).to_pandas()
+        if len(sample_tbl) == 0:
+            sample_tbl = ds.limit(sample_size).to_pandas()
+    else:
+        sample_tbl = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy())
+    index = IVFIndex(sample, n_cells=n_cells)
+    books = pq_train(_normalize(sample), m=m, ks=ks)
+    cref = ray.put((index.centroids, books))
+
+    def _assign(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            tbl = tbl.append_column("cell", pa.array([], pa.int64()))
+            for j in range(m):
+                tbl = tbl.append_column(f"code_{j}", pa.array([], pa.int16()))
+            return tbl
+        cent, cb = ray.get(cref)
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        codes = pq_encode(mat, cb)
+        tbl = tbl.append_column("cell", pa.array(cells))
+        for j in range(m):
+            # int16: parquet/hive round-trips plain ints losslessly
+            tbl = tbl.append_column(
+                f"code_{j}", pa.array(codes[:, j].astype(np.int16))
+            )
+        return tbl
+
+    os.makedirs(path, exist_ok=True)
+    ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell"]
+    )
+    np.save(os.path.join(path, "_centroids.npy"), index.centroids)
+    np.save(os.path.join(path, "_codebooks.npy"), books)
+    return books
+
+
+def ann_topk_ivfpq(
+    index_path: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    rerank: int = 0,
+) -> "tuple[ray.data.Dataset, dict]":
+    """ADC top-k over an :func:`ivfpq_build` index. Scans ONLY the
+    probed cell partitions and ONLY the id + code columns (the float
+    vectors stay on disk); each batch scores by per-query lookup-table
+    gather. ``rerank > 0`` re-scores that many ADC candidates per
+    query with exact dot products (one extra narrow read of the
+    candidates' vectors via an id-filtered scan of the probed cells) —
+    ``rerank >= cells' rows`` with ``nprobe = n_cells`` reproduces
+    brute force exactly (parity-tested). Returns (dataset, stats);
+    stats carries the probe sets and the per-query ADC tables for the
+    q81 SQL oracle."""
+    import os
+
+    centroids = np.load(os.path.join(index_path, "_centroids.npy"))
+    books = np.load(os.path.join(index_path, "_codebooks.npy"))
+    m, ks, sub = books.shape
+    index = IVFIndex.__new__(IVFIndex)
+    index.centroids = centroids
+    qn = _normalize(np.asarray(queries))
+    q_cells = index.cells_for(qn, nprobe)
+    probed = set(int(c) for c in np.unique(q_cells))
+    # per-query ADC lookup tables: lut[q][j, c] = q_sub_j . codeword_c
+    luts = np.stack(
+        [
+            np.stack([
+                qn[i, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)
+            ])
+            for i in range(len(qn))
+        ]
+    )  # (n_q, m, ks)
+    files = []
+    for c in sorted(probed):
+        d = os.path.join(index_path, f"cell={c}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    stats = ivf_scan_stats(index_path, probed)
+    stats["probes"] = q_cells
+    stats["luts"] = luts
+    if not files:
+        return ray.data.from_arrow(_empty_topk_table(id_col)), stats
+    code_cols = [f"code_{j}" for j in range(m)]
+    ds = ray.data.read_parquet(files, columns=[id_col, *code_cols, "cell"])
+    ref = ray.put((luts, q_cells))
+
+    def _block(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return _empty_topk_table(id_col)
+        lt, qc = ray.get(ref)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        cells = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            [
+                tbl[f"code_{j}"].to_numpy(zero_copy_only=False).astype(np.int64)
+                for j in range(m)
+            ],
+            axis=1,
+        )  # (n, m)
+        out_q, out_id, out_s = [], [], []
+        for i in range(len(lt)):
+            mask = np.isin(cells, qc[i])
+            if not mask.any():
+                continue
+            cm = codes[mask]
+            # ADC gather-sum, accumulated STRICTLY left-to-right over
+            # subspaces: the q81 oracle's explicit + chain then
+            # reproduces the float64 score BIT-exactly
+            sc = lt[i][0][cm[:, 0]].copy()
+            for j in range(1, m):
+                sc += lt[i][j][cm[:, j]]
+            kk = min(max(k, rerank), len(sc))
+            idx = np.argpartition(-sc, kk - 1)[:kk]
+            out_q.append(np.full(kk, i))
+            out_id.append(ids[mask][idx])
+            out_s.append(sc[idx])
+        if not out_q:
+            return _empty_topk_table(id_col)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(_block, batch_format="pyarrow")
+    keep = max(k, rerank)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("query_id", sort=True).head(keep).reset_index(drop=True)
+
+    out = candidates.repartition(1).map_batches(_final, batch_format="pandas")
+    if rerank <= 0:
+        return out, stats
+
+    # exact rerank: re-read ONLY the candidates' float vectors from the
+    # probed cells (narrow id-filtered scan), exact dot, final top-k
+    cand = out.to_pandas()
+    want = set(cand[id_col].tolist())
+    vds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+    wref = ray.put(np.array(sorted(want), np.int64))
+
+    def _pick(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+
+        w = ray.get(wref)
+        mask = np.isin(tbl[id_col].to_numpy(zero_copy_only=False), w)
+        return tbl.filter(pa.array(mask))
+
+    vecs = vds.map_batches(_pick, batch_format="pyarrow").to_pandas()
+    vm = _normalize(np.stack(vecs[vec_col].to_numpy()))
+    vid = vecs[id_col].to_numpy()
+    pos = {int(v): i for i, v in enumerate(vid)}
+    rows_q, rows_i, rows_s = [], [], []
+    for qi, grp in cand.groupby("query_id", sort=True):
+        gi = grp[id_col].to_numpy()
+        exact = vm[[pos[int(v)] for v in gi]] @ qn[int(qi)]
+        order = np.lexsort((gi, -exact))[:k]
+        rows_q.append(np.full(len(order), int(qi)))
+        rows_i.append(gi[order])
+        rows_s.append(exact[order])
+    final = pa.table(
+        {
+            "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+            id_col: pa.array(np.concatenate(rows_i), pa.int64()),
+            "score": pa.array(np.concatenate(rows_s), pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(final), stats

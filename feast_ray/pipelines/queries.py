@@ -4146,6 +4146,128 @@ def q80_real_embed(sf_dir: str):
     return emb.map_batches(_summary, batch_format="pyarrow")
 
 
+
+# --------------------------------------------------------------------- q81
+
+def q81_ann_ivfpq(sf_dir: str):
+    """Product-quantized IVF ANN (round 4): the memory-frugal vector
+    scale path. d=32 float vectors compress to m=8 uint8 codes (16x
+    smaller scan payload); the search scans only probed cell
+    partitions and only the CODE columns, scoring by per-query ADC
+    lookup tables (similarity.py IVF-PQ section).
+
+    SQL-oracled by the q29 doctrine: the index state (per-row cell +
+    codes) and the per-query ADC tables (query_id, subspace, code,
+    partial) are dumped as oracle inputs; DuckDB recomputes the
+    pruned search — probe filter, score = the EXPLICIT 8-term + chain
+    (bit-exact vs the engine's sequential accumulation), top-k with
+    vec_id tie-break."""
+    import shutil
+
+    from feast_ray.functions.similarity import ann_topk_ivfpq, ivfpq_build
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow"
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    index_path = f"/tmp/feast_ray_cache/ivfpq_{base}"
+    marker = os.path.join(index_path, "_source_fingerprint.txt")
+    fresh = (
+        os.path.exists(os.path.join(index_path, "_codebooks.npy"))
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if not fresh:
+        shutil.rmtree(index_path, ignore_errors=True)
+        ivfpq_build(corpus, index_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    out, stats = ann_topk_ivfpq(index_path, queries, k=10, nprobe=4)
+
+    # oracle input tables (q29 doctrine: fixed paths, one gate at a time)
+    import pyarrow.parquet as _pq
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    q_cells = stats["probes"]
+    qid = np.repeat(np.arange(q_cells.shape[0]), q_cells.shape[1])
+    _pq.write_table(
+        pa.table({"query_id": pa.array(qid, pa.int64()),
+                  "cell": pa.array(q_cells.ravel(), pa.int64())}),
+        os.path.join(_PPL_ORACLE_DIR, "ivfpq_probes.parquet"),
+    )
+    luts = stats["luts"]  # (n_q, m, ks) float64
+    nq, m, ks = luts.shape
+    _pq.write_table(
+        pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq), m * ks), pa.int64()),
+            "j": pa.array(np.tile(np.repeat(np.arange(m), ks), nq), pa.int64()),
+            "code": pa.array(np.tile(np.arange(ks), nq * m), pa.int64()),
+            "partial": pa.array(luts.ravel(), pa.float64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "ivfpq_lut.parquet"),
+    )
+    assign = []
+    code_cols = [f"code_{j}" for j in range(m)]
+    for cdir in sorted(os.listdir(index_path)):
+        if not cdir.startswith("cell="):
+            continue
+        cell = int(cdir.split("=", 1)[1])
+        t = _pq.read_table(os.path.join(index_path, cdir),
+                           columns=["vec_id", *code_cols])
+        assign.append(t.append_column(
+            "cell", pa.array(np.full(len(t), cell), pa.int64())))
+    _pq.write_table(
+        pa.concat_tables(assign),
+        os.path.join(_PPL_ORACLE_DIR, "ivfpq_assign.parquet"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 4)),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q81_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    plus = " + ".join(f"l{j}.partial" for j in range(8))
+    joins = "\n".join(
+        f"  join lut l{j} on l{j}.query_id = p.query_id and l{j}.j = {j} "
+        f"and l{j}.code = a.code_{j}"
+        for j in range(8)
+    )
+    return f"""
+with assign as (select * from read_parquet('{d}/ivfpq_assign.parquet')),
+probes as (select distinct query_id, cell
+           from read_parquet('{d}/ivfpq_probes.parquet')),
+lut as (select * from read_parquet('{d}/ivfpq_lut.parquet')),
+scored as (
+  select p.query_id, a.vec_id, {plus} as score
+  from assign a
+  join probes p on p.cell = a.cell
+{joins}
+),
+ranked as (
+  select query_id, vec_id, score,
+    row_number() over (partition by query_id
+                       order by score desc, vec_id) as rn
+  from scored)
+select query_id, vec_id, round(score, 4) as score
+from ranked where rn <= 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4227,6 +4349,7 @@ QUERIES = {
     "q78_disjunctive_predicates": q78_disjunctive_predicates,
     "q79_top_supplier": q79_top_supplier,
     "q80_real_embed": q80_real_embed,
+    "q81_ann_ivfpq": q81_ann_ivfpq,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4271,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_quality_pipeline_pages": _q28_sql(),
         "q29_ann_ivf": _q29_sql(),
         "q30_multimodal_decode": _q30_sql(),
+        "q81_ann_ivfpq": _q81_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
