@@ -4268,6 +4268,158 @@ from ranked where rn <= 10
 """
 
 
+
+# --------------------------------------------------------------------- q82
+
+def q82_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): pre-aggregate the
+    fact table per order (two-phase sum), HAVING-filter the small
+    aggregate, partitioned-hash-join it back to orders, broadcast the
+    customer dimension, exact top-100 by total price. The pre-agg +
+    having runs BEFORE any join, so the join input is the qualifying
+    subset, never the raw fact table."""
+    from feast_ray.stages import hash_join
+    from feast_ray.stages.join import broadcast_join
+    from feast_ray.stages.relational import topk
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(
+        li, ["l_orderkey"], [AggSpec("l_quantity", "sum", "sum_qty")]
+    )
+
+    def _having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["sum_qty"], pa.scalar(150.0)))
+        return t.rename_columns(["o_orderkey", "sum_qty"])
+
+    big = per_order.map_batches(_having, batch_format="pyarrow")
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    j = hash_join(orders, big, on="o_orderkey", num_buckets=16)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j = broadcast_join(j, cust, on="o_custkey", right_on="c_custkey")
+    out = topk(
+        j, ["o_totalprice", "o_orderdate", "o_orderkey"], 100,
+        descending=[True, False, False],
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+             "o_totalprice", "sum_qty"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_Q82_SQL = """
+select c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+from (
+  select l_orderkey as o_orderkey, sum(l_quantity) as sum_qty
+  from lineitem group by 1 having sum(l_quantity) > 150.0) big
+join orders using (o_orderkey)
+join customer on c_custkey = o_custkey
+order by o_totalprice desc, o_orderdate, o_orderkey
+limit 100
+"""
+
+
+# --------------------------------------------------------------------- q83
+
+def q83_lone_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape adapted to this schema (no receipt/commit
+    dates: a line is LATE when it ships > 60 days after the order
+    date): for finalized orders with at least two distinct suppliers
+    where exactly ONE supplier shipped late, count that lone late
+    supplier's late lines. The correlated EXISTS / NOT EXISTS pair
+    becomes two cheap distributed aggregates — per-(order, supplier)
+    any-late, then per-order (supplier count, late-supplier count) —
+    joined back to the late lines; dimensions broadcast."""
+    from feast_ray.stages import hash_join
+    from feast_ray.stages.join import broadcast_join
+    from feast_ray.stages.relational import topk
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    )
+
+    def _final_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]
+        )
+
+    fo = orders.map_batches(_final_orders, batch_format="pyarrow")
+    j = hash_join(li, fo, on="l_orderkey", num_buckets=16)
+
+    LATE_US = 60 * 86400 * 1_000_000
+
+    def _flag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        cut = pc.add(pc.cast(t["o_orderdate"], pa.int64()), pa.scalar(LATE_US, pa.int64()))
+        late = pc.cast(pc.greater(ship, cut), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "late": late,
+        })
+
+    flagged = j.map_batches(_flag, batch_format="pyarrow")
+    # EXISTS/NOT EXISTS -> two aggregates: any-late per (order, supp),
+    # then (distinct suppliers, late suppliers) per order
+    per_os = grouped_agg(
+        flagged, ["l_orderkey", "l_suppkey"], [AggSpec("late", "max", "any_late")]
+    )
+    per_o = grouped_agg(
+        per_os, ["l_orderkey"],
+        [AggSpec(None, "count", "n_supp"), AggSpec("any_late", "sum", "n_late")],
+    )
+
+    def _lone(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_supp"], pa.scalar(2, pa.int64())),
+            pc.equal(t["n_late"], pa.scalar(1, pa.int64())),
+        )
+        return t.filter(keep).select(["l_orderkey"])
+
+    lone = per_o.map_batches(_lone, batch_format="pyarrow")
+    late_lines = flagged.map_batches(
+        lambda t: t.filter(pc.equal(t["late"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(late_lines, lone, on="l_orderkey", num_buckets=16)
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    cand = broadcast_join(cand, sup, on="l_suppkey", right_on="s_suppkey")
+    counted = grouped_agg(cand, ["s_name"], [AggSpec(None, "count", "numwait")])
+    return topk(counted, ["numwait", "s_name"], 100, descending=[True, False])
+
+
+_Q83_SQL = """
+with li as (
+  select l_orderkey, l_suppkey,
+    cast(l_shipdate > o_orderdate + interval 60 day as bigint) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+  where o_orderstatus = 'F'),
+per_os as (
+  select l_orderkey, l_suppkey, max(late) as any_late
+  from li group by 1, 2),
+per_o as (
+  select l_orderkey, count(*) as n_supp, sum(any_late) as n_late
+  from per_os group by 1),
+lone as (select l_orderkey from per_o where n_supp >= 2 and n_late = 1)
+select s_name, count(*) as numwait
+from li join lone using (l_orderkey)
+join supplier on s_suppkey = l_suppkey
+where li.late = 1
+group by s_name
+order by numwait desc, s_name
+limit 100
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4350,6 +4502,8 @@ QUERIES = {
     "q79_top_supplier": q79_top_supplier,
     "q80_real_embed": q80_real_embed,
     "q81_ann_ivfpq": q81_ann_ivfpq,
+    "q82_large_volume_orders": q82_large_volume_orders,
+    "q83_lone_late_supplier": q83_lone_late_supplier,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4395,6 +4549,8 @@ def oracle_sql() -> dict[str, str]:
         "q29_ann_ivf": _q29_sql(),
         "q30_multimodal_decode": _q30_sql(),
         "q81_ann_ivfpq": _q81_sql(),
+        "q82_large_volume_orders": _Q82_SQL,
+        "q83_lone_late_supplier": _Q83_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
