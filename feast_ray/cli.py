@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=6566)
+    sr = sub.add_parser("serve-registry")  # reference: feast serve_registry
+    sr.add_argument("--host", default="127.0.0.1")
+    sr.add_argument("--port", type=int, default=6570)
     args = p.parse_args(argv)
 
     _ensure_ray(args.num_cpus)
@@ -137,6 +140,20 @@ def main(argv: list[str] | None = None) -> int:
 
             server = _serve(store, host=args.host, port=args.port)
             print(json.dumps({"serving": list(server.server_address)}))
+            import time as _time
+
+            try:
+                while True:
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                server.shutdown()
+        elif args.cmd == "serve-registry":
+            # the reference's `feast serve_registry` (registry service)
+            store = _demo_store(args.repo, args.data)
+            from feast_ray.registry_server import serve_registry as _sreg
+
+            server = _sreg(store, host=args.host, port=args.port)
+            print(json.dumps({"registry_serving": list(server.server_address)}))
             import time as _time
 
             try:
