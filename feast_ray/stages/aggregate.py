@@ -310,6 +310,158 @@ def windowed_agg(
     return _tiled_sliding_agg(hopped, keys, window_col, slide_us, n_hops, specs)
 
 
+def _make_window_compose(
+    keys: list[str],
+    window_col: str,
+    slide_us: int,
+    n_hops: int,
+    kinds: "dict[str, str]",
+    merge_ir,
+    finalize,
+):
+    """Bucket-local window composition from merged per-(key, hop) IR
+    tiles (round 4 — the extreme-window//slide fix).
+
+    Per key the composer picks the cheaper of two exact strategies:
+
+    - **grid** (dense keys): scatter the key's tiles onto its hop grid
+      and compute every window in ONE rolling pass — cumsum-diff for
+      the additive IR kinds (sum/count/sumsq), pandas ``rolling`` (C
+      deque) for min/max. Cost O(hop-range + n_hops) per key,
+      independent of window//slide. Keys are packed into one global
+      array with (n_hops-1)-slot spacing so a single rolling pass
+      serves every key without cross-key bleed.
+    - **explode** (sparse keys, hop-range ≫ tiles): the classic
+      ×n_hops tile explode + groupby merge — but LOCAL to the bucket,
+      so the amplified rows never enter a shuffle.
+
+    Emitted windows are exactly those containing ≥1 tile (identical
+    to the explode path — parity-tested)."""
+
+    def _to_float(col: pd.Series):
+        """(float64 values with NaN for missing, restore_fn)."""
+        v = col.to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            iv = v.astype("datetime64[us]").astype(np.int64).astype(np.float64)
+            iv[pd.isna(col).to_numpy()] = np.nan
+
+            def _restore_dt(x: np.ndarray) -> np.ndarray:
+                out = np.where(
+                    np.isnan(x), float(np.iinfo(np.int64).min), x
+                ).astype(np.int64)  # int64 min == NaT
+                return out.view("datetime64[us]")
+
+            return iv, _restore_dt
+        if np.issubdtype(v.dtype, np.integer):
+            # int groupby min/max can't produce NaN; restore only then
+            return v.astype(np.float64), (
+                lambda x: x.astype(v.dtype) if not np.isnan(x).any() else x
+            )
+        return v.astype(np.float64), None
+
+    def _compose(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return finalize(merge_ir(df))
+        hop = df[window_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        g = df.groupby(keys, sort=False, dropna=False)
+        kid = g.ngroup().to_numpy()
+        order = np.lexsort((hop, kid))
+        dfs = df.iloc[order]
+        kid_s = kid[order]
+        hop_s = hop[order]
+        seg_start = np.concatenate([[True], kid_s[1:] != kid_s[:-1]])
+        starts = np.flatnonzero(seg_start)
+        ends = np.append(starts[1:], len(dfs))
+        minh = hop_s[starts]
+        maxh = hop_s[ends - 1]
+        n_tiles = ends - starts
+        L = (maxh - minh) // slide_us + 1
+        dense = (L + n_hops) < n_tiles * np.int64(n_hops)
+        dense_rows = np.repeat(dense, n_tiles)
+        parts: list[pd.DataFrame] = []
+
+        sparse_df = dfs.iloc[np.flatnonzero(~dense_rows)]
+        if len(sparse_df):
+            n = len(sparse_df)
+            idx = np.repeat(np.arange(n), n_hops)
+            shop = sparse_df[window_col].to_numpy(
+                dtype="datetime64[us]"
+            ).astype(np.int64)
+            w = (
+                np.repeat(shop, n_hops)
+                - np.tile(np.arange(n_hops, dtype=np.int64) * slide_us, n)
+            )
+            ex = sparse_df.iloc[idx].copy()
+            ex[window_col] = w.astype("datetime64[us]")
+            parts.append(finalize(merge_ir(ex)))
+
+        didx = np.flatnonzero(dense)
+        if len(didx):
+            drows = np.flatnonzero(dense_rows)
+            ddf = dfs.iloc[drows]
+            dk = kid_s[drows]
+            dh = hop_s[drows]
+            seg_len = (L[didx] + n_hops - 1).astype(np.int64)
+            bases = np.zeros(len(didx), np.int64)
+            np.cumsum(seg_len[:-1], out=bases[1:])
+            G = int(seg_len.sum())
+            # position of each dense tile in the packed global array
+            seg_of = {int(k): i for i, k in enumerate(kid_s[starts][didx])}
+            seg_idx = np.array([seg_of[int(k)] for k in dk], np.int64)
+            pos = bases[seg_idx] + (dh - minh[didx][seg_idx]) // slide_us
+
+            pres = np.zeros(G + 1, np.int64)
+            pres[pos + 1] = 1
+            np.cumsum(pres, out=pres)
+            lo = np.maximum(np.arange(G) - (n_hops - 1), 0)
+            present = (pres[np.arange(G) + 1] - pres[lo]) > 0
+            emit = np.flatnonzero(present)
+            # windows roll WITHIN a segment: clamp each emitted
+            # window's reach-back to its own segment start
+            eseg = np.searchsorted(bases, emit, side="right") - 1
+            elo = np.maximum(emit - (n_hops - 1), bases[eseg])
+
+            out_cols: dict[str, np.ndarray] = {}
+            for pname, kind in kinds.items():
+                vals, restore = _to_float(ddf[pname])
+                if kind in ("sum", "count", "sumsq"):
+                    c = np.zeros(G + 1, np.float64)
+                    c[pos + 1] = np.nan_to_num(vals)
+                    np.cumsum(c, out=c)
+                    res = c[emit + 1] - c[elo]
+                else:
+                    scat = np.full(G, np.nan)
+                    scat[pos] = vals
+                    roller = pd.Series(scat).rolling(n_hops, min_periods=1)
+                    rolled = (
+                        roller.min() if kind == "min" else roller.max()
+                    ).to_numpy()
+                    res = rolled[emit]
+                if restore is not None:
+                    res = restore(res)
+                out_cols[pname] = res
+
+            wts = (
+                minh[didx][eseg]
+                - (n_hops - 1) * slide_us
+                + (emit - bases[eseg]) * slide_us
+            )
+            frame = pd.DataFrame(out_cols)
+            frame[window_col] = wts.astype("datetime64[us]")
+            # key values: one representative row per dense segment
+            key_rows = dfs.iloc[starts[didx]][keys].reset_index(drop=True)
+            for c in keys:
+                frame[c] = key_rows[c].to_numpy()[eseg]
+            parts.append(finalize(frame))
+
+        out = pd.concat(parts, ignore_index=True) if parts else finalize(
+            merge_ir(df.iloc[:0])
+        )
+        return out
+
+    return _compose
+
+
 def _tiled_sliding_agg(
     hopped: ray.data.Dataset,
     keys: list[str],
@@ -375,10 +527,28 @@ def _tiled_sliding_agg(
             _make_partial_fn(tkeys, main_specs), batch_format="pyarrow"
         )
         tiles = bucketed_group_reduce(block_tiles, tkeys, _merge_ir)
-        exploded = tiles.map_batches(_explode_to_windows, batch_format="pyarrow")
-        result = bucketed_group_reduce(
-            exploded, tkeys, lambda df: finalize(_merge_ir(df))
-        )
+        if keys:
+            # bucket-local composition (round 4): bucket the merged
+            # tiles on the KEYS alone so each key's tiles co-locate,
+            # then compose windows INSIDE the bucket — the ×n_hops
+            # amplification never crosses the network (the old path
+            # shipped the exploded tile table through a second
+            # shuffle), and dense keys skip the explode entirely via
+            # a rolling pass over the hop grid (O(grid) instead of
+            # O(tiles × n_hops) — the extreme-window//slide fix).
+            compose = _make_window_compose(
+                keys, window_col, slide_us, n_hops, kinds, _merge_ir, finalize
+            )
+            result = bucketed_group_reduce(tiles, keys, compose)
+        else:
+            # keyless sliding windows: tiny tile table, keep the
+            # explode + one bucketed reduce on the window column
+            exploded = tiles.map_batches(
+                _explode_to_windows, batch_format="pyarrow"
+            )
+            result = bucketed_group_reduce(
+                exploded, tkeys, lambda df: finalize(_merge_ir(df))
+            )
 
     for spec in cd_specs:
         import pyarrow.compute as _pc

@@ -749,3 +749,65 @@ def test_exchange_raw_vs_sort_parity():
     blocks = [ray.get(r) for r in joined.to_arrow_refs()]
     assert all(b.column_names == ["k", "v", "w"] for b in blocks)
     assert sum(len(b) for b in blocks) == 0
+
+
+def test_window_compose_grid_vs_brute(ray_session):
+    """Round-4 bucket-local window composition: the dense-key grid
+    rolling path and the sparse-key local explode must both equal
+    brute-force window semantics, across mixed densities, null keys,
+    and every IR kind (sum/mean/min/max/count/std + datetime max)."""
+    from datetime import timedelta
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, windowed_agg
+
+    rng = np.random.RandomState(5)
+    rows = []
+    base = pd.Timestamp("2024-06-01").value // 1000
+    for k, (n, span) in enumerate(
+        [(800, 3600), (300, 1800), (25, 86400), (5, 400000), (1, 1)]
+    ):
+        ts = base + rng.randint(0, span + 1, n).astype(np.int64) * 1_000_000
+        rows += [(f"u{k}", int(t), float(rng.randn()), int(rng.randint(0, 50)))
+                 for t in ts]
+    rows += [(None, base + t * 60_000_000, 1.5, 3) for t in range(5)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts_i", "value", "cnt"])
+    df["ts"] = df["ts_i"].astype("datetime64[us]")
+    df = df.drop(columns="ts_i")
+    ds = ray.data.from_pandas(df).repartition(5)
+    specs = [
+        AggSpec("value", "sum", "v_sum"), AggSpec("value", "mean", "v_mean"),
+        AggSpec("value", "min", "v_min"), AggSpec("cnt", "max", "c_max"),
+        AggSpec(None, "count", "n"), AggSpec("value", "std", "v_std"),
+        AggSpec("ts", "max", "t_max"),
+    ]
+    for w_s, s_s in [(3600, 300), (7200, 60)]:  # 12 and 120 hops
+        got = (
+            windowed_agg(ds, ["user_id"], "ts", timedelta(seconds=w_s), specs,
+                         slide=timedelta(seconds=s_s))
+            .to_pandas()
+            .sort_values(["user_id", "window_start"], na_position="first")
+            .reset_index(drop=True)
+        )
+        w_us, s_us = w_s * 1_000_000, s_s * 1_000_000
+        ti = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        hop = (ti // s_us) * s_us
+        ex = pd.concat([
+            df.assign(window_start=(hop - j * s_us).astype("datetime64[us]"))
+            for j in range(w_us // s_us)
+        ])
+        g = ex.groupby(["user_id", "window_start"], dropna=False)
+        exp = pd.DataFrame({
+            "v_sum": g["value"].sum(), "v_mean": g["value"].mean(),
+            "v_min": g["value"].min(), "c_max": g["cnt"].max(),
+            "n": g["value"].size(), "v_std": g["value"].std(),
+            "t_max": g["ts"].max(),
+        }).reset_index().sort_values(
+            ["user_id", "window_start"], na_position="first"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[exp.columns], exp, check_dtype=False, rtol=1e-9, atol=1e-12
+        )
