@@ -4420,6 +4420,114 @@ limit 100
 """
 
 
+
+# --------------------------------------------------------------------- q84
+
+def q84_rag_retrieval(sf_dir: str):
+    """Composed RAG ingestion + retrieval (round 4): chunk the corpus,
+    embed every chunk (the SQL-reconstructable crc32 bag-of-tokens
+    embedder — q34), then retrieve the top-3 chunks per query document
+    by cosine against the query doc's first chunk. The full chain —
+    chunker, embedder, normalization, scoring, ranking — is
+    value-checked end to end in one SQL oracle (the reference's
+    retrieve-documents flow, feature_store.py:4044, as a single
+    offline pipeline)."""
+    from feast_ray.functions.chunker import HashEmbedder, chunk_batch
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = docs.map_batches(
+        lambda t: chunk_batch(t, "doc_id", "text"), batch_format="pyarrow"
+    )
+    emb = chunks.map_batches(
+        HashEmbedder, fn_constructor_kwargs={"text_col": "chunk_text", "dim": 32},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def _corpus(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["doc_id"], 5))
+        cid = pc.add(pc.multiply(t["doc_id"], pa.scalar(1024)), t["chunk_id"])
+        return pa.table({
+            "cid": pc.cast(cid, pa.int64()),
+            "embedding": t["embedding"],
+        })
+
+    corpus = emb.map_batches(_corpus, batch_format="pyarrow")
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.less(t["doc_id"], 5), pc.equal(t["chunk_id"], 0)
+            )),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    out = ann_topk_bruteforce(
+        corpus, qmat, k=3, id_col="cid", vec_col="embedding", round_to=4
+    )
+    qdocs = qdf["doc_id"].to_numpy()
+
+    def _proj(t: pa.Table) -> pa.Table:
+        qd = qdocs[t["query_id"].to_numpy(zero_copy_only=False)]
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "query_doc": pa.array(qd, pa.int64()),
+            "doc_id": pa.array(cid // 1024, pa.int64()),
+            "chunk_id": pa.array(cid % 1024, pa.int64()),
+            "score": t["score"],
+        })
+
+    return out.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q84_sql() -> str:
+    return f"""
+with chunks as ({_Q33_SQL}),
+words as (
+  select doc_id, chunk_id, unnest(regexp_extract_all(chunk_text, '\\S+')) as word
+  from chunks),
+hashed as (
+  select doc_id, chunk_id, {_crc32_sql("word")} as h
+  from words),
+deltas as (
+  select doc_id, chunk_id, h % 32 as bucket,
+    case when (h >> 16) & 1 = 1 then 1.0 else -1.0 end as d
+  from hashed),
+vs as (
+  select doc_id, chunk_id, bucket, sum(d) as v
+  from deltas group by doc_id, chunk_id, bucket),
+vecs as (
+  select c.doc_id, c.chunk_id,
+    list(coalesce(vs.v, 0.0) order by bk.b) as raw
+  from chunks c
+  cross join (select unnest(generate_series(0, 31)) as b) bk
+  left join vs on vs.doc_id = c.doc_id and vs.chunk_id = c.chunk_id
+             and vs.bucket = bk.b
+  group by c.doc_id, c.chunk_id),
+normed as (
+  select doc_id, chunk_id,
+    case when sqrt(list_sum(list_transform(raw, x -> x * x))) > 0
+         then list_transform(raw, x -> x / sqrt(list_sum(list_transform(raw, y -> y * y))))
+         else raw end as nv
+  from vecs),
+q as (select doc_id as query_doc, nv as qv from normed
+      where doc_id < 5 and chunk_id = 0),
+c as (select doc_id, chunk_id, doc_id * 1024 + chunk_id as cid, nv
+      from normed where doc_id >= 5),
+scored as (
+  select q.query_doc, c.doc_id, c.chunk_id,
+    list_cosine_similarity(c.nv, q.qv) as raw_score,
+    row_number() over (partition by q.query_doc
+        order by list_cosine_similarity(c.nv, q.qv) desc, c.cid asc) as rn
+  from q cross join c)
+select query_doc, doc_id, chunk_id, round(raw_score, 4) as score
+from scored where rn <= 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4504,6 +4612,7 @@ QUERIES = {
     "q81_ann_ivfpq": q81_ann_ivfpq,
     "q82_large_volume_orders": q82_large_volume_orders,
     "q83_lone_late_supplier": q83_lone_late_supplier,
+    "q84_rag_retrieval": q84_rag_retrieval,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4551,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "q81_ann_ivfpq": _q81_sql(),
         "q82_large_volume_orders": _Q82_SQL,
         "q83_lone_late_supplier": _Q83_SQL,
+        "q84_rag_retrieval": _q84_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
