@@ -220,10 +220,16 @@ class MediaDecoder:
 
     @staticmethod
     def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-        """Baseline grayscale JPEG → (w, h, 16-bin luminance
-        histogram); see :func:`decode_jpeg_gray`."""
-        px = decode_jpeg_gray(payload)
-        feat = np.bincount((px >> 4).ravel(), minlength=FEATURE_DIM).astype(
+        """Baseline JPEG (grayscale or YCbCr color) → (w, h, 16-bin
+        luminance histogram); see :func:`decode_jpeg`."""
+        px = decode_jpeg(payload)
+        if px.ndim == 3:  # RGB → ITU-R 601 luminance (the PNG path's view)
+            lum = (px[..., :3] @ np.array([0.299, 0.587, 0.114])).astype(
+                np.uint8
+            )
+        else:
+            lum = px
+        feat = np.bincount((lum >> 4).ravel(), minlength=FEATURE_DIM).astype(
             np.float64
         )
         s = feat.sum()
@@ -605,15 +611,18 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG decoder → uint8 (h, w).
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG decoder → uint8 (h, w) grayscale or (h, w, 3) RGB.
 
     Marker walk (DQT/SOF0/DHT/SOS), canonical serial Huffman decode,
-    dequantization, then one BATCHED numpy IDCT over every block at
-    once (the per-block bit loop is unavoidable — Huffman is a serial
-    code — but all pixel math is vectorized). Output rounding is
-    floor(x + 0.5) (see the determinism contract above). Progressive /
-    multi-component / 16-bit inputs raise NotImplementedError."""
+    dequantization, then one BATCHED numpy IDCT per component (the
+    per-block bit loop is unavoidable — Huffman is a serial code — but
+    all pixel math is vectorized). Supports 1-component grayscale and
+    3-component interleaved YCbCr at 4:4:4 / 4:2:2 / 4:2:0 samplings
+    (chroma upsampled by pixel replication, JFIF color transform).
+    Output rounding is floor(x + 0.5) (determinism contract above).
+    Progressive, >2× sampling, restart intervals and 16-bit inputs
+    raise NotImplementedError."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -622,7 +631,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], tuple] = {}
     h = w = None
-    qsel = dc_sel = ac_sel = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc_sel, ac_sel)
+    scan_order: list[int] = []
     scan = None
     while i < n:
         if payload[i] != 0xFF:
@@ -648,16 +659,26 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 j += 65
         elif m == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc != 1:
+            if prec != 8 or nc not in (1, 3):
                 raise NotImplementedError(
-                    f"JPEG decode supports 8-bit single-component baseline "
+                    f"JPEG decode supports 8-bit 1- or 3-component baseline "
                     f"(precision={prec}, components={nc})"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            qsel = body[8]
+            comps = []
+            for k in range(nc):
+                cid = body[6 + 3 * k]
+                samp = body[7 + 3 * k]
+                hs, vs = samp >> 4, samp & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} unsupported (max 2x2)"
+                    )
+                comps.append((cid, hs, vs, body[8 + 3 * k]))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline (e.g. progressive) JPEG")
+        elif m == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError("restart intervals (DRI)")
         elif m == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -669,9 +690,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 )
                 j += 17 + nv
         elif m == 0xDA:  # SOS: entropy data follows the segment
-            if body[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 15
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved (multi-scan) JPEG")
+            for k in range(ns):
+                cid = body[1 + 2 * k]
+                scan_order.append(cid)
+                scan_sel[cid] = (body[2 + 2 * k] >> 4, body[2 + 2 * k] & 15)
             j = i
             while j < n - 1:
                 if payload[j] == 0xFF and payload[j + 1] != 0x00 and not (
@@ -683,15 +708,15 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 payload[i:j].replace(b"\xff\x00", b"\xff"), np.uint8
             )
             i = j
-    if h is None or scan is None or qsel not in qtabs:
+    if h is None or scan is None or not comps:
         raise ValueError("incomplete JPEG (missing SOF/SOS/DQT)")
 
-    q = qtabs[qsel].astype(np.float64)
-    dcm, dcx, dcp, dcv = huffs[(0, dc_sel)]
-    acm, acx, acp, acv = huffs[(1, ac_sel)]
     br = _JpegBitReader(scan)
+    tables = {cid: (huffs[(0, d)], huffs[(1, a)])
+              for cid, (d, a) in scan_sel.items()}
 
-    def huff_decode(mincode, maxcode, valptr, vals) -> int:
+    def huff_decode(tbl) -> int:
+        mincode, maxcode, valptr, vals = tbl
         code, L = br.read(1), 1
         while code > maxcode[L]:
             code = (code << 1) | br.read(1)
@@ -700,17 +725,29 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 raise ValueError("corrupt huffman stream")
         return int(vals[valptr[L] + code - mincode[L]])
 
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    coefs = np.zeros((nby * nbx, 8, 8), np.float64)
-    prev_dc = 0
-    for b in range(nby * nbx):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcols = (w + 8 * hmax - 1) // (8 * hmax)
+    mrows = (h + 8 * vmax - 1) // (8 * vmax)
+    by_cid = {c[0]: c for c in comps}
+    coefs: dict[int, np.ndarray] = {}
+    bdims: dict[int, tuple[int, int]] = {}
+    for cid, hs, vs, _tq in comps:
+        bh, bw_ = mrows * vs, mcols * hs
+        coefs[cid] = np.zeros((bh * bw_, 8, 8), np.float64)
+        bdims[cid] = (bh, bw_)
+    prev_dc = {c[0]: 0 for c in comps}
+
+    def decode_block(cid: int, bidx: int) -> None:
+        dct, act = tables[cid]
+        q = qtabs[by_cid[cid][3]].astype(np.float64)
         zzq = np.zeros(64, np.int64)
-        cat = huff_decode(dcm, dcx, dcp, dcv)
-        prev_dc += _jpeg_extend(br.read(cat), cat) if cat else 0
-        zzq[0] = prev_dc
+        cat = huff_decode(dct)
+        prev_dc[cid] += _jpeg_extend(br.read(cat), cat) if cat else 0
+        zzq[0] = prev_dc[cid]
         k = 1
         while k < 64:
-            rs = huff_decode(acm, acx, acp, acv)
+            rs = huff_decode(act)
             r, s = rs >> 4, rs & 15
             if s == 0:
                 if r == 15:  # ZRL
@@ -722,12 +759,55 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             k += 1
         nat = np.zeros(64, np.float64)
         nat[_JPEG_ZZ] = zzq
-        coefs[b] = nat.reshape(8, 8) * q
+        coefs[cid][bidx] = nat.reshape(8, 8) * q
 
-    px = _JPEG_DCT.T @ coefs @ _JPEG_DCT  # batched IDCT, all blocks
-    px = np.clip(np.floor(px + 128.5), 0, 255).astype(np.uint8)
-    img = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-    return img[:h, :w]
+    for my in range(mrows):
+        for mx in range(mcols):
+            for cid in scan_order:
+                _c, hs, vs, _tq = by_cid[cid]
+                _bh, bw_ = bdims[cid]
+                for v in range(vs):
+                    for u in range(hs):
+                        decode_block(cid, (my * vs + v) * bw_ + (mx * hs + u))
+
+    planes: dict[int, np.ndarray] = {}
+    for cid, hs, vs, _tq in comps:
+        bh, bw_ = bdims[cid]
+        p = _JPEG_DCT.T @ coefs[cid] @ _JPEG_DCT  # batched IDCT
+        plane = (
+            p.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+        if hs < hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs < vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes[cid] = plane[:h, :w]
+
+    if len(comps) == 1:
+        # the EXACT pre-color expression (one add) — q30's oracle
+        # formula floor(x + 128.5) must keep matching bit for bit
+        img = planes[comps[0][0]]
+        return np.clip(np.floor(img + 128.5), 0, 255).astype(np.uint8)
+    # JFIF YCbCr → RGB (components in SOF order: Y, Cb, Cr)
+    y = planes[comps[0][0]] + 128.0
+    cb = planes[comps[1][0]]
+    cr = planes[comps[2][0]]
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Single-component decode (bit-compatible with the round-4 q30
+    oracle path); color payloads decode too, reduced to nothing — the
+    caller wanting color uses :func:`decode_jpeg` directly."""
+    out = decode_jpeg(payload)
+    if out.ndim != 2:
+        raise ValueError("decode_jpeg_gray: payload is a color JPEG")
+    return out
+
 
 
 #: quantization table used by q30's synthetic JPEG rows: an ODD DC
@@ -752,3 +832,164 @@ def jpeg_safe_gray_values(q0: int = 17) -> list[int]:
         if ((dcq % 8) + 8) % 8 != 4:
             out.append(v)
     return out
+
+
+# Annex K.2 chrominance quantization table
+JPEG_QTAB_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    np.int32,
+).reshape(8, 8)
+
+# Annex K.4 chrominance DC / K.6 chrominance AC Huffman tables
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_rgb_to_ycbcr(px: np.ndarray):
+    """JFIF full-range color transform."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _jpeg_pad_to(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = img.shape
+    out = np.empty((H, W), np.float64)
+    out[:h, :w] = img
+    if W > w:
+        out[:h, w:] = out[:h, w - 1 : w]
+    if H > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+def _jpeg_encode_block(bw, block, qtab, prev_dc, dc_huff, ac_huff) -> int:
+    """DCT → quantize → huffman one 8x8 block; returns its DC."""
+    coef = _JPEG_DCT @ block @ _JPEG_DCT.T
+    zzq = np.floor(coef / qtab + 0.5).astype(np.int64).reshape(64)[_JPEG_ZZ]
+    diff = int(zzq[0]) - prev_dc
+    cat, bits = _jpeg_magnitude(diff)
+    c, L = dc_huff[cat]
+    bw.put(c, L)
+    if cat:
+        bw.put(bits, cat)
+    nz = np.flatnonzero(zzq[1:]) + 1
+    pos = 0
+    for i in nz:
+        run = int(i) - pos - 1
+        while run >= 16:
+            c, L = ac_huff[0xF0]
+            bw.put(c, L)
+            run -= 16
+        cat, bits = _jpeg_magnitude(int(zzq[i]))
+        c, L = ac_huff[(run << 4) | cat]
+        bw.put(c, L)
+        bw.put(bits, cat)
+        pos = int(i)
+    if pos != 63:
+        c, L = ac_huff[0x00]
+        bw.put(c, L)
+    return int(zzq[0])
+
+
+def encode_jpeg_rgb(
+    px: np.ndarray,
+    qlum: "np.ndarray | None" = None,
+    qchrom: "np.ndarray | None" = None,
+) -> bytes:
+    """Deterministic baseline 4:2:0 YCbCr JFIF encoder for (h, w, 3)
+    RGB uint8 (test/synthetic payload source, like encode_jpeg_gray):
+    JFIF color transform, 2x2 chroma averaging, interleaved MCU scan
+    (4 Y + Cb + Cr per 16x16), Annex K luma + chroma table pairs."""
+    import struct
+
+    assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+    if qlum is None:
+        qlum = JPEG_QTAB_LUM
+    if qchrom is None:
+        qchrom = JPEG_QTAB_CHROM
+    h, w = px.shape[:2]
+    y, cb, cr = _jpeg_rgb_to_ycbcr(px)
+    H = (h + 15) // 16 * 16
+    W = (w + 15) // 16 * 16
+    y = _jpeg_pad_to(y, H, W) - 128.0
+    cb = _jpeg_pad_to(cb, H, W)
+    cr = _jpeg_pad_to(cr, H, W)
+    cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3)) - 128.0
+    cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    dl = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    al = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc = _jpeg_huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac = _jpeg_huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    bw = _JpegBitWriter()
+    pdc = [0, 0, 0]
+    for my in range(0, H, 16):
+        for mx in range(0, W, 16):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                pdc[0] = _jpeg_encode_block(
+                    bw, y[my + by : my + by + 8, mx + bx : mx + bx + 8],
+                    qlum, pdc[0], dl, al,
+                )
+            cy, cx = my // 2, mx // 2
+            pdc[1] = _jpeg_encode_block(
+                bw, cb[cy : cy + 8, cx : cx + 8], qchrom, pdc[1], dc, ac
+            )
+            pdc[2] = _jpeg_encode_block(
+                bw, cr[cy : cy + 8, cx : cx + 8], qchrom, pdc[2], dc, ac
+            )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qchrom.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C))
+    out += seg(0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

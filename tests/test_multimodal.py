@@ -215,3 +215,47 @@ def test_jpeg_roundtrip_and_closed_form():
     enc[sof + 1] = 0xC2  # rewrite marker to progressive
     with _pytest.raises(NotImplementedError, match="progressive|baseline"):
         decode_jpeg_gray(bytes(enc))
+
+
+def test_jpeg_color_roundtrip():
+    """4:2:0 YCbCr color JPEG (round 4): solid colors round-trip
+    exactly with unit tables; constant-per-2x2-chroma images bound the
+    error at the color-transform rounding; the decoder stage reduces
+    RGB to a luminance histogram; 4:4:4 also decodes (generic MCU)."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        MediaDecoder,
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.RandomState(3)
+    q1 = np.ones((8, 8), np.int32)
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255)]:
+        px = np.zeros((24, 40, 3), np.uint8)
+        px[:] = color
+        dec = decode_jpeg(encode_jpeg_rgb(px, q1, q1))
+        assert dec.shape == px.shape
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+    # gray content carried in a color container: near-lossless
+    g = rng.randint(0, 256, (40, 56)).astype(np.uint8)
+    px = np.stack([g, g, g], -1)
+    dec = decode_jpeg(encode_jpeg_rgb(px, q1, q1))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 1
+    # constant 2x2 chroma blocks: subsampling is lossless, err <= 2
+    base = rng.randint(0, 256, (12, 14, 3)).astype(np.uint8)
+    px = np.repeat(np.repeat(base, 2, 0), 2, 1)
+    dec = decode_jpeg(encode_jpeg_rgb(px, q1, q1))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+    # odd dims decode to exact declared size
+    px = rng.randint(0, 256, (37, 61, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg_rgb(px)).shape == (37, 61, 3)
+    # the decode stage reduces color to a luminance histogram
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[:] = (200, 30, 90)
+    w_, h_, feat = MediaDecoder(mode="auto")._decode_auto(
+        encode_jpeg_rgb(solid, q1, q1)
+    )
+    assert (w_, h_) == (16, 16) and feat.sum() == 1.0
+    assert feat[feat.argmax()] == 1.0  # one luminance bin
