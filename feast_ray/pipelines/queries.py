@@ -4528,6 +4528,66 @@ from scored where rn <= 3
 """
 
 
+
+# --------------------------------------------------------------------- q85
+
+def q85_dense_slide_metrics(sf_dir: str):
+    """Extreme-slide sliding window: 2 h window / 1 min slide (120
+    hops) keyed by event_type — the shape whose ×120 tile explode the
+    round-4 bucket-local GRID composition eliminates (per key the
+    composer rolls over the hop grid in one pass; event_type keys are
+    dense at every sf, so the gate value-checks the grid path
+    specifically; the sparse-key explode arm is pinned by
+    tests/test_stages.py::test_window_compose_grid_vs_brute). Fixed-
+    point cents keep the sliding sums exact integers on both sides."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    prepped = ev.map_batches(
+        lambda t: _cents(t, "value", "value_c", 100.0), batch_format="pyarrow"
+    )
+    agg = windowed_agg(
+        prepped,
+        ["event_type"],
+        "ts",
+        timedelta(hours=2),
+        [
+            AggSpec(None, "count", "n_events"),
+            AggSpec("value_c", "sum", "value_sum_c"),
+            AggSpec("value_c", "min", "value_min_c"),
+            AggSpec("value_c", "max", "value_max_c"),
+        ],
+        slide=timedelta(minutes=1),
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "window_start", "n_events"]].copy()
+        out["sum_value"] = df["value_sum_c"] / 100.0
+        out["min_value"] = df["value_min_c"] / 100.0
+        out["max_value"] = df["value_max_c"] / 100.0
+        return out
+
+    return _us(agg.map_batches(_final, batch_format="pandas"))
+
+
+_Q85_SQL = f"""
+with e as (
+  select event_type,
+    time_bucket(interval '1 minute', ts) as hop,
+    {_SQL_CENTS.format(expr='value', scale=100)} as v_c
+  from events),
+w as (
+  select event_type, v_c,
+    hop - j.j * interval '1 minute' as window_start
+  from e cross join (select unnest(range(120)) as j) j)
+select event_type, window_start,
+  count(*) as n_events,
+  sum(v_c) / 100.0 as sum_value,
+  min(v_c) / 100.0 as min_value,
+  max(v_c) / 100.0 as max_value
+from w
+group by event_type, window_start
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4613,6 +4673,7 @@ QUERIES = {
     "q82_large_volume_orders": q82_large_volume_orders,
     "q83_lone_late_supplier": q83_lone_late_supplier,
     "q84_rag_retrieval": q84_rag_retrieval,
+    "q85_dense_slide_metrics": q85_dense_slide_metrics,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4661,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_large_volume_orders": _Q82_SQL,
         "q83_lone_late_supplier": _Q83_SQL,
         "q84_rag_retrieval": _q84_sql(),
+        "q85_dense_slide_metrics": _Q85_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
