@@ -16,7 +16,7 @@ PNG (``zlib`` inflate + the five spec unfilters), baseline grayscale
 JPEG (marker walk, canonical Huffman decode, dequant + batched numpy
 IDCT — see the JPEG section at the bottom) and PCM WAV (stdlib
 ``wave`` + numpy) — and raises NotImplementedError for anything else
-(progressive/color JPEG, MP4…). ``mode="fake"`` (default) produces a
+(progressive JPEG, MP4…). ``mode="fake"`` (default) produces a
 deterministic pseudo decode seeded by a content digest, so the schema,
 batch sizing, actor signature and output layout are exercised end to
 end either way; ``mode="auto"`` sniffs magic bytes and real-decodes
@@ -481,6 +481,11 @@ class _JpegBitWriter:
             # never needs a stuffing term
             self.put(0, 8 - self.nbits)
 
+    def restart(self, n: int):
+        """Byte-align and emit RSTn (markers bypass byte stuffing)."""
+        self.flush()
+        self.out += bytes((0xFF, 0xD0 + (n % 8)))
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude coding: (category, offset bits)."""
@@ -490,11 +495,17 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return cat, (v if v > 0 else v + (1 << cat) - 1)
 
 
-def encode_jpeg_gray(px: np.ndarray, qtab: "np.ndarray | None" = None) -> bytes:
+def encode_jpeg_gray(
+    px: np.ndarray,
+    qtab: "np.ndarray | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Deterministic baseline grayscale JFIF encoder (test/synthetic
     payload source, like :func:`encode_png`). Edge-replicates to 8x8
     blocks, orthonormal float DCT, floor(c/q + 0.5) quantization,
-    Annex K Huffman tables, zero-bit final padding."""
+    Annex K Huffman tables, zero-bit final padding.
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (blocks)
+    — exercises the decoder's restart handling."""
     import struct
 
     assert px.dtype == np.uint8 and px.ndim == 2
@@ -516,8 +527,15 @@ def encode_jpeg_gray(px: np.ndarray, qtab: "np.ndarray | None" = None) -> bytes:
 
     bw = _JpegBitWriter()
     prev_dc = 0
+    mcu_i = 0
+    n_rst = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.restart(n_rst)
+                n_rst += 1
+                prev_dc = 0
+            mcu_i += 1
             coef = _JPEG_DCT @ img[by : by + 8, bx : bx + 8] @ _JPEG_DCT.T
             zzq = np.floor(coef / qtab + 0.5).astype(np.int64).reshape(64)[_JPEG_ZZ]
             diff = int(zzq[0]) - prev_dc
@@ -555,6 +573,8 @@ def encode_jpeg_gray(px: np.ndarray, qtab: "np.ndarray | None" = None) -> bytes:
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bw.out
     out += b"\xff\xd9"
@@ -621,8 +641,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     3-component interleaved YCbCr at 4:4:4 / 4:2:2 / 4:2:0 samplings
     (chroma upsampled by pixel replication, JFIF color transform).
     Output rounding is floor(x + 0.5) (determinism contract above).
-    Progressive, >2× sampling, restart intervals and 16-bit inputs
-    raise NotImplementedError."""
+    Restart intervals (DRI/RSTn) are honored — byte-align, consume
+    the marker, reset DC predictors. Progressive, >2× sampling and
+    16-bit inputs raise NotImplementedError."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -632,6 +653,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], tuple] = {}
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    restart_interval = 0
     scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc_sel, ac_sel)
     scan_order: list[int] = []
     scan = None
@@ -676,9 +698,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hs, vs, body[8 + 3 * k]))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline (e.g. progressive) JPEG")
-        elif m == 0xDD:  # DRI
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise NotImplementedError("restart intervals (DRI)")
+        elif m == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif m == 0xC4:  # DHT
             j = 0
             while j < len(body):
@@ -761,8 +782,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         nat[_JPEG_ZZ] = zzq
         coefs[cid][bidx] = nat.reshape(8, 8) * q
 
+    mcu_i = 0
     for my in range(mrows):
         for mx in range(mcols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align, consume the RSTn marker, reset predictors
+                br.pos = (br.pos + 7) & ~7
+                b0 = int(br.data[br.pos >> 3])
+                b1 = int(br.data[(br.pos >> 3) + 1])
+                if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+                    raise ValueError(
+                        f"expected RST marker at MCU {mcu_i}, got {b0:02x}{b1:02x}"
+                    )
+                br.pos += 16
+                for c in prev_dc:
+                    prev_dc[c] = 0
+            mcu_i += 1
             for cid in scan_order:
                 _c, hs, vs, _tq = by_cid[cid]
                 _bh, bw_ = bdims[cid]

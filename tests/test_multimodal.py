@@ -259,3 +259,29 @@ def test_jpeg_color_roundtrip():
     )
     assert (w_, h_) == (16, 16) and feat.sum() == 1.0
     assert feat[feat.argmax()] == 1.0  # one luminance bin
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn streams (round 4): the decoder byte-aligns at each
+    restart, consumes the marker, and resets DC predictors — exact
+    parity with the marker-free stream; corrupt restart position
+    raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.RandomState(9)
+    q1 = np.ones((8, 8), np.int32)
+    px = rng.randint(0, 256, (40, 56)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(px, q1))
+    for ri in (1, 3, 7):
+        dec = decode_jpeg(encode_jpeg_gray(px, q1, restart_interval=ri))
+        np.testing.assert_array_equal(dec, plain)
+    # a DRI header whose stream lacks the markers must fail loudly
+    enc = bytearray(encode_jpeg_gray(px, q1))
+    sos = bytes(enc).find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    bad = bytes(enc[:sos]) + dri + bytes(enc[sos:])
+    with _pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bad)
