@@ -4588,6 +4588,192 @@ group by event_type, window_start
 """
 
 
+
+# --------------------------------------------------------------------- q86
+
+def q86_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): six-table join where
+    the customer's and the line's supplier must share a nation, summed
+    revenue per nation within one region and order-date year. Both
+    fact tables stream through ONE partitioned hash join each
+    (lineitem pre-projected to 24 B rows); customer joins partitioned
+    (it scales with sf — q02's doctrine); supplier/nation/region
+    broadcast (fixed or sublinear sizes). Fixed-point revenue keeps
+    the sums exact integers on both sides."""
+    from feast_ray.stages import hash_join
+    from feast_ray.stages.join import broadcast_join
+    from feast_ray.stages.relational import topk
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c").select(
+            ["l_orderkey", "l_suppkey", "rev_c"]
+        )
+
+    lp = li.map_batches(_rev, batch_format="pyarrow")
+
+    def _ord(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime(1996, 1, 1))
+        hi = pa.scalar(datetime(1997, 1, 1))
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "o_custkey"]
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_ord, batch_format="pyarrow")
+    j = hash_join(lp, orders, on="l_orderkey", num_buckets=16)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(j, cust, on="o_custkey", num_buckets=16)
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = broadcast_join(j, sup, on="l_suppkey", right_on="s_suppkey")
+    j = j.map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"])),
+        batch_format="pyarrow",
+    )
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    j = broadcast_join(j, nat, on="c_nationkey", right_on="n_nationkey")
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    reg = reg.map_batches(
+        lambda t: t.filter(pc.equal(t["r_name"], "ASIA")).select(["r_regionkey"]),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(j, reg, on="n_regionkey", right_on="r_regionkey")
+    agg = grouped_agg(j, ["n_name"], [AggSpec("rev_c", "sum", "rev_c_sum")])
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pc.divide(
+                pc.cast(t["rev_c_sum"], pa.float64()), pa.scalar(10000.0)
+            ),
+        })
+
+    return topk(
+        agg.map_batches(_fin, batch_format="pyarrow"),
+        ["revenue", "n_name"], 25, descending=[True, False],
+    )
+
+
+_Q86_SQL = f"""
+select n_name,
+  sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000.0)}) / 10000.0
+    as revenue
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by n_name
+order by revenue desc, n_name
+limit 25
+"""
+
+
+# --------------------------------------------------------------------- q87
+
+def q87_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lines per customer in one quarter, top 20. The returned
+    lines pre-filter and project to 16 B rows before the single
+    partitioned join; customer and nation dimensions broadcast onto
+    the small aggregate."""
+    from feast_ray.stages import hash_join
+    from feast_ray.stages.join import broadcast_join
+    from feast_ray.stages.relational import topk
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def _ret(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("rev", rev)
+        return _cents(t, "rev", "rev_c").select(["l_orderkey", "rev_c"])
+
+    lp = li.map_batches(_ret, batch_format="pyarrow")
+
+    def _ord(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(datetime(1996, 1, 1))
+        hi = pa.scalar(datetime(1996, 4, 1))
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(keep).select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "o_custkey"]
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_ord, batch_format="pyarrow")
+    j = hash_join(lp, orders, on="l_orderkey", num_buckets=16)
+    agg = grouped_agg(j, ["o_custkey"], [AggSpec("rev_c", "sum", "rev_c_sum")])
+    cust = read_table(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    agg = broadcast_join(agg, cust, on="o_custkey", right_on="c_custkey")
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    agg = broadcast_join(agg, nat, on="c_nationkey", right_on="n_nationkey")
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "revenue": pc.divide(
+                pc.cast(t["rev_c_sum"], pa.float64()), pa.scalar(10000.0)
+            ),
+            "c_acctbal": t["c_acctbal"],
+            "n_name": t["n_name"],
+        })
+
+    return topk(
+        agg.map_batches(_fin, batch_format="pyarrow"),
+        ["revenue", "c_custkey"], 20, descending=[True, False],
+    )
+
+
+_Q87_SQL = f"""
+select c_custkey, c_name,
+  sum({_SQL_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)', scale=10000.0)}) / 10000.0
+    as revenue,
+  c_acctbal, n_name
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1996-04-01'
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4674,6 +4860,8 @@ QUERIES = {
     "q83_lone_late_supplier": q83_lone_late_supplier,
     "q84_rag_retrieval": q84_rag_retrieval,
     "q85_dense_slide_metrics": q85_dense_slide_metrics,
+    "q86_local_supplier_volume": q86_local_supplier_volume,
+    "q87_returned_item_customers": q87_returned_item_customers,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4723,6 +4911,8 @@ def oracle_sql() -> dict[str, str]:
         "q83_lone_late_supplier": _Q83_SQL,
         "q84_rag_retrieval": _q84_sql(),
         "q85_dense_slide_metrics": _Q85_SQL,
+        "q86_local_supplier_volume": _Q86_SQL,
+        "q87_returned_item_customers": _Q87_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
