@@ -151,7 +151,11 @@ class MiniTransformerEmbedder:
         q, k, v = h @ self.wq, h @ self.wk, h @ self.wv
         att = (q @ k.transpose(0, 2, 1)) / np.sqrt(np.float32(self.d))
         att = np.where(mask[:, None, :], att, -np.inf)
-        att = att - att.max(-1, keepdims=True)
+        # all-masked rows (zero tokens) make max() = -inf and
+        # (-inf) - (-inf) = NaN (code-review r4): shift only where the
+        # max is finite; exp(-inf) = 0 keeps those rows' weights clean
+        amax = att.max(-1, keepdims=True)
+        att = att - np.where(np.isfinite(amax), amax, 0.0)
         e = np.exp(att)
         p = e / np.maximum(e.sum(-1, keepdims=True), 1e-9)
         x = x + (p @ v) @ self.wo
@@ -162,7 +166,15 @@ class MiniTransformerEmbedder:
         pooled = x.sum(1) / denom                            # (B, d)
         out = pooled @ self.wout
         n = np.linalg.norm(out, axis=1, keepdims=True)
-        return (out / np.maximum(n, 1e-12)).astype(np.float32)
+        res = (out / np.maximum(n, 1e-12)).astype(np.float32)
+        # zero-token rows have nothing to pool: emit a deterministic
+        # unit basis vector so the stage's unit-norm contract holds
+        # for every row (code-review r4)
+        empty = ~mask.any(-1)
+        if empty.any():
+            res[empty] = 0.0
+            res[empty, 0] = 1.0
+        return res
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:

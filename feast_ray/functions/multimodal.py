@@ -253,13 +253,21 @@ class MediaDecoder:
 
     def _decode_auto(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Sniff: real-decode the natively supported containers, fake
-        everything else — the mixed-corpus shape (q30)."""
+        everything else — the mixed-corpus shape (q30). A payload that
+        LOOKS like a container but fails to parse falls back to the
+        fake path rather than killing the stage: magic bytes are not
+        proof (corpus text can legitimately start with "BM" or "RIFF"
+        — code-review r4), and auto mode's contract is
+        best-effort-per-row. mode="real" keeps raising."""
         if (
             payload[:2] in (b"BM", b"\xff\xd8")
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
             or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
         ):
-            return self._decode_real(payload)
+            try:
+                return self._decode_real(payload)
+            except Exception:  # noqa: BLE001 — malformed container
+                return self._decode_fake(payload)
         return self._decode_fake(payload)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:

@@ -126,7 +126,22 @@ def pretraining_corpus(
         if ckpt_token is not None:
             ident = ckpt_token
         elif pages is not None:
-            ident = f"n={pages.count()}"
+            # count alone is a weak identity (two crawls with a fixed
+            # page quota collide — code-review r4): add a content
+            # probe over the first rows. limit() early-stops, so the
+            # probe reads one block, not the corpus. Callers with a
+            # nondeterministic source order pass ckpt_token instead.
+            import hashlib
+
+            head = pages.limit(8).to_pandas()
+            probe = (
+                hashlib.blake2b(
+                    head.to_json().encode(), digest_size=8
+                ).hexdigest()
+                if len(head)
+                else "empty"
+            )
+            ident = f"n={pages.count()};head={probe}"
         else:
             ident = None
         fp = {"v": 1, "input": ident, "blocked": sorted(blocked_domains or [])}

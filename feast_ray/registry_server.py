@@ -58,22 +58,79 @@ def _make_handler(store):
                 "permissions": [p.name for p in store.security.permissions],
             }
 
+        def _bind_principal(self):
+            """Per-request principal from the dev bearer header (the
+            feature server's shape, serve.py); returns the contextvar
+            token to reset, or None."""
+            from feast_ray.permissions import User, set_current_user
+
+            auth = self.headers.get("Authorization", "")
+            if not auth.startswith("Bearer "):
+                return None
+            name, _, roles = auth[len("Bearer ") :].strip().partition(":")
+            return set_current_user(
+                User(name, tuple(r for r in roles.split(",") if r))
+            )
+
+        def _describable(self):
+            """Views/services the current principal may DESCRIBE —
+            registry READS are enforced like every other plane
+            (code-review r4: GETs bypassed the permissions the same
+            PR introduced; the reference enforces DESCRIBE on
+            registry reads). Open until Permissions are applied."""
+            from feast_ray.permissions import Action
+
+            views = store.security.permitted_resources(
+                list(store.views.values()), Action.DESCRIBE
+            )
+            services = store.security.permitted_resources(
+                list(store.services.values()), Action.DESCRIBE
+            )
+            return {v.name for v in views}, {s.name for s in services}
+
         def do_GET(self):
+            from feast_ray.permissions import _current_user
+
+            token = self._bind_principal()
+            try:
+                self._get_route()
+            finally:
+                if token is not None:
+                    _current_user.reset(token)
+
+        def _get_route(self):
             parts = [p for p in self.path.split("/") if p]
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+                return
+            vnames, snames = self._describable()
             if self.path == "/registry":
-                self._send(200, self._manifest())
+                m = self._manifest()
+                m["views"] = {k: v for k, v in m["views"].items() if k in vnames}
+                m["services"] = {
+                    k: v for k, v in m["services"].items() if k in snames
+                }
+                m["watermarks"] = {
+                    k: v for k, v in m["watermarks"].items() if k in vnames
+                }
+                self._send(200, m)
             elif self.path == "/views":
-                self._send(200, sorted(store.views))
+                self._send(200, sorted(vnames))
             elif len(parts) == 2 and parts[0] == "views":
-                m = self._manifest()["views"].get(parts[1])
-                self._send(200, m) if m else self._send(
-                    404, {"error": f"view {parts[1]!r} not found"}
-                )
+                if parts[1] not in vnames:
+                    self._send(
+                        404, {"error": f"view {parts[1]!r} not found"}
+                    )
+                    return
+                self._send(200, self._manifest()["views"].get(parts[1]))
             elif len(parts) == 2 and parts[0] == "watermarks":
+                if parts[1] not in vnames:
+                    self._send(
+                        404, {"error": f"view {parts[1]!r} not found"}
+                    )
+                    return
                 reg = store._load_registry()
                 self._send(200, reg.get("watermarks", {}).get(parts[1], []))
-            elif self.path == "/health":
-                self._send(200, {"status": "ok"})
             else:
                 self._send(404, {"error": "not found"})
 

@@ -338,26 +338,60 @@ def _make_window_compose(
     Emitted windows are exactly those containing ≥1 tile (identical
     to the explode path — parity-tested)."""
 
-    def _to_float(col: pd.Series):
-        """(float64 values with NaN for missing, restore_fn)."""
+    def _sliding_extreme(scat: np.ndarray, k: int, use_min: bool) -> np.ndarray:
+        """Exact sliding min/max of width-k backward windows via the
+        two-stack (prefix/suffix per k-chunk) decomposition — O(G),
+        works on int64 (no float53 corruption) and float64 alike.
+        Missing slots hold the op's identity (the caller scattered
+        sentinels); window(p) = op(suffix[p-k+1], prefix[p])."""
+        op = np.minimum if use_min else np.maximum
+        G = len(scat)
+        pad = (-G) % k
+        if pad:
+            ident = scat.dtype.type(
+                (np.inf if use_min else -np.inf)
+                if scat.dtype.kind == "f"
+                else (np.iinfo(np.int64).max if use_min else np.iinfo(np.int64).min)
+            )
+            scat = np.concatenate([scat, np.full(pad, ident, scat.dtype)])
+        m = scat.reshape(-1, k)
+        pref = op.accumulate(m, axis=1).reshape(-1)
+        suff = op.accumulate(m[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+        idx = np.arange(G)
+        lo = idx - k + 1
+        res = pref[idx]
+        v = lo >= 0
+        res[v] = op(res[v], suff[lo[v]])
+        return res
+
+    def _to_work(col: pd.Series, use_min: bool):
+        """(work array with per-dtype identity sentinels for missing
+        slots, sentinel, restore_fn) — int64 stays int64 (exact beyond
+        2^53, matching the explode path's integer groupby — code-review
+        r4), datetimes ride int64, floats use ±inf with NaN treated as
+        missing (groupby-skipna semantics)."""
         v = col.to_numpy()
         if np.issubdtype(v.dtype, np.datetime64):
-            iv = v.astype("datetime64[us]").astype(np.int64).astype(np.float64)
-            iv[pd.isna(col).to_numpy()] = np.nan
+            iv = v.astype("datetime64[us]").astype(np.int64)
+            sent = np.iinfo(np.int64).max if use_min else np.iinfo(np.int64).min
+            iv = np.where(pd.isna(col).to_numpy(), sent, iv)
 
             def _restore_dt(x: np.ndarray) -> np.ndarray:
-                out = np.where(
-                    np.isnan(x), float(np.iinfo(np.int64).min), x
-                ).astype(np.int64)  # int64 min == NaT
-                return out.view("datetime64[us]")
+                # all-missing windows → NaT (int64 min IS NaT)
+                out = np.where(x == sent, np.iinfo(np.int64).min, x)
+                return out.astype(np.int64).view("datetime64[us]")
 
-            return iv, _restore_dt
+            return iv, sent, _restore_dt
         if np.issubdtype(v.dtype, np.integer):
-            # int groupby min/max can't produce NaN; restore only then
-            return v.astype(np.float64), (
-                lambda x: x.astype(v.dtype) if not np.isnan(x).any() else x
-            )
-        return v.astype(np.float64), None
+            sent = np.iinfo(np.int64).max if use_min else np.iinfo(np.int64).min
+            return v.astype(np.int64), sent, lambda x: x.astype(v.dtype)
+        sent = np.inf if use_min else -np.inf
+        fv = np.where(np.isnan(v.astype(np.float64)), sent, v.astype(np.float64))
+
+        def _restore_f(x: np.ndarray) -> np.ndarray:
+            return np.where(x == sent, np.nan, x)
+
+        return fv, sent, _restore_f
 
     def _compose(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -423,22 +457,27 @@ def _make_window_compose(
 
             out_cols: dict[str, np.ndarray] = {}
             for pname, kind in kinds.items():
-                vals, restore = _to_float(ddf[pname])
                 if kind in ("sum", "count", "sumsq"):
-                    c = np.zeros(G + 1, np.float64)
-                    c[pos + 1] = np.nan_to_num(vals)
+                    # integer IRs (counts, fixed-point cents) stay
+                    # int64 — exact past 2^53, like the explode path's
+                    # integer groupby sums (code-review r4)
+                    vals = ddf[pname].to_numpy()
+                    if np.issubdtype(vals.dtype, np.integer):
+                        c = np.zeros(G + 1, np.int64)
+                        c[pos + 1] = vals
+                    else:
+                        c = np.zeros(G + 1, np.float64)
+                        c[pos + 1] = np.nan_to_num(vals.astype(np.float64))
                     np.cumsum(c, out=c)
                     res = c[emit + 1] - c[elo]
                 else:
-                    scat = np.full(G, np.nan)
+                    use_min = kind == "min"
+                    vals, sent, restore = _to_work(ddf[pname], use_min)
+                    scat = np.full(G, sent, vals.dtype)
                     scat[pos] = vals
-                    roller = pd.Series(scat).rolling(n_hops, min_periods=1)
-                    rolled = (
-                        roller.min() if kind == "min" else roller.max()
-                    ).to_numpy()
-                    res = rolled[emit]
-                if restore is not None:
-                    res = restore(res)
+                    res = restore(
+                        _sliding_extreme(scat, n_hops, use_min)[emit]
+                    )
                 out_cols[pname] = res
 
             wts = (

@@ -291,10 +291,16 @@ class OnlineParquetStore:
             seqs = np.empty(len(paths), dtype=np.int64)
             for i, p in enumerate(paths):
                 stem = os.path.basename(p)[: -len(".parquet")]
-                try:
-                    seqs[i] = int(stem.split("_")[-1])
-                except ValueError:
-                    seqs[i] = 0
+                # delta_{seq}[_{uuid8}] / base_{seq}[_{uuid8}]: the seq
+                # is the FIRST all-digit token — same rule as
+                # OnlineParquetStore._bucket_files; taking the last
+                # token would read the collision-avoidance uuid suffix
+                # (code-review r4: ValueError on hex, or a bogus huge
+                # seq for the ~2% all-decimal uuids)
+                seqs[i] = next(
+                    (int(tok) for tok in stem.split("_")[1:] if tok.isdigit()),
+                    0,
+                )
             return tbl.drop_columns(["path"]).append_column(
                 "__seq", pa.array(seqs)
             )

@@ -149,8 +149,10 @@ def _parse_dtype(s: str):
     import pyarrow as pa
 
     if s.startswith("timestamp"):
-        unit = s[s.index("[") + 1 : s.index("]")] if "[" in s else "us"
-        return pa.timestamp(unit)
+        inner = s[s.index("[") + 1 : s.index("]")] if "[" in s else "us"
+        # str(pa.timestamp('us', tz='UTC')) == 'timestamp[us, tz=UTC]'
+        unit, _, tz = inner.partition(", tz=")
+        return pa.timestamp(unit, tz=tz or None)
     if s.startswith("list<item: ") and s.endswith(">"):
         return pa.list_(_parse_dtype(s[len("list<item: ") : -1]))
     return pa.type_for_alias(s)

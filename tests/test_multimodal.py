@@ -285,3 +285,22 @@ def test_jpeg_restart_intervals():
     bad = bytes(enc[:sos]) + dri + bytes(enc[sos:])
     with _pytest.raises(ValueError, match="RST"):
         decode_jpeg(bad)
+
+
+def test_auto_mode_magic_lookalike_falls_back_to_fake():
+    """Corpus text can legitimately start with container magics
+    ("BM...", "RIFF...WAVE") — auto mode must fall back to the fake
+    path on parse failure instead of killing the stage (code-review
+    r4); mode="real" keeps raising."""
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import MediaDecoder
+
+    d = MediaDecoder(mode="auto")
+    for text in (b"BMW prices rose sharply this quarter",
+                 b"RIFF-raff WAVEforms are not audio files"):
+        w, h, feat = d._decode_auto(text)
+        # fake-path outputs: digest dims + byte histogram
+        assert 64 <= w < 256 and 64 <= h < 256 and abs(feat.sum() - 1.0) < 1e-9
+    with _pytest.raises(Exception):  # struct.error / NotImplementedError
+        MediaDecoder(mode="real")._decode_real(b"BMW prices rose sharply")

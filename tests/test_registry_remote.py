@@ -176,3 +176,37 @@ def test_remote_apply_enforced(tmp_path, sf_small, ray_session):
         assert "v1" in admin.list_views()
     finally:
         server.shutdown()
+
+
+def test_registry_reads_enforce_describe(tmp_path, sf_small, ray_session):
+    """Registry GETs are permission-enforced like every other plane
+    (code-review r4): with read permissions restricted by role, an
+    anonymous client sees an empty catalog and per-view 404s, while a
+    permitted principal sees everything."""
+    from feast_ray.permissions import (
+        Action,
+        Permission,
+        RoleBasedPolicy,
+    )
+
+    st = Store(str(tmp_path / "repo"), sf_small)
+    st.apply([_view("secret_view")])
+    st.apply([
+        Permission(
+            name="analyst_describe",
+            actions=(Action.DESCRIBE,),
+            policy=RoleBasedPolicy(["analyst"]),
+        ),
+    ])
+    server = serve_registry(st, port=0)
+    try:
+        port = server.server_address[1]
+        anon = RemoteRegistry(f"http://127.0.0.1:{port}")
+        assert anon.list_views() == []
+        with pytest.raises(KeyError):
+            anon.get_view("secret_view")
+        ana = RemoteRegistry(f"http://127.0.0.1:{port}", bearer="ana:analyst")
+        assert ana.list_views() == ["secret_view"]
+        assert ana.get_view("secret_view").name == "secret_view"
+    finally:
+        server.shutdown()

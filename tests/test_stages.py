@@ -811,3 +811,57 @@ def test_window_compose_grid_vs_brute(ray_session):
         pd.testing.assert_frame_equal(
             got[exp.columns], exp, check_dtype=False, rtol=1e-9, atol=1e-12
         )
+
+
+def test_window_compose_int64_exact_beyond_float53():
+    """Grid composition keeps integer IRs in int64 (code-review r4):
+    sums and extrema of fixed-point values beyond 2^53 stay exact —
+    a float64 cumsum would silently round them."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_ray.stages.aggregate import _make_window_compose
+
+    kinds = {"__p0_sum": "sum", "__p1_min": "min", "__p2_max": "max"}
+
+    def merge_ir(df):
+        g = df.groupby(["k", "w"], sort=False, dropna=False)
+        return pd.DataFrame({
+            "__p0_sum": g["__p0_sum"].sum(),
+            "__p1_min": g["__p1_min"].min(),
+            "__p2_max": g["__p2_max"].max(),
+        }).reset_index()
+
+    def finalize(df):
+        out = df[["k", "w"]].copy()
+        out["s"] = df["__p0_sum"]
+        out["mn"] = df["__p1_min"]
+        out["mx"] = df["__p2_max"]
+        return out
+
+    comp = _make_window_compose(["k"], "w", 1_000_000, 4, kinds, merge_ir, finalize)
+    n, big = 40, 3 * 10**15
+    hops = np.arange(n, dtype=np.int64) * 1_000_000  # dense -> grid path
+    vals = np.full(n, big, np.int64)
+    vals[7] = big + 3
+    df = pd.DataFrame({
+        "k": ["a"] * n, "w": hops.astype("datetime64[us]"),
+        "__p0_sum": vals, "__p1_min": vals, "__p2_max": vals,
+    })
+    got = comp(df).sort_values("w").reset_index(drop=True)
+    rows = []
+    for s in range(-3, n):
+        mem = [i for i in range(max(s, 0), min(s + 4, n))]
+        if mem:
+            rows.append((
+                np.datetime64(s * 1_000_000, "us"),
+                sum(int(vals[i]) for i in mem),
+                min(vals[i] for i in mem), max(vals[i] for i in mem),
+            ))
+    exp = pd.DataFrame(rows, columns=["w", "s", "mn", "mx"]).sort_values(
+        "w"
+    ).reset_index(drop=True)
+    assert got["s"].dtype == np.int64
+    np.testing.assert_array_equal(got["s"].to_numpy(), exp["s"].to_numpy())
+    np.testing.assert_array_equal(got["mn"].to_numpy(), exp["mn"].to_numpy())
+    np.testing.assert_array_equal(got["mx"].to_numpy(), exp["mx"].to_numpy())

@@ -382,6 +382,28 @@ def test_online_read_ds_matches_driver_reader(store):
     assert (b[b.user_id == 99]["value"] == 55.0).all()
 
 
+def test_online_read_ds_seq_tiebreak_equal_timestamps(store):
+    """EQUAL event timestamps force last-write-wins onto the file
+    SEQUENCE — which read_ds must parse from the uuid-suffixed
+    delta_{seq}_{uuid} names (code-review r4: taking the last '_'
+    token read the uuid, collapsing every file to seq 0 or, for
+    all-decimal uuids, a bogus huge seq)."""
+    from datetime import datetime
+
+    ts = datetime(2024, 3, 1)
+    for i in range(5):
+        store.push(
+            "user_values",
+            pd.DataFrame(
+                {"user_id": [500], "ts": [ts], "value": [float(i)]}
+            ),
+        )
+    a = store.online.read("user_values").to_pandas()
+    b = store.online.read_ds("user_values").to_pandas()
+    assert float(a[a.user_id == 500]["value"].iloc[0]) == 4.0
+    assert float(b[b.user_id == 500]["value"].iloc[0]) == 4.0
+
+
 def test_online_lookup_pre_lsm_legacy_layout(store, sf_small):
     """ADVICE r3: a store written before the LSM layout has bucket
     dirs but no _meta.json — lookup() must synthesize the merge recipe
