@@ -151,6 +151,9 @@ def run_bench() -> dict:
         "q63_duplicate_span_removal",
         "q65_shard_shuffle",
         "q73_fine_slide_activity",
+        "q81_ann_ivfpq",
+        "q85_dense_slide_metrics",
+        "q86_local_supplier_volume",
     ]
     for name in bench_queries:
         # best of 2 — single runs on this shared box vary ±40%, which
