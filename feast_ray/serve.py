@@ -115,6 +115,50 @@ def _make_handler(store):
                     if isinstance(e, PermissionDenied):
                         raise
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            elif self.path == "/push":
+                # reference: feature_server.py:812 POST /push with
+                # {"push_source_name"|"view": ..., "df": {col: [v...]}}
+                try:
+                    import pandas as _pd
+
+                    view = req.get("view") or req["push_source_name"]
+                    df = _pd.DataFrame(req["df"])
+                    for c in df.columns:  # ISO strings → timestamps
+                        if c in ("ts", "event_timestamp") or c.endswith("_ts"):
+                            df[c] = _pd.to_datetime(df[c])
+                    store.push(view, df)
+                    self._send(200, {"pushed": len(df)})
+                except Exception as e:  # noqa: BLE001
+                    from feast_ray.permissions import PermissionDenied
+
+                    if isinstance(e, PermissionDenied):
+                        raise
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            elif self.path in ("/materialize", "/materialize-incremental"):
+                # reference: feature_server.py:958/:972
+                try:
+                    from datetime import datetime as _dt
+
+                    views = req.get("views")
+                    if self.path == "/materialize":
+                        start = req.get("start")
+                        end = req.get("end")
+                        out = store.materialize(
+                            _dt.fromisoformat(start) if start else None,
+                            _dt.fromisoformat(end) if end else None,
+                            views,
+                        )
+                    else:
+                        out = store.materialize_incremental(
+                            _dt.fromisoformat(req["end"]), views
+                        )
+                    self._send(200, {"materialized": out})
+                except Exception as e:  # noqa: BLE001
+                    from feast_ray.permissions import PermissionDenied
+
+                    if isinstance(e, PermissionDenied):
+                        raise
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
             elif self.path == "/retrieve-documents":
                 try:
                     res = store.retrieve_online_documents(
