@@ -4774,6 +4774,77 @@ limit 20
 """
 
 
+
+# --------------------------------------------------------------------- q88
+
+def q88_ann_ivfpq_rerank(sf_dir: str):
+    """IVF-PQ's exact-rerank arm in the gate: forced-exhaustive probes
+    (nprobe = n_cells) + rerank over every candidate reproduce the
+    brute-force exact top-k BIT-for-bit — so this path value-checks
+    against the plain SQL cosine oracle (q21's shape), pinning the
+    quantize→ADC→exact-rescore chain end to end in the driver gate
+    (the pruned ADC arm is q81; unit parity lives in
+    tests/test_similarity.py)."""
+    from feast_ray.functions.similarity import ann_topk_ivfpq
+
+    # the q81 run builds/caches the index; reuse it (gate runs q81
+    # first — newest-first ordering — but build defensively anyway)
+    import shutil
+
+    from feast_ray.functions.similarity import ivfpq_build
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)), batch_format="pyarrow"
+    )
+    n_corpus = corpus.count()
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    index_path = f"/tmp/feast_ray_cache/ivfpq_{base}"
+    marker = os.path.join(index_path, "_source_fingerprint.txt")
+    fresh = (
+        os.path.exists(os.path.join(index_path, "_codebooks.npy"))
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if not fresh:
+        shutil.rmtree(index_path, ignore_errors=True)
+        ivfpq_build(corpus, index_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    out, _stats = ann_topk_ivfpq(
+        index_path, queries, k=10, nprobe=16, rerank=n_corpus
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("score"), "score",
+            pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 4)),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_Q88_SQL = """
+with q as (select vec_id as qid, cast(embedding as double[]) as qe from embeddings where vec_id < 5),
+c as (select vec_id, cast(embedding as double[]) as e from embeddings where vec_id >= 5),
+scored as (
+  select q.qid as query_id, c.vec_id,
+    list_cosine_similarity(c.e, q.qe) as raw_score,
+    row_number() over (partition by q.qid
+        order by list_cosine_similarity(c.e, q.qe) desc, c.vec_id asc) as rn
+  from q cross join c)
+select query_id, vec_id, round(raw_score, 4) as score from scored where rn <= 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4862,6 +4933,7 @@ QUERIES = {
     "q85_dense_slide_metrics": q85_dense_slide_metrics,
     "q86_local_supplier_volume": q86_local_supplier_volume,
     "q87_returned_item_customers": q87_returned_item_customers,
+    "q88_ann_ivfpq_rerank": q88_ann_ivfpq_rerank,
 }
 
 # Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
@@ -4913,6 +4985,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_dense_slide_metrics": _Q85_SQL,
         "q86_local_supplier_volume": _Q86_SQL,
         "q87_returned_item_customers": _Q87_SQL,
+        "q88_ann_ivfpq_rerank": _Q88_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
