@@ -1054,8 +1054,6 @@ def ann_topk_ivfpq(
     wref = ray.put(np.array(sorted(want), np.int64))
 
     def _pick(tbl: pa.Table) -> pa.Table:
-        import pyarrow.compute as pac
-
         w = ray.get(wref)
         mask = np.isin(tbl[id_col].to_numpy(zero_copy_only=False), w)
         return tbl.filter(pa.array(mask))
