@@ -618,21 +618,67 @@ def _tiled_sliding_agg(
             from feast_ray.stages.relational import union_align
 
             alias = spec.alias
-            tagged = union_align([
-                result.map_batches(
-                    lambda t: t.append_column(
-                        "__cdside", pa.array(np.zeros(len(t), np.int8))),
-                    batch_format="pyarrow"),
-                cd.map_batches(
-                    lambda t: t.append_column(
-                        "__cdside", pa.array(np.ones(len(t), np.int8))),
-                    batch_format="pyarrow"),
-            ])
+            # Probe both schemas ONCE here (union_align would do the
+            # same two probes internally) and record which output
+            # columns are integers on the side that owns them.
+            # union_align nulls each side's missing columns, so the
+            # bucket's to_pandas upcasts every int count to float64;
+            # values stay exact but the driver hashes the REPRESENTATION
+            # ("1.0" vs "1") — the round-4 q73 regression. The merge
+            # below restores the owner's integer dtypes.
+            left_schema, cd_schema = result.schema(), cd.schema()
 
-            def _bucket_join(df: pd.DataFrame, a=alias, k=tuple(tkeys)) -> pd.DataFrame:
+            def _pa_fields(s) -> list[pa.Field]:
+                if s is None:  # empty side — no columns to restore
+                    return []
+                out = []
+                for n, t in zip(s.names, s.types):
+                    if not isinstance(t, pa.DataType):
+                        t = (
+                            pa.string()
+                            if t == np.dtype("O")
+                            else pa.from_numpy_dtype(t)
+                        )
+                    out.append(pa.field(n, t))
+                return out
+
+            lf, cf = _pa_fields(left_schema), _pa_fields(cd_schema)
+            int_casts = {
+                f.name: f.type.to_pandas_dtype()
+                for f in lf
+                if f.name != alias and pa.types.is_integer(f.type)
+            }
+            for f in cf:
+                if f.name == alias and pa.types.is_integer(f.type):
+                    int_casts[alias] = f.type.to_pandas_dtype()
+            side8 = pa.field("__cdside", pa.int8())
+            tagged = union_align(
+                [
+                    result.map_batches(
+                        lambda t: t.append_column(
+                            "__cdside", pa.array(np.zeros(len(t), np.int8))),
+                        batch_format="pyarrow"),
+                    cd.map_batches(
+                        lambda t: t.append_column(
+                            "__cdside", pa.array(np.ones(len(t), np.int8))),
+                        batch_format="pyarrow"),
+                ],
+                schemas=[pa.schema([*lf, side8]), pa.schema([*cf, side8])],
+            )
+
+            def _bucket_join(
+                df: pd.DataFrame, a=alias, k=tuple(tkeys), casts=int_casts
+            ) -> pd.DataFrame:
                 left = df[df["__cdside"] == 0].drop(columns=["__cdside", a])
                 right = df[df["__cdside"] == 1][[*k, a]]
-                return left.merge(right, on=list(k), how="left")
+                out = left.merge(right, on=list(k), how="left")
+                # a (key, window) absent from the cd side means every
+                # value was NULL there → count_distinct is 0, and the
+                # owner dtypes (int64 counts) come back from the
+                # union_align float upcast
+                for col, dt in casts.items():
+                    out[col] = out[col].fillna(0).astype(dt)
+                return out
 
             result = bucketed_group_reduce(tagged, tkeys, _bucket_join)
 

@@ -45,10 +45,36 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def dtype_family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s in ("bool", "boolean"):
+        return "bool"
+    return "object"
+
+
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     problems = []
     if set(got.columns) != set(exp.columns):
         problems.append(f"columns differ: ray={sorted(got.columns)} sql={sorted(exp.columns)}")
+        return problems
+    # dtype-FAMILY check BEFORE canonicalize coerces both sides: the
+    # driver hashes the textual representation, so an int64->float64
+    # drift ("1" vs "1.0") fails its gate while numeric comparison
+    # forgives it — exactly the round-4 q73 escape (VERDICT r4 #4).
+    for c in got.columns:
+        gf, ef = dtype_family(got[c].dtype), dtype_family(exp[c].dtype)
+        if gf != ef and "object" not in (gf, ef):
+            problems.append(
+                f"column {c!r}: dtype family drift ray={got[c].dtype} ({gf})"
+                f" vs sql={exp[c].dtype} ({ef}) — driver hash would fail"
+            )
+    if problems:
         return problems
     if len(got) != len(exp):
         problems.append(f"row count differs: ray={len(got)} sql={len(exp)}")

@@ -277,6 +277,61 @@ def test_windowed_agg_tumbling(sf_small, duck):
     assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
 
 
+def test_gate_replica_flags_dtype_family_drift():
+    """The local gate replica must flag an int64->float64 drift (the
+    driver hashes the textual representation, so "1" vs "1.0" fails its
+    hash even when values are exact — the round-4 q73 escape)."""
+    from scripts.check_correctness import compare
+
+    exp = pd.DataFrame({"k": [1, 2], "n": pd.array([3, 4], dtype="int64")})
+    drifted = exp.assign(n=exp["n"].astype("float64"))
+    problems = compare("synthetic", drifted, exp)
+    assert any("dtype family drift" in p for p in problems)
+    # exact-dtype match still passes
+    assert compare("synthetic_ok", exp.copy(), exp.copy()) == []
+
+
+def test_windowed_agg_sliding_mixed_specs_int_dtypes(sf_small):
+    """Mixed sliding specs (count + count_distinct + sum) must emit
+    int64 counts — the round-4 q73 regression upcast them to float64
+    through the union_align nulls in the bucketed count_distinct join
+    (values exact, representation drifted, driver hash failed)."""
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 00:35",
+                 "2024-01-01 00:50", "2024-01-01 01:05", "2024-01-01 01:20"]
+            ),
+            "u": [10, 10, 11, 12, 12, 13],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    out = windowed_agg(
+        ray.data.from_pandas(df),
+        ["k"],
+        "ts",
+        timedelta(hours=1),
+        [
+            AggSpec(None, "count", "n_events"),
+            AggSpec("u", "count_distinct", "n_users"),
+            AggSpec("v", "sum", "sum_v"),
+        ],
+        slide=timedelta(minutes=30),
+    ).to_pandas()
+    assert str(out["n_events"].dtype) == "int64"
+    assert str(out["n_users"].dtype) == "int64"
+    assert str(out["sum_v"].dtype) == "float64"
+    # spot-check values against a brute re-derivation
+    for _, row in out.iterrows():
+        st = row["window_start"]
+        m = (df["k"] == row["k"]) & (df["ts"] >= st) & (df["ts"] < st + timedelta(hours=1))
+        assert row["n_events"] == int(m.sum())
+        assert row["n_users"] == df.loc[m, "u"].nunique()
+
+
 def test_windowed_agg_sliding(sf_small):
     """Sliding window: every row appears in window//slide hops; check
     against a pandas re-derivation."""
