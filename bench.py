@@ -13,6 +13,16 @@ and 4N CPUs (default pair 4,16 — both inside the box's physical
 cores; override with GRAFT_SCALING_PAIR) on the same input and prints
 both throughputs + scaling efficiency (the sandbox stand-in for the
 north rule's N vs 4N-node clusters; see BASELINE.md).
+
+Flake-proofing (VERDICT r4 #2): the round-4 driver bench died in Ray
+core (raylet FATAL → rc=1, no JSON) and the whole round's perf record
+was lost. Now the bench body runs in an INNER subprocess supervised by
+this process: every stage is individually try/except-guarded (a stage
+failure is recorded in an ``errors`` field and the remaining stages
+still run), the inner flushes a partial-JSON sidecar after every
+stage, and if the inner process dies hard — even an uncatchable C++
+abort — the supervisor still prints the sidecar's partial results as
+the one JSON line, with ``errors.harness`` recording the death.
 """
 
 from __future__ import annotations
@@ -29,6 +39,15 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Sidecar the inner bench process flushes after EVERY stage, so the
+# supervising parent can emit a parseable partial JSON line even when
+# the inner process dies hard (the round-4 loss mode).
+PARTIAL_PATH = os.environ.get("GRAFT_BENCH_PARTIAL", "")
+# Test hooks (tests/test_bench_harness.py): raise inside the named
+# stage / hard-abort (os._exit) right after the named stage completes,
+# proving both the soft-failure and the dead-inner recovery paths.
+FORCE_FAIL = os.environ.get("GRAFT_BENCH_FORCE_FAIL", "")
+FORCE_ABORT_AFTER = os.environ.get("GRAFT_BENCH_FORCE_ABORT_AFTER", "")
 # pages are replicated so the flagship processes a non-trivial corpus
 # (sf0.1 documents is only 5k rows). 60 ≈ 360k pages ≈ 6 min of
 # single-CPU model compute — large enough that per-run fixed costs
@@ -43,6 +62,15 @@ def _consume(ds) -> int:
     for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         n += batch.num_rows
     return n
+
+
+def _flush_partial(out: dict) -> None:
+    if not PARTIAL_PATH:
+        return
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(out, fh)
+    os.replace(tmp, PARTIAL_PATH)
 
 
 def run_bench() -> dict:
@@ -65,74 +93,123 @@ def run_bench() -> dict:
 
     import ray.data
 
-    from feast_ray.pipelines.quality_filter import quality_filter
     from feast_ray.pipelines.queries import QUERIES
-    from feast_ray.sources.webpages import webpages_parquet_dir
-
-    # materialize the synthetic page corpus to parquet once (cached) and
-    # warm the page cache so we measure compute, not first disk read
-    pages_dir = webpages_parquet_dir(SF_DIR, replicate=PAGE_REPLICATE)
-    for f in os.listdir(pages_dir):
-        if f.endswith(".parquet"):
-            with open(os.path.join(pages_dir, f), "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    state: dict = {"headline": None, "n_pages": None, "n_out": None,
+                   "pages_dir": None}
 
-    # headline: flagship quality filter, read → ... → worker-parallel
-    # parquet sink (the production consumption path; an iter_batches
-    # loop would funnel all output through the single driver process
-    # and pollute the scaling measurement)
+    def _snapshot() -> dict:
+        headline = state["headline"]
+        out = {
+            "metric": "quality_filter_wall_sec",
+            "value": round(headline, 3) if headline else None,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "pages": state["n_pages"],
+            "rows_out": state["n_out"],
+            "docs_per_sec": (
+                round(state["n_pages"] / headline, 1)
+                if headline and state["n_pages"] else None
+            ),
+            **extras,
+        }
+        try:
+            from feast_ray.pipelines.queries import LAST_IVF_SCAN_STATS
+
+            if LAST_IVF_SCAN_STATS:
+                out["ivf_scanned_frac"] = LAST_IVF_SCAN_STATS.get("scanned_frac")
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
+        if errors:
+            out["errors"] = dict(errors)
+        return out
+
+    def _stage(name: str, fn) -> None:
+        """One bench stage: a failure is recorded, the rest still run,
+        and the partial sidecar is re-flushed either way."""
+        try:
+            if FORCE_FAIL == name:
+                raise RuntimeError("forced failure (GRAFT_BENCH_FORCE_FAIL)")
+            fn()
+        except Exception as exc:  # noqa: BLE001 — isolate stage flakes
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        _flush_partial(_snapshot())
+        if FORCE_ABORT_AFTER == name:
+            os._exit(134)  # simulate the r4 raylet hard abort
+
     import shutil
 
-    out_dir = f"/tmp/feast_ray_bench_out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    from feast_ray.pipelines.quality_filter import quality_filter_from_parquet
+    def _headline() -> None:
+        from feast_ray.pipelines.quality_filter import quality_filter_from_parquet
+        from feast_ray.sources.webpages import webpages_parquet_dir
 
-    # warm/cold split (VERDICT r2 #9): the FIRST run of the session is
-    # the COLD number (session + worker + model warmup — reported
-    # separately so shared-box spikes and one-off warmup stop
-    # contaminating cross-round comparisons); the headline is then the
-    # best of 2 WARM runs — steady-state pipeline compute, the regime
-    # a multi-hour 100 TB job lives in (single fresh runs vary ±40%)
-    # GRAFT_BENCH_RUNS=2 (the --scaling inner runs) keeps round-2
-    # comparability: best of BOTH runs, no separate cold iteration
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
-    headline = None
-    cold = None
-    for i in range(n_runs):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        result = quality_filter_from_parquet(
-            pages_dir,
-            override_num_blocks=max(64, 4 * NUM_CPUS),
-            validate_input=False,
+        # materialize the synthetic page corpus to parquet once
+        # (cached) and warm the page cache so we measure compute, not
+        # first disk read
+        pages_dir = webpages_parquet_dir(SF_DIR, replicate=PAGE_REPLICATE)
+        state["pages_dir"] = pages_dir
+        for f in os.listdir(pages_dir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(pages_dir, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+        # headline: flagship quality filter, read → ... →
+        # worker-parallel parquet sink (the production consumption
+        # path; an iter_batches loop would funnel all output through
+        # the single driver process and pollute the scaling
+        # measurement).
+        # warm/cold split (VERDICT r2 #9): the FIRST run of the session
+        # is the COLD number (session + worker + model warmup); the
+        # headline is then the best of 2 WARM runs — steady-state
+        # pipeline compute, the regime a multi-hour 100 TB job lives in
+        # (single fresh runs vary ±40%). GRAFT_BENCH_RUNS=2 (the
+        # --scaling inner runs) keeps round-2 comparability: best of
+        # BOTH runs, no separate cold iteration.
+        out_dir = f"/tmp/feast_ray_bench_out_{NUM_CPUS}"
+        n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+        headline = None
+        cold = None
+        for i in range(n_runs):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            result = quality_filter_from_parquet(
+                pages_dir,
+                override_num_blocks=max(64, 4 * NUM_CPUS),
+                validate_input=False,
+            )
+            result.write_parquet(out_dir)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                cold = dt
+            if i > 0 or n_runs < 3:
+                headline = dt if headline is None else min(headline, dt)
+        timings["quality_filter"] = round(headline, 3)
+        timings["quality_filter_cold"] = round(cold, 3)
+        state["headline"] = headline
+
+        import pyarrow.parquet as pq_meta
+
+        # throughput numerator = INPUT pages processed (pre-dedup): the
+        # output row count conflates dedup rate with speed — a
+        # recrawl-mix change would read as a phantom perf shift
+        state["n_pages"] = sum(
+            pq_meta.read_metadata(os.path.join(pages_dir, f)).num_rows
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
         )
-        result.write_parquet(out_dir)
-        dt = time.perf_counter() - t0
-        if i == 0:
-            cold = dt
-        if i > 0 or n_runs < 3:
-            headline = dt if headline is None else min(headline, dt)
-    timings["quality_filter"] = round(headline, 3)
-    timings["quality_filter_cold"] = round(cold, 3)
-    import pyarrow.parquet as pq_meta
+        state["n_out"] = sum(
+            pq_meta.read_metadata(os.path.join(out_dir, f)).num_rows
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
 
-    # throughput numerator = INPUT pages processed (pre-dedup): the
-    # output row count conflates dedup rate with speed — a recrawl-mix
-    # change would read as a phantom perf shift
-    n_pages = sum(
-        pq_meta.read_metadata(os.path.join(pages_dir, f)).num_rows
-        for f in os.listdir(pages_dir)
-        if f.endswith(".parquet")
-    )
-    n_out = sum(
-        pq_meta.read_metadata(os.path.join(out_dir, f)).num_rows
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    )
+    _stage("quality_filter", _headline)
 
     bench_queries = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else [
         "q01_pricing_summary",
@@ -155,150 +232,210 @@ def run_bench() -> dict:
         "q85_dense_slide_metrics",
         "q86_local_supplier_volume",
     ]
-    for name in bench_queries:
-        # best of 2 — single runs on this shared box vary ±40%, which
-        # would read as phantom regressions in cross-round comparisons
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
 
-    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+    def _query_stage(name: str):
+        def _run() -> None:
+            # best of 2 — single runs on this shared box vary ±40%,
+            # which would read as phantom regressions cross-round
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _consume(QUERIES[name](SF_DIR))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        return _run
+
+    for name in bench_queries:
+        _stage(name, _query_stage(name))
+
+    if not os.environ.get("GRAFT_HEADLINE_ONLY") and state["pages_dir"]:
         # dedup ops at cluster scale: the full page corpus (96%
         # near-duplicate by construction — 60 variants per doc, the
         # pathological LSH-bucket shape) through content-level dedup.
         # Single runs (the ops are long enough to be stable).
+        import pyarrow as _pa
         import ray.data as _rd
 
-        from feast_ray.functions.neardup import minhash_dedup, simhash_dups
-
+        pages_dir = state["pages_dir"]
         corpus = _rd.read_parquet(pages_dir, columns=["url", "text"])
-        t0 = time.perf_counter()
-        minhash_dedup(corpus, "url", "text", threshold=0.9).count()
-        timings["minhash_dedup_corpus"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        simhash_dups(corpus, "url", "text", max_hamming=3).count()
-        timings["simhash_dups_corpus"] = round(time.perf_counter() - t0, 3)
 
-        # span-dedup beyond-broadcast regime over the same corpus
-        # (the r2 weak point: 192 s; raw exchange target <60 s)
-        from feast_ray.functions.spandup import remove_duplicate_spans
-        from feast_ray.functions.neardup import word_hashes64
-        import pyarrow as _pa
+        def _minhash() -> None:
+            from feast_ray.functions.neardup import minhash_dedup
 
-        def _iid(t):
-            import numpy as _np
+            t0 = time.perf_counter()
+            minhash_dedup(corpus, "url", "text", threshold=0.9).count()
+            timings["minhash_dedup_corpus"] = round(time.perf_counter() - t0, 3)
 
-            h = word_hashes64(t["url"].to_pylist()).view(_np.int64)
-            return t.append_column("doc_iid", _pa.array(h, _pa.int64()))
+        def _simhash() -> None:
+            from feast_ray.functions.neardup import simhash_dups
 
-        corpus_iid = corpus.map_batches(_iid, batch_format="pyarrow").materialize()
-        t0 = time.perf_counter()
-        remove_duplicate_spans(
-            corpus_iid, "doc_iid", "text", n=8, mode="copartition"
-        ).count()
-        timings["spandup_copartition_corpus"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            simhash_dups(corpus, "url", "text", max_hamming=3).count()
+            timings["simhash_dups_corpus"] = round(time.perf_counter() - t0, 3)
 
-        # real-compute embed stage (VERDICT r3 #8): chunk → 17 MB-
-        # weight transformer actors over 50k pages; reports docs/s
-        from feast_ray.functions.chunker import MiniTransformerEmbedder, chunk_batch
+        def _spandup() -> None:
+            # span-dedup beyond-broadcast regime over the same corpus
+            # (the r2 weak point: 192 s; raw exchange target <60 s)
+            from feast_ray.functions.neardup import word_hashes64
+            from feast_ray.functions.spandup import remove_duplicate_spans
 
-        emb_pages = 20_000
-        emb_in = corpus.limit(emb_pages).materialize()
-        emb_pages = emb_in.count()  # corpus may be smaller at low sf
-        t0 = time.perf_counter()
-        n_chunks = (
-            emb_in.map_batches(
-                lambda t: chunk_batch(t, "url", "text"), batch_format="pyarrow"
-            )
-            .map_batches(
+            def _iid(t):
+                import numpy as _np
+
+                h = word_hashes64(t["url"].to_pylist()).view(_np.int64)
+                return t.append_column("doc_iid", _pa.array(h, _pa.int64()))
+
+            corpus_iid = corpus.map_batches(_iid, batch_format="pyarrow").materialize()
+            t0 = time.perf_counter()
+            remove_duplicate_spans(
+                corpus_iid, "doc_iid", "text", n=8, mode="copartition"
+            ).count()
+            timings["spandup_copartition_corpus"] = round(time.perf_counter() - t0, 3)
+
+        def _embed() -> None:
+            # real-compute embed stage (VERDICT r3 #8): chunk → 17 MB-
+            # weight transformer actors over 20k pages; reports docs/s
+            from feast_ray.functions.chunker import (
                 MiniTransformerEmbedder,
-                fn_constructor_kwargs={"text_col": "chunk_text"},
-                batch_format="pyarrow", batch_size=512,
-                concurrency=(2, max(2, NUM_CPUS // 2)),
+                chunk_batch,
             )
-            .count()
-        )
-        dt = time.perf_counter() - t0
-        timings["embed_pages"] = round(dt, 3)
-        extras["embed_docs_per_sec"] = round(emb_pages / dt, 1)
-        extras["embed_chunks"] = n_chunks
 
-        # streaming ingest at bench scale (VERDICT r3 #9): 1M events
-        # in 20 offset-named segments through the micro-batch tail,
-        # with a mid-stream crash + fresh-processor resume — proves
-        # offset idempotence at volume and reports events/s
-        import numpy as _np
-        import pandas as _pd
-        import pyarrow.parquet as _pq2
-
-        from feast_ray.store import Store
-        from feast_ray.stream import FileTailSource, MicroBatchProcessor, run_tail
-        from feast_ray.views import Entity, TableSource, View
-
-        n_seg, seg_rows = 20, 50_000
-        seg_dir = "/tmp/feast_ray_bench_stream_segs"
-        have = [f for f in os.listdir(seg_dir)] if os.path.isdir(seg_dir) else []
-        if len([f for f in have if f.endswith(".parquet")]) != n_seg:
-            shutil.rmtree(seg_dir, ignore_errors=True)
-            os.makedirs(seg_dir)
-            for off in range(n_seg):
-                i = _np.arange(seg_rows, dtype=_np.int64) + off * seg_rows
-                df = _pd.DataFrame({
-                    "event_id": i,
-                    "ts": _pd.Timestamp("2024-06-01")
-                    + _pd.to_timedelta(i, unit="s"),
-                    "user_id": i % 100_000,
-                    "value": (i % 1000).astype(_np.float64),
-                })
-                _pq2.write_table(
-                    _pa.Table.from_pandas(df, preserve_index=False),
-                    os.path.join(seg_dir, f"seg_{off:06d}.parquet"),
+            emb_in = corpus.limit(20_000).materialize()
+            emb_pages = emb_in.count()  # corpus may be smaller at low sf
+            t0 = time.perf_counter()
+            n_chunks = (
+                emb_in.map_batches(
+                    lambda t: chunk_batch(t, "url", "text"), batch_format="pyarrow"
                 )
-        repo_dir = "/tmp/feast_ray_bench_stream_repo"
-        shutil.rmtree(repo_dir, ignore_errors=True)
-        st = Store(repo_dir, SF_DIR)
-        st.apply([View(
-            name="stream_values",
-            source=TableSource(name="events", table="events", timestamp_field="ts"),
-            entities=[Entity("user", "user_id")],
-            features=["value"],
-        )])
-        src = FileTailSource(seg_dir)
-        t0 = time.perf_counter()
-        proc = MicroBatchProcessor(st, "stream_values")
-        it = src.iter_from(proc._offset())
-        done = 0
-        for _ in range(n_seg // 2):  # "crash" halfway
-            off, df = next(it)
-            done += proc.process_batch(df, off)
-        proc2 = MicroBatchProcessor(st, "stream_values")  # fresh process
-        done += run_tail(proc2, src)
-        dt = time.perf_counter() - t0
-        assert proc2._offset() == n_seg - 1 and done == n_seg * seg_rows
-        timings["stream_ingest_1m"] = round(dt, 3)
-        extras["stream_events_per_sec"] = round(n_seg * seg_rows / dt, 1)
+                .map_batches(
+                    MiniTransformerEmbedder,
+                    fn_constructor_kwargs={"text_col": "chunk_text"},
+                    batch_format="pyarrow", batch_size=512,
+                    concurrency=(2, max(2, NUM_CPUS // 2)),
+                )
+                .count()
+            )
+            dt = time.perf_counter() - t0
+            timings["embed_pages"] = round(dt, 3)
+            extras["embed_docs_per_sec"] = round(emb_pages / dt, 1)
+            extras["embed_chunks"] = n_chunks
 
-    out = {
-        "metric": "quality_filter_wall_sec",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "pages": n_pages,
-        "rows_out": n_out,
-        "docs_per_sec": round(n_pages / headline, 1),
-        **extras,
-    }
-    from feast_ray.pipelines.queries import LAST_IVF_SCAN_STATS
+        def _stream() -> None:
+            # streaming ingest at bench scale (VERDICT r3 #9): 1M
+            # events in 20 offset-named segments through the
+            # micro-batch tail, with a mid-stream crash +
+            # fresh-processor resume — proves offset idempotence at
+            # volume and reports events/s
+            import numpy as _np
+            import pandas as _pd
+            import pyarrow.parquet as _pq2
 
-    if LAST_IVF_SCAN_STATS:
-        out["ivf_scanned_frac"] = LAST_IVF_SCAN_STATS.get("scanned_frac")
+            from feast_ray.store import Store
+            from feast_ray.stream import (
+                FileTailSource,
+                MicroBatchProcessor,
+                run_tail,
+            )
+            from feast_ray.views import Entity, TableSource, View
+
+            n_seg, seg_rows = 20, 50_000
+            seg_dir = "/tmp/feast_ray_bench_stream_segs"
+            have = [f for f in os.listdir(seg_dir)] if os.path.isdir(seg_dir) else []
+            if len([f for f in have if f.endswith(".parquet")]) != n_seg:
+                shutil.rmtree(seg_dir, ignore_errors=True)
+                os.makedirs(seg_dir)
+                for off in range(n_seg):
+                    i = _np.arange(seg_rows, dtype=_np.int64) + off * seg_rows
+                    df = _pd.DataFrame({
+                        "event_id": i,
+                        "ts": _pd.Timestamp("2024-06-01")
+                        + _pd.to_timedelta(i, unit="s"),
+                        "user_id": i % 100_000,
+                        "value": (i % 1000).astype(_np.float64),
+                    })
+                    _pq2.write_table(
+                        _pa.Table.from_pandas(df, preserve_index=False),
+                        os.path.join(seg_dir, f"seg_{off:06d}.parquet"),
+                    )
+            repo_dir = "/tmp/feast_ray_bench_stream_repo"
+            shutil.rmtree(repo_dir, ignore_errors=True)
+            st = Store(repo_dir, SF_DIR)
+            st.apply([View(
+                name="stream_values",
+                source=TableSource(name="events", table="events", timestamp_field="ts"),
+                entities=[Entity("user", "user_id")],
+                features=["value"],
+            )])
+            src = FileTailSource(seg_dir)
+            t0 = time.perf_counter()
+            proc = MicroBatchProcessor(st, "stream_values")
+            it = src.iter_from(proc._offset())
+            done = 0
+            for _ in range(n_seg // 2):  # "crash" halfway
+                off, df = next(it)
+                done += proc.process_batch(df, off)
+            proc2 = MicroBatchProcessor(st, "stream_values")  # fresh process
+            done += run_tail(proc2, src)
+            dt = time.perf_counter() - t0
+            assert proc2._offset() == n_seg - 1 and done == n_seg * seg_rows
+            timings["stream_ingest_1m"] = round(dt, 3)
+            extras["stream_events_per_sec"] = round(n_seg * seg_rows / dt, 1)
+
+        _stage("minhash_dedup_corpus", _minhash)
+        _stage("simhash_dups_corpus", _simhash)
+        _stage("spandup_copartition_corpus", _spandup)
+        _stage("embed_pages", _embed)
+        _stage("stream_ingest_1m", _stream)
+
+    out = _snapshot()
     ray.shutdown()
+    return out
+
+
+def supervise() -> dict:
+    """Run the bench body in a subprocess; recover the per-stage
+    partial sidecar if it dies hard (rc!=0, no stdout JSON)."""
+    import tempfile
+
+    fd, partial = tempfile.mkstemp(prefix="feast_ray_bench_partial_",
+                                   suffix=".json")
+    os.close(fd)
+    env = dict(os.environ, GRAFT_BENCH_INNER="1", GRAFT_BENCH_PARTIAL=partial)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True,
+    )
+    if p.stderr:
+        sys.stderr.write(p.stderr[-8000:])
+    out = None
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            out = parsed
+            break
+    if p.returncode == 0 and out is not None:
+        os.unlink(partial)
+        return out
+    # inner died (the r4 loss mode) — emit whatever stages completed
+    try:
+        with open(partial) as fh:
+            out = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        out = {"metric": "quality_filter_wall_sec", "value": None,
+               "unit": "sec", "queries": {}, "sf": SF_DIR,
+               "num_cpus": NUM_CPUS}
+    out.setdefault("errors", {})["harness"] = (
+        f"inner bench process died rc={p.returncode}; "
+        "partial results recovered from the per-stage sidecar"
+    )
+    try:
+        os.unlink(partial)
+    except OSError:
+        pass
     return out
 
 
@@ -321,7 +458,13 @@ def run_scaling() -> dict:
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        parsed = json.loads(out.strip().splitlines()[-1])
+        if parsed.get("value") is None:
+            raise RuntimeError(
+                f"scaling run at {ncpu} cpus lost its headline: "
+                f"{parsed.get('errors')}"
+            )
+        return parsed
 
     def _best(ncpu: int) -> dict:
         # best of 2: the sandbox is a shared box; single runs vary ±40%
@@ -355,5 +498,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif os.environ.get("GRAFT_BENCH_INNER"):
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(supervise()))

@@ -4936,14 +4936,32 @@ QUERIES = {
     "q88_ann_ivfpq_rerank": q88_ann_ivfpq_rerank,
 }
 
-# Driver-gate ordering (VERDICT r3 #1): the driver's correctness gate
-# truncated at the first ~50 catalog entries two rounds running,
-# leaving the newest queries with no driver-side record. Present the
-# catalog NEWEST-FIRST (q51+ before q01–q50) so whatever window the
-# gate has always covers the queries with the least prior evidence;
-# within each tier, ascending id keeps runs reproducible.
-_GATE_ORDER = sorted(QUERIES, key=lambda k: (int(k[1:3]) <= 50, int(k[1:3])))
-QUERIES = {k: QUERIES[k] for k in _GATE_ORDER}
+# Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
+# driver's correctness gate records a hard cap of 50 entries per
+# round, taken from the FRONT of this dict. Rotate each round so the
+# 50-entry window always covers the queries with the least recent
+# driver-side evidence. Round-5 rotation: q13–q50 first (no r4 driver
+# record), then q73 (the fixed r4 dtype regression — its green hash
+# must land in CORRECTNESS_r05), q80 (newly oracled this round) and
+# any new q89+ queries, then the r4-checked remainder. Within each
+# tier, ascending id keeps runs reproducible.
+import re as _re
+
+
+def _gate_priority(k: str) -> tuple:
+    n = int(_re.match(r"q(\d+)", k).group(1))
+    if 13 <= n <= 50:
+        tier = 0
+    elif n in (73, 80) or n >= 89:
+        tier = 1
+    elif n >= 51:
+        tier = 2
+    else:
+        tier = 3
+    return (tier, n)
+
+
+QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=_gate_priority)}
 
 
 def oracle_sql() -> dict[str, str]:
