@@ -336,8 +336,8 @@ def minhash_candidate_pairs(
         lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
     )
     joined = hash_join(
-        hash_join(pairs, sig_a, on="id_a", num_buckets=16),
-        sig_b, on="id_b", num_buckets=16,
+        hash_join(pairs, sig_a, on="id_a"),
+        sig_b, on="id_b",
     )
 
     def _verify(tbl: pa.Table) -> pa.Table:

@@ -792,8 +792,8 @@ def cosine_neardup_pairs_lsh(
         lambda t: t.rename_columns(["id_b", "vb_b"]), batch_format="pyarrow"
     )
     joined = hash_join(
-        hash_join(pairs, va, on="id_a", num_buckets=16),
-        vb, on="id_b", num_buckets=16,
+        hash_join(pairs, va, on="id_a"),
+        vb, on="id_b",
     )
 
     def _verify(tbl: pa.Table) -> pa.Table:

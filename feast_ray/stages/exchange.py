@@ -196,6 +196,7 @@ def two_sided_exchange(
     join_fn: Callable[[list[pa.Table], list[pa.Table]], pa.Table],
     *,
     fallback: Callable[[], ray.data.Dataset] | None = None,
+    premodded: bool = True,
 ) -> ray.data.Dataset:
     """Two-sided raw exchange for joins: ``both`` is the tagged UNION
     of the two sides (one streaming execution, so the sides still run
@@ -203,13 +204,19 @@ def two_sided_exchange(
     keyed by (side, bucket) and reducer ``b`` receives bucket ``b``'s
     left slices and right slices separately — ``join_fn(lparts,
     rparts)`` joins them (parts may be empty / schema-drifted per
-    block; the caller casts each part to its captured side schema)."""
+    block; the caller casts each part to its captured side schema).
+
+    ``premodded=False``: ``bucket_col`` carries the RAW uint64 key
+    hash (stored as int64; hash_join's deferred auto-sizing mode) and
+    each map task mods it by ``num_buckets`` here."""
     B = num_buckets
 
     def _key(tbl: pa.Table) -> np.ndarray:
         if bucket_col not in tbl.column_names:  # schema-less empty block
             return np.zeros(len(tbl), dtype=np.int64)
         b = tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not premodded:
+            b = (b.view(np.uint64) % np.uint64(B)).astype(np.int64)
         is_r = np.asarray(tbl[side_col].to_numpy(zero_copy_only=False) == right_tag)
         return b + is_r.astype(np.int64) * B
 

@@ -447,7 +447,7 @@ def hash_join(
     on: list[str] | str,
     *,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: "int | None" = None,
     right_suffix: str = "_r",
     hot_keys=None,
     salt_factor: int = 8,
@@ -457,8 +457,18 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Partitioned hash join for two LARGE sides: co-partition both on
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
-    assumption: one bucket (both sides) fits in a worker's heap —
-    raise ``num_buckets`` with data size.
+    assumption: one bucket (both sides) fits in a worker's heap.
+
+    ``num_buckets=None`` (the default, VERDICT r4 #5) AUTO-SIZES the
+    bucket count from the data: the tagged union is materialized once
+    (the raw exchange materializes it anyway) and the count derives
+    from its object-store bytes via ``auto_num_buckets`` — so a
+    pipeline written at sf0.1 partitions correctly at 100× without
+    edits. With ``hot_keys`` the count is derived from the two inputs'
+    bytes BEFORE tagging instead (salting needs the bucket count at
+    tag time to keep salted offsets distinct). Pass an explicit count
+    only to pin behavior (tests) or to keep the sort path streaming
+    end-to-end (auto-sizing adds one materialization).
 
     ``exchange``: "raw" routes the co-partition through the raw-Ray
     bucketed exchange (stages/exchange.py — partition-only, skips the
@@ -485,6 +495,22 @@ def hash_join(
     on = [on] if isinstance(on, str) else list(on)
     bucket, side = "__bucket", "__side"
     import pyarrow.compute as pc
+
+    from feast_ray.stages.exchange import auto_num_buckets
+
+    if num_buckets is None and hot_keys is not None:
+        # salting must know the bucket count at tag time (salted
+        # offsets have to stay distinct mod num_buckets, or a hot
+        # right row replicated into two colliding salted buckets would
+        # match a hot left row twice) — size from the inputs instead
+        left = left.materialize()
+        right = right.materialize()
+        num_buckets = auto_num_buckets(
+            (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        )
+    # deferred mode: tag with the RAW uint64 key hash (stored int64)
+    # and mod it after the tagged union is materialized and measured
+    defer = num_buckets is None
 
     lschema = left_schema if left_schema is not None else dataset_schema(left)
     rschema = right_schema if right_schema is not None else dataset_schema(right)
@@ -513,7 +539,8 @@ def hash_join(
     out_cols = lnames + [r for r, orig in zip(r_renamed, rnames) if orig not in on]
     # salt offsets must stay distinct mod num_buckets (odd multiplier ×
     # power-of-two bucket count guarantees it only up to num_buckets)
-    salt_factor = min(salt_factor, num_buckets)
+    if num_buckets is not None:
+        salt_factor = min(salt_factor, num_buckets)
     hot = pa.array(sorted(hot_keys)) if hot_keys is not None else None
 
     def _key_hash(tbl: pa.Table) -> np.ndarray:
@@ -579,7 +606,8 @@ def hash_join(
                                     )
                                 )
                         return pa.concat_tables(reps)
-            tbl = tbl.append_column(bucket, pa.array((h % num_buckets).astype(np.int64)))
+            bcol = h.view(np.int64) if defer else (h % num_buckets).astype(np.int64)
+            tbl = tbl.append_column(bucket, pa.array(bcol))
             return tbl.append_column(side, pa.array([val] * len(tbl), pa.string()))
 
         return _t
@@ -603,6 +631,14 @@ def hash_join(
         ]
     both = union_align([lt, rt], schemas=tagged)
 
+    if defer:
+        # auto-size (VERDICT r4 #5): one materialization of the tagged
+        # union — the raw exchange pays it anyway — sizes the shuffle.
+        # Bytes include the ~17 B/row tag overhead; auto_num_buckets'
+        # 128 MiB target absorbs that slack.
+        both = both.materialize()
+        num_buckets = auto_num_buckets(both.size_bytes() or 0)
+
     def _per_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g[side], "L")
         # cast each side to its captured schema — a pandas-origin block
@@ -618,7 +654,21 @@ def hash_join(
         return out.select(out_cols)
 
     def _sort_path() -> ray.data.Dataset:
-        return both.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")
+        src = both
+        if defer:
+            B = np.uint64(num_buckets)
+
+            def _mod(t: pa.Table) -> pa.Table:
+                if bucket not in t.column_names:  # schema-less empty
+                    return t
+                v = t[bucket].to_numpy(zero_copy_only=False)
+                v = (v.astype(np.int64).view(np.uint64) % B).astype(np.int64)
+                return t.set_column(
+                    t.column_names.index(bucket), bucket, pa.array(v)
+                )
+
+            src = both.map_batches(_mod, batch_format="pyarrow")
+        return src.groupby(bucket).map_groups(_per_bucket, batch_format="pyarrow")
 
     use_raw = raw_exchange_default() if exchange is None else exchange == "raw"
     if not use_raw:
@@ -639,7 +689,8 @@ def hash_join(
         return out.select(out_cols)
 
     return two_sided_exchange(
-        both, bucket, side, "R", num_buckets, _join_bucket, fallback=_sort_path
+        both, bucket, side, "R", num_buckets, _join_bucket,
+        fallback=_sort_path, premodded=not defer,
     )
 
 

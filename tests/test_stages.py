@@ -920,3 +920,39 @@ def test_window_compose_int64_exact_beyond_float53():
     np.testing.assert_array_equal(got["s"].to_numpy(), exp["s"].to_numpy())
     np.testing.assert_array_equal(got["mn"].to_numpy(), exp["mn"].to_numpy())
     np.testing.assert_array_equal(got["mx"].to_numpy(), exp["mx"].to_numpy())
+
+
+def test_hash_join_auto_buckets_scale_with_input(monkeypatch):
+    """num_buckets=None (the default) derives the bucket count from the
+    materialized tagged union's bytes: with a tiny bucket-size target a
+    bigger input must fan out to MORE reduce buckets (visible as output
+    blocks on the raw-exchange path), and both the raw and sort paths
+    stay correct in the deferred raw-hash mode."""
+    import ray.data
+
+    from feast_ray.stages import exchange
+
+    monkeypatch.setattr(exchange, "TARGET_BUCKET_BYTES", 32 << 10)
+
+    def _mk(n):
+        left = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                             "pad": ["x" * 64] * n})
+        right = pd.DataFrame({"k": np.arange(0, n, 2, dtype=np.int64),
+                              "rv": np.arange(0, n, 2, dtype=np.int64)})
+        return ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    lds, rds = _mk(200)
+    small = hash_join(lds, rds, on="k", exchange="raw")
+    n_small = small.materialize().num_blocks()
+    big_l, big_r = _mk(20_000)
+    big = hash_join(big_l, big_r, on="k", exchange="raw")
+    bigm = big.materialize()
+    assert bigm.num_blocks() > n_small  # buckets grew with bytes
+    assert bigm.count() == 10_000
+    # deferred-mode parity: sort path mods the raw hash identically
+    srt = hash_join(big_l, big_r, on="k", exchange="sort").to_pandas()
+    raw = bigm.to_pandas()
+    pd.testing.assert_frame_equal(
+        srt.sort_values("k").reset_index(drop=True),
+        raw.sort_values("k").reset_index(drop=True),
+    )
