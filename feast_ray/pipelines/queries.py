@@ -4102,6 +4102,29 @@ where rev_c = (select max(rev_c) from rev)
 
 
 
+def _embed_norm_summary(t: pa.Table) -> pa.Table:
+    """(doc_id, chunk_id, e0, e63, norm) from a 64-dim embedding table.
+
+    The norm is a SEQUENTIAL left-to-right float64 + chain (not
+    np.linalg.norm's pairwise summation) so it is bit-exact against the
+    oracle SQL's ``sqrt(c0*c0 + c1*c1 + ...)`` expression — the same
+    explicit-chain doctrine q81 uses for its ADC scores."""
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(len(t), 64).astype(np.float64)
+    acc = mat[:, 0] * mat[:, 0]
+    for j in range(1, 64):
+        acc = acc + mat[:, j] * mat[:, j]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "chunk_id": t["chunk_id"],
+            "e0": pa.array(mat[:, 0]),
+            "e63": pa.array(mat[:, 63]),
+            "norm": pa.array(np.sqrt(acc)),
+        }
+    )
+
+
 def q80_real_embed(sf_dir: str):
     """Chunk → REAL-compute embedder actor pool (VERDICT r3 #8):
     MiniTransformerEmbedder holds ~17 MB of deterministic weights per
@@ -4109,9 +4132,17 @@ def q80_real_embed(sf_dir: str):
     transformer forward per batch — the stage pays a real model's
     memory/latency profile, validating the embed stage's
     batch_size/concurrency economics that the crc32 HashEmbedder
-    (q34, SQL-oracled) cannot. No SQL oracle (a transformer is not
-    SQL-expressible) — rows-only in the gate; determinism/locality/
-    once-per-actor-load are pinned by tests/test_chunker_dqm.py."""
+    (q34, SQL-oracled) cannot.
+
+    SQL-oracled since round 5 (VERDICT r4 #6, q81's dump doctrine):
+    the forward pass is bit-stable across batch splits (row-partitioned
+    GEMMs), so a SINGLE-PROCESS reference recompute of every chunk's
+    64 float32 coordinates is dumped to parquet and DuckDB derives the
+    same summary — e0/e63 plus the norm as an explicit 64-term
+    ``sqrt(c0*c0 + ...)`` chain, bit-exact vs the engine's sequential
+    accumulation. The distributed actor-pool run must reproduce the
+    single-process ground truth for every chunk regardless of block /
+    batch boundaries and actor count."""
     from feast_ray.functions.chunker import MiniTransformerEmbedder, chunk_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4125,20 +4156,43 @@ def q80_real_embed(sf_dir: str):
         num_cpus=1,
     )
 
-    def _summary(t: pa.Table) -> pa.Table:
-        flat = t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        mat = flat.reshape(len(t), 64)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "chunk_id": t["chunk_id"],
-                "e0": pa.array(mat[:, 0].astype(np.float64)),
-                "e63": pa.array(mat[:, 63].astype(np.float64)),
-                "norm": pa.array(np.linalg.norm(mat, axis=1).astype(np.float64)),
-            }
-        )
+    # oracle input: single-process reference recompute (q29/q81 doctrine —
+    # fixed path, one gate at a time). Driver process, no Ray, 512-row
+    # slices; ~2.5 s at sf0.01.
+    import pyarrow.parquet as _pq
 
-    return emb.map_batches(_summary, batch_format="pyarrow")
+    ref_chunks = chunk_batch(
+        _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"]),
+        "doc_id", "text",
+    )
+    ref_model = MiniTransformerEmbedder(text_col="chunk_text", dim=64)
+    coord_parts = []
+    for i in range(0, ref_chunks.num_rows, 512):
+        sl = ref_chunks.slice(i, 512)
+        out = ref_model(sl)
+        flat = out["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        mat = flat.reshape(len(out), 64).astype(np.float64)
+        coord_parts.append(pa.table({
+            "doc_id": out["doc_id"],
+            "chunk_id": out["chunk_id"],
+            **{f"c{j}": pa.array(mat[:, j]) for j in range(64)},
+        }))
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(pa.concat_tables(coord_parts),
+                    os.path.join(_PPL_ORACLE_DIR, "embed_ref.parquet"))
+
+    return emb.map_batches(_embed_norm_summary, batch_format="pyarrow")
+
+
+def _q80_sql() -> str:
+    chain = " + ".join(f"c{j}*c{j}" for j in range(64))
+    return f"""
+select doc_id, chunk_id, c0 as e0, c63 as e63,
+       sqrt({chain}) as norm
+from read_parquet('{_PPL_ORACLE_DIR}/embed_ref.parquet')
+"""
 
 
 
@@ -4999,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_quality_pipeline_pages": _q28_sql(),
         "q29_ann_ivf": _q29_sql(),
         "q30_multimodal_decode": _q30_sql(),
+        "q80_real_embed": _q80_sql(),
         "q81_ann_ivfpq": _q81_sql(),
         "q82_large_volume_orders": _Q82_SQL,
         "q83_lone_late_supplier": _Q83_SQL,

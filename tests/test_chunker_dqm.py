@@ -159,3 +159,28 @@ def test_mini_transformer_loads_once_per_actor(tmp_path):
     assert out.count() == n  # 16 batches through 2 actors
     loads = os.path.getsize(audit)
     assert 1 <= loads <= 2, f"expected <=2 weight builds (one per actor), got {loads}"
+
+
+def test_embed_norm_summary_matches_sql_chain(duck):
+    """q80 oracle doctrine: the engine's sequential float64 norm chain
+    must be BIT-exact vs DuckDB's left-assoc ``sqrt(c0*c0 + ...)``."""
+    import numpy as np
+    import pyarrow as pa
+
+    from feast_ray.pipelines.queries import _embed_norm_summary
+
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((50, 64)).astype(np.float32)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(50)),
+        "chunk_id": pa.array(np.zeros(50, np.int64)),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32(), 64)),
+    })
+    got = _embed_norm_summary(t).to_pandas()
+
+    cols = {f"c{j}": mat[:, j].astype(np.float64) for j in range(64)}
+    duck.register("coords", pa.table(cols))
+    chain = " + ".join(f"c{j}*c{j}" for j in range(64))
+    exp = duck.execute(f"select sqrt({chain}) as norm from coords").fetchdf()
+    assert np.array_equal(got["norm"].to_numpy(), exp["norm"].to_numpy())
+    assert np.array_equal(got["e0"].to_numpy(), mat[:, 0].astype(np.float64))
