@@ -256,3 +256,33 @@ class SecurityManager:
         return enforce_policy(
             self.permissions, current_user(), resources, acts, filter_only=True
         )
+
+
+class StaticTokenAuth:
+    """Server-side shared-secret token registry: opaque bearer token →
+    ``User``. The sandbox analog of the reference's token verifiers
+    (permissions/auth/oidc_token_parser.py,
+    permissions/auth/kubernetes_token_parser.py — both need network /
+    cluster identity providers): identity comes from a secret the
+    server already holds, never from client-asserted names or roles.
+
+    Install on a server (``serve(..., auth=...)`` /
+    ``serve_registry(..., auth=...)``) to REPLACE the dev
+    identity-assertion bearer shape: unknown tokens get 401, and a
+    ``user:roles`` header grants nothing unless that exact string is a
+    registered secret. Without it, servers stay in the dev shape,
+    which is identity ASSERTION for testing only."""
+
+    def __init__(self, tokens: "dict[str, User]"):
+        self._tokens = {str(t): u for t, u in tokens.items()}
+
+    def authenticate(self, token: str) -> "User | None":
+        import hmac
+
+        # constant-time compare against every registered secret so a
+        # network client can't timing-probe token prefixes
+        found = None
+        for secret, user in self._tokens.items():
+            if hmac.compare_digest(secret, token):
+                found = user
+        return found

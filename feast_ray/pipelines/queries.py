@@ -4495,6 +4495,14 @@ def q84_rag_retrieval(sf_dir: str):
 
     def _corpus(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["doc_id"], 5))
+        # cid packs (doc_id, chunk_id); a document with >=1024 chunks
+        # would alias cids and silently diverge from the SQL oracle's
+        # native columns (advice r4) — fail loudly instead
+        if len(t) and pc.max(t["chunk_id"]).as_py() >= 1024:
+            raise ValueError(
+                "q84 cid packing overflow: chunk_id >= 1024 "
+                f"(max={pc.max(t['chunk_id']).as_py()}); widen the multiplier"
+            )
         cid = pc.add(pc.multiply(t["doc_id"], pa.scalar(1024)), t["chunk_id"])
         return pa.table({
             "cid": pc.cast(cid, pa.int64()),

@@ -32,7 +32,7 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def _make_handler(store):
+def _make_handler(store, auth=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -59,16 +59,32 @@ def _make_handler(store):
             }
 
         def _bind_principal(self):
-            """Per-request principal from the dev bearer header (the
-            feature server's shape, serve.py); returns the contextvar
-            token to reset, or None."""
+            """Per-request principal from the bearer header (the
+            feature server's shape, serve.py). With a StaticTokenAuth
+            installed the token is validated server-side; otherwise
+            this is dev identity ASSERTION (testing only). Returns
+            ``(ok, token)``: ok=False means a 401 was already sent;
+            token is the contextvar reset handle or None."""
             from feast_ray.permissions import User, set_current_user
 
-            auth = self.headers.get("Authorization", "")
-            if not auth.startswith("Bearer "):
-                return None
-            name, _, roles = auth[len("Bearer ") :].strip().partition(":")
-            return set_current_user(
+            hdr = self.headers.get("Authorization", "")
+            bearer = (
+                hdr[len("Bearer ") :].strip()
+                if hdr.startswith("Bearer ")
+                else ""
+            )
+            if auth is not None:
+                user = auth.authenticate(bearer) if bearer else None
+                if user is None:
+                    self._send(
+                        401, {"error": "invalid or missing bearer token"}
+                    )
+                    return False, None
+                return True, set_current_user(user)
+            if not bearer:
+                return True, None
+            name, _, roles = bearer.partition(":")
+            return True, set_current_user(
                 User(name, tuple(r for r in roles.split(",") if r))
             )
 
@@ -89,11 +105,19 @@ def _make_handler(store):
             return {v.name for v in views}, {s.name for s in services}
 
         def do_GET(self):
-            from feast_ray.permissions import _current_user
+            from feast_ray.permissions import PermissionDenied, _current_user
 
-            token = self._bind_principal()
+            ok, token = self._bind_principal()
+            if not ok:
+                return
             try:
                 self._get_route()
+            except PermissionDenied as e:
+                self._send(403, {"error": f"PermissionDenied: {e}"})
+            except Exception as e:  # noqa: BLE001 — serving surface:
+                # an unexpected _get_route error must come back as a
+                # JSON 500, not a dropped connection (advice r4)
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 if token is not None:
                     _current_user.reset(token)
@@ -135,12 +159,7 @@ def _make_handler(store):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            from feast_ray.permissions import (
-                PermissionDenied,
-                User,
-                _current_user,
-                set_current_user,
-            )
+            from feast_ray.permissions import PermissionDenied, _current_user
             from feast_ray.views import service_from_dict, view_from_dict
 
             n = int(self.headers.get("Content-Length", 0))
@@ -149,13 +168,9 @@ def _make_handler(store):
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid json"})
                 return
-            auth = self.headers.get("Authorization", "")
-            token = None
-            if auth.startswith("Bearer "):
-                name, _, roles = auth[len("Bearer ") :].strip().partition(":")
-                token = set_current_user(
-                    User(name, tuple(r for r in roles.split(",") if r))
-                )
+            ok, token = self._bind_principal()
+            if not ok:
+                return
             try:
                 if self.path == "/apply":
                     objs = [view_from_dict(d) for d in req.get("views", [])]
@@ -178,11 +193,13 @@ def _make_handler(store):
 
 
 def serve_registry(
-    store, host: str = "127.0.0.1", port: int = 6570
+    store, host: str = "127.0.0.1", port: int = 6570, auth=None
 ) -> ThreadingHTTPServer:
     """Start the registry server in a daemon thread; returns the server
-    (``server.server_address`` has the bound port)."""
-    server = ThreadingHTTPServer((host, port), _make_handler(store))
+    (``server.server_address`` has the bound port). ``auth``: a
+    ``permissions.StaticTokenAuth`` to require server-side-validated
+    bearer tokens (None = dev identity assertion, testing only)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(store, auth))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -35,7 +35,7 @@ def _json_safe(obj):
     return obj
 
 
-def _make_handler(store):
+def _make_handler(store, auth=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -61,24 +61,32 @@ def _make_handler(store):
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid json"})
                 return
-            # per-request principal from the dev bearer header
-            # ``Authorization: Bearer <user>[:role1,role2]`` — the
-            # reference's intra-server auth-manager shape
-            # (permissions/security_manager.py; its OIDC/k8s token
-            # verifiers need network, out of scope). The contextvar
-            # scopes the user to THIS request thread; PermissionDenied
-            # surfaces as 403.
+            # per-request principal from the bearer header. With a
+            # StaticTokenAuth installed the token is validated against
+            # the server-side secret map (401 on mismatch); without
+            # one this is the dev IDENTITY-ASSERTION shape
+            # ``Bearer <user>[:role1,role2]`` — testing only, any
+            # client can claim any role (reference analog:
+            # permissions/security_manager.py; its OIDC/k8s verifiers
+            # need network, out of scope). The contextvar scopes the
+            # user to THIS request thread; PermissionDenied → 403.
             from feast_ray.permissions import (
                 PermissionDenied,
                 User,
                 set_current_user,
             )
 
-            auth = self.headers.get("Authorization", "")
+            hdr = self.headers.get("Authorization", "")
+            bearer = hdr[len("Bearer ") :].strip() if hdr.startswith("Bearer ") else ""
             token = None
-            if auth.startswith("Bearer "):
-                spec = auth[len("Bearer ") :].strip()
-                name, _, roles = spec.partition(":")
+            if auth is not None:
+                user = auth.authenticate(bearer) if bearer else None
+                if user is None:
+                    self._send(401, {"error": "invalid or missing bearer token"})
+                    return
+                token = set_current_user(user)
+            elif bearer:
+                name, _, roles = bearer.partition(":")
                 token = set_current_user(
                     User(name, tuple(r for r in roles.split(",") if r))
                 )
@@ -180,11 +188,14 @@ def _make_handler(store):
     return Handler
 
 
-def serve(store, host: str = "127.0.0.1", port: int = 6566) -> ThreadingHTTPServer:
+def serve(store, host: str = "127.0.0.1", port: int = 6566,
+          auth=None) -> ThreadingHTTPServer:
     """Start the feature server in a daemon thread; returns the server
     (``server.server_address`` has the bound port; ``.shutdown()``
-    stops it)."""
-    server = ThreadingHTTPServer((host, port), _make_handler(store))
+    stops it). ``auth``: a ``permissions.StaticTokenAuth`` to require
+    server-side-validated bearer tokens (None = dev identity
+    assertion, testing only)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(store, auth))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -158,7 +158,10 @@ class OnlineParquetStore:
                 return self._merge_files(files, meta)
             except FileNotFoundError:
                 continue
-        return self._merge_files(self._bucket_files(bdir), meta)
+        files = self._bucket_files(bdir)
+        if not files:  # bucket emptied while we retried (code-review r4)
+            return None
+        return self._merge_files(files, meta)
 
     def upsert(self, view: View, ds: ray.data.Dataset) -> int:
         out = self._dir(view.name)

@@ -227,3 +227,80 @@ def test_http_bearer_principal(tmp_path, sf_small, ray_session):
         assert code == 403
     finally:
         server.shutdown()
+
+
+def test_static_token_auth_unit():
+    """Server-side token map: exact-secret lookup, no partial matches."""
+    from feast_ray.permissions import StaticTokenAuth
+
+    auth = StaticTokenAuth({
+        "s3cret-analyst": User("ana", ("analyst",)),
+        "s3cret-admin": User("root", ("admin",)),
+    })
+    assert auth.authenticate("s3cret-analyst").roles == ("analyst",)
+    assert auth.authenticate("s3cret-admin").username == "root"
+    assert auth.authenticate("s3cret") is None
+    assert auth.authenticate("s3cret-analyst ") is None
+    assert auth.authenticate("") is None
+
+
+def test_http_token_auth_rejects_self_asserted_roles(tmp_path, sf_small, ray_session):
+    """With StaticTokenAuth installed, identity comes from the server's
+    secret map: unknown tokens get 401 and a 'user:role' assertion
+    grants nothing (advice r4 — bearer was client-asserted)."""
+    import json
+    import urllib.request
+
+    from feast_ray.permissions import StaticTokenAuth
+    from feast_ray.serve import serve
+    from feast_ray.store import Store
+
+    st = Store(str(tmp_path / "repo"), sf_small)
+    view = View(
+        name="user_values",
+        source=TableSource(name="events", table="events", timestamp_field="ts"),
+        entities=[Entity("user", "user_id")],
+        features=["value"],
+    )
+    st.apply([view])
+    st.materialize()
+    st.apply([
+        Permission(
+            name="analyst_read", types=(View,), actions=tuple(READ),
+            policy=RoleBasedPolicy(["analyst"]),
+        ),
+    ])
+    server = serve(st, port=0, auth=StaticTokenAuth({
+        "tok-ana": User("ana", ("analyst",)),
+        "tok-eve": User("eve", ("intern",)),
+    }))
+    try:
+        port = server.server_address[1]
+        body = json.dumps({
+            "features": ["user_values:value"], "entities": {"user_id": [1]}
+        }).encode()
+
+        def post(auth_hdr=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/get-online-features", data=body,
+                headers={"Content-Type": "application/json",
+                         **({"Authorization": auth_hdr} if auth_hdr else {})},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, resp = post("Bearer tok-ana")  # server-side roles
+        assert code == 200 and "results" in resp
+        code, resp = post("Bearer tok-eve")  # valid token, wrong role
+        assert code == 403 and "PermissionDenied" in resp["error"]
+        code, resp = post("Bearer eve:admin")  # self-asserted role: 401
+        assert code == 401
+        code, resp = post("Bearer nope")  # unknown token
+        assert code == 401
+        code, resp = post(None)  # missing header
+        assert code == 401
+    finally:
+        server.shutdown()

@@ -210,3 +210,48 @@ def test_registry_reads_enforce_describe(tmp_path, sf_small, ray_session):
         assert ana.get_view("secret_view").name == "secret_view"
     finally:
         server.shutdown()
+
+
+def test_registry_get_errors_return_json_500_and_token_auth(tmp_path, sf_small, ray_session):
+    """do_GET must return a JSON 500 on unexpected errors (advice r4 —
+    it previously dropped the connection) and honor StaticTokenAuth."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from feast_ray.permissions import StaticTokenAuth, User
+
+    st = Store(str(tmp_path / "repo"), sf_small)
+    st.apply([_view()])
+    server = serve_registry(
+        st, port=0, auth=StaticTokenAuth({"tok-ops": User("ops", ("admin",))})
+    )
+    try:
+        port = server.server_address[1]
+
+        def get(path, auth_hdr=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                headers={"Authorization": auth_hdr} if auth_hdr else {},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, _ = get("/registry", "Bearer tok-ops")
+        assert code == 200
+        code, _ = get("/registry", "Bearer eve:admin")  # self-asserted
+        assert code == 401
+        code, _ = get("/registry")  # anonymous
+        assert code == 401
+
+        # force an internal error: corrupt the registry file so
+        # _load_registry raises inside _get_route
+        with open(st.registry_path, "w") as f:
+            f.write("{not json")
+        code, resp = get("/registry", "Bearer tok-ops")
+        assert code == 500 and "error" in resp
+    finally:
+        server.shutdown()
