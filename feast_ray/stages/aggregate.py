@@ -393,6 +393,126 @@ def _make_window_compose(
 
         return fv, sent, _restore_f
 
+    def _compose_sparse(
+        dfs: pd.DataFrame,
+        srows: np.ndarray,
+        sidx: np.ndarray,
+        kid_s: np.ndarray,
+        hop_s: np.ndarray,
+        starts: np.ndarray,
+        n_tiles: np.ndarray,
+        minh: np.ndarray,
+    ) -> pd.DataFrame:
+        """Sparse arm — output-optimal sorted sweep (round 5; the
+        README's monotonic-deque candidate, in vectorizable form).
+
+        The old explode materialized tiles × n_hops IR rows and hash-
+        groupby-merged them: O(t·K) rows copied through pandas per
+        bucket. This sweep emits each of the W output windows directly
+        — O(t·log t + W) with prefix-sum diffs for the additive IR
+        kinds (the dense grid arm's doctrine) and a vectorized
+        sparse-table (power-of-two range min/max; idempotent overlap)
+        for extremes, replacing the sequential deque so the whole
+        bucket stays in numpy. W ≤ t·K always, and ≪ t·K whenever
+        per-tile window ranges overlap.
+
+        Tiles arrive one-per-(key, hop) (the upstream bucketed reduce
+        merged them) and sorted by (kid, hop). Windows of segment j
+        search only segment j's tiles via a composite searchsorted key
+        ``seg·stride + hop_offset``; falls back to the explode when the
+        composite would overflow int64 (astronomical hop ranges)."""
+        sh = hop_s[srows]
+        s_tiles = n_tiles[sidx]
+        S = len(sidx)
+        T = len(srows)
+        K = np.int64(n_hops)
+        tseg = np.repeat(np.arange(S, dtype=np.int64), s_tiles)
+        minh_s = minh[sidx]
+        Lmax = int(((hop_s[starts[sidx] + s_tiles - 1] - minh_s) // slide_us).max()) + 1
+        stride = np.int64(Lmax + 2 * n_hops)
+        if S and stride > (2**62) // max(S, 1):
+            return merge_ir(_explode_ir(dfs.iloc[srows]))
+
+        # per-tile NEW window range: [max(h-(K-1)s, prev_h+s), h] —
+        # consecutive same-segment tiles share overlapping ranges, the
+        # union is emitted exactly once, in sorted order per segment
+        w_start = sh - (K - 1) * slide_us
+        prev = np.empty(T, np.int64)
+        prev[1:] = sh[:-1] + slide_us
+        first = np.concatenate([[True], tseg[1:] != tseg[:-1]])
+        np.maximum(w_start, prev, out=w_start, where=~first)
+        c = (sh - w_start) // slide_us + 1
+        cum = np.zeros(T + 1, np.int64)
+        np.cumsum(c, out=cum[1:])
+        W = int(cum[-1])
+        wi = np.repeat(np.arange(T), c)
+        w = w_start[wi] + (np.arange(W) - cum[wi]) * slide_us
+        eseg_w = tseg[wi]
+
+        # composite search keys: offsets are hop-grid positions shifted
+        # +(K-1) so the lowest window start stays non-negative
+        t_off = (sh - minh_s[tseg]) // slide_us + (K - 1)
+        comp_tile = tseg * stride + t_off
+        comp_lo = eseg_w * stride + (w - minh_s[eseg_w]) // slide_us + (K - 1)
+        lo = np.searchsorted(comp_tile, comp_lo, side="left")
+        hi = np.searchsorted(comp_tile, comp_lo + (K - 1), side="right") - 1
+
+        out_cols: dict[str, np.ndarray] = {}
+        sdf = dfs.iloc[srows]
+        st_levels: "list[list[np.ndarray]] | None" = None
+        for pname, kind in kinds.items():
+            if kind in ("sum", "count", "sumsq"):
+                vals = sdf[pname].to_numpy()
+                if np.issubdtype(vals.dtype, np.integer):
+                    pref = np.zeros(T + 1, np.int64)
+                    pref[1:] = vals
+                else:
+                    pref = np.zeros(T + 1, np.float64)
+                    pref[1:] = np.nan_to_num(vals.astype(np.float64))
+                np.cumsum(pref, out=pref)
+                out_cols[pname] = pref[hi + 1] - pref[lo]
+            else:
+                use_min = kind == "min"
+                vals, sent, restore = _to_work(sdf[pname], use_min)
+                op = np.minimum if use_min else np.maximum
+                # sparse table: st[j][i] = op over tiles [i, i + 2^j)
+                st = [vals]
+                j, half = 0, 1
+                while half * 2 <= T:
+                    st.append(op(st[j][: T - half * 2 + 1], st[j][half : T - half + 1]))
+                    j += 1
+                    half *= 2
+                ln = hi - lo + 1
+                lev = np.floor(np.log2(ln)).astype(np.int64)
+                res = np.full(W, sent, vals.dtype)
+                for j in range(len(st)):
+                    m = lev == j
+                    if m.any():
+                        p2 = 1 << j
+                        res[m] = op(st[j][lo[m]], st[j][hi[m] + 1 - p2])
+                out_cols[pname] = restore(res)
+
+        frame = pd.DataFrame(out_cols)
+        frame[window_col] = w.astype("datetime64[us]")
+        key_rows = dfs.iloc[starts[sidx]][keys].reset_index(drop=True)
+        for col in keys:
+            frame[col] = key_rows[col].to_numpy()[eseg_w]
+        return frame
+
+    def _explode_ir(sparse_df: pd.DataFrame) -> pd.DataFrame:
+        n = len(sparse_df)
+        idx = np.repeat(np.arange(n), n_hops)
+        shop = sparse_df[window_col].to_numpy(
+            dtype="datetime64[us]"
+        ).astype(np.int64)
+        wv = (
+            np.repeat(shop, n_hops)
+            - np.tile(np.arange(n_hops, dtype=np.int64) * slide_us, n)
+        )
+        ex = sparse_df.iloc[idx].copy()
+        ex[window_col] = wv.astype("datetime64[us]")
+        return ex
+
     def _compose(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return finalize(merge_ir(df))
@@ -414,20 +534,13 @@ def _make_window_compose(
         dense_rows = np.repeat(dense, n_tiles)
         parts: list[pd.DataFrame] = []
 
-        sparse_df = dfs.iloc[np.flatnonzero(~dense_rows)]
-        if len(sparse_df):
-            n = len(sparse_df)
-            idx = np.repeat(np.arange(n), n_hops)
-            shop = sparse_df[window_col].to_numpy(
-                dtype="datetime64[us]"
-            ).astype(np.int64)
-            w = (
-                np.repeat(shop, n_hops)
-                - np.tile(np.arange(n_hops, dtype=np.int64) * slide_us, n)
+        sidx = np.flatnonzero(~dense)
+        srows = np.flatnonzero(~dense_rows)
+        if len(srows):
+            part = _compose_sparse(
+                dfs, srows, sidx, kid_s, hop_s, starts, n_tiles, minh
             )
-            ex = sparse_df.iloc[idx].copy()
-            ex[window_col] = w.astype("datetime64[us]")
-            parts.append(finalize(merge_ir(ex)))
+            parts.append(finalize(part))
 
         didx = np.flatnonzero(dense)
         if len(didx):
