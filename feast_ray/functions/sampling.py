@@ -197,10 +197,46 @@ def shard_shuffle(
         df[pos_col] = df.index.to_numpy(dtype="int64")
         return df.drop(columns="__h")
 
-    return (
-        ds.map_batches(_assign, batch_format="pyarrow")
-        .groupby(shard_col)
-        .map_groups(_order, batch_format="pandas")
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+
+    from feast_ray.stages.exchange import bucket_exchange, raw_exchange_default
+
+    def _sort_path() -> ray.data.Dataset:
+        return assigned.groupby(shard_col).map_groups(
+            _order, batch_format="pandas"
+        )
+
+    if not raw_exchange_default():
+        return _sort_path()
+
+    # raw bucketed exchange (round 5): partition-only on the shard id —
+    # Ray's sort shuffle ordered rows by shard_col only for _order to
+    # immediately re-sort them by (__h, key). The exchange drops its
+    # bucket column, so __shard2 carries the id into the reducer.
+    def _dup(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("__shard2", tbl[shard_col])
+
+    def _reduce(parts: list) -> pa.Table:
+        tbls = [p for p in parts if len(p)]
+        if not tbls:
+            # typed 0-row slice keeps the output schema; all-schema-less
+            # means the whole exchange was empty (dedup._reduce doctrine)
+            typed = [p for p in parts if p.num_columns]
+            if not typed:
+                return pa.table({})
+            tbls = typed[:1]
+        df = pa.concat_tables(tbls, promote_options="permissive").to_pandas()
+        df[shard_col] = df.pop("__shard2")
+        return pa.Table.from_pandas(
+            _order(df), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return bucket_exchange(
+        assigned.map_batches(_dup, batch_format="pyarrow"),
+        shard_col,
+        num_shards,
+        _reduce,
+        fallback=_sort_path,
     )
 
 

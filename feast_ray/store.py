@@ -185,8 +185,13 @@ class OnlineParquetStore:
         from feast_ray.stages.dedup import add_hash_bucket
 
         nb = self.NUM_BUCKETS
+        # __obid duplicates the bucket id: the raw exchange drops its
+        # bucket column before the reduce, but _append_bucket needs the
+        # id to name the on-disk bucket dir
         bucketed = ds.map_batches(
-            lambda t: add_hash_bucket(t, upsert_keys, nb, col="__ob"),
+            lambda t: (
+                lambda b: b.append_column("__obid", b["__ob"])
+            )(add_hash_bucket(t, upsert_keys, nb, col="__ob")),
             batch_format="pyarrow",
         )
         meta = self._view_meta(view)
@@ -207,8 +212,10 @@ class OnlineParquetStore:
             Never reads the bucket on the append path — write cost is
             O(delta), a full-bucket rewrite happens once per
             COMPACT_FILES appends."""
-            bucket = int(df["__ob"].iloc[0])
-            df = df.drop(columns="__ob")
+            bucket = int(df["__obid"].iloc[0])
+            df = df.drop(
+                columns=[c for c in ("__ob", "__obid") if c in df.columns]
+            )
             # no-timestamp views order by the FILE sequence (assigned
             # at read) — within a batch, row order breaks ties
             sort_cols = [c for c in order_by if c in df.columns]
@@ -248,11 +255,41 @@ class OnlineParquetStore:
                         os.remove(p)
             return pd.DataFrame({"bucket": [bucket], "rows": [n_new]})
 
-        stats = (
-            bucketed.groupby("__ob")
-            .map_groups(_append_bucket, batch_format="pandas")
-            .to_pandas()
+        from feast_ray.stages.exchange import (
+            bucket_exchange,
+            raw_exchange_default,
         )
+
+        def _sort_stats() -> "ray.data.Dataset":
+            return bucketed.groupby("__ob").map_groups(
+                _append_bucket, batch_format="pandas"
+            )
+
+        if raw_exchange_default():
+            # raw bucketed exchange (round 5, VERDICT r4 #8): partition-
+            # only — the per-bucket sort happens inside _append_bucket
+            # anyway, so Ray's sort shuffle paid for an ordering the
+            # reducer immediately redid
+            stats_schema = pa.schema(
+                [("bucket", pa.int64()), ("rows", pa.int64())]
+            )
+
+            def _append_reduce(parts: list) -> pa.Table:
+                tbls = [p for p in parts if len(p)]
+                if not tbls:
+                    return stats_schema.empty_table()
+                df = pa.concat_tables(
+                    tbls, promote_options="default"
+                ).to_pandas()
+                return pa.Table.from_pandas(
+                    _append_bucket(df), preserve_index=False
+                ).cast(stats_schema)
+
+            stats = bucket_exchange(
+                bucketed, "__ob", nb, _append_reduce, fallback=_sort_stats
+            ).to_pandas()
+        else:
+            stats = _sort_stats().to_pandas()
         if len(stats) == 0 or "rows" not in stats.columns:
             return 0  # empty input (e.g. incremental run with no new rows)
         return int(stats["rows"].sum())
