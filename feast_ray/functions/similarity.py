@@ -829,13 +829,17 @@ def cosine_neardup_pairs_lsh(
 
 def pq_train(
     sample: np.ndarray, m: int = 8, ks: int = 256, iters: int = 10,
-    seed: int = 7,
+    seed: int = 7, prenormalized: bool = False,
 ) -> np.ndarray:
     """Train per-subspace codebooks (m, ks, d/m) by k-means over a
     normalized sample. Deterministic (fixed seed). ks shrinks to the
     sample size on tiny corpora; unused code slots repeat codeword 0
-    so any uint8 decodes."""
-    x = _normalize(np.asarray(sample, np.float64))
+    so any uint8 decodes. ``prenormalized=True`` skips the L2
+    normalization (residual training — residuals must NOT be
+    re-normalized)."""
+    x = np.asarray(sample, np.float64)
+    if not prenormalized:
+        x = _normalize(x)
     n, d = x.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -884,6 +888,7 @@ def ivfpq_build(
     ks: int = 256,
     sample_size: int = 2048,
     sample_mode: str = "hash",
+    residual: bool = False,
 ) -> np.ndarray:
     """Build the cell-partitioned PQ index: IVF centroids + PQ
     codebooks fit on one unbiased hash sample (ivf_build's doctrine),
@@ -892,7 +897,17 @@ def ivfpq_build(
     and writes hive-partitioned parquet. The float ``embedding``
     column rides along for optional exact rerank; a codes-only layout
     is the same call with the column dropped upstream. Saves
-    ``_centroids.npy`` + ``_codebooks.npy``. Returns the codebooks."""
+    ``_centroids.npy`` + ``_codebooks.npy`` + ``_meta.json``. Returns
+    the codebooks.
+
+    ``residual=True`` (round 5, VERDICT r4 #9 — the standard
+    FAISS-style IVF-PQ layout): codebooks are trained on and codes
+    encode ``x - centroid[cell(x)]`` instead of ``x``. Residuals
+    cluster much tighter than raw vectors, so the same m×ks code
+    budget quantizes finer; ADC then scores
+    ``q·centroid[cell] + q·residual_codewords`` (the per-cell base
+    term costs one n_q×n_cells matmul at query build)."""
+    import json as _json
     import os
 
     if sample_mode == "hash":
@@ -907,7 +922,13 @@ def ivfpq_build(
         sample_tbl = ds.limit(sample_size).to_pandas()
     sample = np.stack(sample_tbl[vec_col].to_numpy())
     index = IVFIndex(sample, n_cells=n_cells)
-    books = pq_train(_normalize(sample), m=m, ks=ks)
+    sn = _normalize(sample)
+    if residual:
+        s_cells = np.argmax(sn @ index.centroids.T, axis=1)
+        books = pq_train(sn - index.centroids[s_cells], m=m, ks=ks,
+                         prenormalized=True)
+    else:
+        books = pq_train(sn, m=m, ks=ks, prenormalized=True)
     cref = ray.put((index.centroids, books))
 
     def _assign(tbl: pa.Table) -> pa.Table:
@@ -919,7 +940,7 @@ def ivfpq_build(
         cent, cb = ray.get(cref)
         mat = _normalize(_batch_matrix(tbl, vec_col))
         cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
-        codes = pq_encode(mat, cb)
+        codes = pq_encode(mat - cent[cells] if residual else mat, cb)
         tbl = tbl.append_column("cell", pa.array(cells))
         for j in range(m):
             # int16: parquet/hive round-trips plain ints losslessly
@@ -934,6 +955,8 @@ def ivfpq_build(
     )
     np.save(os.path.join(path, "_centroids.npy"), index.centroids)
     np.save(os.path.join(path, "_codebooks.npy"), books)
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        _json.dump({"residual": residual, "m": m, "ks": ks}, fh)
     return books
 
 
@@ -961,12 +984,21 @@ def ann_topk_ivfpq(
 
     centroids = np.load(os.path.join(index_path, "_centroids.npy"))
     books = np.load(os.path.join(index_path, "_codebooks.npy"))
+    meta_p = os.path.join(index_path, "_meta.json")
+    residual = False
+    if os.path.exists(meta_p):
+        import json as _json
+
+        with open(meta_p) as fh:
+            residual = bool(_json.load(fh).get("residual", False))
     m, ks, sub = books.shape
     index = IVFIndex.__new__(IVFIndex)
     index.centroids = centroids
     qn = _normalize(np.asarray(queries))
     q_cells = index.cells_for(qn, nprobe)
     probed = set(int(c) for c in np.unique(q_cells))
+    # residual ADC base term: q·centroid[cell], one small matmul
+    qcent = (qn @ centroids.T) if residual else None
     # per-query ADC lookup tables: lut[q][j, c] = q_sub_j . codeword_c
     luts = np.stack(
         [
@@ -988,16 +1020,17 @@ def ann_topk_ivfpq(
     stats = ivf_scan_stats(index_path, probed)
     stats["probes"] = q_cells
     stats["luts"] = luts
+    stats["qcent"] = qcent  # None on non-residual indexes
     if not files:
         return ray.data.from_arrow(_empty_topk_table(id_col)), stats
     code_cols = [f"code_{j}" for j in range(m)]
     ds = ray.data.read_parquet(files, columns=[id_col, *code_cols, "cell"])
-    ref = ray.put((luts, q_cells))
+    ref = ray.put((luts, q_cells, qcent))
 
     def _block(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return _empty_topk_table(id_col)
-        lt, qc = ray.get(ref)
+        lt, qc, qcb = ray.get(ref)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         cells = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         codes = np.stack(
@@ -1014,9 +1047,12 @@ def ann_topk_ivfpq(
                 continue
             cm = codes[mask]
             # ADC gather-sum, accumulated STRICTLY left-to-right over
-            # subspaces: the q81 oracle's explicit + chain then
+            # (base, subspaces): the q81 oracle's explicit + chain then
             # reproduces the float64 score BIT-exactly
-            sc = lt[i][0][cm[:, 0]].copy()
+            if qcb is not None:  # residual index: q·centroid base first
+                sc = qcb[i][cells[mask]] + lt[i][0][cm[:, 0]]
+            else:
+                sc = lt[i][0][cm[:, 0]].copy()
             for j in range(1, m):
                 sc += lt[i][j][cm[:, j]]
             kk = min(max(k, rerank), len(sc))

@@ -1443,7 +1443,7 @@ def q29_ann_ivf(sf_dir: str):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1"
     index_path = f"/tmp/feast_ray_cache/ivf_v2_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (
@@ -2202,7 +2202,7 @@ def q44_delta_events(sf_dir: str):
     path = f"/tmp/feast_ray_cache/delta_events_{base}"
     src = os.path.join(sf_dir, "events.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1"
     marker = os.path.join(path, "_source_fingerprint.txt")
     if not (os.path.exists(marker) and open(marker).read() == fingerprint):
         # regenerated source invalidates the cached Delta copy (else
@@ -4205,12 +4205,17 @@ def q81_ann_ivfpq(sf_dir: str):
     partitions and only the CODE columns, scoring by per-query ADC
     lookup tables (similarity.py IVF-PQ section).
 
+    Round 5: codes are RESIDUAL (VERDICT r4 #9 — FAISS-style
+    ``x - centroid[cell]`` encoding; tighter quantization at the same
+    m×ks budget), so ADC adds a per-(query, cell) base term
+    ``q·centroid`` before the subspace partials.
+
     SQL-oracled by the q29 doctrine: the index state (per-row cell +
-    codes) and the per-query ADC tables (query_id, subspace, code,
-    partial) are dumped as oracle inputs; DuckDB recomputes the
-    pruned search — probe filter, score = the EXPLICIT 8-term + chain
-    (bit-exact vs the engine's sequential accumulation), top-k with
-    vec_id tie-break."""
+    codes), the per-query ADC tables (query_id, subspace, code,
+    partial) and the base terms (query_id, cell, base) are dumped as
+    oracle inputs; DuckDB recomputes the pruned search — probe filter,
+    score = the EXPLICIT base + 8-term + chain (bit-exact vs the
+    engine's sequential accumulation), top-k with vec_id tie-break."""
     import shutil
 
     from feast_ray.functions.similarity import ann_topk_ivfpq, ivfpq_build
@@ -4228,7 +4233,7 @@ def q81_ann_ivfpq(sf_dir: str):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1"
     index_path = f"/tmp/feast_ray_cache/ivfpq_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (
@@ -4238,7 +4243,7 @@ def q81_ann_ivfpq(sf_dir: str):
     )
     if not fresh:
         shutil.rmtree(index_path, ignore_errors=True)
-        ivfpq_build(corpus, index_path)
+        ivfpq_build(corpus, index_path, residual=True)
         with open(marker, "w") as fh:
             fh.write(fingerprint)
     out, stats = ann_topk_ivfpq(index_path, queries, k=10, nprobe=4)
@@ -4256,6 +4261,16 @@ def q81_ann_ivfpq(sf_dir: str):
     )
     luts = stats["luts"]  # (n_q, m, ks) float64
     nq, m, ks = luts.shape
+    qcent = stats["qcent"]  # (n_q, n_cells): residual ADC base terms
+    nc = qcent.shape[1]
+    _pq.write_table(
+        pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq), nc), pa.int64()),
+            "cell": pa.array(np.tile(np.arange(nc), nq), pa.int64()),
+            "base": pa.array(qcent.ravel(), pa.float64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "ivfpq_qcent.parquet"),
+    )
     _pq.write_table(
         pa.table({
             "query_id": pa.array(np.repeat(np.arange(nq), m * ks), pa.int64()),
@@ -4290,7 +4305,10 @@ def q81_ann_ivfpq(sf_dir: str):
 
 def _q81_sql() -> str:
     d = _PPL_ORACLE_DIR
-    plus = " + ".join(f"l{j}.partial" for j in range(8))
+    # residual ADC: base term q·centroid[cell] first, then the 8
+    # subspace partials — the same left-assoc order as the engine's
+    # sequential accumulation, so float64 scores match bit-exactly
+    plus = " + ".join(["qc.base"] + [f"l{j}.partial" for j in range(8)])
     joins = "\n".join(
         f"  join lut l{j} on l{j}.query_id = p.query_id and l{j}.j = {j} "
         f"and l{j}.code = a.code_{j}"
@@ -4301,10 +4319,12 @@ with assign as (select * from read_parquet('{d}/ivfpq_assign.parquet')),
 probes as (select distinct query_id, cell
            from read_parquet('{d}/ivfpq_probes.parquet')),
 lut as (select * from read_parquet('{d}/ivfpq_lut.parquet')),
+qcent as (select * from read_parquet('{d}/ivfpq_qcent.parquet')),
 scored as (
   select p.query_id, a.vec_id, {plus} as score
   from assign a
   join probes p on p.cell = a.cell
+  join qcent qc on qc.query_id = p.query_id and qc.cell = a.cell
 {joins}
 ),
 ranked as (
@@ -4872,7 +4892,7 @@ def q88_ann_ivfpq_rerank(sf_dir: str):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1"
     index_path = f"/tmp/feast_ray_cache/ivfpq_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (
@@ -4882,7 +4902,7 @@ def q88_ann_ivfpq_rerank(sf_dir: str):
     )
     if not fresh:
         shutil.rmtree(index_path, ignore_errors=True)
-        ivfpq_build(corpus, index_path)
+        ivfpq_build(corpus, index_path, residual=True)
         with open(marker, "w") as fh:
             fh.write(fingerprint)
     out, _stats = ann_topk_ivfpq(

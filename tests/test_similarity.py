@@ -313,3 +313,65 @@ def test_pq_code_compression_and_determinism(emb):
         np.linalg.norm(recon, axis=1) * np.linalg.norm(matn, axis=1)
     )
     assert cos.mean() > 0.8, cos.mean()
+
+
+def test_ivfpq_residual_recall_ge_plain(emb, tmp_path):
+    """Residual IVF-PQ (round 5, VERDICT r4 #9): codes encode
+    x - centroid[cell]; ADC adds the q·centroid base per cell. The
+    exhaustive-probe + rerank-all arm must still equal brute force
+    exactly, and ADC recall@10 must be >= the plain-PQ index's on the
+    same corpus/queries (residuals cluster tighter, so the same code
+    budget quantizes finer)."""
+    from feast_ray.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+        ivfpq_build,
+    )
+
+    # clustered corpus — residual coding's win case (near-uniform
+    # random vectors have centroid≈0 residuals, where the two layouts
+    # tie up to noise). Deterministic RNG, 8 clusters, d=32.
+    rng = np.random.RandomState(3)
+    cents = rng.standard_normal((8, 32)) * 2.0
+    mat = (cents[rng.randint(0, 8, 600)]
+           + rng.standard_normal((600, 32)) * 0.35)
+    df = pd.DataFrame({
+        "vec_id": np.arange(600, dtype=np.int64),
+        "embedding": list(mat.astype(np.float32)),
+    })
+    ds = ray.data.from_pandas(df)
+    queries = mat[:20]
+    exact = (
+        ann_topk_bruteforce(ds, queries, k=10, round_to=None)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+
+    def _recall(path: str) -> float:
+        adc, _ = ann_topk_ivfpq(path, queries, k=10, nprobe=4)
+        adc = adc.to_pandas()
+        rec = []
+        for q in range(len(queries)):
+            want = set(exact[exact.query_id == q]["vec_id"])
+            rec.append(len(want & set(adc[adc.query_id == q]["vec_id"])) / len(want))
+        return float(np.mean(rec))
+
+    p_plain = str(tmp_path / "pq_plain")
+    p_res = str(tmp_path / "pq_res")
+    ivfpq_build(ds, p_plain, n_cells=8, m=8, sample_size=400)
+    ivfpq_build(ds, p_res, n_cells=8, m=8, sample_size=400, residual=True)
+    import json
+    with open(f"{p_res}/_meta.json") as fh:
+        assert json.load(fh)["residual"] is True
+
+    # exhaustive + rerank-all on the RESIDUAL index == brute force
+    full, _ = ann_topk_ivfpq(p_res, queries, k=10, nprobe=8, rerank=len(df))
+    full = full.to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id"]], full[["query_id", "vec_id"]]
+    )
+    np.testing.assert_allclose(
+        exact["score"].to_numpy(), full["score"].to_numpy(), atol=1e-9
+    )
+
+    r_plain, r_res = _recall(p_plain), _recall(p_res)
+    assert r_res >= r_plain - 1e-9, (r_plain, r_res)
