@@ -11,8 +11,9 @@ stage with a small batch size (payloads are fat — SURVEY.md §7.5).
 Codec status (honest capability boundary): the compressed-format
 libraries (PIL/ffmpeg) are NOT in this container, so ``mode="real"``
 decodes the formats this module implements natively — uncompressed
-24-bit BMP (struct header + one numpy reshape), 8-bit non-interlaced
-PNG (``zlib`` inflate + the five spec unfilters), baseline grayscale
+24-bit BMP (struct header + one numpy reshape), 8/16-bit PNG in both
+non-interlaced and Adam7-interlaced layouts (``zlib`` inflate + the
+five spec unfilters per pass), baseline grayscale
 JPEG (marker walk, canonical Huffman decode, dequant + batched numpy
 IDCT — see the JPEG section at the bottom) and PCM WAV (stdlib
 ``wave`` + numpy) — and raises NotImplementedError for anything else
@@ -40,6 +41,13 @@ MEDIA_SCHEMA = [
 ]
 
 FEATURE_DIM = 16
+
+#: Adam7 interlace grid: (x0, y0, dx, dy) per pass, PNG spec order.
+#: Pass p holds pixels at rows y0+i·dy, cols x0+j·dx of the full image.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 class MediaDecoder:
@@ -136,13 +144,59 @@ class MediaDecoder:
         return rate, nch, (feat / s if s else feat)
 
     @staticmethod
+    @staticmethod
+    def _png_unfilter(
+        raw: bytes, o: int, hh: int, stride: int, bpp: int
+    ) -> tuple[np.ndarray, int]:
+        """Unfilter ``hh`` scanlines of ``stride`` bytes starting at
+        byte offset ``o`` (all five spec filters; ``bpp`` = bytes per
+        pixel — the spec's filter distance). Returns the (hh, stride)
+        byte image and the offset past the last line. A fresh call
+        starts with a zero prior row — exactly the spec's rule for the
+        first line of the image AND of every Adam7 pass."""
+        out = np.empty((hh, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
+        for y in range(hh):
+            f = raw[o]
+            row = np.frombuffer(raw, np.uint8, stride, o + 1).copy()
+            o += stride + 1
+            if f == 0:
+                pass
+            elif f == 1:  # Sub — sequential by pixel, vector per channel
+                for x in range(bpp, stride):
+                    row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+            elif f == 2:  # Up — uint8 add wraps mod 256 per spec
+                row += prev
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = int(row[x - bpp]) if x >= bpp else 0
+                    row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = int(row[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    row[x] = (int(row[x]) + pr) & 0xFF
+            else:
+                raise NotImplementedError(f"PNG filter type {f}")
+            out[y] = row
+            prev = row
+        return out, o
+
+    @staticmethod
     def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         """PNG → (w, h, 16-bin luminance histogram). Stdlib-only
         (VERDICT r3 #6): chunk walk, ``zlib`` inflate, per-row
         unfiltering (all five spec filters: None/Sub/Up/Average/
-        Paeth). 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced;
-        16-bit and Adam7 raise NotImplementedError (declared
-        boundary, same policy as BMP/WAV)."""
+        Paeth). 8-bit AND 16-bit (round 5) gray / gray+alpha / RGB /
+        RGBA, non-interlaced AND Adam7-interlaced (round 5 — each
+        pass unfilters independently, then scatters onto the
+        ``[y0::dy, x0::dx]`` grid); palette (color type 3) and
+        sub-byte depths stay the declared boundary (same policy as
+        BMP/WAV)."""
         import struct
         import zlib
 
@@ -164,52 +218,48 @@ class MediaDecoder:
                 break
         if w is None:
             raise NotImplementedError("PNG without IHDR")
-        if bitd != 8 or interlace != 0 or ctype == 3:
+        if bitd not in (8, 16) or interlace not in (0, 1) or ctype == 3:
             raise NotImplementedError(
-                f"PNG decode supports 8-bit non-interlaced gray/RGB[A] "
+                f"PNG decode supports 8/16-bit gray/RGB[A], interlace 0/1 "
                 f"(bit_depth={bitd}, color_type={ctype}, interlace={interlace})"
             )
         ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        bps = bitd // 8
+        bpp = ch * bps
         raw = zlib.decompress(b"".join(idat))
-        stride = w * ch
-        if len(raw) != h * (stride + 1):
-            raise NotImplementedError("PNG scanline payload size mismatch")
-        out = np.empty((h, stride), np.uint8)
-        prev = np.zeros(stride, np.uint8)
-        o = 0
-        for y in range(h):
-            f = raw[o]
-            row = np.frombuffer(raw, np.uint8, stride, o + 1).copy()
-            o += stride + 1
-            if f == 0:
-                pass
-            elif f == 1:  # Sub — sequential by pixel, vector per channel
-                for x in range(ch, stride):
-                    row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
-            elif f == 2:  # Up — uint8 add wraps mod 256 per spec
-                row += prev
-            elif f == 3:  # Average
-                for x in range(stride):
-                    left = int(row[x - ch]) if x >= ch else 0
-                    row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-            elif f == 4:  # Paeth
-                for x in range(stride):
-                    a = int(row[x - ch]) if x >= ch else 0
-                    b = int(prev[x])
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
-                    row[x] = (int(row[x]) + pr) & 0xFF
-            else:
-                raise NotImplementedError(f"PNG filter type {f}")
-            out[y] = row
-            prev = row
-        px = out.reshape(h, w, ch)
+
+        def _samples(bimg: np.ndarray, pw: int) -> np.ndarray:
+            # filtered BYTES → (hh, pw, ch) samples (16-bit big-endian)
+            hh = bimg.shape[0]
+            if bps == 1:
+                return bimg.reshape(hh, pw, ch)
+            b2 = bimg.reshape(hh, pw, ch, 2).astype(np.uint16)
+            return (b2[..., 0] << 8) | b2[..., 1]
+
+        if interlace == 0:
+            if len(raw) != h * (w * bpp + 1):
+                raise NotImplementedError("PNG scanline payload size mismatch")
+            bimg, _ = MediaDecoder._png_unfilter(raw, 0, h, w * bpp, bpp)
+            px = _samples(bimg, w)
+        else:
+            px = np.zeros((h, w, ch), np.uint16 if bps == 2 else np.uint8)
+            o = 0
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                bimg, o = MediaDecoder._png_unfilter(raw, o, ph, pw * bpp, bpp)
+                px[y0::dy, x0::dx] = _samples(bimg, pw)
+            if o != len(raw):
+                raise NotImplementedError("PNG Adam7 payload size mismatch")
+        scale = 257.0 if bps == 2 else 1.0  # 16-bit 0..65535 → 0..255
         if ctype in (0, 4):  # gray / gray+alpha: channel 0 IS luminance
-            lum = px[..., 0].astype(np.float64)
+            lum = px[..., 0].astype(np.float64) / scale
         else:  # RGB byte order → ITU-R 601 luminance (BMP path is BGR)
-            lum = px[..., :3] @ np.array([0.299, 0.587, 0.114])
+            lum = (px[..., :3].astype(np.float64) / scale) @ np.array(
+                [0.299, 0.587, 0.114]
+            )
         feat = np.bincount(
             (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
         ).astype(np.float64)
@@ -313,56 +363,96 @@ def decode_media(
     )
 
 
-def encode_png(px: np.ndarray, row_filters: "list[int] | None" = None) -> bytes:
+def encode_png(
+    px: np.ndarray,
+    row_filters: "list[int] | None" = None,
+    *,
+    interlace: bool = False,
+) -> bytes:
     """Minimal deterministic PNG writer for tests / synthetic corpora:
-    8-bit grayscale ``(h, w)``, RGB ``(h, w, 3)`` or RGBA ``(h, w, 4)``,
-    non-interlaced. The zlib stream uses STORED deflate blocks
+    grayscale ``(h, w)``, RGB ``(h, w, 3)`` or RGBA ``(h, w, 4)`` —
+    8-bit from a uint8 array or 16-bit big-endian from a uint16 array
+    (round 5). The zlib stream uses STORED deflate blocks
     (``zlib.compressobj(level=0)``) so the payload length is the
-    closed form ``57 + zlen``, ``zlen = 11 + 5*(nblocks-1) + h*(1+w*ch)``
-    — which is what lets the q30 oracle reconstruct ``n_bytes`` in SQL.
-    ``row_filters``: per-row PNG filter types 0–4, forward-filtered per
-    spec (defaults to all 0) — exercises every unfilter branch of
-    :meth:`MediaDecoder._decode_png` against an independent forward
-    implementation."""
+    closed form ``57 + zlen``, ``zlen = 11 + 5*(nblocks-1) + L`` with
+    ``L = h*(1+w*ch*bps)`` non-interlaced or ``Σ_pass ph*(1+pw*ch*bps)``
+    for Adam7 — which is what lets the q30 oracle reconstruct
+    ``n_bytes`` in SQL. ``row_filters``: PNG filter types 0–4 applied
+    cyclically per scanline (per pass scanline when ``interlace``),
+    forward-filtered per spec (defaults to all 0) — exercises every
+    unfilter branch of :meth:`MediaDecoder._decode_png` against an
+    independent forward implementation. ``interlace=True`` writes
+    Adam7: each pass is filtered as its own sub-image (fresh zero
+    prior row, spec rule)."""
     import struct
     import zlib
 
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px)
+    bitd = 16 if px.dtype == np.uint16 else 8
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     ctype = {1: 0, 3: 2, 4: 6}[ch]
-    flat = px.reshape(h, w * ch)
-    stride = w * ch
-    filters = row_filters if row_filters is not None else [0] * h
+    bps = bitd // 8
+    bpp = ch * bps
+
+    def _rows_bytes(sub: np.ndarray) -> np.ndarray:
+        # (hh, ww, ch) samples → (hh, ww*bpp) big-endian filter bytes
+        if bps == 2:
+            return np.ascontiguousarray(sub.astype(">u2")).view(
+                np.uint8
+            ).reshape(sub.shape[0], -1)
+        return sub.astype(np.uint8).reshape(sub.shape[0], -1)
+
+    def _filter(flat: np.ndarray, fstart: int) -> bytearray:
+        stride = flat.shape[1]
+        lines = bytearray()
+        prev = np.zeros(stride, np.int64)
+        for y in range(flat.shape[0]):
+            f = (
+                row_filters[(fstart + y) % len(row_filters)]
+                if row_filters
+                else 0
+            )
+            cur = flat[y].astype(np.int64)
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+                enc = cur - ((left + prev) >> 1)
+            elif f == 4:
+                a = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+                b = prev
+                c = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+                p = a + b - c
+                pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pr = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c)
+                )
+                enc = cur - pr
+            else:
+                raise ValueError(f"filter {f}")
+            lines.append(f)
+            lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        return lines
+
     lines = bytearray()
-    prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        f = filters[y]
-        cur = flat[y].astype(np.int64)
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
-            enc = cur - left
-        elif f == 2:
-            enc = cur - prev
-        elif f == 3:
-            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
-            enc = cur - ((left + prev) >> 1)
-        elif f == 4:
-            a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
-            b = prev
-            c = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
-            p = a + b - c
-            pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-            pr = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
-            enc = cur - pr
-        else:
-            raise ValueError(f"filter {f}")
-        lines.append(f)
-        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
-        prev = cur
+    if interlace:
+        ri = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _filter(_rows_bytes(sub), ri)
+            ri += sub.shape[0]
+    else:
+        lines = _filter(_rows_bytes(px), 0)
 
     co = zlib.compressobj(level=0)  # stored blocks: deterministic length
     zdata = co.compress(bytes(lines)) + co.flush()
@@ -371,7 +461,9 @@ def encode_png(px: np.ndarray, row_filters: "list[int] | None" = None) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bitd, ctype, 0, 0, 1 if interlace else 0
+    )
     return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zdata) + _chunk(b"IEND", b""))
 

@@ -1563,9 +1563,20 @@ def q30_multimodal_decode(sf_dir: str):
         payloads, kinds = [], []
         for did, s in zip(ids, texts):
             if did % 3 == 0:
+                # three PNG layouts by doc_id % 9 (round 5): plain
+                # 8-bit, Adam7-interlaced, 16-bit (v×257 keeps the
+                # luminance bin identical) — all five row filters cycle
                 w, h, v = 4 + did % 13, 3 + did % 7, did % 256
-                px = np.full((h, w), v, np.uint8)
-                payloads.append(encode_png(px, [y % 5 for y in range(h)]))
+                filt = [y % 5 for y in range(h)]
+                if did % 9 == 3:
+                    px = np.full((h, w), v, np.uint8)
+                    payloads.append(encode_png(px, filt, interlace=True))
+                elif did % 9 == 6:
+                    px16 = np.full((h, w), v * 257, np.uint16)
+                    payloads.append(encode_png(px16, filt))
+                else:
+                    px = np.full((h, w), v, np.uint8)
+                    payloads.append(encode_png(px, filt))
                 kinds.append("image/png")
             elif did % 3 == 1:
                 k = did // 3
@@ -1608,11 +1619,29 @@ def q30_multimodal_decode(sf_dir: str):
     return dec.map_batches(_proj, batch_format="pyarrow")
 
 
+def _adam7_len_sql() -> str:
+    """Closed-form Adam7 filtered-byte total Σ_pass ph*(1+pw) over
+    the 7 interlace passes, as a SQL expression over columns w/h
+    (8-bit gray; encode_png writes one stored-deflate block)."""
+    from feast_ray.functions.multimodal import _ADAM7_PASSES
+
+    terms = []
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = f"(case when w > {x0} then (w - {x0} + {dx - 1}) // {dx} else 0 end)"
+        ph = f"(case when h > {y0} then (h - {y0} + {dy - 1}) // {dy} else 0 end)"
+        terms.append(
+            f"(case when {pw} > 0 and {ph} > 0 then {ph} * (1 + {pw}) else 0 end)"
+        )
+    return " + ".join(terms)
+
+
 def _q30_sql() -> str:
     # fake rows (doc_id % 3 == 2): digest dims + byte histogram;
     # PNG rows (doc_id % 3 == 0): dims/value/f-bins from doc_id, and
-    # n_bytes = 57 + zlen with zlen = 11 + h*(1+w) (encode_png's
-    # single stored-deflate block — closed form by construction);
+    # n_bytes = 57 + zlen with zlen = 11 + L (encode_png's single
+    # stored-deflate block — closed form by construction), where L is
+    # h*(1+w) plain 8-bit, h*(1+2w) 16-bit, or the Adam7 per-pass sum
+    # (round-5 layout split by doc_id % 9);
     # JPEG rows (doc_id % 3 == 1): solid gray v from the boundary-free
     # SAFE list (a structural codec constant, multimodal.py), decoded
     # value = floor(17*floor(8(v-128)/17+.5)/8 + 128.5) clipped, and
@@ -1636,7 +1665,9 @@ png as (
 png_rows as (
   select doc_id as media_id, 'image/png' as media_type,
     cast(w as bigint) as width, cast(h as bigint) as height,
-    cast(68 + h * (1 + w) as bigint) as n_bytes,
+    cast(case when doc_id % 9 = 3 then 68 + ({_adam7_len_sql()})
+              when doc_id % 9 = 6 then 68 + h * (1 + 2 * w)
+              else 68 + h * (1 + w) end as bigint) as n_bytes,
     case when vbin = 0 then 1.0 else 0.0 end as f0,
     case when vbin = 7 then 1.0 else 0.0 end as f7,
     case when vbin = 15 then 1.0 else 0.0 end as f15
