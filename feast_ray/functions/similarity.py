@@ -1025,12 +1025,17 @@ def ann_topk_ivfpq(
         return ray.data.from_arrow(_empty_topk_table(id_col)), stats
     code_cols = [f"code_{j}" for j in range(m)]
     ds = ray.data.read_parquet(files, columns=[id_col, *code_cols, "cell"])
-    ref = ray.put((luts, q_cells, qcent))
+    # (n_q, n_cells) probe membership — an O(n) row-mask gather per
+    # query in _block instead of np.isin's per-query sort (r4 minor #5)
+    pmask = np.zeros((len(qn), centroids.shape[0]), bool)
+    for i in range(len(qn)):
+        pmask[i, q_cells[i]] = True
+    ref = ray.put((luts, q_cells, qcent, pmask))
 
     def _block(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return _empty_topk_table(id_col)
-        lt, qc, qcb = ray.get(ref)
+        lt, qc, qcb, pm = ray.get(ref)
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
         cells = tbl["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         codes = np.stack(
@@ -1042,7 +1047,7 @@ def ann_topk_ivfpq(
         )  # (n, m)
         out_q, out_id, out_s = [], [], []
         for i in range(len(lt)):
-            mask = np.isin(cells, qc[i])
+            mask = pm[i][cells]
             if not mask.any():
                 continue
             cm = codes[mask]
