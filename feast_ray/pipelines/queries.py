@@ -4192,27 +4192,38 @@ def q80_real_embed(sf_dir: str):
     # slices; ~2.5 s at sf0.01.
     import pyarrow.parquet as _pq
 
-    ref_chunks = chunk_batch(
-        _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"]),
-        "doc_id", "text",
+    src = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{src}_{st_.st_size}_{int(st_.st_mtime)}"
+    ref_path = os.path.join(_PPL_ORACLE_DIR, "embed_ref.parquet")
+    marker = os.path.join(_PPL_ORACLE_DIR, "embed_ref_fingerprint.txt")
+    fresh = (
+        os.path.exists(ref_path)
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
     )
-    ref_model = MiniTransformerEmbedder(text_col="chunk_text", dim=64)
-    coord_parts = []
-    for i in range(0, ref_chunks.num_rows, 512):
-        sl = ref_chunks.slice(i, 512)
-        out = ref_model(sl)
-        flat = out["embedding"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False)
-        mat = flat.reshape(len(out), 64).astype(np.float64)
-        coord_parts.append(pa.table({
-            "doc_id": out["doc_id"],
-            "chunk_id": out["chunk_id"],
-            **{f"c{j}": pa.array(mat[:, j]) for j in range(64)},
-        }))
-    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
-    _pq.write_table(pa.concat_tables(coord_parts),
-                    os.path.join(_PPL_ORACLE_DIR, "embed_ref.parquet"))
+    if not fresh:
+        ref_chunks = chunk_batch(
+            _pq.read_table(src, columns=["doc_id", "text"]),
+            "doc_id", "text",
+        )
+        ref_model = MiniTransformerEmbedder(text_col="chunk_text", dim=64)
+        coord_parts = []
+        for i in range(0, ref_chunks.num_rows, 512):
+            sl = ref_chunks.slice(i, 512)
+            out = ref_model(sl)
+            flat = out["embedding"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+            mat = flat.reshape(len(out), 64).astype(np.float64)
+            coord_parts.append(pa.table({
+                "doc_id": out["doc_id"],
+                "chunk_id": out["chunk_id"],
+                **{f"c{j}": pa.array(mat[:, j]) for j in range(64)},
+            }))
+        os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+        _pq.write_table(pa.concat_tables(coord_parts), ref_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
 
     return emb.map_batches(_embed_norm_summary, batch_format="pyarrow")
 
