@@ -192,11 +192,13 @@ class MediaDecoder:
         (VERDICT r3 #6): chunk walk, ``zlib`` inflate, per-row
         unfiltering (all five spec filters: None/Sub/Up/Average/
         Paeth). 8-bit AND 16-bit (round 5) gray / gray+alpha / RGB /
-        RGBA, non-interlaced AND Adam7-interlaced (round 5 — each
-        pass unfilters independently, then scatters onto the
-        ``[y0::dy, x0::dx]`` grid); palette (color type 3) and
-        sub-byte depths stay the declared boundary (same policy as
-        BMP/WAV)."""
+        RGBA, sub-byte (1/2/4-bit) gray, palette (color type 3, PLTE
+        lookup, any legal depth), non-interlaced AND Adam7-interlaced
+        (round 5 — each pass unfilters independently, then scatters
+        onto the ``[y0::dy, x0::dx]`` grid). The remaining boundary:
+        none — every legal IHDR combination decodes (tRNS alpha is
+        ignored; luminance is alpha-blind by this module's contract,
+        matching the gray+alpha/RGBA paths)."""
         import struct
         import zlib
 
@@ -204,6 +206,7 @@ class MediaDecoder:
             raise NotImplementedError("not a PNG signature")
         pos, idat = 8, []
         w = h = bitd = ctype = interlace = None
+        plte = None
         while pos + 8 <= len(payload):
             ln, typ = struct.unpack_from(">I4s", payload, pos)
             data = payload[pos + 8: pos + 8 + ln]
@@ -212,54 +215,77 @@ class MediaDecoder:
                 w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat.append(data)
             elif typ == b"IEND":
                 break
         if w is None:
             raise NotImplementedError("PNG without IHDR")
-        if bitd not in (8, 16) or interlace not in (0, 1) or ctype == 3:
+        legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+        if ctype not in legal or bitd not in legal[ctype] or interlace not in (0, 1):
             raise NotImplementedError(
-                f"PNG decode supports 8/16-bit gray/RGB[A], interlace 0/1 "
-                f"(bit_depth={bitd}, color_type={ctype}, interlace={interlace})"
+                f"illegal PNG IHDR (bit_depth={bitd}, color_type={ctype}, "
+                f"interlace={interlace})"
             )
-        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-        bps = bitd // 8
-        bpp = ch * bps
+        if ctype == 3 and plte is None:
+            raise NotImplementedError("palette PNG without PLTE")
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        # filter distance is in BYTES, floored to 1 for sub-byte depths
+        bpp = max(1, ch * bitd // 8)
         raw = zlib.decompress(b"".join(idat))
 
+        def _line_bytes(pw: int) -> int:
+            return (pw * ch * bitd + 7) // 8
+
         def _samples(bimg: np.ndarray, pw: int) -> np.ndarray:
-            # filtered BYTES → (hh, pw, ch) samples (16-bit big-endian)
+            # filtered BYTES → (hh, pw, ch) samples
             hh = bimg.shape[0]
-            if bps == 1:
+            if bitd == 8:
                 return bimg.reshape(hh, pw, ch)
-            b2 = bimg.reshape(hh, pw, ch, 2).astype(np.uint16)
-            return (b2[..., 0] << 8) | b2[..., 1]
+            if bitd == 16:
+                b2 = bimg.reshape(hh, pw, ch, 2).astype(np.uint16)
+                return (b2[..., 0] << 8) | b2[..., 1]
+            # 1/2/4-bit (ch == 1): MSB-first packed samples
+            bits = np.unpackbits(bimg, axis=1)
+            vals = np.zeros((hh, bits.shape[1] // bitd), np.uint8)
+            for b in range(bitd):
+                vals = (vals << 1) | bits[:, b::bitd]
+            return vals[:, :pw, None]
 
         if interlace == 0:
-            if len(raw) != h * (w * bpp + 1):
+            if len(raw) != h * (_line_bytes(w) + 1):
                 raise NotImplementedError("PNG scanline payload size mismatch")
-            bimg, _ = MediaDecoder._png_unfilter(raw, 0, h, w * bpp, bpp)
+            bimg, _ = MediaDecoder._png_unfilter(raw, 0, h, _line_bytes(w), bpp)
             px = _samples(bimg, w)
         else:
-            px = np.zeros((h, w, ch), np.uint16 if bps == 2 else np.uint8)
+            px = np.zeros((h, w, ch), np.uint16 if bitd == 16 else np.uint8)
             o = 0
             for x0, y0, dx, dy in _ADAM7_PASSES:
                 pw = (w - x0 + dx - 1) // dx if w > x0 else 0
                 ph = (h - y0 + dy - 1) // dy if h > y0 else 0
                 if pw == 0 or ph == 0:
                     continue
-                bimg, o = MediaDecoder._png_unfilter(raw, o, ph, pw * bpp, bpp)
+                bimg, o = MediaDecoder._png_unfilter(
+                    raw, o, ph, _line_bytes(pw), bpp
+                )
                 px[y0::dy, x0::dx] = _samples(bimg, pw)
             if o != len(raw):
                 raise NotImplementedError("PNG Adam7 payload size mismatch")
-        scale = 257.0 if bps == 2 else 1.0  # 16-bit 0..65535 → 0..255
-        if ctype in (0, 4):  # gray / gray+alpha: channel 0 IS luminance
-            lum = px[..., 0].astype(np.float64) / scale
-        else:  # RGB byte order → ITU-R 601 luminance (BMP path is BGR)
-            lum = (px[..., :3].astype(np.float64) / scale) @ np.array(
-                [0.299, 0.587, 0.114]
-            )
+        if ctype == 3:  # palette indices → RGB → 601 luminance
+            rgb = plte[px[..., 0]]
+            lum = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        else:
+            # sample → 0..255: 16-bit /257; sub-byte ×255/(2^d −1) per spec
+            scale = 257.0 if bitd == 16 else (2**bitd - 1) / 255.0
+            if ctype in (0, 4):  # gray / gray+alpha: channel 0 IS luminance
+                lum = px[..., 0].astype(np.float64) / scale
+            else:  # RGB byte order → ITU-R 601 luminance (BMP path is BGR)
+                lum = (px[..., :3].astype(np.float64) / scale) @ np.array(
+                    [0.299, 0.587, 0.114]
+                )
         feat = np.bincount(
             (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
         ).astype(np.float64)
@@ -295,9 +321,9 @@ class MediaDecoder:
         if payload[:2] == b"\xff\xd8":
             return self._decode_jpeg(payload)
         raise NotImplementedError(
-            "real decode supports uncompressed BMP, PNG (8-bit), baseline "
-            "grayscale JPEG and PCM WAV natively; other compressed formats "
-            "(color/progressive JPEG, MP4/...) need PIL/ffmpeg, not "
+            "real decode supports uncompressed BMP, PNG (all legal IHDR "
+            "layouts), baseline JPEG and PCM WAV natively; other compressed "
+            "formats (progressive JPEG, MP4/...) need PIL/ffmpeg, not "
             "available in this environment"
         )
 
@@ -368,6 +394,8 @@ def encode_png(
     row_filters: "list[int] | None" = None,
     *,
     interlace: bool = False,
+    palette: "np.ndarray | None" = None,
+    bit_depth: "int | None" = None,
 ) -> bytes:
     """Minimal deterministic PNG writer for tests / synthetic corpora:
     grayscale ``(h, w)``, RGB ``(h, w, 3)`` or RGBA ``(h, w, 4)`` —
@@ -383,26 +411,41 @@ def encode_png(
     unfilter branch of :meth:`MediaDecoder._decode_png` against an
     independent forward implementation. ``interlace=True`` writes
     Adam7: each pass is filtered as its own sub-image (fresh zero
-    prior row, spec rule)."""
+    prior row, spec rule). ``palette`` ((n, 3) uint8) writes color
+    type 3 with ``px`` as the (h, w) index plane; ``bit_depth`` of
+    1/2/4 packs gray or palette samples MSB-first (round 5)."""
     import struct
     import zlib
 
     px = np.asarray(px)
-    bitd = 16 if px.dtype == np.uint16 else 8
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
-    bps = bitd // 8
-    bpp = ch * bps
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG takes a (h, w) index plane")
+        ctype = 3
+        bitd = bit_depth or 8
+    else:
+        bitd = bit_depth or (16 if px.dtype == np.uint16 else 8)
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+    if bitd < 8 and ch != 1:
+        raise ValueError("sub-byte depths are single-channel only")
+    bpp = max(1, ch * bitd // 8)
 
     def _rows_bytes(sub: np.ndarray) -> np.ndarray:
-        # (hh, ww, ch) samples → (hh, ww*bpp) big-endian filter bytes
-        if bps == 2:
+        # (hh, ww, ch) samples → (hh, line_bytes) filter bytes
+        if bitd == 16:
             return np.ascontiguousarray(sub.astype(">u2")).view(
                 np.uint8
             ).reshape(sub.shape[0], -1)
-        return sub.astype(np.uint8).reshape(sub.shape[0], -1)
+        if bitd == 8:
+            return sub.astype(np.uint8).reshape(sub.shape[0], -1)
+        hh, ww = sub.shape[0], sub.shape[1]
+        bits = (
+            (sub.reshape(hh, ww, 1) >> np.arange(bitd - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(hh, ww * bitd)
+        return np.packbits(bits, axis=1)  # zero-pads to the byte edge
 
     def _filter(flat: np.ndarray, fstart: int) -> bytearray:
         stride = flat.shape[1]
@@ -464,7 +507,12 @@ def encode_png(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bitd, ctype, 0, 0, 1 if interlace else 0
     )
-    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    plte_chunk = (
+        _chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + plte_chunk
             + _chunk(b"IDAT", zdata) + _chunk(b"IEND", b""))
 
 

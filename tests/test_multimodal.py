@@ -370,3 +370,43 @@ def test_png_adam7_and_16bit_roundtrip():
     bad[24] = 3  # color type byte -> palette
     with _pytest.raises(NotImplementedError):
         MediaDecoder._decode_png(bytes(bad))
+
+
+def test_png_palette_and_subbyte_roundtrip():
+    """Round 5: palette PNGs (PLTE lookup) and 1/2/4-bit gray decode
+    exactly — sub-byte samples unpack MSB-first and scale by
+    255/(2^d - 1) per spec; both compose with Adam7 and all five
+    filters. The earlier ctype-3 boundary is closed."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import MediaDecoder, encode_png
+
+    rng = np.random.RandomState(21)
+
+    # palette: indices -> RGB -> 601 luminance must equal the same
+    # image encoded as plain RGB
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(7, 5)).astype(np.uint8)
+    rgb = pal[idx]
+    base = MediaDecoder._decode_png(encode_png(rgb))
+    for kw in [dict(), dict(interlace=True), dict(bit_depth=4)]:
+        got = MediaDecoder._decode_png(
+            encode_png(idx, [y % 5 for y in range(7)], palette=pal, **kw)
+        )
+        assert (got[0], got[1]) == (5, 7)
+        np.testing.assert_allclose(got[2], base[2])
+
+    # sub-byte gray: d-bit sample v decodes as v*255/(2^d-1)
+    for d in (1, 2, 4):
+        g = rng.randint(0, 2**d, size=(6, 9)).astype(np.uint8)
+        exp8 = np.round(g.astype(np.float64) * 255.0 / (2**d - 1)).astype(np.uint8)
+        base = MediaDecoder._decode_png(encode_png(exp8))
+        for inter in (False, True):
+            got = MediaDecoder._decode_png(
+                encode_png(g, [y % 5 for y in range(6)],
+                           bit_depth=d, interlace=inter)
+            )
+            assert (got[0], got[1]) == (9, 6)
+            # same histogram as the equivalent 8-bit image: the scale
+            # v*255/(2^d-1) is exact for the bin edges used (v>>4)
+            np.testing.assert_allclose(got[2], base[2])
