@@ -260,19 +260,37 @@ def run_bench() -> dict:
         pages_dir = state["pages_dir"]
         corpus = _rd.read_parquet(pages_dir, columns=["url", "text"])
 
+        # corpus dedup stages are single long shuffles — the co-tenant
+        # noise band on this box is >3x on bad windows (round-5
+        # measurement: identical-code simhash 15.1 s vs 45.2 s an hour
+        # apart), so each records the BEST of GRAFT_CORPUS_RUNS runs
+        # (default 2) like the headline does
+        corpus_runs = int(os.environ.get("GRAFT_CORPUS_RUNS", "2"))
+
+        def _best_of(fn) -> float:
+            best = None
+            for _ in range(corpus_runs):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
         def _minhash() -> None:
             from feast_ray.functions.neardup import minhash_dedup
 
-            t0 = time.perf_counter()
-            minhash_dedup(corpus, "url", "text", threshold=0.9).count()
-            timings["minhash_dedup_corpus"] = round(time.perf_counter() - t0, 3)
+            timings["minhash_dedup_corpus"] = round(_best_of(
+                lambda: minhash_dedup(
+                    corpus, "url", "text", threshold=0.9).count()
+            ), 3)
 
         def _simhash() -> None:
             from feast_ray.functions.neardup import simhash_dups
 
-            t0 = time.perf_counter()
-            simhash_dups(corpus, "url", "text", max_hamming=3).count()
-            timings["simhash_dups_corpus"] = round(time.perf_counter() - t0, 3)
+            timings["simhash_dups_corpus"] = round(_best_of(
+                lambda: simhash_dups(
+                    corpus, "url", "text", max_hamming=3).count()
+            ), 3)
 
         def _spandup() -> None:
             # span-dedup beyond-broadcast regime over the same corpus
@@ -287,11 +305,11 @@ def run_bench() -> dict:
                 return t.append_column("doc_iid", _pa.array(h, _pa.int64()))
 
             corpus_iid = corpus.map_batches(_iid, batch_format="pyarrow").materialize()
-            t0 = time.perf_counter()
-            remove_duplicate_spans(
-                corpus_iid, "doc_iid", "text", n=8, mode="copartition"
-            ).count()
-            timings["spandup_copartition_corpus"] = round(time.perf_counter() - t0, 3)
+            timings["spandup_copartition_corpus"] = round(_best_of(
+                lambda: remove_duplicate_spans(
+                    corpus_iid, "doc_iid", "text", n=8, mode="copartition"
+                ).count()
+            ), 3)
 
         def _embed() -> None:
             # real-compute embed stage (VERDICT r3 #8): chunk → 17 MB-

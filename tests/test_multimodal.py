@@ -209,11 +209,13 @@ def test_jpeg_roundtrip_and_closed_form():
     )
     assert (w_, h_) == (24, 16) and feat.sum() == 1.0
 
-    # declared boundaries: progressive SOF2 and multi-component SOF0
+    # declared boundary: lossless (SOF3) stays NotImplementedError
+    # (progressive SOF2 decodes since round 5 — see
+    # test_jpeg_progressive_equals_baseline)
     enc = bytearray(encode_jpeg_gray(np.full((8, 8), 5, np.uint8)))
     sof = bytes(enc).find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite marker to progressive
-    with _pytest.raises(NotImplementedError, match="progressive|baseline"):
+    enc[sof + 1] = 0xC3  # rewrite marker to lossless
+    with _pytest.raises(NotImplementedError, match="lossless|arithmetic"):
         decode_jpeg_gray(bytes(enc))
 
 
@@ -410,3 +412,60 @@ def test_png_palette_and_subbyte_roundtrip():
             # same histogram as the equivalent 8-bit image: the scale
             # v*255/(2^d-1) is exact for the bin edges used (v>>4)
             np.testing.assert_allclose(got[2], base[2])
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Round 5: progressive (SOF2) decode. A progressive encoding and
+    the baseline encoding of the same pixels carry identical quantized
+    coefficients, so their decodes must be BIT-IDENTICAL — across scan
+    scripts exercising every scan type (DC first/refine, banded AC
+    first, AC bit-plane refinement), pathological content (noise,
+    sparse spikes, ZRL-heavy, solid), edge-padded dims, and restart
+    intervals (EOB runs must flush before RSTn)."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(4)
+    scripts = {
+        "default": None,
+        "spectral_only": ((0, 0, 0, 0), (1, 5, 0, 0), (6, 20, 0, 0), (21, 63, 0, 0)),
+        "deep_sa": ((0, 0, 0, 3), (1, 63, 0, 3), (1, 63, 3, 2), (1, 63, 2, 1),
+                    (1, 63, 1, 0), (0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0)),
+        "single_full": ((0, 0, 0, 0), (1, 63, 0, 0)),
+    }
+    for (h, w) in [(8, 8), (13, 21), (7, 50), (1, 1)]:
+        for mode in ("noise", "sparse", "zrl", "solid"):
+            if mode == "noise":
+                px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            elif mode == "sparse":
+                px = np.full((h, w), 128, np.uint8)
+                px[:: max(1, h // 3), :: max(1, w // 5)] = 255
+            elif mode == "zrl":
+                px = np.zeros((h, w), np.uint8)
+                px[-1, -1] = 255
+            else:
+                px = np.full((h, w), 200, np.uint8)
+            base = decode_jpeg(encode_jpeg_gray(px))
+            for name, sc in scripts.items():
+                prog = decode_jpeg(encode_jpeg_progressive(px, scans=sc))
+                assert np.array_equal(base, prog), (h, w, mode, name)
+
+    # restart intervals inside progressive scans
+    px = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(px))
+    for ri in (1, 3, 7):
+        prog = decode_jpeg(encode_jpeg_progressive(px, restart_interval=ri))
+        assert np.array_equal(base, prog), ri
+
+    # auto mode routes progressive payloads through the real decoder
+    from feast_ray.functions.multimodal import FEATURE_DIM, MediaDecoder
+
+    w_, h_, feat = MediaDecoder(mode="real")._decode_jpeg(
+        encode_jpeg_progressive(px)
+    )
+    assert (w_, h_) == (40, 24) and len(feat) == FEATURE_DIM
