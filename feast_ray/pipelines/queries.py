@@ -1550,6 +1550,7 @@ def q30_multimodal_decode(sf_dir: str):
         JPEG_QTAB_ORACLE,
         decode_media,
         encode_jpeg_gray,
+        encode_jpeg_progressive,
         encode_png,
         jpeg_safe_gray_values,
     )
@@ -1584,7 +1585,17 @@ def q30_multimodal_decode(sf_dir: str):
                 h = 8 * (1 + k % 3) + k % 7  # exercise edge padding
                 v = safe_v[k % len(safe_v)]
                 px = np.full((h, w), v, np.uint8)
-                payloads.append(encode_jpeg_gray(px, JPEG_QTAB_ORACLE))
+                if did % 6 == 4:
+                    # round 5: half the JPEG rows are PROGRESSIVE
+                    # (SOF2, default 8-scan script) — same quantized
+                    # DC, so vdec/f-bins share the baseline formula;
+                    # n_bytes has its own closed form (per-scan EOB
+                    # runs + the DC-refine stuffing term)
+                    payloads.append(
+                        encode_jpeg_progressive(px, JPEG_QTAB_ORACLE)
+                    )
+                else:
+                    payloads.append(encode_jpeg_gray(px, JPEG_QTAB_ORACLE))
                 kinds.append("image/jpeg")
             else:
                 payloads.append(s.encode("utf-8"))
@@ -1694,16 +1705,44 @@ jpg3 as (
          when abs(dcq) <= 7 then 3 when abs(dcq) <= 15 then 4
          when abs(dcq) <= 31 then 5 else 6 end as cat
   from jpg2),
+jpg3p as (
+  -- progressive arm (doc_id % 6 = 4): per-scan byte counts of the
+  -- default 8-scan script on a solid image (round 5). v0 = floored
+  -- dcq >> 1 (the DC-first point transform), cat0 its category;
+  -- every AC band is one EOBn code (9 + floor(log2 B) bits); the
+  -- DC-refine scan stuffs a 0x00 after each all-ones byte when dcq
+  -- is odd.
+  select doc_id, w, h, nblocks, dcq, vdec, cat,
+    cast(floor(dcq / 2.0) as bigint) as v0
+  from jpg3),
+jpg4p as (
+  select *,
+    case when abs(v0) = 0 then 0 when abs(v0) <= 1 then 1
+         when abs(v0) <= 3 then 2 when abs(v0) <= 7 then 3
+         when abs(v0) <= 15 then 4 when abs(v0) <= 31 then 5
+         else 6 end as cat0,
+    cast(floor(log2(nblocks) + 1e-9) as bigint) as eobn
+  from jpg3p),
+jpg5p as (
+  select doc_id,
+    494
+    + ((case when cat0 = 0 then 2 when cat0 <= 5 then 3 else 4 end)
+       + cat0 + (nblocks - 1) * 2 + 7) // 8
+    + 6 * ((16 + eobn) // 8)
+    + (nblocks + 7) // 8 + (abs(dcq) % 2) * (nblocks // 8)
+    as prog_bytes
+  from jpg4p),
 jpg_rows as (
-  select doc_id as media_id, 'image/jpeg' as media_type,
+  select j.doc_id as media_id, 'image/jpeg' as media_type,
     cast(w as bigint) as width, cast(h as bigint) as height,
-    cast({JPEG_HEADER_BYTES} + 2 +
-      ((case when cat = 0 then 2 when cat <= 5 then 3 else 4 end)
-       + cat + 4 + (nblocks - 1) * 6 + 7) // 8 as bigint) as n_bytes,
+    cast(case when j.doc_id % 6 = 4 then p.prog_bytes
+         else {JPEG_HEADER_BYTES} + 2 +
+           ((case when cat = 0 then 2 when cat <= 5 then 3 else 4 end)
+            + cat + 4 + (nblocks - 1) * 6 + 7) // 8 end as bigint) as n_bytes,
     case when vdec // 16 = 0 then 1.0 else 0.0 end as f0,
     case when vdec // 16 = 7 then 1.0 else 0.0 end as f7,
     case when vdec // 16 = 15 then 1.0 else 0.0 end as f15
-  from jpg3),
+  from jpg3 j join jpg5p p on p.doc_id = j.doc_id),
 h0s as (
   select doc_id, text, {_HORNER_SQL.format(s="text")} as h0
   from docs_f),
