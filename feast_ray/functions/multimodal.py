@@ -319,14 +319,40 @@ class MediaDecoder:
             return self._decode_png(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return self._decode_avi(payload)
         if payload[:2] == b"\xff\xd8":
             return self._decode_jpeg(payload)
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
-            "layouts), baseline/progressive JPEG and PCM WAV natively; "
-            "other compressed formats (MP4/...) need PIL/ffmpeg, not "
-            "available in this environment"
+            "layouts), baseline/progressive/lossless JPEG, MJPEG AVI and "
+            "PCM WAV natively; other compressed formats (MP4/...) need "
+            "PIL/ffmpeg, not available in this environment"
         )
+
+    @staticmethod
+    def _decode_avi(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """MJPEG AVI → (w, h, mean luminance histogram over ≤4 evenly
+        spaced frames). Dims from the first decoded frame; full
+        per-frame access is :func:`sample_video_frames`."""
+        frames = avi_mjpeg_frames(payload)
+        step = max(1, len(frames) // 4)
+        feats = []
+        w = h = 0
+        for f in frames[::step][:4]:
+            img = decode_jpeg(f)
+            lum = (
+                img if img.ndim == 2
+                else img @ np.array([0.299, 0.587, 0.114])
+            )
+            if not w:
+                h, w = img.shape[0], img.shape[1]
+            ft = np.bincount(
+                (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+            ).astype(np.float64)
+            s = ft.sum()
+            feats.append(ft / s if s else ft)
+        return w, h, np.mean(feats, axis=0)
 
     def _decode_auto(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         """Sniff: real-decode the natively supported containers, fake
@@ -339,7 +365,7 @@ class MediaDecoder:
         if (
             payload[:2] in (b"BM", b"\xff\xd8")
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
-            or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+            or (payload[:4] == b"RIFF" and payload[8:12] in (b"WAVE", b"AVI "))
         ):
             try:
                 return self._decode_real(payload)
@@ -809,6 +835,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_order: list[int] = []
     scan = None
     progressive = False
+    lossless = False
+    prec = 8
+    scan_ss = scan_al = 0
     prog_scans: list[tuple] = []
     while i < n:
         if payload[i] != 0xFF:
@@ -832,10 +861,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nat[_JPEG_ZZ] = np.frombuffer(body, np.uint8, 64, j + 1)
                 qtabs[tq] = nat.reshape(8, 8)
                 j += 65
-        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif m in (0xC0, 0xC2, 0xC3):  # baseline / progressive / lossless
             progressive = m == 0xC2
+            lossless = m == 0xC3
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc not in (1, 3):
+            if lossless:
+                if not (2 <= prec <= 16) or nc != 1:
+                    raise NotImplementedError(
+                        f"lossless JPEG decode supports single-component "
+                        f"2-16 bit (precision={prec}, components={nc})"
+                    )
+            elif prec != 8 or nc not in (1, 3):
                 raise NotImplementedError(
                     f"JPEG decode supports 8-bit 1- or 3-component frames "
                     f"(precision={prec}, components={nc})"
@@ -850,9 +886,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factors {hs}x{vs} unsupported (max 2x2)"
                     )
                 comps.append((cid, hs, vs, body[8 + 3 * k]))
-        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif m in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "non-baseline/non-progressive JPEG (lossless/arithmetic)"
+                "unsupported JPEG frame type (hierarchical/arithmetic)"
             )
         elif m == 0xDD:  # DRI: restart interval in MCUs
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -898,6 +934,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 for cid, d, a in scomps:
                     scan_order.append(cid)
                     scan_sel[cid] = (d, a)
+                # lossless reuses Ss as the predictor selector and
+                # Al as the point transform (T.81 Annex H)
+                scan_ss = body[1 + 2 * ns]
+                scan_al = body[3 + 2 * ns] & 15
                 scan = data
     if h is None or not comps or (scan is None and not prog_scans):
         raise ValueError("incomplete JPEG (missing SOF/SOS/DQT)")
@@ -913,6 +953,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         bh, bw_ = mrows * vs, mcols * hs
         coefs[cid] = np.zeros((bh * bw_, 8, 8), np.float64)
         bdims[cid] = (bh, bw_)
+
+    if lossless:
+        return _jpeg_decode_lossless(
+            scan, comps, huffs, scan_sel, h, w, prec, scan_ss, scan_al
+        )
 
     if progressive:
         zz = _jpeg_decode_progressive(prog_scans, comps, h, w, bdims)
@@ -986,6 +1031,59 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         decode_block(cid, (my * vs + v) * bw_ + (mx * hs + u))
 
     return _jpeg_assemble(coefs, comps, bdims, hmax, vmax, h, w)
+
+
+def _jpeg_decode_lossless(
+    scan: np.ndarray, comps: list, huffs: dict, scan_sel: dict,
+    h: int, w: int, prec: int, predictor: int, pt: int,
+) -> np.ndarray:
+    """Lossless (SOF3) sample decode — T.81 Annex H: Huffman-coded
+    differences added to the spatial prediction mod 2^16, output
+    ``sample << Pt`` scaled to uint8 (identity at precision 8, Pt 0 —
+    decode(encode_jpeg_lossless(px)) is bit-exact)."""
+    if not 1 <= predictor <= 7:
+        raise NotImplementedError(
+            f"lossless predictor {predictor} (hierarchical mode)"
+        )
+    cid = comps[0][0]
+    tbl = huffs[(0, scan_sel[cid][0])]
+    mincode, maxcode, valptr, vals = tbl
+    br = _JpegBitReader(scan)
+
+    def huff_decode() -> int:
+        code, L = br.read(1), 1
+        while code > maxcode[L]:
+            code = (code << 1) | br.read(1)
+            L += 1
+            if L > 16:
+                raise ValueError("corrupt huffman stream")
+        return int(vals[valptr[L] + code - mincode[L]])
+
+    v = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 1 << (prec - 1 - pt)
+            elif y == 0:
+                pred = int(v[0, x - 1])
+            elif x == 0:
+                pred = int(v[y - 1, 0])
+            else:
+                pred = _jpeg_lossless_predict(
+                    int(v[y, x - 1]), int(v[y - 1, x]),
+                    int(v[y - 1, x - 1]), predictor,
+                )
+            cat = huff_decode()
+            if cat == 16:  # lossless-only special: diff = 32768, no bits
+                diff = 32768
+            else:
+                diff = _jpeg_extend(br.read(cat), cat) if cat else 0
+            v[y, x] = (pred + diff) & 0xFFFF
+    full = (v << pt).astype(np.float64)
+    maxv = (1 << prec) - 1
+    return np.clip(
+        np.floor(full * (255.0 / maxv) + 0.5), 0, 255
+    ).astype(np.uint8)
 
 
 def _jpeg_decode_progressive(
@@ -1661,3 +1759,241 @@ def encode_jpeg_progressive(
         out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------- lossless JPEG
+# SOF3 lossless JPEG (round 5 — T.81 Annex H): Huffman-coded
+# prediction differences, no DCT/quantization, so decode(encode(px))
+# is BIT-EXACT. Spatial predictors 1-7 (left/above/diag and the three
+# averaging forms), optional point transform, mod-2^16 arithmetic per
+# spec. Single-component 8-bit scope (the reference's media columns
+# are opaque bytes; multi-component lossless stays declared).
+
+
+def _jpeg_lossless_predict(
+    a: int, b: int, c: int, sel: int
+) -> int:
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    px: np.ndarray, predictor: int = 4, point_transform: int = 0
+) -> bytes:
+    """Deterministic lossless (SOF3) grayscale encoder — the forward
+    implementation pinning :func:`decode_jpeg`'s lossless path.
+    Annex H: row-major scan, first sample predicts ``2^(P-1-Pt)``,
+    first line predicts from the left, first column from above,
+    elsewhere the selected predictor; differences are Huffman
+    magnitude-coded with the Annex K DC table (P=8 diffs stay within
+    category 8). ``decode_jpeg(encode_jpeg_lossless(px)) == px``
+    exactly when ``point_transform == 0``."""
+    import struct
+
+    assert px.dtype == np.uint8 and px.ndim == 2
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} not in 1..7")
+    h, w = px.shape
+    P, pt = 8, point_transform
+    v = (px.astype(np.int64) >> pt)
+    dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    bw = _JpegBitWriter()
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 1 << (P - 1 - pt)
+            elif y == 0:
+                pred = int(v[0, x - 1])
+            elif x == 0:
+                pred = int(v[y - 1, 0])
+            else:
+                pred = _jpeg_lossless_predict(
+                    int(v[y, x - 1]), int(v[y - 1, x]),
+                    int(v[y - 1, x - 1]), predictor,
+                )
+            diff = (int(v[y, x]) - pred) & 0xFFFF
+            if diff >= 0x8000:
+                diff -= 0x10000
+            cat, bits = _jpeg_magnitude(diff)
+            c_, L = dc_huff[cat]
+            bw.put(c_, L)
+            if cat:
+                bw.put(bits, cat)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFC3, struct.pack(">BHHB", P, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00" + bytes((predictor, 0, pt)))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------ MJPEG video
+# Round 5: the video column stops being a declared stub. MJPEG-in-AVI
+# is a real, fully-self-contained video format this module can decode
+# end to end: a RIFF container (the WAV walk's sibling) whose movi
+# chunks are ordinary JPEG payloads — each frame decodes through the
+# baseline/progressive decoder above. The writer emits deterministic
+# AVIs for tests/synthetic corpora; frame sampling is the Ray-side
+# stage a 100 TB video corpus needs (decode only every k-th frame,
+# feature per sampled frame). Inter-frame codecs (H.264/VP9/MP4)
+# remain the declared PIL/ffmpeg boundary.
+
+
+def encode_avi_mjpeg(
+    frames: "list[np.ndarray]",
+    fps: int = 10,
+    qtab: "np.ndarray | None" = None,
+) -> bytes:
+    """Minimal deterministic MJPEG AVI writer: grayscale (h, w) uint8
+    frames, each stored as one baseline-JPEG '00dc' chunk inside the
+    movi LIST. Standard RIFF/hdrl/strl layout; even-byte chunk
+    padding per RIFF."""
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    payloads = []
+    for f in frames:
+        assert f.shape == (h, w) and f.dtype == np.uint8
+        payloads.append(encode_jpeg_gray(f, qtab))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    n = len(payloads)
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG" + struct.pack("<10I2H4I", 0, 0, 0, 0, 1, fps, 0, n,
+                                  max_bytes, 0, 0, 0, 0, w, h, 0)[:44]
+    )
+    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = struct.pack(
+        "<I2i2H", 40, w, h, 1, 24
+    ) + b"MJPG" + struct.pack("<I5i", w * h * 3, 0, 0, 0, 0, 0)[:20]
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (fourcc, flags, offset-from-movi, size)
+    idx = bytearray()
+    off = 4  # offsets count from the 'movi' fourcc
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(payload: bytes) -> "list[bytes]":
+    """Walk the RIFF tree and return the movi LIST's per-frame JPEG
+    payloads ('00dc'/'00dj' chunks), in stream order."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI container")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                kind = buf[data_start : data_start + 4]
+                if kind in (b"movi", b"hdrl", b"rec "):
+                    walk(buf, data_start + 4, data_start + ln)
+            elif fourcc[2:4] in (b"dc", b"dj") and ln:
+                frames.append(buf[data_start : data_start + ln])
+            pos = data_start + ln + (ln % 2)
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise NotImplementedError("AVI without MJPEG frames")
+    return frames
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset",
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every: int = 2,
+) -> "ray.data.Dataset":
+    """Frame-sampling stage over a binary AVI column: decode every
+    ``every``-th MJPEG frame (the container walk is cheap — only
+    sampled frames pay the JPEG decode) and emit one row per sampled
+    frame: (id, frame_idx, width, height, 16-bin luminance feature).
+    Runs as a plain ``map_batches`` task stage — no actor state needed
+    because the decoder is a pure function; at 100 TB the knobs are
+    batch_size (frames decode serially within a payload) and ``every``
+    (decode cost scales 1/every)."""
+
+    def _block(tbl: pa.Table) -> pa.Table:
+        ids_out: list = []
+        fidx: list[int] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        feats: list[np.ndarray] = []
+        ids = tbl[id_col].to_pylist()
+        for mid, payload in zip(ids, tbl[payload_col].to_pylist()):
+            for i, frame in enumerate(avi_mjpeg_frames(payload)):
+                if i % every:
+                    continue
+                img = decode_jpeg(frame)
+                lum = (
+                    img if img.ndim == 2
+                    else img @ np.array([0.299, 0.587, 0.114])
+                )
+                f = np.bincount(
+                    (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+                ).astype(np.float64)
+                s = f.sum()
+                ids_out.append(mid)
+                fidx.append(i)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                feats.append(f / s if s else f)
+        return pa.table({
+            id_col: pa.array(ids_out),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "feature": pa.array(
+                [f.tolist() for f in feats],
+                pa.list_(pa.float64(), FEATURE_DIM),
+            ),
+        })
+
+    return ds.map_batches(_block, batch_format="pyarrow")

@@ -5011,6 +5011,101 @@ select query_id, vec_id, round(raw_score, 4) as score from scored where rn <= 10
 """
 
 
+# --------------------------------------------------------------------- q89
+
+def q89_video_frame_sampling(sf_dir: str):
+    """Video-column frame sampling (round 5 — the video stub made
+    real): every document becomes a deterministic MJPEG-in-AVI clip
+    (2–6 solid grayscale frames from the boundary-free SAFE value
+    set), and ``sample_video_frames`` walks the RIFF container and
+    JPEG-decodes every 2nd frame inside ``map_batches`` — one row per
+    sampled frame. SQL-oracled end to end: frame indices come from
+    ``generate_series`` over the doc-derived frame count, and each
+    sampled frame's luminance bin follows the exact solid-image DC
+    quantize/dequantize formula (q30's doctrine). Scale shape: the
+    container walk is O(bytes) but only sampled frames pay the JPEG
+    decode; ``every`` divides decode cost."""
+    from feast_ray.functions.multimodal import (
+        FEATURE_DIM,
+        JPEG_QTAB_ORACLE,
+        encode_avi_mjpeg,
+        jpeg_safe_gray_values,
+        sample_video_frames,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    safe_v = jpeg_safe_gray_values()
+    n_safe = len(safe_v)
+
+    def _to_video(t: pa.Table) -> pa.Table:
+        payloads = []
+        for did in t["doc_id"].to_numpy(zero_copy_only=False):
+            k = int(did)
+            w = 8 * (1 + k % 4) + k % 5
+            h = 8 * (1 + k % 3) + k % 7
+            nf = 2 + k % 5
+            frames = [
+                np.full((h, w), safe_v[(k + 3 * i) % n_safe], np.uint8)
+                for i in range(nf)
+            ]
+            payloads.append(encode_avi_mjpeg(frames, qtab=JPEG_QTAB_ORACLE))
+        return pa.table({
+            "media_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    vids = docs.map_batches(_to_video, batch_format="pyarrow")
+    sampled = sample_video_frames(vids, every=2)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        flat = t["feature"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        mat = flat.reshape(len(t), FEATURE_DIM)
+        return pa.table({
+            "media_id": t["media_id"],
+            "frame_idx": t["frame_idx"],
+            "width": t["width"],
+            "height": t["height"],
+            # solid frame → one-hot histogram; argmax IS the value bin
+            "vbin": pa.array(mat.argmax(axis=1).astype(np.int64)),
+        })
+
+    return sampled.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q89_sql() -> str:
+    from feast_ray.functions.multimodal import jpeg_safe_gray_values
+
+    safe_list = ", ".join(str(v) for v in jpeg_safe_gray_values())
+    n_safe = len(jpeg_safe_gray_values())
+    return f"""
+with v as (
+  select doc_id,
+    8 * (1 + doc_id % 4) + doc_id % 5 as w,
+    8 * (1 + doc_id % 3) + doc_id % 7 as h,
+    2 + doc_id % 5 as nf
+  from documents),
+fr as (
+  select doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) as frame_idx
+  from v),
+fv as (
+  select doc_id, w, h, frame_idx,
+    ([{safe_list}])[1 + cast((doc_id + 3 * frame_idx) % {n_safe} as int)] as val
+  from fr),
+dec as (
+  select doc_id, w, h, frame_idx,
+    cast(least(greatest(
+      floor(17.0 * floor(8.0 * (val - 128) / 17.0 + 0.5) / 8.0 + 128.5),
+      0), 255) as bigint) as vdec
+  from fv)
+select doc_id as media_id, cast(frame_idx as bigint) as frame_idx,
+  cast(w as bigint) as width, cast(h as bigint) as height,
+  vdec // 16 as vbin
+from dec
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5100,6 +5195,7 @@ QUERIES = {
     "q86_local_supplier_volume": q86_local_supplier_volume,
     "q87_returned_item_customers": q87_returned_item_customers,
     "q88_ann_ivfpq_rerank": q88_ann_ivfpq_rerank,
+    "q89_video_frame_sampling": q89_video_frame_sampling,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5171,6 +5267,7 @@ def oracle_sql() -> dict[str, str]:
         "q86_local_supplier_volume": _Q86_SQL,
         "q87_returned_item_customers": _Q87_SQL,
         "q88_ann_ivfpq_rerank": _Q88_SQL,
+        "q89_video_frame_sampling": _q89_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

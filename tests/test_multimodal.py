@@ -469,3 +469,85 @@ def test_jpeg_progressive_equals_baseline():
         encode_jpeg_progressive(px)
     )
     assert (w_, h_) == (40, 24) and len(feat) == FEATURE_DIM
+
+
+def test_jpeg_lossless_bit_exact_roundtrip():
+    """Round 5: lossless (SOF3) JPEG — decode(encode(px)) must be
+    BIT-EXACT (no DCT/quantization) for all 7 Annex H predictors,
+    including single-row/column shapes; point transform drops exactly
+    the low Pt bits; predictor 0 (hierarchical) stays the boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(6)
+    for (h, w) in [(8, 8), (13, 21), (1, 1), (1, 9), (9, 1)]:
+        for pat in ("noise", "grad", "solid"):
+            if pat == "noise":
+                px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            elif pat == "grad":
+                px = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8)
+            else:
+                px = np.full((h, w), 77, np.uint8)
+            for pred in range(1, 8):
+                got = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+                assert np.array_equal(got, px), (h, w, pat, pred)
+
+    px = rng.randint(0, 256, (10, 10)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg_lossless(px, predictor=1, point_transform=2))
+    assert np.array_equal(got, (px.astype(np.int64) >> 2) << 2)
+
+    enc = bytearray(encode_jpeg_gray(np.full((8, 8), 5, np.uint8)))
+    enc[bytes(enc).find(b"\xff\xc0") + 1] = 0xC3  # baseline SOS has Ss=0
+    with _pytest.raises(NotImplementedError, match="predictor 0"):
+        decode_jpeg(bytes(enc))
+
+
+def test_avi_mjpeg_container_and_frame_sampling(ray_session):
+    """Round 5: MJPEG-in-AVI — container round-trip (writer → RIFF
+    walk → per-frame JPEG decode), MediaDecoder auto-dispatch, and the
+    Ray frame-sampling stage emitting one row per sampled frame."""
+    import numpy as np
+    import ray.data
+
+    from feast_ray.functions.multimodal import (
+        FEATURE_DIM,
+        JPEG_QTAB_ORACLE,
+        MediaDecoder,
+        avi_mjpeg_frames,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        jpeg_safe_gray_values,
+        sample_video_frames,
+    )
+
+    vals = jpeg_safe_gray_values()[:5]
+    frames = [np.full((16, 24), v, np.uint8) for v in vals]
+    avi = encode_avi_mjpeg(frames, qtab=JPEG_QTAB_ORACLE)
+    got = avi_mjpeg_frames(avi)
+    assert len(got) == 5
+    for f in got:
+        img = decode_jpeg(f)
+        assert img.shape == (16, 24) and np.all(img == img[0, 0])
+
+    w_, h_, feat = MediaDecoder(mode="auto")._decode_auto(avi)
+    assert (w_, h_) == (24, 16) and abs(feat.sum() - 1.0) < 1e-12
+
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([avi, encode_avi_mjpeg(frames[:3],
+                                                   qtab=JPEG_QTAB_ORACLE)],
+                            pa.binary()),
+    }))
+    out = sample_video_frames(ds, every=2).to_pandas()
+    assert sorted(out[out.media_id == 7]["frame_idx"]) == [0, 2, 4]
+    assert sorted(out[out.media_id == 8]["frame_idx"]) == [0, 2]
+    assert set(out["width"]) == {24} and set(out["height"]) == {16}
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
