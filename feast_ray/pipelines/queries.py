@@ -1532,11 +1532,13 @@ from scored where rn <= 10
 
 def q30_multimodal_decode(sf_dir: str):
     """Media-column plumbing over a MIXED corpus: doc_id % 3 == 0 docs
-    are real 8-bit grayscale PNGs (deterministic solid-value image,
-    rows forward-filtered through all five PNG filter types) decoded
-    by the stdlib codec; doc_id % 3 == 1 docs are real baseline
-    grayscale JPEGs (solid value from the boundary-free SAFE set,
-    round 4) through the first-party Huffman+IDCT decoder; the rest
+    are real PNGs in three layouts by doc_id % 9 (plain 8-bit, Adam7,
+    16-bit; rows forward-filtered through all five PNG filter types)
+    decoded by the stdlib codec; doc_id % 3 == 1 docs are real
+    grayscale JPEGs through the first-party decoder, split three ways
+    by doc_id % 9 (round 5): baseline (solid value from the
+    boundary-free SAFE set), PROGRESSIVE SOF2, and LOSSLESS SOF3
+    (decode == input exactly); the rest
     are text-bytes payloads on the fake path. Value-checked all three
     ways: the fake decode's dims come from the SQL-expressible content
     digest and its feature is a 16-bin byte histogram; the PNG rows'
@@ -1550,6 +1552,7 @@ def q30_multimodal_decode(sf_dir: str):
         JPEG_QTAB_ORACLE,
         decode_media,
         encode_jpeg_gray,
+        encode_jpeg_lossless,
         encode_jpeg_progressive,
         encode_png,
         jpeg_safe_gray_values,
@@ -1585,14 +1588,27 @@ def q30_multimodal_decode(sf_dir: str):
                 h = 8 * (1 + k % 3) + k % 7  # exercise edge padding
                 v = safe_v[k % len(safe_v)]
                 px = np.full((h, w), v, np.uint8)
-                if did % 6 == 4:
-                    # round 5: half the JPEG rows are PROGRESSIVE
+                if did % 9 == 4:
+                    # round 5: a third of the JPEG rows are PROGRESSIVE
                     # (SOF2, default 8-scan script) — same quantized
                     # DC, so vdec/f-bins share the baseline formula;
                     # n_bytes has its own closed form (per-scan EOB
                     # runs + the DC-refine stuffing term)
                     payloads.append(
                         encode_jpeg_progressive(px, JPEG_QTAB_ORACLE)
+                    )
+                elif did % 9 == 7:
+                    # round 5: a third are LOSSLESS (SOF3) — decode is
+                    # EXACTLY the input value (vbin = v // 16 in SQL);
+                    # a solid image's stream is one first-sample diff
+                    # code + 2-bit zero diffs, provably stuffing-free
+                    # for ALL 256 values (validated exhaustively), so
+                    # n_bytes is closed-form. Predictor cycles 1-7
+                    # (identical stream on solids — all predict v)
+                    vl = did % 256
+                    pxl = np.full((h, w), vl, np.uint8)
+                    payloads.append(
+                        encode_jpeg_lossless(pxl, predictor=1 + k % 7)
                     )
                 else:
                     payloads.append(encode_jpeg_gray(px, JPEG_QTAB_ORACLE))
@@ -1732,17 +1748,42 @@ jpg5p as (
     + (nblocks + 7) // 8 + (abs(dcq) % 2) * (nblocks // 8)
     as prog_bytes
   from jpg4p),
+jpgl as (
+  -- lossless arm (doc_id % 9 = 7, round 5): decode IS the input value
+  -- vl; one first-sample diff code + 2-bit zero diffs, stuffing-free
+  -- for all 256 values, so n_bytes = 78 + ceil(bits/8)
+  select doc_id, doc_id % 256 as vl,
+    case when abs(doc_id % 256 - 128) = 0 then 0
+         when abs(doc_id % 256 - 128) <= 1 then 1
+         when abs(doc_id % 256 - 128) <= 3 then 2
+         when abs(doc_id % 256 - 128) <= 7 then 3
+         when abs(doc_id % 256 - 128) <= 15 then 4
+         when abs(doc_id % 256 - 128) <= 31 then 5
+         when abs(doc_id % 256 - 128) <= 63 then 6
+         when abs(doc_id % 256 - 128) <= 127 then 7
+         else 8 end as catl
+  from documents where doc_id % 3 = 1),
 jpg_rows as (
   select j.doc_id as media_id, 'image/jpeg' as media_type,
     cast(w as bigint) as width, cast(h as bigint) as height,
-    cast(case when j.doc_id % 6 = 4 then p.prog_bytes
+    cast(case when j.doc_id % 9 = 4 then p.prog_bytes
+         when j.doc_id % 9 = 7 then 78 +
+           ((case when catl = 0 then 2 when catl <= 5 then 3
+                  when catl = 6 then 4 when catl = 7 then 5
+                  else 6 end)
+            + catl + (w * h - 1) * 2 + 7) // 8
          else {JPEG_HEADER_BYTES} + 2 +
            ((case when cat = 0 then 2 when cat <= 5 then 3 else 4 end)
             + cat + 4 + (nblocks - 1) * 6 + 7) // 8 end as bigint) as n_bytes,
-    case when vdec // 16 = 0 then 1.0 else 0.0 end as f0,
-    case when vdec // 16 = 7 then 1.0 else 0.0 end as f7,
-    case when vdec // 16 = 15 then 1.0 else 0.0 end as f15
-  from jpg3 j join jpg5p p on p.doc_id = j.doc_id),
+    case when (case when j.doc_id % 9 = 7 then vl else vdec end) // 16 = 0
+         then 1.0 else 0.0 end as f0,
+    case when (case when j.doc_id % 9 = 7 then vl else vdec end) // 16 = 7
+         then 1.0 else 0.0 end as f7,
+    case when (case when j.doc_id % 9 = 7 then vl else vdec end) // 16 = 15
+         then 1.0 else 0.0 end as f15
+  from jpg3 j
+  join jpg5p p on p.doc_id = j.doc_id
+  join jpgl l on l.doc_id = j.doc_id),
 h0s as (
   select doc_id, text, {_HORNER_SQL.format(s="text")} as h0
   from docs_f),
