@@ -145,7 +145,6 @@ class MediaDecoder:
         return rate, nch, (feat / s if s else feat)
 
     @staticmethod
-    @staticmethod
     def _png_unfilter(
         raw: bytes, o: int, hh: int, stride: int, bpp: int
     ) -> tuple[np.ndarray, int]:
@@ -336,10 +335,14 @@ class MediaDecoder:
         spaced frames). Dims from the first decoded frame; full
         per-frame access is :func:`sample_video_frames`."""
         frames = avi_mjpeg_frames(payload)
-        step = max(1, len(frames) // 4)
+        k = min(4, len(frames))
+        picks = sorted(set(
+            int(round(i * (len(frames) - 1) / max(1, k - 1)))
+            for i in range(k)
+        ))
         feats = []
         w = h = 0
-        for f in frames[::step][:4]:
+        for f in (frames[i] for i in picks):
             img = decode_jpeg(f)
             lum = (
                 img if img.ndim == 2
@@ -1666,10 +1669,13 @@ def _jpeg_prog_encode_scan(
             if t == 0:
                 run += 1
                 continue
-            if t > 1:  # history coefficient: buffer its correction bit
-                br.append(t & 1)
-                continue
-            # newly significant (|v|>>Al == 1)
+            # ZRLs are emitted at EVERY nonzero coefficient (history
+            # or newly significant) so each ZRL carries exactly the
+            # correction bits of the history coefficients inside ITS
+            # 16-zero-history window — the order the decoder consumes
+            # them while advancing (libjpeg encode_mcu_AC_refine;
+            # emitting them only at newly-significant coefficients
+            # desyncs when a history coefficient sits past the window)
             while run > 15 and k <= eob:
                 st.emit_eobrun()
                 c, L = ac_huff[0xF0]
@@ -1678,6 +1684,10 @@ def _jpeg_prog_encode_scan(
                 for b in br:
                     bw.put(b, 1)
                 br = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (|v|>>Al == 1)
             st.emit_eobrun()
             c, L = ac_huff[(run << 4) | 1]
             bw.put(c, L)

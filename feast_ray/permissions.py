@@ -280,9 +280,14 @@ class StaticTokenAuth:
         import hmac
 
         # constant-time compare against every registered secret so a
-        # network client can't timing-probe token prefixes
+        # network client can't timing-probe token prefixes. Compare as
+        # BYTES: compare_digest raises TypeError on non-ASCII str, and
+        # http.server hands headers through latin-1 — a stray 0x80+
+        # byte from an unauthenticated client must mean 401, not a
+        # crashed handler (code-review r5).
+        t = token.encode("utf-8", "surrogateescape")
         found = None
         for secret, user in self._tokens.items():
-            if hmac.compare_digest(secret, token):
+            if hmac.compare_digest(secret.encode("utf-8"), t):
                 found = user
         return found

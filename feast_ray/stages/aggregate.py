@@ -459,7 +459,6 @@ def _make_window_compose(
 
         out_cols: dict[str, np.ndarray] = {}
         sdf = dfs.iloc[srows]
-        st_levels: "list[list[np.ndarray]] | None" = None
         for pname, kind in kinds.items():
             if kind in ("sum", "count", "sumsq"):
                 vals = sdf[pname].to_numpy()
@@ -516,6 +515,15 @@ def _make_window_compose(
     def _compose(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return finalize(merge_ir(df))
+        if any(
+            kind in ("min", "max") and df[pname].dtype == object
+            for pname, kind in kinds.items()
+        ):
+            # object-dtype extremes (e.g. string min/max): neither the
+            # grid roll nor the sparse sweep has a numeric kernel —
+            # keep the bucket-local pandas-groupby explode path
+            # (code-review r5; cost is the pre-round-5 O(tiles×hops))
+            return finalize(merge_ir(_explode_ir(df)))
         hop = df[window_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         g = df.groupby(keys, sort=False, dropna=False)
         kid = g.ngroup().to_numpy()

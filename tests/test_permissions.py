@@ -304,3 +304,14 @@ def test_http_token_auth_rejects_self_asserted_roles(tmp_path, sf_small, ray_ses
         assert code == 401
     finally:
         server.shutdown()
+
+
+def test_static_token_auth_non_ascii_token_is_rejected_not_crash():
+    """hmac.compare_digest rejects non-ASCII str; a latin-1 header byte
+    from an unauthenticated client must mean None (-> 401), not a
+    TypeError in the request handler (code-review r5)."""
+    from feast_ray.permissions import StaticTokenAuth
+
+    auth = StaticTokenAuth({"tok": User("u", ("r",))})
+    assert auth.authenticate("s\xe9cret") is None
+    assert auth.authenticate("tok") is not None

@@ -1044,3 +1044,77 @@ def test_window_sparse_sweep_overflow_fallback():
     })
     got = comp(df).sort_values(["k", "w"]).reset_index(drop=True)
     assert len(got) == 8 and got["__p0_sum"].sum() == 4 * 5 + 4 * 7
+
+
+def test_window_string_minmax_falls_back_to_explode(ray_session):
+    """Object-dtype extremes (string min/max) have no numeric kernel in
+    the grid/sweep arms — the composer must fall back to the explode
+    path and stay exact (code-review r5)."""
+    from datetime import timedelta
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, windowed_agg
+
+    rng = np.random.RandomState(2)
+    base = pd.Timestamp("2024-06-01").value // 1000
+    rows = []
+    for k, (n, span) in enumerate([(40, 3600), (3, 200000)]):  # dense + sparse
+        ts = base + rng.randint(0, span + 1, n).astype(np.int64) * 1_000_000
+        rows += [(f"u{k}", int(t), f"tag{rng.randint(0, 9)}") for t in ts]
+    df = pd.DataFrame(rows, columns=["user_id", "ts_i", "tag"])
+    df["ts"] = df["ts_i"].astype("datetime64[us]")
+    df = df.drop(columns="ts_i")
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = (
+        windowed_agg(ds, ["user_id"], "ts", timedelta(seconds=3600),
+                     [AggSpec("tag", "min", "t_min"),
+                      AggSpec("tag", "max", "t_max"),
+                      AggSpec(None, "count", "n")],
+                     slide=timedelta(seconds=300))
+        .to_pandas().sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    w_us, s_us = 3600 * 1_000_000, 300 * 1_000_000
+    ti = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    hop = (ti // s_us) * s_us
+    ex = pd.concat([
+        df.assign(window_start=(hop - j * s_us).astype("datetime64[us]"))
+        for j in range(w_us // s_us)
+    ])
+    g = ex.groupby(["user_id", "window_start"], dropna=False)
+    exp = pd.DataFrame({
+        "t_min": g["tag"].min(), "t_max": g["tag"].max(),
+        "n": g["tag"].size(),
+    }).reset_index().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_progressive_ac_refine_history_beyond_zrl_window():
+    """Code-review r5 bug: a history coefficient past a ZRL's 16-zero
+    window desynced the refinement bitstream (correction bits were
+    flushed with the wrong code). Coefficient layout crafted via exact
+    IDCT round-trip; progressive decode must equal baseline."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        _JPEG_DCT,
+        _JPEG_ZZ,
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    q1 = np.ones((8, 8), np.int32)
+    zz = np.zeros(64, np.int64)
+    zz[1], zz[18], zz[36] = 4, 4, 1
+    nat = np.zeros(64, np.float64)
+    nat[_JPEG_ZZ] = zz
+    block = _JPEG_DCT.T @ nat.reshape(8, 8) @ _JPEG_DCT
+    px = np.clip(np.floor(block + 128.5), 0, 255).astype(np.uint8)
+    scans = ((0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0))
+    base = decode_jpeg(encode_jpeg_gray(px, q1))
+    prog = decode_jpeg(encode_jpeg_progressive(px, q1, scans=scans))
+    assert np.array_equal(base, prog)
