@@ -1722,6 +1722,20 @@ def encode_jpeg_progressive(
         qtab = JPEG_QTAB_LUM
     if scans is None:
         scans = _JPEG_PROG_SCANS
+    for Ss, Se, Ah, Al in scans:
+        # T.81 G.1.1.1.2: refinement scans advance exactly ONE bit
+        # plane (Ah == Al + 1); violating scripts would emit streams
+        # whose single-bit refinement codes cannot represent the gap
+        if Ah != 0 and Ah != Al + 1:
+            raise ValueError(
+                f"invalid successive-approximation scan (Ss={Ss}, Se={Se}, "
+                f"Ah={Ah}, Al={Al}): refinement requires Ah == Al + 1"
+            )
+        if (Ss == 0) != (Se == 0):
+            raise ValueError(
+                f"invalid spectral band (Ss={Ss}, Se={Se}): DC scans are "
+                f"exactly [0, 0]"
+            )
     h, w = px.shape
     H = (h + 7) // 8 * 8
     W = (w + 7) // 8 * 8

@@ -551,3 +551,21 @@ def test_avi_mjpeg_container_and_frame_sampling(ray_session):
     assert sorted(out[out.media_id == 8]["frame_idx"]) == [0, 2]
     assert set(out["width"]) == {24} and set(out["height"]) == {16}
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
+
+
+def test_progressive_rejects_illegal_scan_scripts():
+    """Refinement scans must advance exactly one bit plane (T.81
+    G.1.1.1.2) and DC bands are exactly [0, 0] — illegal scripts fail
+    loudly instead of emitting undecodable streams (found by fuzzing
+    with a two-plane refinement)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feast_ray.functions.multimodal import encode_jpeg_progressive
+
+    px = np.full((8, 8), 100, np.uint8)
+    with _pytest.raises(ValueError, match="Ah == Al \\+ 1"):
+        encode_jpeg_progressive(px, scans=((0, 0, 0, 0), (1, 63, 0, 3),
+                                           (1, 63, 3, 1)))
+    with _pytest.raises(ValueError, match="DC scans"):
+        encode_jpeg_progressive(px, scans=((0, 5, 0, 0),))
