@@ -1624,81 +1624,96 @@ def _jpeg_prog_encode_scan(
     if Ah == 0:  # AC first scans: magnitude truncated toward zero
         for i in range(n):
             _maybe_restart(i, st)
-            vec = zzq[i]
-            ks = [
-                k for k in range(Ss, Se + 1)
-                if (abs(int(vec[k])) >> Al) != 0
-            ]
-            if not ks:
-                st.add_eob()
-                continue
-            st.emit_eobrun()
-            pos = Ss - 1
-            for k in ks:
-                run = k - pos - 1
-                while run >= 16:
-                    c, L = ac_huff[0xF0]
-                    bw.put(c, L)
-                    run -= 16
-                v = abs(int(vec[k])) >> Al
-                if int(vec[k]) < 0:
-                    v = -v
-                cat, bits = _jpeg_magnitude(v)
-                c, L = ac_huff[(run << 4) | cat]
-                bw.put(c, L)
-                bw.put(bits, cat)
-                pos = k
-            if pos != Se:
-                st.add_eob()
+            _prog_ac_first_block(bw, st, zzq[i], Ss, Se, Al, ac_huff)
         st.emit_eobrun()
         return
-    # AC refinement (G.1.2.3, libjpeg encode_mcu_AC_refine shape):
-    # history-coefficient correction bits buffer in ``br`` and are
-    # emitted AFTER the next ZRL / (run,1) code — exactly the order
-    # the decoder consumes them while advancing to that code's target
+    # AC refinement (G.1.2.3, libjpeg encode_mcu_AC_refine shape)
     for i in range(n):
         _maybe_restart(i, st)
-        vec = zzq[i]
-        absv = np.abs(vec[Ss : Se + 1].astype(np.int64)) >> Al
-        newnz = np.flatnonzero(absv == 1)
-        eob = int(newnz[-1]) + Ss if len(newnz) else Ss - 1
-        run = 0
-        br: list[int] = []
-        for k in range(Ss, Se + 1):
-            t = int(absv[k - Ss])
-            if t == 0:
-                run += 1
-                continue
-            # ZRLs are emitted at EVERY nonzero coefficient (history
-            # or newly significant) so each ZRL carries exactly the
-            # correction bits of the history coefficients inside ITS
-            # 16-zero-history window — the order the decoder consumes
-            # them while advancing (libjpeg encode_mcu_AC_refine;
-            # emitting them only at newly-significant coefficients
-            # desyncs when a history coefficient sits past the window)
-            while run > 15 and k <= eob:
-                st.emit_eobrun()
-                c, L = ac_huff[0xF0]
-                bw.put(c, L)
-                run -= 16
-                for b in br:
-                    bw.put(b, 1)
-                br = []
-            if t > 1:  # history coefficient: buffer its correction bit
-                br.append(t & 1)
-                continue
-            # newly significant (|v|>>Al == 1)
-            st.emit_eobrun()
-            c, L = ac_huff[(run << 4) | 1]
+        _prog_ac_refine_block(bw, st, zzq[i], Ss, Se, Al, ac_huff)
+    st.emit_eobrun()
+
+
+def _prog_ac_first_block(
+    bw: "_JpegBitWriter", st: "_JpegProgACState", vec: np.ndarray,
+    Ss: int, Se: int, Al: int, ac_huff: dict,
+) -> None:
+    """One block of an AC-first scan: RS codes over the band with the
+    point transform's toward-zero magnitude truncation; all-zero bands
+    accumulate into the shared EOB run."""
+    ks = [
+        k for k in range(Ss, Se + 1)
+        if (abs(int(vec[k])) >> Al) != 0
+    ]
+    if not ks:
+        st.add_eob()
+        return
+    st.emit_eobrun()
+    pos = Ss - 1
+    for k in ks:
+        run = k - pos - 1
+        while run >= 16:
+            c, L = ac_huff[0xF0]
             bw.put(c, L)
-            bw.put(0 if int(vec[k]) < 0 else 1, 1)
+            run -= 16
+        v = abs(int(vec[k])) >> Al
+        if int(vec[k]) < 0:
+            v = -v
+        cat, bits = _jpeg_magnitude(v)
+        c, L = ac_huff[(run << 4) | cat]
+        bw.put(c, L)
+        bw.put(bits, cat)
+        pos = k
+    if pos != Se:
+        st.add_eob()
+
+
+def _prog_ac_refine_block(
+    bw: "_JpegBitWriter", st: "_JpegProgACState", vec: np.ndarray,
+    Ss: int, Se: int, Al: int, ac_huff: dict,
+) -> None:
+    """One block of an AC-refinement scan (G.1.2.3, libjpeg
+    encode_mcu_AC_refine shape): history-coefficient correction bits
+    buffer in ``br`` and are emitted AFTER the next ZRL / (run,1)
+    code — exactly the order the decoder consumes them while advancing
+    to that code's target. ZRLs are emitted at EVERY nonzero
+    coefficient (history or newly significant) so each ZRL carries
+    exactly the correction bits of the history coefficients inside ITS
+    16-zero-history window; emitting them only at newly-significant
+    coefficients desyncs when a history coefficient sits past the
+    window (code-review r5)."""
+    absv = np.abs(vec[Ss : Se + 1].astype(np.int64)) >> Al
+    newnz = np.flatnonzero(absv == 1)
+    eob = int(newnz[-1]) + Ss if len(newnz) else Ss - 1
+    run = 0
+    br: list[int] = []
+    for k in range(Ss, Se + 1):
+        t = int(absv[k - Ss])
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            st.emit_eobrun()
+            c, L = ac_huff[0xF0]
+            bw.put(c, L)
+            run -= 16
             for b in br:
                 bw.put(b, 1)
             br = []
-            run = 0
-        if run > 0 or br:
-            st.add_eob(br)
-    st.emit_eobrun()
+        if t > 1:  # history coefficient: buffer its correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (|v|>>Al == 1)
+        st.emit_eobrun()
+        c, L = ac_huff[(run << 4) | 1]
+        bw.put(c, L)
+        bw.put(0 if int(vec[k]) < 0 else 1, 1)
+        for b in br:
+            bw.put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.add_eob(br)
 
 
 def encode_jpeg_progressive(
@@ -2021,3 +2036,143 @@ def sample_video_frames(
         })
 
     return ds.map_batches(_block, batch_format="pyarrow")
+
+
+def encode_jpeg_progressive_rgb(
+    px: np.ndarray,
+    qlum: "np.ndarray | None" = None,
+    qchrom: "np.ndarray | None" = None,
+) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) 4:2:0 YCbCr color encoder —
+    pins :func:`decode_jpeg`'s color-progressive paths, which no other
+    producer exercises: the interleaved multi-component DC scan (MCU
+    order with per-component 2×2 sub-blocks), per-component AC scans
+    over each component's OWN ceil-grid (which is narrower than the
+    MCU-padded grid when dims aren't multiples of 16), and DC
+    refinement. Block prep (color transform, chroma averaging,
+    quantization) is byte-identical to :func:`encode_jpeg_rgb`, so the
+    two encodings carry the same quantized coefficients for every
+    VISIBLE block and their decodes agree on the cropped output
+    (MCU-padding blocks outside every AC scan's ceil-grid differ only
+    in AC energy that the crop discards — asserted within JPEG's ±1
+    IDCT rounding in tests)."""
+    import struct
+
+    assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+    if qlum is None:
+        qlum = JPEG_QTAB_LUM
+    if qchrom is None:
+        qchrom = JPEG_QTAB_CHROM
+    h, w = px.shape[:2]
+    y, cb, cr = _jpeg_rgb_to_ycbcr(px)
+    H = (h + 15) // 16 * 16
+    W = (w + 15) // 16 * 16
+    y = _jpeg_pad_to(y, H, W) - 128.0
+    cb = _jpeg_pad_to(cb, H, W)
+    cr = _jpeg_pad_to(cr, H, W)
+    cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3)) - 128.0
+    cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    def _zz_table(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        hh, ww = plane.shape
+        blocks = (
+            plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = _JPEG_DCT @ blocks @ _JPEG_DCT.T
+        return np.floor(coef / q + 0.5).astype(np.int64).reshape(-1, 64)[
+            :, _JPEG_ZZ
+        ]
+
+    zz = [_zz_table(y, qlum), _zz_table(cb, qchrom), _zz_table(cr, qchrom)]
+    bwid = [W // 8, W // 16, W // 16]  # padded block-grid widths
+    # AC scans cover each component's own ceil-grid (the decoder's eff
+    # dims): ceil(cw/8) × ceil(ch/8) with cw = ceil(w·hs/hmax)
+    eff = [
+        ((h + 7) // 8, (w + 7) // 8),
+        ((-(-h // 2) + 7) // 8, (-(-w // 2) + 7) // 8),
+        ((-(-h // 2) + 7) // 8, (-(-w // 2) + 7) // 8),
+    ]
+    dl = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc_ = _jpeg_huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def _dc_scan(Ah: int, Al: int) -> bytes:
+        bw = _JpegBitWriter()
+        prev = [0, 0, 0]
+        for my in range(H // 16):
+            for mx in range(W // 16):
+                for ci, (vs, hs) in ((0, (2, 2)), (1, (1, 1)), (2, (1, 1))):
+                    for vy in range(vs):
+                        for ux in range(hs):
+                            bidx = (
+                                (my * vs + vy) * bwid[ci] + (mx * hs + ux)
+                            )
+                            dc = int(zz[ci][bidx, 0])
+                            if Ah == 0:
+                                v = dc >> Al
+                                cat, bits = _jpeg_magnitude(v - prev[ci])
+                                prev[ci] = v
+                                huff = dl if ci == 0 else dc_
+                                c, L = huff[cat]
+                                bw.put(c, L)
+                                if cat:
+                                    bw.put(bits, cat)
+                            else:
+                                bw.put((dc >> Al) & 1, 1)
+        bw.flush()
+        comps = b"\x01\x00" + b"\x02\x10" + b"\x03\x10" if Ah == 0 else \
+                b"\x01\x00" + b"\x02\x00" + b"\x03\x00"
+        return seg(
+            0xFFDA, b"\x03" + comps + bytes((0, 0, (Ah << 4) | Al))
+        ) + bw.out
+
+    def _ac_scan(ci: int, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        bw = _JpegBitWriter()
+        st = _JpegProgACState(bw, ac)
+        erows, ecols = eff[ci]
+        for r in range(erows):
+            for c in range(ecols):
+                vec = zz[ci][r * bwid[ci] + c]
+                if Ah == 0:
+                    _prog_ac_first_block(bw, st, vec, Ss, Se, Al, ac)
+                else:
+                    _prog_ac_refine_block(bw, st, vec, Ss, Se, Al, ac)
+        st.emit_eobrun()
+        bw.flush()
+        return seg(
+            0xFFDA,
+            b"\x01" + bytes((ci + 1, 0x10)) + bytes((Ss, Se, (Ah << 4) | Al)),
+        ) + bw.out
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qchrom.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C))
+    out += seg(
+        0xFFC4,
+        b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    out += _dc_scan(0, 1)                 # DC first, point transform 1
+    out += _ac_scan(0, 1, 5, 0, 1)        # Y low band
+    out += _ac_scan(1, 1, 63, 0, 1)       # Cb full band
+    out += _ac_scan(2, 1, 63, 0, 1)       # Cr full band
+    out += _ac_scan(0, 6, 63, 0, 1)       # Y high band
+    out += _ac_scan(0, 1, 5, 1, 0)        # refinements
+    out += _ac_scan(0, 6, 63, 1, 0)
+    out += _ac_scan(1, 1, 63, 1, 0)
+    out += _ac_scan(2, 1, 63, 1, 0)
+    out += _dc_scan(1, 0)                 # DC refinement (interleaved)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -569,3 +569,35 @@ def test_progressive_rejects_illegal_scan_scripts():
                                            (1, 63, 3, 1)))
     with _pytest.raises(ValueError, match="DC scans"):
         encode_jpeg_progressive(px, scans=((0, 5, 0, 0),))
+
+
+def test_jpeg_progressive_color_equals_baseline_color():
+    """Round 5: COLOR (4:2:0) progressive JPEG — pins the decoder's
+    interleaved multi-component DC scan, per-component ceil-grid AC
+    scans (narrower than the MCU-padded grid at non-16-multiple dims),
+    and interleaved DC refinement. Block prep matches encode_jpeg_rgb,
+    so decodes must be BIT-identical."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive_rgb,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.RandomState(3)
+    for (h, w) in [(16, 16), (32, 48), (17, 23), (9, 50)]:
+        for pat in ("noise", "smooth", "solid"):
+            if pat == "noise":
+                px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            elif pat == "smooth":
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256],
+                    -1,
+                ).astype(np.uint8)
+            else:
+                px = np.full((h, w, 3), (40, 180, 90), np.uint8)
+            base = decode_jpeg(encode_jpeg_rgb(px))
+            prog = decode_jpeg(encode_jpeg_progressive_rgb(px))
+            assert np.array_equal(base, prog), (h, w, pat)
