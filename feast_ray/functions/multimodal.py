@@ -322,12 +322,25 @@ class MediaDecoder:
             return self._decode_avi(payload)
         if payload[:2] == b"\xff\xd8":
             return self._decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._decode_gif(payload)
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
-            "layouts), baseline/progressive/lossless JPEG, MJPEG AVI and "
-            "PCM WAV natively; other compressed formats (MP4/...) need "
-            "PIL/ffmpeg, not available in this environment"
+            "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI "
+            "and PCM WAV natively; other compressed formats (TIFF/WebP/"
+            "MP4/...) need PIL/ffmpeg, not available in this environment"
         )
+
+    @staticmethod
+    def _decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """GIF → (w, h, 16-bin luminance histogram of the first frame)."""
+        rgb = decode_gif(payload)
+        lum = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        feat = np.bincount(
+            (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+        ).astype(np.float64)
+        s = feat.sum()
+        return rgb.shape[1], rgb.shape[0], (feat / s if s else feat)
 
     @staticmethod
     def _decode_avi(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -368,6 +381,7 @@ class MediaDecoder:
         if (
             payload[:2] in (b"BM", b"\xff\xd8")
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or payload[:6] in (b"GIF87a", b"GIF89a")
             or (payload[:4] == b"RIFF" and payload[8:12] in (b"WAVE", b"AVI "))
         ):
             try:
@@ -2175,4 +2189,177 @@ def encode_jpeg_progressive_rgb(
     out += _ac_scan(2, 1, 63, 1, 0)
     out += _dc_scan(1, 0)                 # DC refinement (interleaved)
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------- GIF
+# Round 5: GIF87a/89a decode — the last ubiquitous web image format
+# in the corpus mix. Variable-width LSB-first LZW (dictionary growth,
+# clear/end codes, 12-bit cap), global/local palettes, the 4-pass row
+# interlace, extension-block skipping; first image frame of animated
+# files. The writer emits deterministic GIFs for tests/synthetic
+# corpora (clear-code-per-pixel LZW — valid, trivially correct).
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF → (h, w, 3) uint8 RGB of the FIRST image frame."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _lx, _ty, iw, ih, ip = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise NotImplementedError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+            img = np.asarray(idx, np.int64).reshape(ih, iw)
+            if ip & 0x40:  # 4-pass row interlace
+                out = np.empty_like(img)
+                rows = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2),
+                ])
+                out[rows] = img
+                img = out
+            return pal[np.clip(img, 0, len(pal) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    raise NotImplementedError("GIF without an image frame")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> "list[int]":
+    """Variable-width LSB-first LZW (GIF Appendix F): dictionary of
+    index strings, width grows at 2^width up to 12 bits, CLEAR resets."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bitpos = 0
+    total_bits = 8 * len(data)
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return end  # truncated stream: treat as end-of-information
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code + 1
+    prev: "list[int] | None" = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            table = [[i] for i in range(1 << min_code)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal deterministic GIF89a writer for tests / synthetic
+    corpora: (h, w) palette indices + (n, 3) uint8 palette. LZW body
+    emits a CLEAR code before every pixel code (the classic
+    uncompressed-LZW trick — the dictionary never grows, every code is
+    ``min_code + 1`` bits, and decoding is trivially exact)."""
+    import struct
+
+    idx = np.asarray(idx)
+    h, w = idx.shape
+    pal = np.asarray(palette, np.uint8)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    full = np.zeros((n, 3), np.uint8)
+    full[: len(pal)] = pal
+    clear, width = 1 << bits, bits + 1
+
+    rows = np.arange(h)
+    if interlace:
+        rows = np.concatenate([
+            np.arange(0, h, 8), np.arange(4, h, 8),
+            np.arange(2, h, 4), np.arange(1, h, 2),
+        ])
+    seq = idx[rows].ravel()
+
+    acc = nbits = 0
+    body = bytearray()
+    for px in seq:
+        for code in (clear, int(px)):
+            acc |= code << nbits  # LSB-first packing
+            nbits += width
+            while nbits >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+    acc |= (clear + 1) << nbits  # end-of-information
+    nbits += width
+    while nbits > 0:
+        body.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += full.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(bits)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
     return bytes(out)

@@ -115,10 +115,10 @@ def test_real_decode_bmp_wav():
     f2 = np.asarray(out.loc[2, "feature"])
     # samples -0.5, 0.0, 0.5, ~1.0 -> bins 4, 8, 12, 15
     assert f2[4] == 0.25 and f2[8] == 0.25 and f2[12] == 0.25 and f2[15] == 0.25
-    # unsupported format = honest boundary (GIF: no native codec)
+    # unsupported format = honest boundary (TIFF: no native codec)
     dec = MediaDecoder(mode="real")
     with pytest.raises(NotImplementedError):
-        dec._decode_real(b"GIF89a rest-of-gif")
+        dec._decode_real(b"MM\x00*rest-of-tiff")
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -149,7 +149,7 @@ def test_png_decode_all_filters_roundtrip():
     px = np.full((5, 8), 42, np.uint8)
     assert len(encode_png(px)) == 68 + 5 * (1 + 8)
     with _pytest.raises(NotImplementedError, match="PIL|native"):
-        MediaDecoder(mode="real")._decode_real(b"GIF87a not-supported")
+        MediaDecoder(mode="real")._decode_real(b"II*\x00 not-supported")
 
 
 def test_jpeg_roundtrip_and_closed_form():
@@ -601,3 +601,36 @@ def test_jpeg_progressive_color_equals_baseline_color():
             base = decode_jpeg(encode_jpeg_rgb(px))
             prog = decode_jpeg(encode_jpeg_progressive_rgb(px))
             assert np.array_equal(base, prog), (h, w, pat)
+
+
+def test_gif_decode_roundtrip():
+    """Round 5: GIF87a/89a — variable-width LSB-first LZW, palettes,
+    4-pass interlace. The deterministic writer's output must decode to
+    exactly palette[idx]; MediaDecoder dispatches GIF onto the real
+    path and its histogram matches the equivalent palette PNG's."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        MediaDecoder,
+        decode_gif,
+        encode_gif,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    for (h, w) in [(1, 1), (7, 9), (23, 41)]:
+        for npal in (2, 16, 200):
+            pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+            idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+            for inter in (False, True):
+                got = decode_gif(encode_gif(idx, pal, interlace=inter))
+                assert np.array_equal(got, pal[idx]), (h, w, npal, inter)
+
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (11, 13)).astype(np.uint8)
+    w_, h_, feat = MediaDecoder(mode="real")._decode_real(
+        encode_gif(idx, pal)
+    )
+    assert (w_, h_) == (13, 11)
+    _, _, feat_png = MediaDecoder._decode_png(encode_png(idx, palette=pal))
+    np.testing.assert_allclose(feat, feat_png)
