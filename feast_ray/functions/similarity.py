@@ -877,6 +877,46 @@ def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes
 
 
+def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) vectors from (n, m) codes — each subspace's
+    codeword gathered and concatenated. The OPQ trainer's
+    reconstruction step; also handy in tests."""
+    m, ks, sub = codebooks.shape
+    return np.concatenate([codebooks[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def opq_train(
+    sample: np.ndarray, m: int = 8, ks: int = 256, iters: int = 10,
+    opq_iters: int = 8, seed: int = 7, prenormalized: bool = False,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Optimized Product Quantization (Ge et al., CVPR 2013 — the
+    non-parametric alternation): learn an ORTHOGONAL rotation R so
+    the rotated vectors' variance aligns with the m subspace blocks,
+    then quantize the rotated space. Alternates (1) retrain codebooks
+    on x@R, (2) encode + reconstruct, (3) solve the orthogonal
+    Procrustes problem min_R ||xR - recon||_F via one SVD of
+    x^T @ recon. Deterministic (pq_train's fixed seeds + LAPACK SVD).
+    Returns (R, codebooks) where codes are ``pq_encode(x @ R, books)``
+    and scoring rotates the QUERY instead: q·(recon @ R^T) = (q R)·recon.
+    """
+    x = np.asarray(sample, np.float64)
+    if not prenormalized:
+        x = _normalize(x)
+    d = x.shape[1]
+    rot = np.eye(d)
+    for _ in range(opq_iters):
+        y = x @ rot
+        books = pq_train(y, m=m, ks=ks, iters=iters, seed=seed,
+                         prenormalized=True)
+        recon = pq_decode(pq_encode(y, books), books)
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        rot = u @ vt
+    y = x @ rot
+    books = pq_train(y, m=m, ks=ks, iters=iters, seed=seed,
+                     prenormalized=True)
+    return rot, books
+
+
 def ivfpq_build(
     ds: ray.data.Dataset,
     path: str,
@@ -889,6 +929,7 @@ def ivfpq_build(
     sample_size: int = 2048,
     sample_mode: str = "hash",
     residual: bool = False,
+    opq: bool = False,
 ) -> np.ndarray:
     """Build the cell-partitioned PQ index: IVF centroids + PQ
     codebooks fit on one unbiased hash sample (ivf_build's doctrine),
@@ -906,7 +947,14 @@ def ivfpq_build(
     cluster much tighter than raw vectors, so the same m×ks code
     budget quantizes finer; ADC then scores
     ``q·centroid[cell] + q·residual_codewords`` (the per-cell base
-    term costs one n_q×n_cells matmul at query build)."""
+    term costs one n_q×n_cells matmul at query build).
+
+    ``opq=True`` (round 5, README r6 candidate): an OPQ rotation is
+    learned on the training sample (:func:`opq_train`) and codes
+    encode the ROTATED (residual) vector; search rotates each query
+    once before building its ADC tables — everything downstream of
+    the LUTs (scan, gather-sum, dump-doctrine oracle) is unchanged.
+    The rotation is saved as ``_rotation.npy``."""
     import json as _json
     import os
 
@@ -925,11 +973,15 @@ def ivfpq_build(
     sn = _normalize(sample)
     if residual:
         s_cells = np.argmax(sn @ index.centroids.T, axis=1)
-        books = pq_train(sn - index.centroids[s_cells], m=m, ks=ks,
-                         prenormalized=True)
+        train = sn - index.centroids[s_cells]
     else:
-        books = pq_train(sn, m=m, ks=ks, prenormalized=True)
-    cref = ray.put((index.centroids, books))
+        train = sn
+    if opq:
+        rot, books = opq_train(train, m=m, ks=ks, prenormalized=True)
+    else:
+        rot = None
+        books = pq_train(train, m=m, ks=ks, prenormalized=True)
+    cref = ray.put((index.centroids, books, rot))
 
     def _assign(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
@@ -937,10 +989,11 @@ def ivfpq_build(
             for j in range(m):
                 tbl = tbl.append_column(f"code_{j}", pa.array([], pa.int16()))
             return tbl
-        cent, cb = ray.get(cref)
+        cent, cb, rr = ray.get(cref)
         mat = _normalize(_batch_matrix(tbl, vec_col))
         cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
-        codes = pq_encode(mat - cent[cells] if residual else mat, cb)
+        delta = mat - cent[cells] if residual else mat
+        codes = pq_encode(delta @ rr if rr is not None else delta, cb)
         tbl = tbl.append_column("cell", pa.array(cells))
         for j in range(m):
             # int16: parquet/hive round-trips plain ints losslessly
@@ -955,8 +1008,10 @@ def ivfpq_build(
     )
     np.save(os.path.join(path, "_centroids.npy"), index.centroids)
     np.save(os.path.join(path, "_codebooks.npy"), books)
+    if rot is not None:
+        np.save(os.path.join(path, "_rotation.npy"), rot)
     with open(os.path.join(path, "_meta.json"), "w") as fh:
-        _json.dump({"residual": residual, "m": m, "ks": ks}, fh)
+        _json.dump({"residual": residual, "m": m, "ks": ks, "opq": opq}, fh)
     return books
 
 
@@ -998,14 +1053,19 @@ def ann_topk_ivfpq(
     q_cells = index.cells_for(qn, nprobe)
     probed = set(int(c) for c in np.unique(q_cells))
     # residual ADC base term: q·centroid[cell], one small matmul
+    # (always in the ORIGINAL space — cells are assigned pre-rotation)
     qcent = (qn @ centroids.T) if residual else None
+    # OPQ: codes live in the rotated space, so rotate the query once —
+    # q·(recon @ R^T) == (q @ R)·recon — and build LUTs from q@R
+    rot_p = os.path.join(index_path, "_rotation.npy")
+    qr = qn @ np.load(rot_p) if os.path.exists(rot_p) else qn
     # per-query ADC lookup tables: lut[q][j, c] = q_sub_j . codeword_c
     luts = np.stack(
         [
             np.stack([
-                qn[i, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)
+                qr[i, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)
             ])
-            for i in range(len(qn))
+            for i in range(len(qr))
         ]
     )  # (n_q, m, ks)
     files = []

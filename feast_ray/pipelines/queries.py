@@ -4338,6 +4338,25 @@ def q81_ann_ivfpq(sf_dir: str):
     oracle inputs; DuckDB recomputes the pruned search — probe filter,
     score = the EXPLICIT base + 8-term + chain (bit-exact vs the
     engine's sequential accumulation), top-k with vec_id tie-break."""
+    return _ivfpq_query(sf_dir, opq=False)
+
+
+def q90_ann_ivfpq_opq(sf_dir: str):
+    """OPQ-rotated residual IVF-PQ (round 5, README r6 candidate):
+    identical search to q81 but the index is built with
+    ``opq=True`` — an orthogonal rotation learned by the Ge et al.
+    non-parametric alternation (similarity.py:opq_train) aligns the
+    residuals' variance with the 8 subspace blocks before
+    quantization; each query is rotated ONCE before its ADC tables
+    are built, so the scan/score/dump machinery is byte-identical to
+    q81's. Same dump-doctrine SQL oracle (separate ``ivfpq_opq_*``
+    dump files): DuckDB recomputes probe filter + the explicit
+    base + 8-term ADC chain + top-k — the rotation is upstream of the
+    dumped LUTs, so the oracle needs no linear algebra."""
+    return _ivfpq_query(sf_dir, opq=True)
+
+
+def _ivfpq_query(sf_dir: str, *, opq: bool):
     import shutil
 
     from feast_ray.functions.similarity import ann_topk_ivfpq, ivfpq_build
@@ -4355,8 +4374,9 @@ def q81_ann_ivfpq(sf_dir: str):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1"
-    index_path = f"/tmp/feast_ray_cache/ivfpq_{base}"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1opq{int(opq)}"
+    tag = "ivfpq_opq" if opq else "ivfpq"
+    index_path = f"/tmp/feast_ray_cache/{tag}_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (
         os.path.exists(os.path.join(index_path, "_codebooks.npy"))
@@ -4365,7 +4385,7 @@ def q81_ann_ivfpq(sf_dir: str):
     )
     if not fresh:
         shutil.rmtree(index_path, ignore_errors=True)
-        ivfpq_build(corpus, index_path, residual=True)
+        ivfpq_build(corpus, index_path, residual=True, opq=opq)
         with open(marker, "w") as fh:
             fh.write(fingerprint)
     out, stats = ann_topk_ivfpq(index_path, queries, k=10, nprobe=4)
@@ -4379,7 +4399,7 @@ def q81_ann_ivfpq(sf_dir: str):
     _pq.write_table(
         pa.table({"query_id": pa.array(qid, pa.int64()),
                   "cell": pa.array(q_cells.ravel(), pa.int64())}),
-        os.path.join(_PPL_ORACLE_DIR, "ivfpq_probes.parquet"),
+        os.path.join(_PPL_ORACLE_DIR, f"{tag}_probes.parquet"),
     )
     luts = stats["luts"]  # (n_q, m, ks) float64
     nq, m, ks = luts.shape
@@ -4391,7 +4411,7 @@ def q81_ann_ivfpq(sf_dir: str):
             "cell": pa.array(np.tile(np.arange(nc), nq), pa.int64()),
             "base": pa.array(qcent.ravel(), pa.float64()),
         }),
-        os.path.join(_PPL_ORACLE_DIR, "ivfpq_qcent.parquet"),
+        os.path.join(_PPL_ORACLE_DIR, f"{tag}_qcent.parquet"),
     )
     _pq.write_table(
         pa.table({
@@ -4400,7 +4420,7 @@ def q81_ann_ivfpq(sf_dir: str):
             "code": pa.array(np.tile(np.arange(ks), nq * m), pa.int64()),
             "partial": pa.array(luts.ravel(), pa.float64()),
         }),
-        os.path.join(_PPL_ORACLE_DIR, "ivfpq_lut.parquet"),
+        os.path.join(_PPL_ORACLE_DIR, f"{tag}_lut.parquet"),
     )
     assign = []
     code_cols = [f"code_{j}" for j in range(m)]
@@ -4414,7 +4434,7 @@ def q81_ann_ivfpq(sf_dir: str):
             "cell", pa.array(np.full(len(t), cell), pa.int64())))
     _pq.write_table(
         pa.concat_tables(assign),
-        os.path.join(_PPL_ORACLE_DIR, "ivfpq_assign.parquet"),
+        os.path.join(_PPL_ORACLE_DIR, f"{tag}_assign.parquet"),
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -4425,11 +4445,13 @@ def q81_ann_ivfpq(sf_dir: str):
     )
 
 
-def _q81_sql() -> str:
+def _q81_sql(tag: str = "ivfpq") -> str:
     d = _PPL_ORACLE_DIR
     # residual ADC: base term q·centroid[cell] first, then the 8
     # subspace partials — the same left-assoc order as the engine's
-    # sequential accumulation, so float64 scores match bit-exactly
+    # sequential accumulation, so float64 scores match bit-exactly.
+    # tag="ivfpq_opq" reads q90's OPQ dump — the rotation is upstream
+    # of the dumped LUTs, so the SQL is identical.
     plus = " + ".join(["qc.base"] + [f"l{j}.partial" for j in range(8)])
     joins = "\n".join(
         f"  join lut l{j} on l{j}.query_id = p.query_id and l{j}.j = {j} "
@@ -4437,11 +4459,11 @@ def _q81_sql() -> str:
         for j in range(8)
     )
     return f"""
-with assign as (select * from read_parquet('{d}/ivfpq_assign.parquet')),
+with assign as (select * from read_parquet('{d}/{tag}_assign.parquet')),
 probes as (select distinct query_id, cell
-           from read_parquet('{d}/ivfpq_probes.parquet')),
-lut as (select * from read_parquet('{d}/ivfpq_lut.parquet')),
-qcent as (select * from read_parquet('{d}/ivfpq_qcent.parquet')),
+           from read_parquet('{d}/{tag}_probes.parquet')),
+lut as (select * from read_parquet('{d}/{tag}_lut.parquet')),
+qcent as (select * from read_parquet('{d}/{tag}_qcent.parquet')),
 scored as (
   select p.query_id, a.vec_id, {plus} as score
   from assign a
@@ -5237,6 +5259,7 @@ QUERIES = {
     "q87_returned_item_customers": q87_returned_item_customers,
     "q88_ann_ivfpq_rerank": q88_ann_ivfpq_rerank,
     "q89_video_frame_sampling": q89_video_frame_sampling,
+    "q90_ann_ivfpq_opq": q90_ann_ivfpq_opq,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5309,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
         "q87_returned_item_customers": _Q87_SQL,
         "q88_ann_ivfpq_rerank": _Q88_SQL,
         "q89_video_frame_sampling": _q89_sql(),
+        "q90_ann_ivfpq_opq": _q81_sql("ivfpq_opq"),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -375,3 +375,117 @@ def test_ivfpq_residual_recall_ge_plain(emb, tmp_path):
 
     r_plain, r_res = _recall(p_plain), _recall(p_res)
     assert r_res >= r_plain - 1e-9, (r_plain, r_res)
+
+
+def test_opq_rotation_improves_quantization(tmp_path):
+    """OPQ (Ge et al. 2013, non-parametric alternation): on an
+    ANISOTROPIC corpus whose principal directions straddle the m
+    subspace blocks, the learned orthogonal rotation must cut the
+    quantization error vs plain PQ at the same m*ks budget. Also
+    pins: R is orthogonal, the build is deterministic, and the
+    exhaustive + rerank-all arm of an OPQ index still equals brute
+    force exactly (rerank reads the FLOAT vectors — rotation never
+    touches that path)."""
+    from feast_ray.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+        ivfpq_build,
+        opq_train,
+        pq_decode,
+        pq_encode,
+        pq_train,
+    )
+
+    # correlated corpus: decaying spectrum mixed across subspaces
+    rng = np.random.RandomState(11)
+    d = 32
+    spec = np.exp(-np.arange(d) / 4.0)
+    mix, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    mat = (rng.standard_normal((600, d)) * spec) @ mix.T
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    rot, books_o = opq_train(matn, m=8, ks=64, prenormalized=True)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(d), atol=1e-9)
+    rot2, books_o2 = opq_train(matn, m=8, ks=64, prenormalized=True)
+    np.testing.assert_array_equal(rot, rot2)
+    np.testing.assert_array_equal(books_o, books_o2)
+
+    books_p = pq_train(matn, m=8, ks=64, prenormalized=True)
+    err_plain = ((pq_decode(pq_encode(matn, books_p), books_p) - matn) ** 2).sum()
+    y = matn @ rot
+    err_opq = ((pq_decode(pq_encode(y, books_o), books_o) - y) ** 2).sum()
+    assert err_opq < err_plain, (err_opq, err_plain)
+
+    # end-to-end: OPQ + residual index, exhaustive probe + rerank-all
+    # == brute force bit-for-bit on ids, 1e-9 on scores
+    df = pd.DataFrame({
+        "vec_id": np.arange(600, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    ds = ray.data.from_pandas(df)
+    queries = mat[:10]
+    path = str(tmp_path / "pq_opq")
+    ivfpq_build(ds, path, n_cells=8, m=8, sample_size=400,
+                residual=True, opq=True)
+    import json
+    import os
+    with open(f"{path}/_meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["opq"] is True and meta["residual"] is True
+    assert os.path.exists(f"{path}/_rotation.npy")
+
+    exact = (
+        ann_topk_bruteforce(ds, queries, k=10, round_to=None)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    full, _ = ann_topk_ivfpq(path, queries, k=10, nprobe=8, rerank=len(df))
+    full = full.to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id"]], full[["query_id", "vec_id"]]
+    )
+    np.testing.assert_allclose(
+        exact["score"].to_numpy(), full["score"].to_numpy(), atol=1e-9
+    )
+
+
+def test_opq_adc_recall_ge_plain_on_correlated(tmp_path):
+    """ADC recall@10 on the anisotropic corpus: the OPQ+residual index
+    must match or beat the plain-residual index (same m, ks, nprobe)."""
+    from feast_ray.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+        ivfpq_build,
+    )
+
+    rng = np.random.RandomState(11)
+    d = 32
+    spec = np.exp(-np.arange(d) / 4.0)
+    mix, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    mat = (rng.standard_normal((600, d)) * spec) @ mix.T
+    df = pd.DataFrame({
+        "vec_id": np.arange(600, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    ds = ray.data.from_pandas(df)
+    queries = mat[:20]
+    exact = (
+        ann_topk_bruteforce(ds, queries, k=10, round_to=None)
+        .to_pandas()
+    )
+
+    def _recall(path: str) -> float:
+        adc, _ = ann_topk_ivfpq(path, queries, k=10, nprobe=4)
+        adc = adc.to_pandas()
+        rec = []
+        for q in range(len(queries)):
+            want = set(exact[exact.query_id == q]["vec_id"])
+            rec.append(len(want & set(adc[adc.query_id == q]["vec_id"])) / len(want))
+        return float(np.mean(rec))
+
+    p_res = str(tmp_path / "res")
+    p_opq = str(tmp_path / "res_opq")
+    ivfpq_build(ds, p_res, n_cells=8, m=8, sample_size=400, residual=True)
+    ivfpq_build(ds, p_opq, n_cells=8, m=8, sample_size=400,
+                residual=True, opq=True)
+    r_res, r_opq = _recall(p_res), _recall(p_opq)
+    assert r_opq >= r_res - 1e-9, (r_res, r_opq)
