@@ -1015,6 +1015,12 @@ def ivfpq_build(
     return books
 
 
+#: query count at which ann_topk_ivfpq._block switches from the
+#: per-query loop to the chunked vectorized gather-sum (same float
+#: accumulation order — the two arms are bit-identical, parity-tested)
+_ADC_VECTOR_MIN_Q = 32
+
+
 def ann_topk_ivfpq(
     index_path: str,
     queries: np.ndarray,
@@ -1024,6 +1030,7 @@ def ann_topk_ivfpq(
     vec_col: str = "embedding",
     nprobe: int = 4,
     rerank: int = 0,
+    vector_min_q: "int | None" = None,
 ) -> "tuple[ray.data.Dataset, dict]":
     """ADC top-k over an :func:`ivfpq_build` index. Scans ONLY the
     probed cell partitions and ONLY the id + code columns (the float
@@ -1091,6 +1098,7 @@ def ann_topk_ivfpq(
     for i in range(len(qn)):
         pmask[i, q_cells[i]] = True
     ref = ray.put((luts, q_cells, qcent, pmask))
+    vec_min_q = _ADC_VECTOR_MIN_Q if vector_min_q is None else vector_min_q
 
     def _block(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
@@ -1106,6 +1114,49 @@ def ann_topk_ivfpq(
             axis=1,
         )  # (n, m)
         out_q, out_id, out_s = [], [], []
+        if len(lt) >= vec_min_q:
+            # thousands-of-queries arm (README r6 candidate): group the
+            # block's rows by CELL (the on-disk partition key, so a
+            # block is usually one cell) and score each cell's rows for
+            # exactly the queries that probe it — one (q_chunk, n_cell)
+            # gather-sum per subspace, no per-query Python loop and no
+            # flops on non-probed (query, row) pairs. Accumulation is
+            # STRICTLY left-to-right over (base, subspaces), so scores
+            # are BIT-identical to the loop arm; candidates are top-kk
+            # per (query, cell) — a superset of the loop arm's
+            # per-(query, block) kk, deduped by the downstream _final
+            # top-k (parity-tested end to end).
+            for c in np.unique(cells):
+                qs = np.flatnonzero(pm[:, int(c)])
+                if len(qs) == 0:
+                    continue
+                rsel = np.flatnonzero(cells == c)
+                cm = codes[rsel]
+                rid = ids[rsel]
+                kk = min(max(k, rerank), len(rsel))
+                step = max(1, int(8_000_000 // max(1, len(rsel))))
+                for q0 in range(0, len(qs), step):
+                    qsc = qs[q0 : q0 + step]
+                    if qcb is not None:
+                        sc2 = (qcb[qsc, int(c)][:, None]
+                               + lt[qsc, 0][:, cm[:, 0]])
+                    else:
+                        sc2 = lt[qsc, 0][:, cm[:, 0]].copy()
+                    for j in range(1, m):
+                        sc2 += lt[qsc, j][:, cm[:, j]]
+                    idx = np.argpartition(-sc2, kk - 1, axis=1)[:, :kk]
+                    out_q.append(np.repeat(qsc, kk))
+                    out_id.append(rid[idx].ravel())
+                    out_s.append(np.take_along_axis(sc2, idx, axis=1).ravel())
+            if not out_q:
+                return _empty_topk_table(id_col)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                    "score": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
         for i in range(len(lt)):
             mask = pm[i][cells]
             if not mask.any():

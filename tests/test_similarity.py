@@ -489,3 +489,36 @@ def test_opq_adc_recall_ge_plain_on_correlated(tmp_path):
                 residual=True, opq=True)
     r_res, r_opq = _recall(p_res), _recall(p_opq)
     assert r_opq >= r_res - 1e-9, (r_res, r_opq)
+
+
+def test_adc_vectorized_multiquery_parity(tmp_path):
+    """The thousands-of-queries ADC arm (one (q_chunk, n) gather-sum
+    per subspace) must return BIT-identical scores to the per-query
+    loop arm — same left-assoc accumulation order — across residual
+    and plain indexes, with probe masks excluding non-probed rows."""
+    from feast_ray.functions.similarity import ann_topk_ivfpq, ivfpq_build
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((500, 32))
+    df = pd.DataFrame({
+        "vec_id": np.arange(500, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    ds = ray.data.from_pandas(df)
+    queries = rng.standard_normal((64, 32))
+    for residual in (False, True):
+        path = str(tmp_path / f"pq_{int(residual)}")
+        ivfpq_build(ds, path, n_cells=8, m=8, sample_size=400,
+                    residual=residual)
+        loop, _ = ann_topk_ivfpq(path, queries, k=10, nprobe=4,
+                                 vector_min_q=10**9)
+        vec, _ = ann_topk_ivfpq(path, queries, k=10, nprobe=4,
+                                vector_min_q=1)
+        lp = loop.to_pandas().sort_values(
+            ["query_id", "vec_id"]).reset_index(drop=True)
+        vp = vec.to_pandas().sort_values(
+            ["query_id", "vec_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(lp, vp)
+        np.testing.assert_array_equal(
+            lp["score"].to_numpy(), vp["score"].to_numpy()
+        )
