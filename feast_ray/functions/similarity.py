@@ -55,6 +55,66 @@ def _empty_topk_table(id_col: str) -> pa.Table:
     )
 
 
+#: per-query-topk finalization switches from one merge partition to a
+#: bucketed query-id exchange above this many queries
+_FINAL_BUCKET_MIN_Q = 4096
+_FINAL_QUERIES_PER_BUCKET = 1024
+
+
+def _final_per_query_topk(
+    candidates: ray.data.Dataset,
+    id_col: str,
+    keep: int,
+    *,
+    n_queries: int = 0,
+    round_to: "int | None" = None,
+) -> ray.data.Dataset:
+    """Merge per-block candidate rows into each query's global
+    top-``keep`` (score desc, id asc tie-break). Queries are
+    independent, so above ``_FINAL_BUCKET_MIN_Q`` of them the merge
+    runs as a bucketed exchange on query_id instead of ONE
+    driver-sized partition — the serial tail of every ANN search at
+    thousands-of-queries scale; each bucket sorts only its
+    ~``_FINAL_QUERIES_PER_BUCKET`` queries' candidates."""
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("query_id", sort=True).head(keep).reset_index(drop=True)
+        if round_to is not None:
+            df["score"] = df["score"].round(round_to)
+        return df
+
+    def _serial() -> ray.data.Dataset:
+        return candidates.repartition(1).map_batches(_one, batch_format="pandas")
+
+    if n_queries < _FINAL_BUCKET_MIN_Q:
+        return _serial()
+
+    from feast_ray.stages.exchange import bucket_exchange
+
+    B = max(2, n_queries // _FINAL_QUERIES_PER_BUCKET)
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0 or "query_id" not in tbl.column_names:
+            return _empty_topk_table(id_col).append_column(
+                "_qb", pa.array([], pa.int64()))
+        qb = tbl["query_id"].to_numpy(zero_copy_only=False) % B
+        return tbl.append_column("_qb", pa.array(qb.astype(np.int64)))
+
+    def _reduce(parts: "list[pa.Table]") -> pa.Table:
+        typed = [p for p in parts if p.num_columns]
+        if not typed:
+            return _empty_topk_table(id_col)
+        tbl = pa.concat_tables(typed, promote_options="default")
+        if tbl.num_rows == 0:
+            return _empty_topk_table(id_col)
+        return pa.Table.from_pandas(_one(tbl.to_pandas()), preserve_index=False)
+
+    tagged = candidates.map_batches(_tag, batch_format="pyarrow")
+    return bucket_exchange(tagged, "_qb", B, _reduce, fallback=_serial)
+
+
 def _score(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     """(n, d) corpus × (nq, d) queries → (n, nq) scores, HIGHER=better.
     Metrics per the reference's configurable `retrieve_online_documents_v2`
@@ -120,15 +180,8 @@ def ann_topk_bruteforce(
 
     candidates = ds.map_batches(_block_topk, batch_format="pyarrow")
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True],
-                            kind="stable")
-        df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-        if round_to is not None:
-            df["score"] = df["score"].round(round_to)
-        return df
-
-    return candidates.repartition(1).map_batches(_final, batch_format="pandas")
+    return _final_per_query_topk(candidates, id_col, k,
+                                 n_queries=len(qn), round_to=round_to)
 
 
 class IVFIndex:
@@ -211,12 +264,7 @@ def ann_topk_ivf(
 
     candidates = ds.map_batches(_block, batch_format="pyarrow")
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True],
-                            kind="stable")
-        return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-
-    return candidates.repartition(1).map_batches(_final, batch_format="pandas")
+    return _final_per_query_topk(candidates, id_col, k, n_queries=len(qn))
 
 
 def _kmeans_refine_distributed(
@@ -455,12 +503,10 @@ def ann_topk_ivf_partitioned(
 
     candidates = ds.map_batches(_block, batch_format="pyarrow")
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", id_col],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-
-    return candidates.repartition(1).map_batches(_final, batch_format="pandas"), stats
+    return (
+        _final_per_query_topk(candidates, id_col, k, n_queries=len(qn)),
+        stats,
+    )
 
 
 def cosine_neardup_pairs(
@@ -1189,12 +1235,7 @@ def ann_topk_ivfpq(
     candidates = ds.map_batches(_block, batch_format="pyarrow")
     keep = max(k, rerank)
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "score", id_col],
-                            ascending=[True, False, True], kind="stable")
-        return df.groupby("query_id", sort=True).head(keep).reset_index(drop=True)
-
-    out = candidates.repartition(1).map_batches(_final, batch_format="pandas")
+    out = _final_per_query_topk(candidates, id_col, keep, n_queries=len(qn))
     if rerank <= 0:
         return out, stats
 

@@ -522,3 +522,38 @@ def test_adc_vectorized_multiquery_parity(tmp_path):
         np.testing.assert_array_equal(
             lp["score"].to_numpy(), vp["score"].to_numpy()
         )
+
+
+def test_final_topk_bucketed_parity(monkeypatch, tmp_path):
+    """The bucketed query-id exchange finalizer (large query sets)
+    must produce exactly the same per-query top-k as the one-partition
+    serial merge, across brute force and IVF-PQ."""
+    from feast_ray.functions import similarity as sim
+
+    rng = np.random.RandomState(9)
+    mat = rng.standard_normal((400, 32))
+    df = pd.DataFrame({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": list(mat.astype(np.float64)),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    queries = rng.standard_normal((96, 32))
+
+    def _norm(d):
+        return (d.to_pandas().sort_values(["query_id", "vec_id"])
+                .reset_index(drop=True))
+
+    serial_bf = _norm(sim.ann_topk_bruteforce(ds, queries, k=5, round_to=None))
+    path = str(tmp_path / "pq")
+    sim.ivfpq_build(ds, path, n_cells=8, m=8, sample_size=400, residual=True)
+    serial_pq, _ = sim.ann_topk_ivfpq(path, queries, k=5, nprobe=8)
+    serial_pq = _norm(serial_pq)
+
+    monkeypatch.setattr(sim, "_FINAL_BUCKET_MIN_Q", 8)
+    monkeypatch.setattr(sim, "_FINAL_QUERIES_PER_BUCKET", 16)
+    bucket_bf = _norm(sim.ann_topk_bruteforce(ds, queries, k=5, round_to=None))
+    bucket_pq, _ = sim.ann_topk_ivfpq(path, queries, k=5, nprobe=8)
+    bucket_pq = _norm(bucket_pq)
+
+    pd.testing.assert_frame_equal(serial_bf, bucket_bf)
+    pd.testing.assert_frame_equal(serial_pq, bucket_pq)
