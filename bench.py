@@ -400,11 +400,72 @@ def run_bench() -> dict:
             timings["stream_ingest_1m"] = round(dt, 3)
             extras["stream_events_per_sec"] = round(n_seg * seg_rows / dt, 1)
 
+        def _ann() -> None:
+            # ANN at corpus scale (round 5): a 512k-vector OPQ+residual
+            # IVF-PQ index built by streaming replication of the sf
+            # embeddings (deterministic per-replica tilt), then a
+            # 10k-query ADC search through the vectorized per-cell
+            # scorer and the bucketed final top-k merge. Records build
+            # and search separately; search also reports queries/sec.
+            import numpy as _np
+
+            from feast_ray.functions.similarity import (
+                ann_topk_ivfpq,
+                ivfpq_build,
+            )
+
+            import pyarrow.parquet as _pq2
+
+            base = _pq2.read_table(
+                os.path.join(SF_DIR, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            bm = _np.stack(
+                base["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(_np.float64)
+            nb, d = bm.shape
+            reps = 256
+            bref = ray.put(bm)
+
+            def _mk(tbl: _pa.Table) -> _pa.Table:
+                b = ray.get(bref)
+                out = []
+                for rid in tbl["id"].to_pylist():
+                    rng = _np.random.RandomState(1000 + rid)
+                    mat = b + rng.standard_normal(b.shape) * 0.05
+                    out.append(_pa.table({
+                        "vec_id": _pa.array(
+                            _np.arange(nb, dtype=_np.int64) + rid * nb),
+                        "embedding": _pa.array(list(mat.astype(_np.float32))),
+                    }))
+                return _pa.concat_tables(out)
+
+            corpus_ds = _rd.range(reps).map_batches(
+                _mk, batch_format="pyarrow", batch_size=8)
+            idx_dir = "/tmp/feast_ray_bench/ivfpq_corpus"
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            ivfpq_build(corpus_ds, idx_dir, n_cells=64, m=8,
+                        residual=True, opq=True)
+            timings["ann_ivfpq_build_512k"] = round(
+                time.perf_counter() - t0, 3)
+            qrng = _np.random.RandomState(7)
+            queries = (bm[qrng.randint(0, nb, 10_000)]
+                       + qrng.standard_normal((10_000, d)) * 0.05)
+            t0 = time.perf_counter()
+            out_ds, _ = ann_topk_ivfpq(idx_dir, queries, k=10, nprobe=8)
+            n = out_ds.count()
+            dt = time.perf_counter() - t0
+            assert n == 100_000, n
+            timings["ann_ivfpq_search_10kq"] = round(dt, 3)
+            extras["ann_queries_per_sec"] = round(10_000 / dt, 1)
+
         _stage("minhash_dedup_corpus", _minhash)
         _stage("simhash_dups_corpus", _simhash)
         _stage("spandup_copartition_corpus", _spandup)
         _stage("embed_pages", _embed)
         _stage("stream_ingest_1m", _stream)
+        _stage("ann_ivfpq_corpus", _ann)
 
     out = _snapshot()
     ray.shutdown()
