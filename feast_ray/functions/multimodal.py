@@ -1730,11 +1730,91 @@ def _prog_ac_refine_block(
         st.add_eob(br)
 
 
+class _JpegHuffCounter(dict):
+    """Stand-in Huffman table for the optimize-Huffman counting pass:
+    every symbol lookup tallies the symbol and returns a 1-bit dummy
+    code. The symbol SEQUENCE a scan emits is independent of the code
+    table, so counting through the real scan encoder is exact."""
+
+    def __init__(self):
+        super().__init__()
+        self.counts: dict = {}
+
+    def __getitem__(self, sym):
+        self.counts[sym] = self.counts.get(sym, 0) + 1
+        return (0, 1)
+
+
+def _jpeg_optimal_table(counts: dict) -> "tuple[list[int], list[int]]":
+    """T.81 Annex K.2 optimal Huffman length derivation from symbol
+    frequencies: pairwise least-frequency merging with the ``others``
+    chains, the reserved symbol 256 (freq 1) that keeps the all-ones
+    code unassigned, Adjust_BITS limiting lengths to 16, and the
+    reserved codepoint removed from the longest populated length.
+    Returns (BITS[1..16], HUFFVAL) for a DHT segment; actual codes are
+    re-derived canonically by encoder and decoder alike."""
+    freq = [0] * 257
+    for s, c in counts.items():
+        freq[s] = c
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = -1
+        f1 = 1 << 62
+        for i in range(257):
+            if 0 < freq[i] <= f1:
+                f1 = freq[i]
+                v1 = i
+        v2 = -1
+        f2 = 1 << 62
+        for i in range(257):
+            if i != v1 and 0 < freq[i] <= f2:
+                f2 = freq[i]
+                v2 = i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # Adjust_BITS: fold overlong codes down to <= 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved all-ones codepoint
+    vals = sorted((s for s in range(256) if codesize[s]),
+                  key=lambda s: (codesize[s], s))
+    return bits[1:17], vals
+
+
 def encode_jpeg_progressive(
     px: np.ndarray,
     qtab: "np.ndarray | None" = None,
     scans: "tuple | None" = None,
     restart_interval: int = 0,
+    optimize_huffman: bool = False,
 ) -> bytes:
     """Deterministic PROGRESSIVE (SOF2) grayscale JFIF encoder —
     the forward implementation that pins :func:`decode_jpeg`'s
@@ -1743,7 +1823,17 @@ def encode_jpeg_progressive(
     Annex K tables), then one entropy segment per ``scans`` entry
     (Ss, Se, Ah, Al). Decoding its output MUST equal decoding the
     baseline encoding of the same pixels bit for bit (identical
-    quantized coefficients)."""
+    quantized coefficients).
+
+    ``optimize_huffman=True`` (libjpeg ``-optimize`` shape): a first
+    counting pass per scan gathers symbol frequencies through the
+    real scan encoder (:class:`_JpegHuffCounter` — the symbol
+    sequence is code-table-independent), Annex K.2 derives optimal
+    per-scan tables, and each SOS is preceded by its own DHT. Cuts
+    payload size roughly 2x on typical content and exercises the
+    decoder's per-scan table redefinition with NON-default tables.
+    q30's oracle corpus keeps the fixed-table default (its closed-form
+    n_bytes depends on the Annex K code lengths)."""
     import struct
 
     assert px.dtype == np.uint8 and px.ndim == 2
@@ -1787,6 +1877,22 @@ def encode_jpeg_progressive(
     dc_huff = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
 
+    scan_tables: "list | None" = None
+    if optimize_huffman:
+        scan_tables = []
+        for Ss, Se, Ah, Al in scans:
+            dcc, acc = _JpegHuffCounter(), _JpegHuffCounter()
+            _jpeg_prog_encode_scan(
+                _JpegBitWriter(), zzq, Ss, Se, Ah, Al, dcc, acc,
+                restart_interval,
+            )
+            entry = {}
+            if dcc.counts:
+                entry["dc"] = _jpeg_optimal_table(dcc.counts)
+            if acc.counts:
+                entry["ac"] = _jpeg_optimal_table(acc.counts)
+            scan_tables.append(entry)
+
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -1795,17 +1901,29 @@ def encode_jpeg_progressive(
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + bytes(qtab.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
     out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-    out += seg(
-        0xFFC4,
-        b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
-    )
+    if not optimize_huffman:
+        out += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        out += seg(
+            0xFFC4,
+            b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+        )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    for Ss, Se, Ah, Al in scans:
+    for si, (Ss, Se, Ah, Al) in enumerate(scans):
+        sdc, sac = dc_huff, ac_huff
+        if scan_tables is not None:
+            entry = scan_tables[si]
+            if "dc" in entry:
+                b_, v_ = entry["dc"]
+                out += seg(0xFFC4, b"\x00" + bytes(b_) + bytes(v_))
+                sdc = _jpeg_huff_codes(b_, v_)
+            if "ac" in entry:
+                b_, v_ = entry["ac"]
+                out += seg(0xFFC4, b"\x10" + bytes(b_) + bytes(v_))
+                sac = _jpeg_huff_codes(b_, v_)
         bw = _JpegBitWriter()
         _jpeg_prog_encode_scan(
-            bw, zzq, Ss, Se, Ah, Al, dc_huff, ac_huff, restart_interval
+            bw, zzq, Ss, Se, Ah, Al, sdc, sac, restart_interval
         )
         bw.flush()
         out += seg(0xFFDA, b"\x01\x01\x00" + bytes((Ss, Se, (Ah << 4) | Al)))

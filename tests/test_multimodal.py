@@ -634,3 +634,63 @@ def test_gif_decode_roundtrip():
     assert (w_, h_) == (13, 11)
     _, _, feat_png = MediaDecoder._decode_png(encode_png(idx, palette=pal))
     np.testing.assert_allclose(feat, feat_png)
+
+
+def test_jpeg_progressive_optimized_huffman():
+    """optimize_huffman=True (libjpeg -optimize shape): per-scan
+    Annex K.2 optimal tables emitted as per-scan DHTs. The decode must
+    stay BIT-identical to both the fixed-table progressive encoding
+    and the baseline encoding (same quantized coefficients — only the
+    entropy code changes), across scan scripts, content patterns and
+    restart intervals; and on realistic content the optimized payload
+    must be smaller than the fixed-table one."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    scripts = {
+        "default": None,
+        "spectral_only": ((0, 0, 0, 0), (1, 5, 0, 0), (6, 20, 0, 0),
+                          (21, 63, 0, 0)),
+        "deep_sa": ((0, 0, 0, 3), (1, 63, 0, 3), (1, 63, 3, 2),
+                    (1, 63, 2, 1), (1, 63, 1, 0), (0, 0, 3, 2),
+                    (0, 0, 2, 1), (0, 0, 1, 0)),
+        "single_full": ((0, 0, 0, 0), (1, 63, 0, 0)),
+    }
+    for (h, w) in [(8, 8), (13, 21), (1, 1)]:
+        for mode in ("noise", "sparse", "solid"):
+            if mode == "noise":
+                px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            elif mode == "sparse":
+                px = np.full((h, w), 128, np.uint8)
+                px[:: max(1, h // 3), :: max(1, w // 5)] = 255
+            else:
+                px = np.full((h, w), 200, np.uint8)
+            base = decode_jpeg(encode_jpeg_gray(px))
+            for name, sc in scripts.items():
+                opt = encode_jpeg_progressive(px, scans=sc,
+                                              optimize_huffman=True)
+                assert np.array_equal(base, decode_jpeg(opt)), (h, w, mode, name)
+
+    # restart intervals with optimized tables
+    px = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(px))
+    for ri in (1, 3, 7):
+        opt = encode_jpeg_progressive(px, restart_interval=ri,
+                                      optimize_huffman=True)
+        assert np.array_equal(base, decode_jpeg(opt)), ri
+
+    # realistic gradient+texture content: optimized beats fixed tables
+    yy, xx = np.mgrid[0:64, 0:96]
+    px = ((yy * 2 + xx) % 256).astype(np.uint8)
+    px = np.clip(px.astype(int) + rng.randint(-8, 9, px.shape), 0, 255
+                 ).astype(np.uint8)
+    fixed = encode_jpeg_progressive(px)
+    opt = encode_jpeg_progressive(px, optimize_huffman=True)
+    assert np.array_equal(decode_jpeg(fixed), decode_jpeg(opt))
+    assert len(opt) < len(fixed), (len(opt), len(fixed))
