@@ -324,12 +324,31 @@ class MediaDecoder:
             return self._decode_jpeg(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return self._decode_tiff(payload)
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
-            "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI "
-            "and PCM WAV natively; other compressed formats (TIFF/WebP/"
-            "MP4/...) need PIL/ffmpeg, not available in this environment"
+            "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI, "
+            "baseline TIFF (none/PackBits) and PCM WAV natively; other "
+            "compressed formats (WebP/MP4/...) need PIL/ffmpeg, not "
+            "available in this environment"
         )
+
+    @staticmethod
+    def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """TIFF → (w, h, 16-bin luminance histogram)."""
+        px = decode_tiff(payload)
+        if px.ndim == 3:
+            lum = (px[..., :3] @ np.array([0.299, 0.587, 0.114])).astype(
+                np.uint8
+            )
+        else:
+            lum = px
+        feat = np.bincount((lum >> 4).ravel(), minlength=FEATURE_DIM).astype(
+            np.float64
+        )
+        s = feat.sum()
+        return px.shape[1], px.shape[0], (feat / s if s else feat)
 
     @staticmethod
     def _decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -382,6 +401,7 @@ class MediaDecoder:
             payload[:2] in (b"BM", b"\xff\xd8")
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
             or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:4] in (b"II*\x00", b"MM\x00*")
             or (payload[:4] == b"RIFF" and payload[8:12] in (b"WAVE", b"AVI "))
         ):
             try:
@@ -2480,4 +2500,248 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ------------------------------------------------------------- TIFF
+# Baseline TIFF 6.0 (round 5, shrinking the declared codec boundary):
+# header + IFD walk, SHORT/LONG tag arrays in either byte order,
+# multi-strip chunky layout, uncompressed (1) and PackBits (32773)
+# compression, photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero)
+# and 2 (RGB). LZW/JPEG-in-TIFF, tiles and planar config 2 stay the
+# declared boundary. Pinned by the deterministic writer below
+# (round-trip exact — TIFF is lossless). Reference surface:
+# feast/types.py:75-138 typed media bytes.
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    while len(out) < expected and i < n:
+        c = buf[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal")
+            out += buf[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes((buf[i],)) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Greedy per-row PackBits (spec: rows compress independently).
+    A solid row of w <= 128 bytes packs to exactly 2 bytes — the
+    closed-form the q30 oracle relies on."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        j = i
+        while j < n - 1 and row[j] == row[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length (j - i + 1) in [2, 128]
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(row[i])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 1 and row[j] == row[j + 1]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF decode → (h, w) gray or (h, w, 3) RGB uint8."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    try:
+        (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+        (count,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+        tags: dict = {}
+        for i in range(count):
+            o = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(e + "HHI", payload[o : o + 8])
+            if typ == 3:  # SHORT
+                if cnt <= 2:
+                    vals = struct.unpack(
+                        e + f"{cnt}H", payload[o + 8 : o + 8 + 2 * cnt])
+                else:
+                    (ptr,) = struct.unpack(e + "I", payload[o + 8 : o + 12])
+                    vals = struct.unpack(
+                        e + f"{cnt}H", payload[ptr : ptr + 2 * cnt])
+            elif typ == 4:  # LONG
+                if cnt == 1:
+                    vals = struct.unpack(e + "I", payload[o + 8 : o + 12])
+                else:
+                    (ptr,) = struct.unpack(e + "I", payload[o + 8 : o + 12])
+                    vals = struct.unpack(
+                        e + f"{cnt}I", payload[ptr : ptr + 4 * cnt])
+            else:  # other types carry no info we need (ratios, ascii)
+                continue
+            tags[tag] = vals
+    except struct.error as exc:
+        raise ValueError(f"truncated TIFF structure: {exc}") from exc
+    try:
+        w = int(tags[256][0])
+        h = int(tags[257][0])
+        offs = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    spp = int(tags.get(277, (1,))[0])
+    bits = tags.get(258, (8,) * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("TIFF bits-per-sample != 8")
+    comp = int(tags.get(259, (1,))[0])
+    photo = int(tags.get(262, (1,))[0])
+    planar = int(tags.get(284, (1,))[0])
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if spp not in (1, 3) or photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF layout spp={spp} photometric={photo}"
+        )
+    rps = int(tags.get(278, (h,))[0])
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            "TIFF compression beyond none/PackBits (LZW/JPEG-in-TIFF "
+            "stay the declared boundary)"
+        )
+    raw = bytearray()
+    row_bytes = w * spp
+    for si, (so, sc) in enumerate(zip(offs, counts)):
+        strip = payload[so : so + sc]
+        n_rows = min(rps, h - si * rps)
+        if comp == 1:
+            if len(strip) < n_rows * row_bytes:
+                raise ValueError("truncated TIFF strip")
+            raw += strip[: n_rows * row_bytes]
+        else:
+            raw += _packbits_decode(strip, n_rows * row_bytes)
+    px = np.frombuffer(bytes(raw), np.uint8)
+    px = px.reshape(h, w, spp) if spp == 3 else px.reshape(h, w)
+    if photo == 0:  # WhiteIsZero
+        px = 255 - px
+    return px
+
+
+def encode_tiff(
+    px: np.ndarray,
+    compression: str = "none",
+    byte_order: str = "II",
+    rows_per_strip: "int | None" = None,
+) -> bytes:
+    """Deterministic baseline TIFF writer pinning :func:`decode_tiff`:
+    header, ascending-tag IFD, out-of-line arrays (RGB bits-per-sample;
+    strip tables when multi-strip), then strip data. A solid gray
+    uncompressed image's size is the closed form
+    ``8 + 2 + 9*12 + 4 + h*w`` (single strip, inline tags) the q30
+    oracle restates in SQL; PackBits solid rows add ``2*h`` instead of
+    ``h*w``."""
+    import struct
+
+    assert px.dtype == np.uint8 and px.ndim in (2, 3)
+    e = "<" if byte_order == "II" else ">"
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    assert spp in (1, 3)
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    n_strips = (h + rps - 1) // rps
+    comp = 1 if compression == "none" else 32773
+    flat = px.reshape(h, w * spp)
+    strips = []
+    for s in range(n_strips):
+        rows = flat[s * rps : min((s + 1) * rps, h)]
+        if comp == 1:
+            strips.append(rows.tobytes())
+        else:
+            strips.append(
+                b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
+            )
+
+    entries = []  # (tag, type, count, value-or-None, extra_bytes)
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([8] * spp))
+    short(259, comp)
+    short(262, 2 if spp == 3 else 1)
+    long_(273, *([0] * n_strips))  # patched below
+    short(277, spp)
+    short(278, rps)
+    long_(279, *(len(s) for s in strips))
+
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    # lay out out-of-line tag arrays first, then strips
+    extra = bytearray()
+    packed = []
+    for tag, typ, cnt, vals in entries:
+        unit = 2 if typ == 3 else 4
+        if cnt * unit <= 4:
+            packed.append((tag, typ, cnt, None, vals))
+        else:
+            packed.append((tag, typ, cnt, data_off + len(extra), vals))
+            extra += struct.pack(
+                e + f"{cnt}{'H' if typ == 3 else 'I'}", *vals
+            )
+    strip_off0 = data_off + len(extra)
+    # patch strip offsets now that the layout is known
+    strip_offs = []
+    o = strip_off0
+    for s in strips:
+        strip_offs.append(o)
+        o += len(s)
+    out = bytearray()
+    out += (b"II*\x00" if e == "<" else b"MM\x00*")
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", n)
+    for tag, typ, cnt, ptr, vals in packed:
+        if tag == 273:
+            vals = strip_offs
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        unit = 2 if typ == 3 else 4
+        if cnt * unit <= 4:
+            fld = struct.pack(e + f"{cnt}{'H' if typ == 3 else 'I'}", *vals)
+            out += fld + b"\x00" * (4 - len(fld))
+        else:
+            out += struct.pack(e + "I", ptr)
+    out += struct.pack(e + "I", 0)  # next-IFD pointer: none
+    # second pass fix: out-of-line arrays whose values changed (273)
+    out_extra = bytearray(extra)
+    for tag, typ, cnt, ptr, vals in packed:
+        if tag == 273 and ptr is not None:
+            rel = ptr - data_off
+            out_extra[rel : rel + 4 * cnt] = struct.pack(
+                e + f"{cnt}I", *strip_offs
+            )
+    out += out_extra
+    for s in strips:
+        out += s
     return bytes(out)

@@ -1538,8 +1538,10 @@ def q30_multimodal_decode(sf_dir: str):
     grayscale JPEGs through the first-party decoder, split three ways
     by doc_id % 9 (round 5): baseline (solid value from the
     boundary-free SAFE set), PROGRESSIVE SOF2, and LOSSLESS SOF3
-    (decode == input exactly); the rest
-    are text-bytes payloads on the fake path. Value-checked all three
+    (decode == input exactly); doc_id % 9 == 2 docs are baseline TIFF
+    (late round 5 — solid gray, none/PackBits by parity, II/MM byte
+    orders, closed-form n_bytes); the rest
+    are text-bytes payloads on the fake path. Value-checked four
     ways: the fake decode's dims come from the SQL-expressible content
     digest and its feature is a 16-bin byte histogram; the PNG rows'
     dims/value derive from doc_id with the stored-deflate payload
@@ -1555,6 +1557,7 @@ def q30_multimodal_decode(sf_dir: str):
         encode_jpeg_lossless,
         encode_jpeg_progressive,
         encode_png,
+        encode_tiff,
         jpeg_safe_gray_values,
     )
 
@@ -1613,6 +1616,19 @@ def q30_multimodal_decode(sf_dir: str):
                 else:
                     payloads.append(encode_jpeg_gray(px, JPEG_QTAB_ORACLE))
                 kinds.append("image/jpeg")
+            elif did % 9 == 2:
+                # late round 5: a third of the former fake share is
+                # baseline TIFF — solid gray, none/PackBits by parity,
+                # II/MM by doc_id % 4 (byte order never changes
+                # n_bytes); sizes are the writer's closed forms
+                w, h, v = 3 + did % 11, 2 + did % 5, did % 256
+                px = np.full((h, w), v, np.uint8)
+                payloads.append(encode_tiff(
+                    px,
+                    "packbits" if did % 2 else "none",
+                    "II" if did % 4 < 2 else "MM",
+                ))
+                kinds.append("image/tiff")
             else:
                 payloads.append(s.encode("utf-8"))
                 kinds.append("image/fake")
@@ -1683,7 +1699,24 @@ def _q30_sql() -> str:
     safe_list = ", ".join(str(v) for v in jpeg_safe_gray_values())
     n_safe = len(jpeg_safe_gray_values())
     return f"""
-with docs_f as (select doc_id, text from documents where doc_id % 3 = 2),
+with docs_f as (select doc_id, text from documents
+                where doc_id % 3 = 2 and doc_id % 9 <> 2),
+tiff as (
+  -- late round 5: doc_id % 9 = 2 rows are baseline TIFF (solid gray);
+  -- n_bytes = 122-byte header/IFD + h*w (uncompressed) or 2*h
+  -- (PackBits: one 2-byte run per row, w < 128)
+  select doc_id, 3 + doc_id % 11 as w, 2 + doc_id % 5 as h,
+         (doc_id % 256) // 16 as vbin
+  from documents where doc_id % 9 = 2),
+tiff_rows as (
+  select doc_id as media_id, 'image/tiff' as media_type,
+    cast(w as bigint) as width, cast(h as bigint) as height,
+    cast(122 + case when doc_id % 2 = 1 then 2 * h else h * w end
+         as bigint) as n_bytes,
+    case when vbin = 0 then 1.0 else 0.0 end as f0,
+    case when vbin = 7 then 1.0 else 0.0 end as f7,
+    case when vbin = 15 then 1.0 else 0.0 end as f15
+  from tiff),
 png as (
   select doc_id,
     4 + doc_id % 13 as w, 3 + doc_id % 7 as h,
@@ -1818,6 +1851,9 @@ from png_rows
 union all
 select media_id, media_type, width, height, n_bytes, f0, f7, f15
 from jpg_rows
+union all
+select media_id, media_type, width, height, n_bytes, f0, f7, f15
+from tiff_rows
 """
 
 

@@ -115,10 +115,11 @@ def test_real_decode_bmp_wav():
     f2 = np.asarray(out.loc[2, "feature"])
     # samples -0.5, 0.0, 0.5, ~1.0 -> bins 4, 8, 12, 15
     assert f2[4] == 0.25 and f2[8] == 0.25 and f2[12] == 0.25 and f2[15] == 0.25
-    # unsupported format = honest boundary (TIFF: no native codec)
+    # unsupported format = honest boundary (WebP: no native codec;
+    # TIFF decodes natively since late round 5)
     dec = MediaDecoder(mode="real")
     with pytest.raises(NotImplementedError):
-        dec._decode_real(b"MM\x00*rest-of-tiff")
+        dec._decode_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -149,7 +150,8 @@ def test_png_decode_all_filters_roundtrip():
     px = np.full((5, 8), 42, np.uint8)
     assert len(encode_png(px)) == 68 + 5 * (1 + 8)
     with _pytest.raises(NotImplementedError, match="PIL|native"):
-        MediaDecoder(mode="real")._decode_real(b"II*\x00 not-supported")
+        # WebP, not TIFF: TIFF decodes natively since late round 5
+        MediaDecoder(mode="real")._decode_real(b"RIFF\x00\x00\x00\x00WEBP ")
 
 
 def test_jpeg_roundtrip_and_closed_form():
@@ -694,3 +696,65 @@ def test_jpeg_progressive_optimized_huffman():
     opt = encode_jpeg_progressive(px, optimize_huffman=True)
     assert np.array_equal(decode_jpeg(fixed), decode_jpeg(opt))
     assert len(opt) < len(fixed), (len(opt), len(fixed))
+
+
+def test_tiff_round_trip_and_dispatch():
+    """Baseline TIFF (round 5): round-trip exact across gray/RGB, both
+    byte orders, none/PackBits compression and multi-strip layouts;
+    WhiteIsZero decodes inverted; LZW stays a loud boundary; the
+    MediaDecoder auto-dispatches on both magics; solid-image sizes
+    match the closed forms q30's oracle restates."""
+    import numpy as np
+    import pytest as _pt
+
+    from feast_ray.functions.multimodal import (
+        MediaDecoder,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(21)
+    for shape in [(5, 7), (13, 21, 3), (1, 1), (3, 200), (130, 2)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for bo in ("II", "MM"):
+            for comp in ("none", "packbits"):
+                for rps in (None, 3):
+                    t = encode_tiff(px, comp, bo, rps)
+                    assert np.array_equal(decode_tiff(t), px), (
+                        shape, bo, comp, rps)
+
+    # PackBits edge content: long runs (>128), alternating literals
+    row = np.r_[np.full(200, 7), np.arange(100) % 256, np.full(3, 9)]
+    px = np.tile(row.astype(np.uint8), (4, 1))
+    for bo in ("II", "MM"):
+        t = encode_tiff(px, "packbits", bo)
+        assert np.array_equal(decode_tiff(t), px)
+
+    # WhiteIsZero (photometric 0): patch the inline SHORT value —
+    # tag 262 is the 5th ascending entry; value field at
+    # 8 + 2 + 4*12 + 8 for II
+    px = np.full((4, 6), 100, np.uint8)
+    t = bytearray(encode_tiff(px))
+    off = 8 + 2 + 4 * 12 + 8
+    assert t[off] == 1  # BlackIsZero written by the encoder
+    t[off] = 0
+    assert np.array_equal(decode_tiff(bytes(t)), 255 - px)
+
+    # unsupported compression (LZW=5) fails loudly
+    t = bytearray(encode_tiff(px))
+    coff = 8 + 2 + 3 * 12 + 8
+    assert t[coff] == 1
+    t[coff] = 5
+    with _pt.raises(NotImplementedError):
+        decode_tiff(bytes(t))
+
+    # MediaDecoder dispatch + luminance feature
+    dec = MediaDecoder()
+    for bo in ("II", "MM"):
+        w, h, feat = dec._decode_real(encode_tiff(px, byte_order=bo))
+        assert (w, h) == (6, 4)
+        assert feat[100 >> 4] == 1.0
+
+    # closed forms (solid gray, single strip, inline tags)
+    assert len(encode_tiff(px)) == 8 + 2 + 9 * 12 + 4 + 4 * 6
+    assert len(encode_tiff(px, "packbits")) == 8 + 2 + 9 * 12 + 4 + 2 * 4
