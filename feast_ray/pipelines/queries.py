@@ -5205,6 +5205,59 @@ from dec
 """
 
 
+# --------------------------------------------------------------------- q91
+
+def q91_semantic_dedup(sf_dir: str):
+    """Semantic dedup (late round 5 — SemDeDup shape, Abbas et al.
+    2023): k-means-cluster the embeddings (the deterministic
+    hash-sampled IVF fit), then drop every row with a lower-id
+    same-cluster neighbor at cosine >= 0.4 — per-cluster pairwise
+    work routed through the raw bucketed exchange, never a global
+    all-pairs (functions/semdedup.py).
+
+    SQL-oracled by the q29 dump doctrine: the cluster assignment
+    (vec_id, cell) is recomputed driver-side from the returned
+    centroids (bounded: the gate table) and dumped; DuckDB restates
+    the order-free drop rule as one NOT EXISTS join with
+    list_cosine_similarity (q22's cosine doctrine)."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.semdedup import semantic_dedup
+    from feast_ray.functions.similarity import _normalize
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kept, centroids = semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, sample_size=2048)
+
+    # oracle input: the engine's own assignment, recomputed driver-side
+    # (gate-scale table; the argmax is the same normalize+dot)
+    full = emb.to_pandas().sort_values("vec_id")
+    matn = _normalize(np.stack(full["embedding"].to_numpy()))
+    cells = np.argmax(matn @ centroids.T, axis=1).astype(np.int64)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "vec_id": pa.array(full["vec_id"].to_numpy(), pa.int64()),
+            "cell": pa.array(cells, pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "semdedup_assign.parquet"),
+    )
+    return kept
+
+
+_Q91_SQL = f"""
+with e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+a as (select * from read_parquet('{_PPL_ORACLE_DIR}/semdedup_assign.parquet'))
+select e.vec_id, a.cell
+from e join a on a.vec_id = e.vec_id
+where not exists (
+  select 1
+  from e e2 join a a2 on a2.vec_id = e2.vec_id
+  where a2.cell = a.cell and e2.vec_id < e.vec_id
+    and list_cosine_similarity(e.v, e2.v) >= 0.4)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5296,6 +5349,7 @@ QUERIES = {
     "q88_ann_ivfpq_rerank": q88_ann_ivfpq_rerank,
     "q89_video_frame_sampling": q89_video_frame_sampling,
     "q90_ann_ivfpq_opq": q90_ann_ivfpq_opq,
+    "q91_semantic_dedup": q91_semantic_dedup,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5369,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "q88_ann_ivfpq_rerank": _Q88_SQL,
         "q89_video_frame_sampling": _q89_sql(),
         "q90_ann_ivfpq_opq": _q81_sql("ivfpq_opq"),
+        "q91_semantic_dedup": _Q91_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
