@@ -5258,6 +5258,76 @@ where not exists (
 """
 
 
+# --------------------------------------------------------------------- q92
+
+_DSIR_BUCKETS = 4096
+
+
+def q92_dsir_selection(sf_dir: str):
+    """DSIR data selection (late round 5 — Xie et al. 2023): hashed
+    unigram+bigram importance weights against a deterministic target
+    domain (doc_id % 7 == 0), top-50 most target-like documents
+    (functions/dsir.py — streaming count fit, segment-sum weighting,
+    per-block top-k).
+
+    SQL-oracled end to end: the quantized int64 log-ratio table is
+    dumped (q24's model-state doctrine) and DuckDB RE-DERIVES every
+    gram, its codepoint-Horner + splitmix64 bucket (the q26 hash
+    doctrine), and each doc's exact integer weight sum — bit-equal by
+    integer arithmetic, no float drift possible."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.dsir import dsir_fit, dsir_select
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    def _target(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    target = docs.map_batches(_target, batch_format="pyarrow")
+    lam = dsir_fit(target, docs, buckets=_DSIR_BUCKETS)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(np.arange(_DSIR_BUCKETS), pa.int64()),
+            "lam": pa.array(lam, pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "dsir_lam.parquet"),
+    )
+    return dsir_select(docs, lam, 50)
+
+
+def _q92_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    h0 = _HORNER_SQL.format(s="gram")
+    sm = _splitmix64_sql("h0")
+    return f"""
+with lam as (select * from read_parquet('{d}/dsir_lam.parquet')),
+dw as (select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+uni as (select doc_id, unnest(w) as gram from dw),
+bi as (
+  select doc_id, w[i] || ' ' || w[i + 1] as gram
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+        from dw where len(w) >= 2)),
+grams as (select * from uni union all select * from bi),
+h0s as (select doc_id, gram, {h0} as h0 from grams),
+hb as (select doc_id,
+         cast({sm} % {_DSIR_BUCKETS}::HUGEINT as bigint) as bucket
+       from h0s),
+wsum as (
+  select hb.doc_id, cast(sum(l.lam) as bigint) as dsir_weight
+  from hb join lam l on l.bucket = hb.bucket
+  group by hb.doc_id),
+w as (
+  select d.doc_id, coalesce(ws.dsir_weight, 0) as dsir_weight
+  from (select doc_id from documents) d
+  left join wsum ws on ws.doc_id = d.doc_id)
+select doc_id, dsir_weight from w
+order by dsir_weight desc, doc_id asc
+limit 50
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5350,6 +5420,7 @@ QUERIES = {
     "q89_video_frame_sampling": q89_video_frame_sampling,
     "q90_ann_ivfpq_opq": q90_ann_ivfpq_opq,
     "q91_semantic_dedup": q91_semantic_dedup,
+    "q92_dsir_selection": q92_dsir_selection,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5424,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
         "q89_video_frame_sampling": _q89_sql(),
         "q90_ann_ivfpq_opq": _q81_sql("ivfpq_opq"),
         "q91_semantic_dedup": _Q91_SQL,
+        "q92_dsir_selection": _q92_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
