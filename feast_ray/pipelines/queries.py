@@ -5328,6 +5328,102 @@ limit 50
 """
 
 
+# --------------------------------------------------------------------- q93
+
+
+def q93_quality_classifier(sf_dir: str):
+    """Trainable fastText-shape quality classifier (Joulin et al.
+    2016; the CCNet/Llama-data learned quality scorer), distilled from
+    the q16 heuristic keep/drop labels: hashed unigram+bigram logistic
+    regression trained by bit-deterministic distributed full-batch GD
+    (per-doc residuals quantized to int64 before the cross-block sum,
+    so the trajectory is partition-invariant), then the corpus is
+    stream-scored with int64 fixed-point weights
+    (functions/quality_clf.py).
+
+    SQL-oracled end to end by the q92 integer doctrine: the quantized
+    weight table λ (bucket = −1 row carries the bias β) is dumped;
+    DuckDB re-derives every gram's codepoint-Horner + splitmix64
+    bucket and each doc's exact integer score β + Σ λ[b(g)],
+    keep = score > 0 — bit-equal, no float drift possible."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.quality_clf import (
+        clf_features,
+        clf_fit,
+        clf_quantize,
+        clf_score,
+    )
+    from feast_ray.stages.relational import topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    labeled = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow"
+    ).map_batches(apply_quality_rules, batch_format="pyarrow")
+    labeled = labeled.map_batches(
+        lambda t: t.select(["doc_id", "text"]).append_column(
+            "label", t["keep"].cast(pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    feats = clf_features(labeled, buckets=_DSIR_BUCKETS)
+    w, b = clf_fit(feats, buckets=_DSIR_BUCKETS, iters=40, lr=4.0)
+    lam, beta = clf_quantize(w, b)
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([[-1], np.arange(_DSIR_BUCKETS)]), pa.int64()
+            ),
+            "lam": pa.array(
+                np.concatenate([[beta], lam]).astype(np.int64), pa.int64()
+            ),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "clf_lam.parquet"),
+    )
+    scored = clf_score(docs, lam, beta)
+    return topk(scored, ["clf_score", "doc_id"], 50, descending=[True, False])
+
+
+def _q93_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    h0 = _HORNER_SQL.format(s="gram")
+    sm = _splitmix64_sql("h0")
+    return f"""
+with lam as (
+  select bucket, lam from read_parquet('{d}/clf_lam.parquet')
+  where bucket >= 0),
+bias as (
+  select lam as beta from read_parquet('{d}/clf_lam.parquet')
+  where bucket = -1),
+dw as (select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+uni as (select doc_id, unnest(w) as gram from dw),
+bi as (
+  select doc_id, w[i] || ' ' || w[i + 1] as gram
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+        from dw where len(w) >= 2)),
+grams as (select * from uni union all select * from bi),
+h0s as (select doc_id, gram, {h0} as h0 from grams),
+hb as (select doc_id,
+         cast({sm} % {_DSIR_BUCKETS}::HUGEINT as bigint) as bucket
+       from h0s),
+wsum as (
+  select hb.doc_id, cast(sum(l.lam) as bigint) as s
+  from hb join lam l on l.bucket = hb.bucket
+  group by hb.doc_id),
+sc as (
+  select d.doc_id,
+         (select beta from bias) + coalesce(ws.s, 0) as clf_score
+  from (select doc_id from documents) d
+  left join wsum ws on ws.doc_id = d.doc_id)
+select doc_id, clf_score, clf_score > 0 as clf_keep
+from sc
+order by clf_score desc, doc_id asc
+limit 50
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5421,6 +5517,7 @@ QUERIES = {
     "q90_ann_ivfpq_opq": q90_ann_ivfpq_opq,
     "q91_semantic_dedup": q91_semantic_dedup,
     "q92_dsir_selection": q92_dsir_selection,
+    "q93_quality_classifier": q93_quality_classifier,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5496,6 +5593,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_ann_ivfpq_opq": _q81_sql("ivfpq_opq"),
         "q91_semantic_dedup": _Q91_SQL,
         "q92_dsir_selection": _q92_sql(),
+        "q93_quality_classifier": _q93_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
