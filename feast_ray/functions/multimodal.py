@@ -329,7 +329,7 @@ class MediaDecoder:
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
             "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI, "
-            "baseline TIFF (none/PackBits) and PCM WAV natively; other "
+            "baseline TIFF (none/LZW/PackBits) and PCM WAV natively; other "
             "compressed formats (WebP/MP4/...) need PIL/ffmpeg, not "
             "available in this environment"
         )
@@ -2506,12 +2506,13 @@ def encode_gif(
 # ------------------------------------------------------------- TIFF
 # Baseline TIFF 6.0 (round 5, shrinking the declared codec boundary):
 # header + IFD walk, SHORT/LONG tag arrays in either byte order,
-# multi-strip chunky layout, uncompressed (1) and PackBits (32773)
-# compression, photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero)
-# and 2 (RGB). LZW/JPEG-in-TIFF, tiles and planar config 2 stay the
-# declared boundary. Pinned by the deterministic writer below
-# (round-trip exact — TIFF is lossless). Reference surface:
-# feast/types.py:75-138 typed media bytes.
+# multi-strip chunky layout, uncompressed (1), LZW (5, MSB-first with
+# the TIFF early change) and PackBits (32773) compression, horizontal
+# differencing predictor (tag 317 = 2), photometric 0 (WhiteIsZero,
+# inverted), 1 (BlackIsZero) and 2 (RGB). JPEG-in-TIFF, tiles and
+# planar config 2 stay the declared boundary. Pinned by the
+# deterministic writer below (round-trip exact — TIFF is lossless).
+# Reference surface: feast/types.py:75-138 typed media bytes.
 
 
 def _packbits_decode(buf: bytes, expected: int) -> bytes:
@@ -2562,6 +2563,112 @@ def _packbits_encode_row(row: bytes) -> bytes:
         out += row[i:j]
         i = j
     return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode 256, EOI
+    257, table entries from 258, 9→12-bit codes with the TIFF
+    "early change" (the width bumps when the table reaches 2^w − 1,
+    one code earlier than GIF's LSB-first variant in _gif_lzw_decode)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    nbits = len(data) * 8
+    pos = 0
+    prev: "bytes | None" = None
+    while True:
+        if pos + width > nbits:
+            break  # no EOI — tolerate exact-fit streams
+        b0 = pos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        if code == 256:  # Clear
+            table = [bytes((i,)) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if prev is None:
+            if not table or code >= len(table):
+                raise ValueError("TIFF LZW stream must start with Clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table add lags the
+        # encoder's by one code, so it must widen one entry sooner
+        # (encoder: next_code == 2^w − 1; here: len+1 == 2^w − 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Real greedy TIFF LZW encoder (early change, Clear at table
+    4094) pinning :func:`_tiff_lzw_decode`. On a solid run of m bytes
+    it emits codes covering 1, 2, …, e bytes (one table add each) plus
+    one leftover code — the closed form the q30 oracle restates:
+    codes = 2 + e + (r > 0) with e = ⌊(√(8m+1) − 1)/2⌋,
+    r = m − e(e+1)/2, all 9-bit while e ≤ 253."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+
+    def fresh() -> dict:
+        return {bytes((i,)): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)
+    prev = b""
+    for i in range(len(data)):
+        cur = prev + data[i : i + 1]
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        prev = data[i : i + 1]
+    if prev:
+        emit(table[prev])
+    emit(257)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_undiff(px: np.ndarray) -> np.ndarray:
+    """Invert horizontal differencing (predictor 2): cumulative sum
+    along the row per channel, mod 256."""
+    return np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -2622,11 +2729,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF layout spp={spp} photometric={photo}"
         )
     rps = int(tags.get(278, (h,))[0])
-    if comp not in (1, 32773):
+    predictor = int(tags.get(317, (1,))[0])
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            "TIFF compression beyond none/PackBits (LZW/JPEG-in-TIFF "
-            "stay the declared boundary)"
+            "TIFF compression beyond none/LZW/PackBits (JPEG-in-TIFF "
+            "and tiles stay the declared boundary)"
         )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     raw = bytearray()
     row_bytes = w * spp
     for si, (so, sc) in enumerate(zip(offs, counts)):
@@ -2636,10 +2746,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             if len(strip) < n_rows * row_bytes:
                 raise ValueError("truncated TIFF strip")
             raw += strip[: n_rows * row_bytes]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, n_rows * row_bytes)
         else:
             raw += _packbits_decode(strip, n_rows * row_bytes)
     px = np.frombuffer(bytes(raw), np.uint8)
     px = px.reshape(h, w, spp) if spp == 3 else px.reshape(h, w)
+    if predictor == 2:  # horizontal differencing, per channel per row
+        px = _tiff_undiff(px)
     if photo == 0:  # WhiteIsZero
         px = 255 - px
     return px
@@ -2650,6 +2764,7 @@ def encode_tiff(
     compression: str = "none",
     byte_order: str = "II",
     rows_per_strip: "int | None" = None,
+    predictor: int = 1,
 ) -> bytes:
     """Deterministic baseline TIFF writer pinning :func:`decode_tiff`:
     header, ascending-tag IFD, out-of-line arrays (RGB bits-per-sample;
@@ -2665,15 +2780,25 @@ def encode_tiff(
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     assert spp in (1, 3)
+    assert predictor in (1, 2)
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     n_strips = (h + rps - 1) // rps
-    comp = 1 if compression == "none" else 32773
-    flat = px.reshape(h, w * spp)
+    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor == 2:  # horizontal differencing per channel per row
+        src = px.reshape(h, w, spp).astype(np.int16)
+        src = np.concatenate(
+            [src[:, :1], np.diff(src, axis=1)], axis=1
+        ).astype(np.uint8)  # mod-256 wrap
+        flat = src.reshape(h, w * spp)
+    else:
+        flat = px.reshape(h, w * spp)
     strips = []
     for s in range(n_strips):
         rows = flat[s * rps : min((s + 1) * rps, h)]
         if comp == 1:
             strips.append(rows.tobytes())
+        elif comp == 5:
+            strips.append(_tiff_lzw_encode(rows.tobytes()))
         else:
             strips.append(
                 b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
@@ -2695,6 +2820,8 @@ def encode_tiff(
     short(277, spp)
     short(278, rps)
     long_(279, *(len(s) for s in strips))
+    if predictor == 2:
+        short(317, predictor)
 
     n = len(entries)
     ifd_off = 8

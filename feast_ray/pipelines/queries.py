@@ -1618,14 +1618,16 @@ def q30_multimodal_decode(sf_dir: str):
                 kinds.append("image/jpeg")
             elif did % 9 == 2:
                 # late round 5: a third of the former fake share is
-                # baseline TIFF — solid gray, none/PackBits by parity,
-                # II/MM by doc_id % 4 (byte order never changes
-                # n_bytes); sizes are the writer's closed forms
+                # baseline TIFF — solid gray, none/PackBits/LZW by
+                # (doc_id // 9) % 3, II/MM by doc_id % 4 (byte order
+                # never changes n_bytes); sizes are the writer's
+                # closed forms (LZW: 9-bit codes covering 1..e bytes
+                # plus a leftover — see _tiff_lzw_encode)
                 w, h, v = 3 + did % 11, 2 + did % 5, did % 256
                 px = np.full((h, w), v, np.uint8)
                 payloads.append(encode_tiff(
                     px,
-                    "packbits" if did % 2 else "none",
+                    ("none", "packbits", "lzw")[(did // 9) % 3],
                     "II" if did % 4 < 2 else "MM",
                 ))
                 kinds.append("image/tiff")
@@ -1703,20 +1705,32 @@ with docs_f as (select doc_id, text from documents
                 where doc_id % 3 = 2 and doc_id % 9 <> 2),
 tiff as (
   -- late round 5: doc_id % 9 = 2 rows are baseline TIFF (solid gray);
-  -- n_bytes = 122-byte header/IFD + h*w (uncompressed) or 2*h
-  -- (PackBits: one 2-byte run per row, w < 128)
+  -- n_bytes = 122-byte header/IFD + h*w (uncompressed), 2*h
+  -- (PackBits: one 2-byte run per row, w < 128), or the LZW closed
+  -- form: clear + codes covering 1..e bytes + leftover + EOI, all
+  -- 9-bit at these sizes (e = floor((sqrt(8m+1)-1)/2), m = h*w)
   select doc_id, 3 + doc_id % 11 as w, 2 + doc_id % 5 as h,
          (doc_id % 256) // 16 as vbin
   from documents where doc_id % 9 = 2),
+tiff_lzw as (
+  select doc_id,
+         cast(floor((sqrt(8.0 * h * w + 1) - 1) / 2) as bigint) as e,
+         cast(h as bigint) * w as m
+  from tiff),
 tiff_rows as (
-  select doc_id as media_id, 'image/tiff' as media_type,
+  select t.doc_id as media_id, 'image/tiff' as media_type,
     cast(w as bigint) as width, cast(h as bigint) as height,
-    cast(122 + case when doc_id % 2 = 1 then 2 * h else h * w end
+    cast(122 + case
+      when (t.doc_id // 9) % 3 = 1 then 2 * h
+      when (t.doc_id // 9) % 3 = 2 then
+        (9 * (2 + z.e + case when z.m > z.e * (z.e + 1) // 2
+                             then 1 else 0 end) + 7) // 8
+      else h * w end
          as bigint) as n_bytes,
     case when vbin = 0 then 1.0 else 0.0 end as f0,
     case when vbin = 7 then 1.0 else 0.0 end as f7,
     case when vbin = 15 then 1.0 else 0.0 end as f15
-  from tiff),
+  from tiff t join tiff_lzw z on z.doc_id = t.doc_id),
 png as (
   select doc_id,
     4 + doc_id % 13 as w, 3 + doc_id % 7 as h,

@@ -701,8 +701,8 @@ def test_jpeg_progressive_optimized_huffman():
 def test_tiff_round_trip_and_dispatch():
     """Baseline TIFF (round 5): round-trip exact across gray/RGB, both
     byte orders, none/PackBits compression and multi-strip layouts;
-    WhiteIsZero decodes inverted; LZW stays a loud boundary; the
-    MediaDecoder auto-dispatches on both magics; solid-image sizes
+    WhiteIsZero decodes inverted; JPEG-in-TIFF stays a loud boundary;
+    the MediaDecoder auto-dispatches on both magics; solid-image sizes
     match the closed forms q30's oracle restates."""
     import numpy as np
     import pytest as _pt
@@ -740,11 +740,11 @@ def test_tiff_round_trip_and_dispatch():
     t[off] = 0
     assert np.array_equal(decode_tiff(bytes(t)), 255 - px)
 
-    # unsupported compression (LZW=5) fails loudly
+    # unsupported compression (JPEG-in-TIFF=7) fails loudly
     t = bytearray(encode_tiff(px))
     coff = 8 + 2 + 3 * 12 + 8
     assert t[coff] == 1
-    t[coff] = 5
+    t[coff] = 7
     with _pt.raises(NotImplementedError):
         decode_tiff(bytes(t))
 
@@ -758,3 +758,69 @@ def test_tiff_round_trip_and_dispatch():
     # closed forms (solid gray, single strip, inline tags)
     assert len(encode_tiff(px)) == 8 + 2 + 9 * 12 + 4 + 4 * 6
     assert len(encode_tiff(px, "packbits")) == 8 + 2 + 9 * 12 + 4 + 2 * 4
+
+
+def test_tiff_lzw_and_predictor():
+    """TIFF LZW (late round 5): MSB-first early-change codes round-trip
+    exactly across gray/RGB, byte orders, multi-strip layouts and the
+    horizontal-differencing predictor; raw streams survive KwKwK,
+    every width bump and the 4094-entry Clear; solid-gray sizes match
+    the 9-bit closed form q30's oracle restates."""
+    import math
+
+    import numpy as np
+
+    from feast_ray.functions.multimodal import (
+        MediaDecoder,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(33)
+    # raw stream: random (all width bumps + clears at 200k), run-heavy
+    # (dictionary reuse), solid, and the classic KwKwK pattern
+    for data in [
+        rng.randint(0, 256, 300, dtype=np.uint8).tobytes(),
+        rng.randint(0, 256, 200_000, dtype=np.uint8).tobytes(),
+        b"".join(bytes([rng.randint(0, 4)]) * rng.randint(1, 30)
+                 for _ in range(200)),
+        bytes([7]) * 5000,
+        b"abababababab",
+    ]:
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    # image round trips: gray/RGB × byte order × strips × predictor
+    for shape in [(5, 7), (16, 13), (9, 4, 3), (31, 17, 3), (1, 1)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        for bo in ("II", "MM"):
+            for rps in (None, 3):
+                for pred in (1, 2):
+                    t = encode_tiff(px, "lzw", bo, rps, predictor=pred)
+                    assert np.array_equal(decode_tiff(t), px), (
+                        shape, bo, rps, pred)
+
+    # predictor composes with none/PackBits too
+    px = rng.randint(0, 256, (8, 9)).astype(np.uint8)
+    for comp in ("none", "packbits"):
+        t = encode_tiff(px, comp, predictor=2)
+        assert np.array_equal(decode_tiff(t), px)
+    # predictor adds one IFD entry (12 bytes) to the closed form
+    solid = np.full((4, 6), 9, np.uint8)
+    assert len(encode_tiff(solid, "none", predictor=2)) == \
+        len(encode_tiff(solid, "none")) + 12
+
+    # MediaDecoder dispatch on an LZW payload
+    dec = MediaDecoder()
+    w, h, feat = dec._decode_real(encode_tiff(np.full((4, 6), 100, np.uint8), "lzw"))
+    assert (w, h) == (6, 4) and feat[100 >> 4] == 1.0
+
+    # solid-gray closed form: 122 + ceil(9*(2 + e + (r>0))/8)
+    for w_, h_, v in [(3, 2, 0), (13, 6, 255), (7, 4, 9), (10, 5, 128)]:
+        m = w_ * h_
+        e = (math.isqrt(8 * m + 1) - 1) // 2
+        r = m - e * (e + 1) // 2
+        expect = 122 + (9 * (2 + e + (1 if r else 0)) + 7) // 8
+        got = len(encode_tiff(np.full((h_, w_), v, np.uint8), "lzw"))
+        assert got == expect, (w_, h_, v)
