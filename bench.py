@@ -460,12 +460,57 @@ def run_bench() -> dict:
             timings["ann_ivfpq_search_10kq"] = round(dt, 3)
             extras["ann_queries_per_sec"] = round(10_000 / dt, 1)
 
+        def _clf() -> None:
+            # trainable quality classifier (round 5): distill the
+            # heuristic keep/drop labels into a hashed-ngram logistic
+            # regression (bit-deterministic distributed full-batch GD,
+            # 40 iterations), then stream-score the documents table
+            # with the int64 fixed-point weights.
+            import pyarrow as _pa2
+
+            from feast_ray.functions.quality_clf import (
+                clf_features,
+                clf_fit,
+                clf_quantize,
+                clf_score,
+            )
+            from feast_ray.functions.textstats import (
+                apply_quality_rules,
+                compute_textstats,
+            )
+
+            docs = _rd.read_parquet(
+                os.path.join(SF_DIR, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            lab = docs.map_batches(
+                lambda t: compute_textstats(t, "text"),
+                batch_format="pyarrow",
+            ).map_batches(apply_quality_rules, batch_format="pyarrow")
+            lab = lab.map_batches(
+                lambda t: t.select(["doc_id", "text"]).append_column(
+                    "label", t["keep"].cast(_pa2.int8())
+                ),
+                batch_format="pyarrow",
+            )
+            t0 = time.perf_counter()
+            feats = clf_features(lab, buckets=4096)
+            w, b = clf_fit(feats, buckets=4096, iters=40, lr=4.0)
+            timings["clf_train_docs"] = round(time.perf_counter() - t0, 3)
+            lam, beta = clf_quantize(w, b)
+            t0 = time.perf_counter()
+            n = clf_score(docs, lam, beta).count()
+            dt = time.perf_counter() - t0
+            timings["clf_score_docs"] = round(dt, 3)
+            extras["clf_docs_per_sec"] = round(n / dt, 1)
+
         _stage("minhash_dedup_corpus", _minhash)
         _stage("simhash_dups_corpus", _simhash)
         _stage("spandup_copartition_corpus", _spandup)
         _stage("embed_pages", _embed)
         _stage("stream_ingest_1m", _stream)
         _stage("ann_ivfpq_corpus", _ann)
+        _stage("quality_clf_corpus", _clf)
 
     out = _snapshot()
     ray.shutdown()
