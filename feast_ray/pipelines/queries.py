@@ -5438,6 +5438,98 @@ limit 50
 """
 
 
+# --------------------------------------------------------------------- q94
+
+
+def q94_bpe_tokenize(sf_dir: str):
+    """BPE tokenizer (late round 5 — Sennrich et al. 2016, GPT-2-style
+    word-internal merges): merge vocabulary trained on DISTRIBUTED
+    word counts (combiner-shape partials, driver-side merge loop over
+    the bounded top-8192-word table), then the global token-frequency
+    table under those merges via a stateful encoder actor pool with
+    per-actor word caches (functions/bpe.py). Returns the top 50
+    tokens by (count desc, token asc).
+
+    Oracled by the q80 distributed==sequential doctrine: a single
+    process recomputes the identical chain (collections.Counter word
+    counts → the same deterministic trainer → per-word encodes) and
+    dumps its top-50 table; the engine's distributed fit + actor-pool
+    count must reproduce it exactly for any block layout — integer
+    counts and a total-order tie-break make drift impossible to hide.
+    The recompute caches by source fingerprint (q80's marker shape)."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.bpe import (
+        bpe_fit,
+        bpe_token_stats,
+        bpe_train,
+        encode_word,
+    )
+    from feast_ray.stages.relational import topk
+
+    # the synthetic corpus has a ~31-word vocabulary; 12 merges keep
+    # words multi-token so the greedy rank ordering, sub-word sharing
+    # across words and the per-actor cache all do real work
+    n_merges, max_words = 12, 8192
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_fit(docs, n_merges, max_words=max_words)
+    stats = bpe_token_stats(docs, merges)
+    out = topk(stats, ["n", "token"], 50, descending=[True, False])
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{src}_{st_.st_size}_{int(st_.st_mtime)}_bpe_{n_merges}"
+    ref_path = os.path.join(_PPL_ORACLE_DIR, "bpe_ref.parquet")
+    marker = os.path.join(_PPL_ORACLE_DIR, "bpe_ref_fingerprint.txt")
+    fresh = (
+        os.path.exists(ref_path)
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if not fresh:
+        from collections import Counter
+
+        import pandas as _pd
+
+        txt = _pq.read_table(src, columns=["text"])["text"].to_pylist()
+        cnt: Counter = Counter()
+        for t in txt:
+            cnt.update(t.split())
+        ref_wc = _pd.DataFrame(
+            {"word": list(cnt.keys()), "n": list(cnt.values())}
+        )
+        ref_merges = bpe_train(ref_wc, n_merges, max_words=max_words)
+        ranks = {tuple(m): i for i, m in enumerate(ref_merges)}
+        tok_cnt: Counter = Counter()
+        for w, c in cnt.items():
+            for t in encode_word(w, ranks):
+                tok_cnt[t] += c
+        ref = _pd.DataFrame(
+            {"token": list(tok_cnt.keys()), "n": list(tok_cnt.values())}
+        ).sort_values(["n", "token"], ascending=[False, True],
+                      kind="stable").head(50)
+        os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+        _pq.write_table(
+            pa.table({
+                "token": pa.array(ref["token"].to_numpy(dtype=object),
+                                  pa.string()),
+                "n": pa.array(ref["n"].to_numpy(np.int64)),
+            }),
+            ref_path,
+        )
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return out
+
+
+def _q94_sql() -> str:
+    return f"""
+select token, n
+from read_parquet('{_PPL_ORACLE_DIR}/bpe_ref.parquet')
+order by n desc, token asc
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5532,6 +5624,7 @@ QUERIES = {
     "q91_semantic_dedup": q91_semantic_dedup,
     "q92_dsir_selection": q92_dsir_selection,
     "q93_quality_classifier": q93_quality_classifier,
+    "q94_bpe_tokenize": q94_bpe_tokenize,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5608,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_semantic_dedup": _Q91_SQL,
         "q92_dsir_selection": _q92_sql(),
         "q93_quality_classifier": _q93_sql(),
+        "q94_bpe_tokenize": _q94_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
