@@ -98,15 +98,20 @@ def clf_features(
 def _batch_scores(tbl: pa.Table, w: np.ndarray, bias: float) -> np.ndarray:
     """Float64 margin per doc from list-column features: per doc, the
     dot product is summed in bucket-ascending order (fixed by
-    clf_features) — deterministic under any batching."""
+    clf_features) via per-segment reduceat — NOT whole-batch cumsum
+    differences, whose prefix rounding would leak across docs and make
+    partition invariance hold only up to quantization luck."""
     fb = tbl["fb"].combine_chunks()
     fc = tbl["fc"].combine_chunks()
     flat_b = fb.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     flat_c = fc.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     offs = fb.offsets.to_numpy().astype(np.int64)
     vals = w[flat_b] * flat_c
-    cs = np.concatenate([[0.0], np.cumsum(vals)])
-    return bias + (cs[offs[1:]] - cs[offs[:-1]])
+    out = np.zeros(len(offs) - 1, np.float64)
+    nonempty = np.flatnonzero(offs[1:] > offs[:-1])
+    if len(nonempty):
+        out[nonempty] = np.add.reduceat(vals, offs[:-1][nonempty])
+    return bias + out
 
 
 def clf_fit(

@@ -5530,6 +5530,124 @@ order by n desc, token asc
 """
 
 
+# --------------------------------------------------------------------- q95
+
+_LANGID_BUCKETS = 2048
+
+
+def q95_langid_classifier(sf_dir: str):
+    """Trainable fastText-shape MULTICLASS language-ID (late round 5 —
+    the north rule's literal "fastText langid"; lid.176 is hashed
+    char-n-gram features into a linear softmax): char-bigram softmax
+    regression trained by the q93 bit-deterministic distributed GD
+    (per-doc residual VECTORS quantized to int64 before the
+    cross-block sum), then the corpus is stream-predicted with int64
+    fixed-point per-class scores, argmax ties to the smallest class
+    index (functions/langid_clf.py). Returns the (lang, pred_lang,
+    n_docs) confusion matrix against the stored labels.
+
+    SQL-oracled end to end: the quantized Λ table (long format:
+    bucket, cls, lam; bucket = −1 rows carry the biases) and the
+    class-name mapping are dumped; DuckDB re-derives every char
+    bigram's 2-term Horner + splitmix64 bucket, each doc's exact
+    integer per-class score, the argmax via one row_number() with the
+    same total order, and the grouped confusion counts — bit-equal."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.langid_clf import (
+        langid_features,
+        langid_fit,
+        langid_predict,
+        langid_quantize,
+    )
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.relational import distinct
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    classes = sorted(
+        distinct(docs.map_batches(
+            lambda t: t.select(["lang"]), batch_format="pyarrow"
+        ), ["lang"]).to_pandas()["lang"]
+    )
+    K = len(classes)
+    feats = langid_features(docs, classes, buckets=_LANGID_BUCKETS)
+    W, b = langid_fit(feats, K, buckets=_LANGID_BUCKETS, iters=30, lr=4.0)
+    lam, beta = langid_quantize(W, b)
+
+    nz_b, nz_k = np.nonzero(lam)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([np.full(K, -1), nz_b]), pa.int64()),
+            "cls": pa.array(
+                np.concatenate([np.arange(K), nz_k]), pa.int64()),
+            "lam": pa.array(
+                np.concatenate([beta, lam[nz_b, nz_k]]).astype(np.int64),
+                pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "langid_lam.parquet"),
+    )
+    _pq.write_table(
+        pa.table({
+            "cls": pa.array(np.arange(K), pa.int64()),
+            "lang": pa.array(classes, pa.string()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "langid_classes.parquet"),
+    )
+    pred = langid_predict(docs, lam, beta, classes, passthrough=["lang"])
+    return grouped_agg(
+        pred, ["lang", "pred_lang"], [AggSpec("doc_id", "count", "n_docs")]
+    )
+
+
+def _q95_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    two64 = 1 << 64
+    h0 = (
+        "((unicode(substr(text, i, 1))::HUGEINT * 1099511628211::HUGEINT"
+        f" + unicode(substr(text, i + 1, 1))::HUGEINT) % {two64}::HUGEINT)"
+    )
+    sm = _splitmix64_sql("h0")
+    return f"""
+with lam as (
+  select bucket, cls, lam from read_parquet('{d}/langid_lam.parquet')
+  where bucket >= 0),
+bias as (
+  select cls, lam as beta from read_parquet('{d}/langid_lam.parquet')
+  where bucket = -1),
+classes as (select * from read_parquet('{d}/langid_classes.parquet')),
+g as (
+  select doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 1, 0))) as i
+  from documents),
+hb as (
+  select doc_id,
+         cast({sm} % {_LANGID_BUCKETS}::HUGEINT as bigint) as bucket
+  from (select doc_id, {h0} as h0 from g)),
+wsum as (
+  select hb.doc_id, l.cls, cast(sum(l.lam) as bigint) as s
+  from hb join lam l on l.bucket = hb.bucket
+  group by hb.doc_id, l.cls),
+scores as (
+  select dd.doc_id, b.cls, b.beta + coalesce(w.s, 0) as score
+  from (select doc_id from documents) dd
+  cross join bias b
+  left join wsum w on w.doc_id = dd.doc_id and w.cls = b.cls),
+pred as (
+  select doc_id, cls from (
+    select doc_id, cls,
+           row_number() over (partition by doc_id
+                              order by score desc, cls asc) as rn
+    from scores) where rn = 1)
+select dd.lang, cl.lang as pred_lang, count(*) as n_docs
+from pred p
+join documents dd on dd.doc_id = p.doc_id
+join classes cl on cl.cls = p.cls
+group by 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5625,6 +5743,7 @@ QUERIES = {
     "q92_dsir_selection": q92_dsir_selection,
     "q93_quality_classifier": q93_quality_classifier,
     "q94_bpe_tokenize": q94_bpe_tokenize,
+    "q95_langid_classifier": q95_langid_classifier,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5702,6 +5821,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_dsir_selection": _q92_sql(),
         "q93_quality_classifier": _q93_sql(),
         "q94_bpe_tokenize": _q94_sql(),
+        "q95_langid_classifier": _q95_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
