@@ -149,12 +149,14 @@ class BpeEncoder:
     amortizes the merge loop across batches (Zipfian hit rate)."""
 
     def __init__(self, merges: "list[tuple[str, str]] | ray.ObjectRef",
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 passthrough: "tuple[str, ...]" = ()):
         if isinstance(merges, ray.ObjectRef):
             merges = ray.get(merges)
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.text_col = text_col
         self.id_col = id_col
+        self.passthrough = tuple(passthrough)
         self._cache: dict[str, int] = {}
 
     def _n_tokens(self, word: str) -> int:
@@ -168,6 +170,7 @@ class BpeEncoder:
         if len(tbl) == 0:
             return pa.table({
                 self.id_col: pa.array([], pa.int64()),
+                **{c: tbl[c] for c in self.passthrough},
                 "n_words": pa.array([], pa.int64()),
                 "n_tokens": pa.array([], pa.int64()),
             })
@@ -184,6 +187,7 @@ class BpeEncoder:
         ).astype(np.int64)
         return pa.table({
             self.id_col: tbl[self.id_col].cast(pa.int64()),
+            **{c: tbl[c] for c in self.passthrough},
             "n_words": pa.array(n_words),
             "n_tokens": pa.array(n_tokens),
         })
@@ -265,6 +269,7 @@ def bpe_encode_counts(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: "tuple[str, ...]" = (),
     concurrency: "int | tuple" = (1, 4),
 ) -> ray.data.Dataset:
     """Per-document (n_words, n_tokens) under the learned merges —
@@ -274,6 +279,7 @@ def bpe_encode_counts(
         BpeEncoder,
         fn_constructor_kwargs={
             "merges": mref, "text_col": text_col, "id_col": id_col,
+            "passthrough": tuple(passthrough),
         },
         batch_format="pyarrow",
         concurrency=concurrency,

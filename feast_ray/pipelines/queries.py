@@ -5648,6 +5648,101 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------- q96
+
+
+def q96_bpe_pack(sf_dir: str):
+    """Tokenize → pack composition (late round 5 — THE pretraining
+    data op): per-document token counts under the q94-learned BPE
+    merges feed the q56 concat-and-chop packer (per-source doc
+    streams, 512-token context windows, window id + in-window offset
+    per doc).
+
+    Oracled by composing both doctrines: the sequential BPE reference
+    recompute dumps PER-DOC token counts (q94's fingerprint-cached
+    marker shape) and DuckDB restates the packing rule as the q56
+    prefix-sum window over those counts — so the distributed
+    encode-then-pack chain must match sequential-reference-then-SQL
+    exactly."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.bpe import (
+        bpe_encode_counts,
+        bpe_fit,
+        bpe_train,
+        encode_word,
+    )
+    from feast_ray.functions.packing import pack_sequences
+
+    n_merges, max_words, budget = 12, 8192, 512
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    merges = bpe_fit(docs, n_merges, max_words=max_words)
+    counts = bpe_encode_counts(docs, merges, passthrough=("source",))
+    counts = counts.map_batches(
+        lambda t: t.drop_columns(["n_words"]), batch_format="pyarrow")
+    packed = pack_sequences(
+        counts, "source", "doc_id", "n_tokens", budget=budget)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{src}_{st_.st_size}_{int(st_.st_mtime)}_bpepack_{n_merges}"
+    ref_path = os.path.join(_PPL_ORACLE_DIR, "bpe_doc_tokens.parquet")
+    marker = os.path.join(_PPL_ORACLE_DIR, "bpe_doc_tokens_fp.txt")
+    fresh = (
+        os.path.exists(ref_path)
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if not fresh:
+        from collections import Counter
+
+        import pandas as _pd
+
+        tb = _pq.read_table(src, columns=["doc_id", "text"])
+        texts = tb["text"].to_pylist()
+        cnt: Counter = Counter()
+        for t in texts:
+            cnt.update(t.split())
+        ref_wc = _pd.DataFrame(
+            {"word": list(cnt.keys()), "n": list(cnt.values())}
+        )
+        ref_merges = bpe_train(ref_wc, n_merges, max_words=max_words)
+        ranks = {tuple(m): i for i, m in enumerate(ref_merges)}
+        wlen = {w: len(encode_word(w, ranks)) for w in cnt}
+        n_tok = [sum(wlen[w] for w in t.split()) for t in texts]
+        os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+        _pq.write_table(
+            pa.table({
+                "doc_id": tb["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(np.asarray(n_tok, np.int64)),
+            }),
+            ref_path,
+        )
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return packed
+
+
+def _q96_sql() -> str:
+    return f"""
+with toks as (
+  select d.doc_id, d.source, r.n_tokens
+  from documents d
+  join read_parquet('{_PPL_ORACLE_DIR}/bpe_doc_tokens.parquet') r
+    on r.doc_id = d.doc_id),
+pre as (
+  select doc_id, source, n_tokens,
+    coalesce(sum(n_tokens) over (partition by source order by doc_id
+      rows between unbounded preceding and 1 preceding), 0) as prefix
+  from toks)
+select doc_id, source, n_tokens,
+  cast(prefix // 512 as bigint) as bin_id,
+  cast(prefix % 512 as bigint) as bin_offset
+from pre
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5744,6 +5839,7 @@ QUERIES = {
     "q93_quality_classifier": q93_quality_classifier,
     "q94_bpe_tokenize": q94_bpe_tokenize,
     "q95_langid_classifier": q95_langid_classifier,
+    "q96_bpe_pack": q96_bpe_pack,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5822,6 +5918,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_quality_classifier": _q93_sql(),
         "q94_bpe_tokenize": _q94_sql(),
         "q95_langid_classifier": _q95_sql(),
+        "q96_bpe_pack": _q96_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

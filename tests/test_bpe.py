@@ -124,3 +124,15 @@ def test_encoder_cache_consistency():
     second = enc(t)  # cache hit path
     assert first.equals(second)
     assert first["n_tokens"].to_pylist() == [2, 1]
+
+
+def test_encoder_passthrough_columns():
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "source": "s1", "text": "ab ab"},
+         {"doc_id": 1, "source": "s2", "text": "a b c"}]
+    )
+    out = bpe_encode_counts(
+        ds, [("a", "b")], passthrough=("source",)
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[0, "source"] == "s1" and out.loc[0, "n_tokens"] == 2
+    assert out.loc[1, "source"] == "s2" and out.loc[1, "n_tokens"] == 3
