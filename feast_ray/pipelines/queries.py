@@ -5743,6 +5743,145 @@ from pre
 """
 
 
+# --------------------------------------------------------------------- q97
+
+
+def q97_ccnet_perplexity(sf_dir: str):
+    """Corpus-trained Kneser–Ney bigram LM + CCNet head/middle/tail
+    perplexity buckets (late round 5 — Heafield 2011 / Wenzek et al.
+    2020; the north star's literal "KenLM-style n-gram perplexity"
+    made *trainable*, where q24's model is a fixed seed corpus):
+    two distributed integer count passes fit the LM
+    (functions/nglm.py), log10 probabilities quantize once to int64,
+    scoring streams the corpus through a model-holding actor pool with
+    exact per-doc integer segment sums, and per-language tercile
+    thresholds come from a deterministic splitmix64 hash sample
+    (CCNet fits its quantiles on a sample too).
+
+    SQL-oracled end to end by the q93 integer doctrine: the quantized
+    vocab / context-backoff / bigram tables and the thresholds are
+    dumped; DuckDB re-derives every token's lookup path
+    (first-token → cont_q, seen bigram → big_q, seen context →
+    back_q + cont_q, else cont_q), each doc's exact integer lp_sum
+    and avg_nlp_q = (−lp_sum)·1000 // n_tokens, and the bucket
+    comparisons — bit-equal, no float drift possible."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.nglm import (
+        kn_fit,
+        kn_score,
+        kn_thresholds,
+        ppl_bucket,
+        sample_mask,
+    )
+    from feast_ray.stages.relational import distinct
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text"])
+    model = kn_fit(docs, max_vocab=4096, max_bigrams=262144)
+    V = model["V"]
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "word": pa.array(model["vocab"], pa.string()),
+            "id": pa.array(np.arange(V, dtype=np.int64)),
+            "cont_q": pa.array(model["cont_q"]),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "kn_vocab.parquet"),
+    )
+    ctx_ids = np.flatnonzero(model["has_ctx"]).astype(np.int64)
+    _pq.write_table(
+        pa.table({
+            "id": pa.array(ctx_ids),
+            "back_q": pa.array(model["back_q"][ctx_ids]),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "kn_ctx.parquet"),
+    )
+    _pq.write_table(
+        pa.table({
+            "key": pa.array(model["big_keys"]),
+            "q": pa.array(model["big_q"]),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "kn_bigram.parquet"),
+    )
+
+    mref = ray.put(model)
+    # threshold fit on the deterministic hash sample only (the bounded
+    # side at crawl scale); sample_mod=2 keeps every lang populated at
+    # gate scale
+    samp = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(sample_mask(t["doc_id"].to_numpy(), 2))),
+        batch_format="pyarrow",
+    )
+    sdf = kn_score(samp, mref, passthrough=("lang",)).to_pandas()
+    langs = distinct(docs.select_columns(["lang"]),
+                     ["lang"]).to_pandas()["lang"].tolist()
+    thr = kn_thresholds(sdf, langs)
+    _pq.write_table(
+        pa.table({
+            "lang": pa.array(thr["lang"].tolist(), pa.string()),
+            "t1": pa.array(thr["t1"].to_numpy(np.int64)),
+            "t2": pa.array(thr["t2"].to_numpy(np.int64)),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "kn_thresholds.parquet"),
+    )
+    scored = kn_score(docs, mref, passthrough=("lang",))
+    return ppl_bucket(scored, thr)
+
+
+def _q97_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    return f"""
+with v as (select word, id, cont_q
+           from read_parquet('{d}/kn_vocab.parquet')),
+unk as (select id as uid, cont_q as ucq from v where word = '<unk>'),
+nv as (select count(*) as V from v),
+ctx as (select id, back_q from read_parquet('{d}/kn_ctx.parquet')),
+bg as (select key, q from read_parquet('{d}/kn_bigram.parquet')),
+thr as (select lang, t1, t2
+        from read_parquet('{d}/kn_thresholds.parquet')),
+dw as (select doc_id, regexp_extract_all(text, '\\S+') as w
+       from documents),
+tok as (
+  select t.doc_id, t.i,
+    coalesce(v1.id, (select uid from unk)) as wid,
+    coalesce(v1.cont_q, (select ucq from unk)) as cq,
+    case when t.i > 1
+         then coalesce(v0.id, (select uid from unk)) end as pid
+  from (select doc_id, w, unnest(generate_series(1, len(w))) as i
+        from dw where len(w) >= 1) t
+  left join v v1 on v1.word = t.w[t.i]
+  left join v v0 on v0.word = t.w[t.i - 1]),
+sc as (
+  select tok.doc_id,
+    case when tok.pid is null then tok.cq
+         when b.q is not null then b.q
+         when c.back_q is not null then c.back_q + tok.cq
+         else tok.cq end as q
+  from tok
+  left join bg b on b.key = tok.pid * (select V from nv) + tok.wid
+  left join ctx c on c.id = tok.pid),
+agg as (
+  select doc_id, cast(sum(q) as bigint) as lp_sum,
+         count(*) as n_tokens
+  from sc group by doc_id),
+fin as (
+  select d.doc_id, d.lang,
+         coalesce(a.n_tokens, 0) as n_tokens,
+         coalesce(a.lp_sum, 0) as lp_sum,
+         case when coalesce(a.n_tokens, 0) = 0 then 0
+              else (-a.lp_sum) * 1000 // a.n_tokens end as avg_nlp_q
+  from documents d left join agg a using (doc_id))
+select f.doc_id, f.lang, f.n_tokens, f.lp_sum, f.avg_nlp_q,
+  case when f.n_tokens = 0 or f.avg_nlp_q <= t.t1 then 'head'
+       when f.avg_nlp_q <= t.t2 then 'middle'
+       else 'tail' end as ppl_bucket
+from fin f join thr t on t.lang = f.lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5840,6 +5979,7 @@ QUERIES = {
     "q94_bpe_tokenize": q94_bpe_tokenize,
     "q95_langid_classifier": q95_langid_classifier,
     "q96_bpe_pack": q96_bpe_pack,
+    "q97_ccnet_perplexity": q97_ccnet_perplexity,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -5919,6 +6059,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_bpe_tokenize": _q94_sql(),
         "q95_langid_classifier": _q95_sql(),
         "q96_bpe_pack": _q96_sql(),
+        "q97_ccnet_perplexity": _q97_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
