@@ -269,3 +269,89 @@ def budget_sample(
         return out.drop(columns=[BUCKET_COL])
 
     return bucketed.groupby(BUCKET_COL).map_groups(_per_bucket, batch_format="pandas")
+
+
+def temperature_resample(
+    ds: ray.data.Dataset,
+    group: str,
+    key: str,
+    *,
+    alpha: float = 0.5,
+    total: "int | None" = None,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> "tuple[ray.data.Dataset, pd.DataFrame]":
+    """Temperature-based domain mixing WITH up-sampling repetition
+    (the mT5/XLM-R α-sampling rule): target_g ∝ c_g^α, and a group
+    whose target exceeds its count REPEATS — every row is emitted
+    ``full_e = target_g // c_g`` times (epochs 0..full_e−1) plus one
+    more epoch iff its digest clears the remainder threshold
+    ``(target_g % c_g)·2^64 // c_g``. α=1 reproduces the corpus, α=0
+    flattens it; α≈0.3–0.7 is the published multilingual range.
+
+    Unlike :func:`rebalance_mix` (explicit weights, keep-only), the
+    weights are DERIVED (c^α, driver-side over the tiny count table)
+    and groups can be up-sampled past 1 epoch — the repetition layout
+    real pretraining mixes use. Returns ``(expanded_ds, targets)``
+    where ``targets`` (group, c, target) is the dumpable model: the
+    α-power itself is the only non-SQL step, so the oracle recomputes
+    counts, full_e, thresholds and the exact (row, epoch) expansion
+    from the dumped integer targets (q64's decision-level doctrine).
+
+    Scale shape: one (group, n)-per-block count pass, then a pure
+    streaming expansion — no shuffle; per-batch cost is O(rows out)."""
+    import numpy as np
+    import ray as _ray
+
+    from feast_ray.functions.neardup import word_hashes64
+
+    def _cnt(tbl: pa.Table) -> pa.Table:
+        vc = pd.Series(tbl.column(group).to_pylist()).value_counts()
+        return pa.table({
+            "g": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    cdf = ds.map_batches(_cnt, batch_format="pyarrow").to_pandas()
+    counts = cdf.groupby("g")["n"].sum().to_dict() if len(cdf) else {}
+    if not counts:
+        raise ValueError("temperature_resample: empty input")
+    T = int(total if total is not None else sum(counts.values()))
+    shares = {g: float(c) ** alpha for g, c in counts.items()}
+    Z = sum(shares.values())
+    target = {g: int(T * shares[g] / Z) for g in counts}
+    plan = {
+        g: (
+            target[g] // counts[g],
+            np.uint64(min(((target[g] % counts[g]) << 64) // counts[g],
+                          2**64 - 1)),
+        )
+        for g in counts
+    }
+    ref = _ray.put(plan)
+
+    def _expand(tbl: pa.Table) -> pa.Table:
+        pl = _ray.get(ref)
+        if len(tbl) == 0:
+            return tbl.append_column(epoch_col, pa.array([], pa.int64()))
+        vals = [str(v) + salt for v in tbl.column(key).to_pylist()]
+        h = word_hashes64(vals)
+        groups = tbl.column(group).to_pylist()
+        full_e = np.array([pl[g][0] for g in groups], np.int64)
+        thr = np.array([pl[g][1] for g in groups], np.uint64)
+        reps = full_e + (h < thr)
+        idx = np.repeat(np.arange(len(tbl), dtype=np.int64), reps)
+        ends = np.cumsum(reps)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0,
+                          dtype=np.int64) - np.repeat(ends - reps, reps)
+        return tbl.take(pa.array(idx)).append_column(
+            epoch_col, pa.array(epoch))
+
+    targets = pd.DataFrame(
+        sorted(
+            ({"g": g, "c": int(counts[g]), "target": int(target[g])}
+             for g in counts),
+            key=lambda r: r["g"],
+        )
+    )
+    return ds.map_batches(_expand, batch_format="pyarrow"), targets

@@ -5882,6 +5882,78 @@ from fin f join thr t on t.lang = f.lang
 """
 
 
+# --------------------------------------------------------------------- q98
+
+
+def q98_temperature_mix(sf_dir: str):
+    """Temperature-based domain mixing with up-sampling repetition
+    (late round 5 — the mT5/XLM-R α-sampling rule): target_g ∝ c_g^α
+    over the 20 sources at α=0.5, rare sources repeating for multiple
+    epochs, abundant sources hash-thinned — the repetition layout real
+    pretraining mixes use (functions/sampling.py temperature_resample;
+    q64 covers the explicit-weight keep-only variant).
+
+    Decision-level oracle (q64's doctrine, one dump): only the
+    α-power is driver-float, so the engine dumps the integer target
+    table and DuckDB recomputes the counts, each group's full-epoch
+    count and remainder threshold, every digest, and the exact
+    (doc, epoch) expansion via generate_series."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.sampling import temperature_resample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["source"], pc.cast(t["doc_id"], pa.string()), ":"
+        )
+        return t.append_column("k", k)
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    out, targets = temperature_resample(
+        keyed, "source", "k", alpha=0.5, salt="mix0")
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "source": pa.array(targets["g"].tolist(), pa.string()),
+            "target": pa.array(targets["target"].to_numpy(np.int64)),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "temp_targets.parquet"),
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "epoch"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q98_sql() -> str:
+    two64 = 1 << 64
+    horner = _HORNER_SQL.format(s="k")
+    return f"""
+with tgt as (select source, target
+             from read_parquet('{_PPL_ORACLE_DIR}/temp_targets.parquet')),
+c as (select source, count(*) as c from documents group by source),
+plan as (
+  select t.source, t.target // c.c as full_e,
+    least(((t.target % c.c)::HUGEINT * {two64}::HUGEINT) // c.c::HUGEINT,
+          {two64 - 1}::HUGEINT) as thr
+  from tgt t join c using (source)),
+keyed as (
+  select doc_id, source, source || ':' || doc_id || 'mix0' as k
+  from documents),
+h0s as (select doc_id, source, {horner} as h0 from keyed),
+hs as (select doc_id, source, {_splitmix64_sql("h0")} as h from h0s),
+reps as (
+  select hs.doc_id, hs.source,
+    p.full_e + case when hs.h < p.thr then 1 else 0 end as reps
+  from hs join plan p using (source))
+select doc_id, source, cast(unnest(generate_series(1, reps)) - 1 as bigint)
+  as epoch
+from reps
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5980,6 +6052,7 @@ QUERIES = {
     "q95_langid_classifier": q95_langid_classifier,
     "q96_bpe_pack": q96_bpe_pack,
     "q97_ccnet_perplexity": q97_ccnet_perplexity,
+    "q98_temperature_mix": q98_temperature_mix,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6060,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_langid_classifier": _q95_sql(),
         "q96_bpe_pack": _q96_sql(),
         "q97_ccnet_perplexity": _q97_sql(),
+        "q98_temperature_mix": _q98_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
