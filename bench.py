@@ -504,6 +504,28 @@ def run_bench() -> dict:
             timings["clf_score_docs"] = round(dt, 3)
             extras["clf_docs_per_sec"] = round(n / dt, 1)
 
+        def _knlm() -> None:
+            # corpus-trained Kneser-Ney LM (round 5, q97): fit on the
+            # documents table (the bounded train side, CCNet-style),
+            # then stream-score the full page corpus through the
+            # model-holding actor pool with exact integer sums.
+            from feast_ray.functions.nglm import kn_fit, kn_score
+
+            docs = _rd.read_parquet(
+                os.path.join(SF_DIR, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+            t0 = time.perf_counter()
+            model = kn_fit(docs, max_vocab=4096, max_bigrams=262144)
+            timings["knlm_train_docs"] = round(time.perf_counter() - t0, 3)
+            mref = ray.put(model)
+            t0 = time.perf_counter()
+            n = kn_score(corpus, mref, id_col="url",
+                         concurrency=(1, NUM_CPUS)).count()
+            dt = time.perf_counter() - t0
+            timings["knlm_score_corpus"] = round(dt, 3)
+            extras["knlm_docs_per_sec"] = round(n / dt, 1)
+
         _stage("minhash_dedup_corpus", _minhash)
         _stage("simhash_dups_corpus", _simhash)
         _stage("spandup_copartition_corpus", _spandup)
@@ -511,6 +533,7 @@ def run_bench() -> dict:
         _stage("stream_ingest_1m", _stream)
         _stage("ann_ivfpq_corpus", _ann)
         _stage("quality_clf_corpus", _clf)
+        _stage("knlm_corpus", _knlm)
 
     out = _snapshot()
     ray.shutdown()

@@ -329,7 +329,8 @@ class MediaDecoder:
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
             "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI, "
-            "baseline TIFF (none/LZW/PackBits) and PCM WAV natively; other "
+            "baseline TIFF (none/LZW/PackBits/JPEG) and PCM WAV natively; "
+            "other "
             "compressed formats (WebP/MP4/...) need PIL/ffmpeg, not "
             "available in this environment"
         )
@@ -2507,11 +2508,14 @@ def encode_gif(
 # Baseline TIFF 6.0 (round 5, shrinking the declared codec boundary):
 # header + IFD walk, SHORT/LONG tag arrays in either byte order,
 # multi-strip chunky layout, uncompressed (1), LZW (5, MSB-first with
-# the TIFF early change) and PackBits (32773) compression, horizontal
-# differencing predictor (tag 317 = 2), photometric 0 (WhiteIsZero,
-# inverted), 1 (BlackIsZero) and 2 (RGB). JPEG-in-TIFF, tiles and
-# planar config 2 stay the declared boundary. Pinned by the
-# deterministic writer below (round-trip exact — TIFF is lossless).
+# the TIFF early change), PackBits (32773) and new-style JPEG (7,
+# TechNote 2: per-strip JFIF streams + shared tag-347 JPEGTables)
+# compression, horizontal differencing predictor (tag 317 = 2),
+# photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero), 2 (RGB) and
+# 6 (YCbCr, JPEG strips). Tiles and planar config 2 stay the declared
+# boundary. Pinned by the deterministic writer below (round-trip
+# exact for the lossless compressions; JPEG strips round-trip
+# bit-identically to the standalone JPEG codec's decode).
 # Reference surface: feast/types.py:75-138 typed media bytes.
 
 
@@ -2703,6 +2707,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                     (ptr,) = struct.unpack(e + "I", payload[o + 8 : o + 12])
                     vals = struct.unpack(
                         e + f"{cnt}I", payload[ptr : ptr + 4 * cnt])
+            elif typ in (1, 7):  # BYTE / UNDEFINED — raw bytes (347)
+                if cnt <= 4:
+                    vals = (payload[o + 8 : o + 8 + cnt],)
+                else:
+                    (ptr,) = struct.unpack(e + "I", payload[o + 8 : o + 12])
+                    vals = (payload[ptr : ptr + cnt],)
             else:  # other types carry no info we need (ratios, ascii)
                 continue
             tags[tag] = vals
@@ -2724,19 +2734,48 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     planar = int(tags.get(284, (1,))[0])
     if planar != 1:
         raise NotImplementedError("TIFF planar configuration 2")
-    if spp not in (1, 3) or photo not in (0, 1, 2):
+    if spp not in (1, 3) or photo not in (0, 1, 2, 6):
         raise NotImplementedError(
             f"TIFF layout spp={spp} photometric={photo}"
         )
     rps = int(tags.get(278, (h,))[0])
     predictor = int(tags.get(317, (1,))[0])
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            "TIFF compression beyond none/LZW/PackBits (JPEG-in-TIFF "
-            "and tiles stay the declared boundary)"
+            "TIFF compression beyond none/LZW/JPEG/PackBits (tiles and "
+            "planar 2 stay the declared boundary)"
         )
-    if predictor not in (1, 2):
+    if photo == 6 and comp != 7:
+        raise NotImplementedError("TIFF YCbCr outside JPEG compression")
+    if predictor not in (1, 2) or (comp == 7 and predictor != 1):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a
+        # JPEG stream; tag 347 (JPEGTables) holds an SOI+tables+EOI
+        # abbreviated stream whose DQT/DHT segments prefix every strip
+        jt = tags.get(347, (b"",))[0]
+        tables = b""
+        if jt:
+            if jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                raise ValueError("malformed JPEGTables stream")
+            tables = jt[2:-2]
+        parts = []
+        for si, (so, sc) in enumerate(zip(offs, counts)):
+            strip = payload[so : so + sc]
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            spx = decode_jpeg(b"\xff\xd8" + tables + strip[2:])
+            n_rows = min(rps, h - si * rps)
+            if spx.shape[0] != n_rows or spx.shape[1] != w:
+                raise ValueError("TIFF JPEG strip dims mismatch")
+            parts.append(spx.reshape(n_rows, w, -1))
+        px = np.concatenate(parts, axis=0)
+        px = px.reshape(h, w) if px.shape[2] == 1 else px
+        if spp == 3 and px.ndim == 2:
+            raise ValueError("TIFF JPEG strip component count mismatch")
+        if photo == 0:
+            px = 255 - px
+        return px
     raw = bytearray()
     row_bytes = w * spp
     for si, (so, sc) in enumerate(zip(offs, counts)):
@@ -2759,12 +2798,38 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return px
 
 
+def _jpeg_split_tables(stream: bytes) -> "tuple[bytes, bytes]":
+    """Split a JFIF stream into (table segments, abbreviated stream):
+    DQT/DHT segments move into the first part (the tag-347 JPEGTables
+    payload, sans SOI/EOI), everything else — SOF, SOS, entropy data,
+    EOI — stays in order in the second. Marker walk stops at SOS."""
+    import struct
+
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    i, n = 2, len(stream)
+    while i < n:
+        assert stream[i] == 0xFF, "marker expected"
+        m = stream[i + 1]
+        if m == 0xDA:  # SOS: entropy data through EOI follows
+            rest += stream[i:]
+            break
+        (ln,) = struct.unpack(">H", stream[i + 2 : i + 4])
+        seg = stream[i : i + 2 + ln]
+        (tables if m in (0xDB, 0xC4) else rest).extend(seg)
+        i += 2 + ln
+    return bytes(tables), bytes(rest)
+
+
 def encode_tiff(
     px: np.ndarray,
     compression: str = "none",
     byte_order: str = "II",
     rows_per_strip: "int | None" = None,
     predictor: int = 1,
+    jpegtables: bool = False,
+    jpeg_qtab: "np.ndarray | None" = None,
 ) -> bytes:
     """Deterministic baseline TIFF writer pinning :func:`decode_tiff`:
     header, ascending-tag IFD, out-of-line arrays (RGB bits-per-sample;
@@ -2783,7 +2848,9 @@ def encode_tiff(
     assert predictor in (1, 2)
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     n_strips = (h + rps - 1) // rps
-    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}[compression]
+    if comp == 7:
+        assert predictor == 1, "predictor does not apply to JPEG strips"
     if predictor == 2:  # horizontal differencing per channel per row
         src = px.reshape(h, w, spp).astype(np.int16)
         src = np.concatenate(
@@ -2793,12 +2860,23 @@ def encode_tiff(
     else:
         flat = px.reshape(h, w * spp)
     strips = []
+    jt_payload = b""
     for s in range(n_strips):
         rows = flat[s * rps : min((s + 1) * rps, h)]
         if comp == 1:
             strips.append(rows.tobytes())
         elif comp == 5:
             strips.append(_tiff_lzw_encode(rows.tobytes()))
+        elif comp == 7:
+            rpx = rows.reshape(-1, w, spp)
+            stream = (
+                encode_jpeg_rgb(rpx, qlum=jpeg_qtab) if spp == 3
+                else encode_jpeg_gray(rpx.reshape(-1, w), jpeg_qtab)
+            )
+            if jpegtables:
+                tables, stream = _jpeg_split_tables(stream)
+                jt_payload = b"\xff\xd8" + tables + b"\xff\xd9"
+            strips.append(stream)
         else:
             strips.append(
                 b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
@@ -2815,13 +2893,15 @@ def encode_tiff(
     short(257, h)
     short(258, *([8] * spp))
     short(259, comp)
-    short(262, 2 if spp == 3 else 1)
+    short(262, (6 if comp == 7 else 2) if spp == 3 else 1)
     long_(273, *([0] * n_strips))  # patched below
     short(277, spp)
     short(278, rps)
     long_(279, *(len(s) for s in strips))
     if predictor == 2:
         short(317, predictor)
+    if jt_payload:
+        entries.append((347, 7, len(jt_payload), jt_payload))
 
     n = len(entries)
     ifd_off = 8
@@ -2830,12 +2910,12 @@ def encode_tiff(
     extra = bytearray()
     packed = []
     for tag, typ, cnt, vals in entries:
-        unit = 2 if typ == 3 else 4
+        unit = {3: 2, 4: 4, 7: 1}[typ]
         if cnt * unit <= 4:
             packed.append((tag, typ, cnt, None, vals))
         else:
             packed.append((tag, typ, cnt, data_off + len(extra), vals))
-            extra += struct.pack(
+            extra += vals if typ == 7 else struct.pack(
                 e + f"{cnt}{'H' if typ == 3 else 'I'}", *vals
             )
     strip_off0 = data_off + len(extra)
@@ -2853,9 +2933,10 @@ def encode_tiff(
         if tag == 273:
             vals = strip_offs
         out += struct.pack(e + "HHI", tag, typ, cnt)
-        unit = 2 if typ == 3 else 4
+        unit = {3: 2, 4: 4, 7: 1}[typ]
         if cnt * unit <= 4:
-            fld = struct.pack(e + f"{cnt}{'H' if typ == 3 else 'I'}", *vals)
+            fld = (bytes(vals) if typ == 7 else
+                   struct.pack(e + f"{cnt}{'H' if typ == 3 else 'I'}", *vals))
             out += fld + b"\x00" * (4 - len(fld))
         else:
             out += struct.pack(e + "I", ptr)

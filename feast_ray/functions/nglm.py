@@ -292,8 +292,11 @@ class KnScorer:
         avg = np.zeros(n, np.int64)
         nz = n_words > 0
         avg[nz] = (-lp[nz]) * 1000 // n_words[nz]
+        idc = tbl[self.id_col]
+        if pa.types.is_integer(idc.type):
+            idc = idc.cast(pa.int64())
         return pa.table({
-            self.id_col: tbl[self.id_col].cast(pa.int64()),
+            self.id_col: idc,
             **{c: tbl[c] for c in self.passthrough},
             "n_tokens": pa.array(n_words),
             "lp_sum": pa.array(lp),

@@ -1618,17 +1618,22 @@ def q30_multimodal_decode(sf_dir: str):
                 kinds.append("image/jpeg")
             elif did % 9 == 2:
                 # late round 5: a third of the former fake share is
-                # baseline TIFF — solid gray, none/PackBits/LZW by
-                # (doc_id // 9) % 3, II/MM by doc_id % 4 (byte order
+                # TIFF — solid gray, none/PackBits/LZW/JPEG-in-TIFF by
+                # (doc_id // 9) % 4, II/MM by doc_id % 4 (byte order
                 # never changes n_bytes); sizes are the writer's
                 # closed forms (LZW: 9-bit codes covering 1..e bytes
-                # plus a leftover — see _tiff_lzw_encode)
-                w, h, v = 3 + did % 11, 2 + did % 5, did % 256
+                # plus a leftover — see _tiff_lzw_encode; JPEG strips:
+                # the baseline solid-image form inside the 122-byte
+                # wrapper, values from the boundary-free SAFE set)
+                comp = ("none", "packbits", "lzw", "jpeg")[(did // 9) % 4]
+                w, h = 3 + did % 11, 2 + did % 5
+                v = (safe_v[did % len(safe_v)] if comp == "jpeg"
+                     else did % 256)
                 px = np.full((h, w), v, np.uint8)
                 payloads.append(encode_tiff(
-                    px,
-                    ("none", "packbits", "lzw")[(did // 9) % 3],
+                    px, comp,
                     "II" if did % 4 < 2 else "MM",
+                    jpeg_qtab=JPEG_QTAB_ORACLE,
                 ))
                 kinds.append("image/tiff")
             else:
@@ -1704,14 +1709,33 @@ def _q30_sql() -> str:
 with docs_f as (select doc_id, text from documents
                 where doc_id % 3 = 2 and doc_id % 9 <> 2),
 tiff as (
-  -- late round 5: doc_id % 9 = 2 rows are baseline TIFF (solid gray);
+  -- late round 5: doc_id % 9 = 2 rows are TIFF (solid gray);
   -- n_bytes = 122-byte header/IFD + h*w (uncompressed), 2*h
-  -- (PackBits: one 2-byte run per row, w < 128), or the LZW closed
+  -- (PackBits: one 2-byte run per row, w < 128), the LZW closed
   -- form: clear + codes covering 1..e bytes + leftover + EOI, all
-  -- 9-bit at these sizes (e = floor((sqrt(8m+1)-1)/2), m = h*w)
+  -- 9-bit at these sizes (e = floor((sqrt(8m+1)-1)/2), m = h*w),
+  -- or a JPEG strip (arm 3): the baseline solid-image entropy form
+  -- inside the wrapper, value from the boundary-free SAFE set
   select doc_id, 3 + doc_id % 11 as w, 2 + doc_id % 5 as h,
-         (doc_id % 256) // 16 as vbin
+         (doc_id // 9) % 4 as arm,
+         case when (doc_id // 9) % 4 = 3
+              then ([{safe_list}])[1 + cast(doc_id % {n_safe} as int)]
+              else doc_id % 256 end as v
   from documents where doc_id % 9 = 2),
+tiff_j as (
+  select doc_id,
+    cast(floor(8.0 * (v - 128) / 17.0 + 0.5) as bigint) as dcq,
+    ((w + 7) // 8) * ((h + 7) // 8) as nblocks
+  from tiff),
+tiff_j2 as (
+  select doc_id, nblocks,
+    cast(least(greatest(floor(17.0 * dcq / 8.0 + 128.5), 0), 255)
+         as bigint) as vdec,
+    case when abs(dcq) = 0 then 0
+         when abs(dcq) <= 1 then 1 when abs(dcq) <= 3 then 2
+         when abs(dcq) <= 7 then 3 when abs(dcq) <= 15 then 4
+         when abs(dcq) <= 31 then 5 else 6 end as cat
+  from tiff_j),
 tiff_lzw as (
   select doc_id,
          cast(floor((sqrt(8.0 * h * w + 1) - 1) / 2) as bigint) as e,
@@ -1721,16 +1745,25 @@ tiff_rows as (
   select t.doc_id as media_id, 'image/tiff' as media_type,
     cast(w as bigint) as width, cast(h as bigint) as height,
     cast(122 + case
-      when (t.doc_id // 9) % 3 = 1 then 2 * h
-      when (t.doc_id // 9) % 3 = 2 then
+      when t.arm = 1 then 2 * h
+      when t.arm = 2 then
         (9 * (2 + z.e + case when z.m > z.e * (z.e + 1) // 2
                              then 1 else 0 end) + 7) // 8
+      when t.arm = 3 then {JPEG_HEADER_BYTES} + 2 +
+        ((case when j.cat = 0 then 2 when j.cat <= 5 then 3
+               else 4 end)
+         + j.cat + 4 + (j.nblocks - 1) * 6 + 7) // 8
       else h * w end
          as bigint) as n_bytes,
-    case when vbin = 0 then 1.0 else 0.0 end as f0,
-    case when vbin = 7 then 1.0 else 0.0 end as f7,
-    case when vbin = 15 then 1.0 else 0.0 end as f15
-  from tiff t join tiff_lzw z on z.doc_id = t.doc_id),
+    case when (case when t.arm = 3 then j.vdec else t.v end) // 16 = 0
+         then 1.0 else 0.0 end as f0,
+    case when (case when t.arm = 3 then j.vdec else t.v end) // 16 = 7
+         then 1.0 else 0.0 end as f7,
+    case when (case when t.arm = 3 then j.vdec else t.v end) // 16 = 15
+         then 1.0 else 0.0 end as f15
+  from tiff t
+  join tiff_lzw z on z.doc_id = t.doc_id
+  join tiff_j2 j on j.doc_id = t.doc_id),
 png as (
   select doc_id,
     4 + doc_id % 13 as w, 3 + doc_id % 7 as h,

@@ -701,7 +701,7 @@ def test_jpeg_progressive_optimized_huffman():
 def test_tiff_round_trip_and_dispatch():
     """Baseline TIFF (round 5): round-trip exact across gray/RGB, both
     byte orders, none/PackBits compression and multi-strip layouts;
-    WhiteIsZero decodes inverted; JPEG-in-TIFF stays a loud boundary;
+    WhiteIsZero decodes inverted; Deflate stays a loud boundary;
     the MediaDecoder auto-dispatches on both magics; solid-image sizes
     match the closed forms q30's oracle restates."""
     import numpy as np
@@ -740,11 +740,11 @@ def test_tiff_round_trip_and_dispatch():
     t[off] = 0
     assert np.array_equal(decode_tiff(bytes(t)), 255 - px)
 
-    # unsupported compression (JPEG-in-TIFF=7) fails loudly
+    # unsupported compression (Deflate=8) fails loudly
     t = bytearray(encode_tiff(px))
     coff = 8 + 2 + 3 * 12 + 8
     assert t[coff] == 1
-    t[coff] = 7
+    t[coff] = 8
     with _pt.raises(NotImplementedError):
         decode_tiff(bytes(t))
 
@@ -824,3 +824,60 @@ def test_tiff_lzw_and_predictor():
         expect = 122 + (9 * (2 + e + (1 if r else 0)) + 7) // 8
         got = len(encode_tiff(np.full((h_, w_), v, np.uint8), "lzw"))
         assert got == expect, (w_, h_, v)
+
+
+def test_tiff_jpeg_compression():
+    """New-style JPEG-in-TIFF (compression 7, TechNote 2): per-strip
+    JFIF streams decode bit-identically to the standalone JPEG codec;
+    tag-347 shared JPEGTables (abbreviated strips) reproduce the exact
+    same pixels; gray and YCbCr RGB, both byte orders, multi-strip."""
+    import numpy as np
+    import pytest as _pt
+
+    from feast_ray.functions.multimodal import (
+        decode_jpeg,
+        decode_tiff,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(22)
+
+    # gray, single + multi strip, both byte orders, with/without 347
+    px = rng.randint(0, 256, (21, 17)).astype(np.uint8)
+    for bo in ("II", "MM"):
+        for rps in (None, 8):
+            for jt in (False, True):
+                t = encode_tiff(px, "jpeg", bo, rps, jpegtables=jt)
+                got = decode_tiff(t)
+                # reference: the JPEG codec applied per strip
+                h = px.shape[0]
+                step = h if rps is None else rps
+                ref = np.concatenate([
+                    decode_jpeg(encode_jpeg_gray(px[s:s + step]))
+                    for s in range(0, h, step)
+                ], axis=0)
+                assert np.array_equal(got, ref), (bo, rps, jt)
+                assert (b"\xff\xdb" in t) != jt or jt  # tables moved
+
+    # RGB (photometric 6), strip height a non-multiple of the MCU
+    px3 = rng.randint(0, 256, (19, 24, 3)).astype(np.uint8)
+    for jt in (False, True):
+        t = encode_tiff(px3, "jpeg", rows_per_strip=10, jpegtables=jt)
+        got = decode_tiff(t)
+        ref = np.concatenate([
+            decode_jpeg(encode_jpeg_rgb(px3[s:s + 10]))
+            for s in range(0, 19, 10)
+        ], axis=0)
+        assert np.array_equal(got, ref)
+
+    # abbreviated strips really lack DQT/DHT when 347 is used
+    t = encode_tiff(px, "jpeg", jpegtables=True)
+    i = t.rfind(b"\xff\xd8")  # the (single) strip follows the tables
+    strip = t[i:]
+    assert b"\xff\xc4" not in strip[:strip.find(b"\xff\xda")]
+
+    # predictor is rejected for JPEG strips
+    with _pt.raises(AssertionError):
+        encode_tiff(px, "jpeg", predictor=2)
