@@ -2718,11 +2718,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             tags[tag] = vals
     except struct.error as exc:
         raise ValueError(f"truncated TIFF structure: {exc}") from exc
+    tiled = 322 in tags or 324 in tags
     try:
         w = int(tags[256][0])
         h = int(tags[257][0])
-        offs = tags[273]
-        counts = tags[279]
+        if tiled:
+            tile_w = int(tags[322][0])
+            tile_h = int(tags[323][0])
+            offs = tags[324]
+            counts = tags[325]
+        else:
+            offs = tags[273]
+            counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     spp = int(tags.get(277, (1,))[0])
@@ -2732,8 +2739,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     comp = int(tags.get(259, (1,))[0])
     photo = int(tags.get(262, (1,))[0])
     planar = int(tags.get(284, (1,))[0])
-    if planar != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     if spp not in (1, 3) or photo not in (0, 1, 2, 6):
         raise NotImplementedError(
             f"TIFF layout spp={spp} photometric={photo}"
@@ -2742,13 +2749,72 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     predictor = int(tags.get(317, (1,))[0])
     if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            "TIFF compression beyond none/LZW/JPEG/PackBits (tiles and "
-            "planar 2 stay the declared boundary)"
+            "TIFF compression beyond none/LZW/JPEG/PackBits "
+            "(Deflate/old-JPEG stay the declared boundary)"
         )
     if photo == 6 and comp != 7:
         raise NotImplementedError("TIFF YCbCr outside JPEG compression")
     if predictor not in (1, 2) or (comp == 7 and predictor != 1):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if comp == 7 and (tiled or planar == 2):
+        raise NotImplementedError(
+            "JPEG strips only in chunky strip layout")
+
+    def _decomp(chunk: bytes, expected: int) -> bytes:
+        if comp == 1:
+            if len(chunk) < expected:
+                raise ValueError("truncated TIFF chunk")
+            return chunk[:expected]
+        if comp == 5:
+            return _tiff_lzw_decode(chunk, expected)
+        return _packbits_decode(chunk, expected)
+
+    if tiled:
+        # tiled layout (tags 322-325): full-size edge-padded tiles,
+        # row-major across then down; predictor runs per tile row
+        ta = (w + tile_w - 1) // tile_w
+        td = (h + tile_h - 1) // tile_h
+        if len(offs) != ta * td:
+            raise ValueError("TIFF tile count mismatch")
+        out = np.zeros((h, w, spp), np.uint8)
+        for ti, (so, sc) in enumerate(zip(offs, counts)):
+            tx, ty = ti % ta, ti // ta
+            tpx = np.frombuffer(
+                _decomp(payload[so : so + sc], tile_h * tile_w * spp),
+                np.uint8,
+            ).reshape(tile_h, tile_w, spp)
+            if predictor == 2:
+                tpx = _tiff_undiff(tpx)
+            y0, x0 = ty * tile_h, tx * tile_w
+            ch, cw = min(tile_h, h - y0), min(tile_w, w - x0)
+            out[y0 : y0 + ch, x0 : x0 + cw] = tpx[:ch, :cw]
+        px = out.reshape(h, w) if spp == 1 else out
+        if photo == 0:
+            px = 255 - px
+        return px
+    if planar == 2:
+        # planar layout: all strips of plane 0, then plane 1, ... —
+        # each strip carries one component's rows
+        spp_strips = (h + rps - 1) // rps
+        if len(offs) != spp_strips * spp:
+            raise ValueError("TIFF planar strip count mismatch")
+        planes = []
+        for p in range(spp):
+            raw = bytearray()
+            for si in range(spp_strips):
+                so = offs[p * spp_strips + si]
+                sc = counts[p * spp_strips + si]
+                n_rows = min(rps, h - si * rps)
+                raw += _decomp(payload[so : so + sc], n_rows * w)
+            plane = np.frombuffer(bytes(raw), np.uint8).reshape(h, w)
+            if predictor == 2:
+                plane = _tiff_undiff(plane)
+            planes.append(plane)
+        px = np.stack(planes, axis=2)
+        px = px.reshape(h, w) if spp == 1 else px
+        if photo == 0:
+            px = 255 - px
+        return px
     if comp == 7:
         # new-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a
         # JPEG stream; tag 347 (JPEGTables) holds an SOI+tables+EOI
@@ -2830,6 +2896,8 @@ def encode_tiff(
     predictor: int = 1,
     jpegtables: bool = False,
     jpeg_qtab: "np.ndarray | None" = None,
+    planar: int = 1,
+    tile: "tuple[int, int] | None" = None,
 ) -> bytes:
     """Deterministic baseline TIFF writer pinning :func:`decode_tiff`:
     header, ascending-tag IFD, out-of-line arrays (RGB bits-per-sample;
@@ -2849,38 +2917,67 @@ def encode_tiff(
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     n_strips = (h + rps - 1) // rps
     comp = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}[compression]
+    assert planar in (1, 2)
     if comp == 7:
         assert predictor == 1, "predictor does not apply to JPEG strips"
-    if predictor == 2:  # horizontal differencing per channel per row
-        src = px.reshape(h, w, spp).astype(np.int16)
-        src = np.concatenate(
-            [src[:, :1], np.diff(src, axis=1)], axis=1
-        ).astype(np.uint8)  # mod-256 wrap
-        flat = src.reshape(h, w * spp)
-    else:
-        flat = px.reshape(h, w * spp)
+        assert planar == 1 and tile is None, "JPEG strips are chunky"
+    if tile is not None:
+        assert planar == 1, "tiled layout is chunky-only here"
+
+    def _hdiff(a: np.ndarray) -> np.ndarray:
+        """Horizontal differencing per channel per row, mod-256."""
+        a16 = a.astype(np.int16)
+        return np.concatenate(
+            [a16[:, :1], np.diff(a16, axis=1)], axis=1
+        ).astype(np.uint8)
+
+    def _lossless(rows: np.ndarray) -> bytes:
+        if comp == 1:
+            return rows.tobytes()
+        if comp == 5:
+            return _tiff_lzw_encode(rows.tobytes())
+        return b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
+
+    px3 = px.reshape(h, w, spp)
     strips = []
     jt_payload = b""
-    for s in range(n_strips):
-        rows = flat[s * rps : min((s + 1) * rps, h)]
-        if comp == 1:
-            strips.append(rows.tobytes())
-        elif comp == 5:
-            strips.append(_tiff_lzw_encode(rows.tobytes()))
-        elif comp == 7:
-            rpx = rows.reshape(-1, w, spp)
-            stream = (
-                encode_jpeg_rgb(rpx, qlum=jpeg_qtab) if spp == 3
-                else encode_jpeg_gray(rpx.reshape(-1, w), jpeg_qtab)
-            )
-            if jpegtables:
-                tables, stream = _jpeg_split_tables(stream)
-                jt_payload = b"\xff\xd8" + tables + b"\xff\xd9"
-            strips.append(stream)
-        else:
-            strips.append(
-                b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
-            )
+    if tile is not None:
+        tw, th = int(tile[0]), int(tile[1])
+        ta, td = (w + tw - 1) // tw, (h + th - 1) // th
+        padded = np.zeros((td * th, ta * tw, spp), np.uint8)
+        padded[:h, :w] = px3
+        for ty in range(td):
+            for tx in range(ta):
+                blk = padded[ty * th : (ty + 1) * th,
+                             tx * tw : (tx + 1) * tw]
+                if predictor == 2:
+                    blk = _hdiff(blk)
+                strips.append(_lossless(blk.reshape(th, tw * spp)))
+    elif planar == 2:
+        for p in range(spp):
+            plane = px3[:, :, p]
+            if predictor == 2:
+                plane = _hdiff(plane[:, :, None]).reshape(h, w)
+            for s in range(n_strips):
+                strips.append(
+                    _lossless(plane[s * rps : min((s + 1) * rps, h)]))
+    else:
+        flat = (_hdiff(px3) if predictor == 2 else px3).reshape(
+            h, w * spp)
+        for s in range(n_strips):
+            rows = flat[s * rps : min((s + 1) * rps, h)]
+            if comp == 7:
+                rpx = rows.reshape(-1, w, spp)
+                stream = (
+                    encode_jpeg_rgb(rpx, qlum=jpeg_qtab) if spp == 3
+                    else encode_jpeg_gray(rpx.reshape(-1, w), jpeg_qtab)
+                )
+                if jpegtables:
+                    tables, stream = _jpeg_split_tables(stream)
+                    jt_payload = b"\xff\xd8" + tables + b"\xff\xd9"
+                strips.append(stream)
+            else:
+                strips.append(_lossless(rows))
 
     entries = []  # (tag, type, count, value-or-None, extra_bytes)
     def short(tag, *vals):
@@ -2889,17 +2986,27 @@ def encode_tiff(
     def long_(tag, *vals):
         entries.append((tag, 4, len(vals), vals))
 
+    offs_tag = 324 if tile is not None else 273
     short(256, w)
     short(257, h)
     short(258, *([8] * spp))
     short(259, comp)
     short(262, (6 if comp == 7 else 2) if spp == 3 else 1)
-    long_(273, *([0] * n_strips))  # patched below
+    if tile is None:
+        long_(273, *([0] * len(strips)))  # patched below
     short(277, spp)
-    short(278, rps)
-    long_(279, *(len(s) for s in strips))
+    if tile is None:
+        short(278, rps)
+        long_(279, *(len(s) for s in strips))
+        if planar == 2:
+            short(284, planar)
     if predictor == 2:
         short(317, predictor)
+    if tile is not None:
+        short(322, tw)
+        short(323, th)
+        long_(324, *([0] * len(strips)))  # patched below
+        long_(325, *(len(s) for s in strips))
     if jt_payload:
         entries.append((347, 7, len(jt_payload), jt_payload))
 
@@ -2930,7 +3037,7 @@ def encode_tiff(
     out += struct.pack(e + "I", ifd_off)
     out += struct.pack(e + "H", n)
     for tag, typ, cnt, ptr, vals in packed:
-        if tag == 273:
+        if tag == offs_tag:
             vals = strip_offs
         out += struct.pack(e + "HHI", tag, typ, cnt)
         unit = {3: 2, 4: 4, 7: 1}[typ]
@@ -2944,7 +3051,7 @@ def encode_tiff(
     # second pass fix: out-of-line arrays whose values changed (273)
     out_extra = bytearray(extra)
     for tag, typ, cnt, ptr, vals in packed:
-        if tag == 273 and ptr is not None:
+        if tag == offs_tag and ptr is not None:
             rel = ptr - data_off
             out_extra[rel : rel + 4 * cnt] = struct.pack(
                 e + f"{cnt}I", *strip_offs

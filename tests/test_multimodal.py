@@ -881,3 +881,54 @@ def test_tiff_jpeg_compression():
     # predictor is rejected for JPEG strips
     with _pt.raises(AssertionError):
         encode_tiff(px, "jpeg", predictor=2)
+
+
+def test_tiff_tiled_and_planar():
+    """Tiled TIFF (tags 322-325: edge-padded full tiles, row-major) and
+    planar configuration 2 (all strips of plane 0, then plane 1, ...)
+    round-trip bit-exactly through the deterministic writer, across
+    byte orders, compressions, the horizontal predictor, gray and RGB,
+    and tile sizes that do / don't divide the image dims."""
+    import numpy as np
+    import pytest as _pt
+
+    from feast_ray.functions.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(31)
+    gray = rng.randint(0, 256, (21, 17)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (13, 22, 3)).astype(np.uint8)
+
+    # tiled: exact-fit and padded-edge tile grids, all three lossless
+    # compressions, both byte orders, with and without the predictor
+    for px in (gray, rgb):
+        for tile in ((8, 8), (16, 16), (17, 21), (5, 7)):
+            for comp in ("none", "packbits", "lzw"):
+                for bo in ("II", "MM"):
+                    for pred in (1, 2):
+                        t = encode_tiff(px, comp, bo, tile=tile,
+                                        predictor=pred)
+                        assert np.array_equal(decode_tiff(t), px), (
+                            px.shape, tile, comp, bo, pred)
+
+    # planar 2: multi-strip, compressions, predictor, byte orders
+    for px in (gray, rgb):
+        for rps in (None, 5):
+            for comp in ("none", "packbits", "lzw"):
+                for bo in ("II", "MM"):
+                    for pred in (1, 2):
+                        t = encode_tiff(px, comp, bo, rps, planar=2,
+                                        predictor=pred)
+                        assert np.array_equal(decode_tiff(t), px), (
+                            px.shape, rps, comp, bo, pred)
+
+    # a single-tile image degenerates to one full-size padded tile
+    t = encode_tiff(gray, tile=(32, 32))
+    assert np.array_equal(decode_tiff(t), gray)
+
+    # illegal combinations fail loudly
+    with _pt.raises(AssertionError):
+        encode_tiff(gray, "jpeg", tile=(8, 8))
+    with _pt.raises(AssertionError):
+        encode_tiff(gray, "jpeg", planar=2)
+    with _pt.raises(AssertionError):
+        encode_tiff(gray, tile=(8, 8), planar=2)
