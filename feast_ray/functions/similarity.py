@@ -1309,3 +1309,140 @@ def ann_topk_ivfpq(
         }
     )
     return ray.data.from_arrow(final), stats
+
+
+# --------------------------------------------------------------- SQ8
+# Scalar quantization (the FAISS ScalarQuantizer QT_8bit shape): each
+# dimension gets an affine map code = floor((x - vmin_d)*scale_d + .5)
+# into uint8 — 4x smaller than float32 storage with NO codebook, the
+# standard first rung of the vector-compression ladder below PQ.
+# Scoring is SYMMETRIC integer dot product (query quantized with the
+# same map), so every score is an exact int64 sum — order-free under
+# any partitioning, and a SQL oracle can recompute the entire
+# quantize -> score -> top-k chain from raw vectors plus the dumped
+# per-dim (vmin, scale) table alone (no engine output re-read).
+# Reference parity surface: retrieve_online_documents_v2 top-k
+# (feature_store.py:4149) at a compressed storage footprint.
+
+
+def sq8_fit(
+    ds: ray.data.Dataset, vec_col: str = "embedding"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-dimension (vmin, scale) affine params over the corpus.
+
+    min/max are associative + commutative, so the distributed partial
+    reduce is exactly partition-invariant (unlike float sums). Each
+    block emits ONE (2, d) partial row; the driver folds the tiny
+    partial set. ``scale_d = 255 / (vmax_d - vmin_d)`` computed once
+    driver-side in float64 (0 for constant dims) and DUMPED for the
+    oracle — SQL never re-derives the division."""
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table({"vmin": pa.array([], pa.list_(pa.float64())),
+                             "vmax": pa.array([], pa.list_(pa.float64()))})
+        mat = _batch_matrix(tbl, vec_col).astype(np.float64)
+        return pa.table({"vmin": pa.array([mat.min(0).tolist()]),
+                         "vmax": pa.array([mat.max(0).tolist()])})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("sq8_fit: empty corpus")
+    vmin = np.min([np.asarray(p["vmin"]) for p in parts], axis=0)
+    vmax = np.max([np.asarray(p["vmax"]) for p in parts], axis=0)
+    rng_ = vmax - vmin
+    scale = np.where(rng_ > 0, 255.0 / np.where(rng_ > 0, rng_, 1.0), 0.0)
+    return vmin, scale
+
+
+def sq8_encode(mat: np.ndarray, vmin: np.ndarray,
+               scale: np.ndarray) -> np.ndarray:
+    """(n, d) -> uint8 codes. The float64 expression is written in
+    the EXACT association the SQL oracle uses —
+    ``(cast(x as double) - vmin) * scale + 0.5`` then floor then
+    clip — so engine and DuckDB agree bit-for-bit (elementwise IEEE
+    ops only; no accumulation, no rounding-mode ambiguity)."""
+    q = np.floor((mat.astype(np.float64) - vmin) * scale + 0.5)
+    return np.clip(q, 0.0, 255.0).astype(np.uint8)
+
+
+def sq8_build(
+    ds: ray.data.Dataset,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Encode the corpus once into a codes-only parquet layout
+    (id + fixed-width uint8 list): the search scans 1 byte/dim
+    instead of 4. Params broadcast via ``ray.put`` once, read per
+    task. Returns (vmin, scale) for query-side encoding + the dump."""
+    vmin, scale = sq8_fit(ds, vec_col)
+    pref = ray.put((vmin, scale))
+
+    def _enc(tbl: pa.Table) -> pa.Table:
+        vm, sc = ray.get(pref)
+        if len(tbl) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.binary())})
+        codes = sq8_encode(_batch_matrix(tbl, vec_col), vm, sc)
+        return pa.table({
+            id_col: tbl[id_col].cast(pa.int64()),
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    ds.map_batches(_enc, batch_format="pyarrow").write_parquet(path)
+    return vmin, scale
+
+
+def ann_topk_sq8(
+    path: str,
+    queries: np.ndarray,
+    vmin: np.ndarray,
+    scale: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_ids: "np.ndarray | None" = None,
+) -> ray.data.Dataset:
+    """Flat SQ8 scan: quantize the queries with the corpus affine
+    map, stream the codes table, one uint8->int64 matmul per block,
+    per-block top-k candidates, then the shared bucketed final merge.
+    Scores are exact int64 (d * 255^2 « 2^63), ties break to the
+    smaller id — total order, no float drift anywhere."""
+    queries = np.asarray(queries)
+    qcodes = sq8_encode(queries, vmin, scale).astype(np.int64)
+    qids = (np.arange(len(queries), dtype=np.int64)
+            if query_ids is None else np.asarray(query_ids, np.int64))
+    qref = ray.put((qcodes, qids))
+
+    def _block(tbl: pa.Table) -> pa.Table:
+        qc, qi = ray.get(qref)
+        if len(tbl) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        raw = tbl["codes"].to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(b"".join(raw), np.uint8).reshape(
+            len(ids), -1).astype(np.int64)
+        scores = codes @ qc.T  # (n, nq) exact int64
+        keep = min(k, len(ids))
+        # per-query block top-k (score desc, id asc)
+        order = np.lexsort((ids[:, None].repeat(len(qi), 1), -scores),
+                           axis=0)[:keep]
+        rq, ri, rs = [], [], []
+        for j in range(len(qi)):
+            sel = order[:, j]
+            rq.append(np.full(keep, qi[j], np.int64))
+            ri.append(ids[sel])
+            rs.append(scores[sel, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rq), pa.int64()),
+            id_col: pa.array(np.concatenate(ri).astype(np.int64), pa.int64()),
+            "score": pa.array(np.concatenate(rs), pa.int64()),
+        })
+
+    cand = ray.data.read_parquet(path, columns=[id_col, "codes"]) \
+        .map_batches(_block, batch_format="pyarrow")
+    return _final_per_query_topk(cand, id_col, k, n_queries=len(queries))

@@ -5987,6 +5987,104 @@ from reps
 """
 
 
+# --------------------------------------------------------------------- q99
+
+def q99_ann_sq8(sf_dir: str):
+    """Flat SQ8 scalar-quantized ANN (late round 5 — the FAISS
+    ScalarQuantizer QT_8bit shape, the vector-compression rung below
+    PQ): each dimension's affine map ``floor((x - vmin)*scale + 0.5)``
+    packs float32 vectors into uint8 codes (4x smaller scan payload,
+    NO codebook), the corpus is encoded ONCE into a codes-only parquet
+    layout, and search is a SYMMETRIC integer dot product — every
+    score an exact int64 sum, total order with vec_id tie-break, no
+    float accumulation anywhere (similarity.py SQ8 section).
+
+    Strongest oracle in the ANN family: only the per-dim (vmin,
+    scale) table is dumped — min/max are associative so the
+    distributed fit is exactly partition-invariant and the scales are
+    driver-computed float64 — and DuckDB INDEPENDENTLY recomputes the
+    whole chain from the raw embeddings table: per-element quantize
+    (identical IEEE expression), integer scores, top-k."""
+    import shutil
+
+    from feast_ray.functions.similarity import ann_topk_sq8, sq8_build
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                        batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)),
+        batch_format="pyarrow",
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_sq8"
+    codes_path = f"/tmp/feast_ray_cache/sq8_{base}"
+    marker = os.path.join(codes_path, "_source_fingerprint.txt")
+    params_npy = os.path.join(codes_path, "_params.npy")
+    fresh = (
+        os.path.exists(params_npy)
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    )
+    if fresh:
+        vmin, scale = np.load(params_npy)
+    else:
+        shutil.rmtree(codes_path, ignore_errors=True)
+        vmin, scale = sq8_build(corpus, codes_path)
+        np.save(params_npy, np.stack([vmin, scale]))
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({"dim": pa.array(np.arange(len(vmin)), pa.int64()),
+                  "vmin": pa.array(vmin, pa.float64()),
+                  "scale": pa.array(scale, pa.float64())}),
+        os.path.join(_PPL_ORACLE_DIR, "sq8_params.parquet"),
+    )
+    return ann_topk_sq8(
+        codes_path, queries, vmin, scale, k=10,
+        query_ids=qdf["vec_id"].to_numpy(),
+    )
+
+
+def _q99_sql() -> str:
+    return f"""
+with p as (select dim, vmin, scale
+           from read_parquet('{_PPL_ORACLE_DIR}/sq8_params.parquet')),
+qd as (select vec_id as qid, generate_subscripts(embedding, 1) - 1 as dim,
+              unnest(cast(embedding as double[])) as e
+       from embeddings where vec_id < 5),
+qc as (select qid, qd.dim,
+         cast(least(255.0, greatest(0.0, floor((e - vmin) * scale + 0.5)))
+              as bigint) as code
+       from qd join p on qd.dim = p.dim),
+cd as (select vec_id, generate_subscripts(embedding, 1) - 1 as dim,
+              unnest(cast(embedding as double[])) as e
+       from embeddings where vec_id >= 5),
+cc as (select vec_id, cd.dim,
+         cast(least(255.0, greatest(0.0, floor((e - vmin) * scale + 0.5)))
+              as bigint) as code
+       from cd join p on cd.dim = p.dim),
+scored as (select qc.qid as query_id, cc.vec_id,
+                  sum(qc.code * cc.code) as score
+           from qc join cc on qc.dim = cc.dim group by 1, 2),
+ranked as (select *, row_number() over (partition by query_id
+               order by score desc, vec_id asc) as rn from scored)
+select query_id, vec_id, cast(score as bigint) as score
+from ranked where rn <= 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6086,6 +6184,7 @@ QUERIES = {
     "q96_bpe_pack": q96_bpe_pack,
     "q97_ccnet_perplexity": q97_ccnet_perplexity,
     "q98_temperature_mix": q98_temperature_mix,
+    "q99_ann_sq8": q99_ann_sq8,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6167,6 +6266,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_bpe_pack": _q96_sql(),
         "q97_ccnet_perplexity": _q97_sql(),
         "q98_temperature_mix": _q98_sql(),
+        "q99_ann_sq8": _q99_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -557,3 +557,72 @@ def test_final_topk_bucketed_parity(monkeypatch, tmp_path):
 
     pd.testing.assert_frame_equal(serial_bf, bucket_bf)
     pd.testing.assert_frame_equal(serial_pq, bucket_pq)
+
+
+def test_sq8_partition_invariance_and_oracle(emb, tmp_path):
+    """SQ8 (FAISS QT_8bit shape): the fit's min/max reduce and the
+    elementwise quantize are exactly partition-invariant, scores are
+    exact int64 dot products matching a driver-side recompute, and
+    the codes layout is 4x smaller than float32 storage."""
+    from feast_ray.functions.similarity import (
+        ann_topk_sq8,
+        sq8_build,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    mat = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    queries = mat[:3].copy()
+
+    # fit is bit-identical at 1 block vs 7 blocks
+    df = emb[["vec_id", "embedding"]]
+    fits = []
+    for nb in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        fits.append(sq8_fit(ds))
+    assert np.array_equal(fits[0][0], fits[1][0])
+    assert np.array_equal(fits[0][1], fits[1][1])
+    vmin, scale = fits[0]
+
+    # search matches the exact integer recompute, both block layouts
+    ref_c = sq8_encode(mat, vmin, scale).astype(np.int64)
+    ref_q = sq8_encode(queries, vmin, scale).astype(np.int64)
+    sc = ref_c @ ref_q.T
+    for nb in (1, 7):
+        p = str(tmp_path / f"sq8_{nb}")
+        ds = ray.data.from_pandas(df).repartition(nb)
+        v2, s2 = sq8_build(ds, p)
+        assert np.array_equal(v2, vmin) and np.array_equal(s2, scale)
+        got = ann_topk_sq8(p, queries, v2, s2, k=5).to_pandas()
+        for j in range(3):
+            order = np.lexsort((ids, -sc[:, j]))[:5]
+            sub = got[got.query_id == j]
+            assert np.array_equal(sub["vec_id"].to_numpy(), ids[order])
+            assert np.array_equal(sub["score"].to_numpy(), sc[order, j])
+
+    # codes really are 1 byte/dim
+    import pyarrow.dataset as pds
+
+    tbl = pds.dataset(str(tmp_path / "sq8_1")).to_table()
+    assert all(len(b) == mat.shape[1] for b in tbl["codes"].to_pylist())
+
+    # quantization fidelity: integer-code top-5 vs the EXACT float
+    # ordering in the same affine space (per-element error <= 0.5
+    # code units) — overlap must be high
+    af_c = (mat.astype(np.float64) - vmin) * scale
+    af_q = (queries.astype(np.float64) - vmin) * scale
+    fsc = af_c @ af_q.T
+    for j in range(3):
+        exact = set(ids[np.lexsort((ids, -fsc[:, j]))[:5]].tolist())
+        quant = set(got[got.query_id == j]["vec_id"].tolist())
+        assert len(exact & quant) >= 4, (j, exact, quant)
+
+    # constant dimension -> scale 0, codes 0, no division blowup
+    const = np.tile(np.array([[1.5, 2.5]], np.float32), (4, 1))
+    cdf = pd.DataFrame({"vec_id": np.arange(4),
+                        "embedding": list(const)})
+    v3, s3 = sq8_fit(ray.data.from_pandas(cdf))
+    assert np.array_equal(s3, [0.0, 0.0])
+    assert np.array_equal(sq8_encode(const, v3, s3),
+                          np.zeros((4, 2), np.uint8))
