@@ -2747,10 +2747,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     rps = int(tags.get(278, (h,))[0])
     predictor = int(tags.get(317, (1,))[0])
-    if comp not in (1, 5, 7, 32773):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            "TIFF compression beyond none/LZW/JPEG/PackBits "
-            "(Deflate/old-JPEG stay the declared boundary)"
+            "TIFF compression beyond none/LZW/Deflate/JPEG/PackBits "
+            "(old-style JPEG stays the declared boundary)"
         )
     if photo == 6 and comp != 7:
         raise NotImplementedError("TIFF YCbCr outside JPEG compression")
@@ -2767,6 +2767,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return chunk[:expected]
         if comp == 5:
             return _tiff_lzw_decode(chunk, expected)
+        if comp in (8, 32946):  # Adobe Deflate / old Deflate code
+            import zlib
+
+            out = zlib.decompress(chunk)
+            if len(out) < expected:
+                raise ValueError("truncated TIFF deflate chunk")
+            return out[:expected]
         return _packbits_decode(chunk, expected)
 
     if tiled:
@@ -2845,16 +2852,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     raw = bytearray()
     row_bytes = w * spp
     for si, (so, sc) in enumerate(zip(offs, counts)):
-        strip = payload[so : so + sc]
         n_rows = min(rps, h - si * rps)
-        if comp == 1:
-            if len(strip) < n_rows * row_bytes:
-                raise ValueError("truncated TIFF strip")
-            raw += strip[: n_rows * row_bytes]
-        elif comp == 5:
-            raw += _tiff_lzw_decode(strip, n_rows * row_bytes)
-        else:
-            raw += _packbits_decode(strip, n_rows * row_bytes)
+        raw += _decomp(payload[so : so + sc], n_rows * row_bytes)
     px = np.frombuffer(bytes(raw), np.uint8)
     px = px.reshape(h, w, spp) if spp == 3 else px.reshape(h, w)
     if predictor == 2:  # horizontal differencing, per channel per row
@@ -2916,7 +2915,8 @@ def encode_tiff(
     assert predictor in (1, 2)
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
     n_strips = (h + rps - 1) // rps
-    comp = {"none": 1, "lzw": 5, "packbits": 32773, "jpeg": 7}[compression]
+    comp = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+            "jpeg": 7}[compression]
     assert planar in (1, 2)
     if comp == 7:
         assert predictor == 1, "predictor does not apply to JPEG strips"
@@ -2936,6 +2936,10 @@ def encode_tiff(
             return rows.tobytes()
         if comp == 5:
             return _tiff_lzw_encode(rows.tobytes())
+        if comp == 8:
+            import zlib
+
+            return zlib.compress(rows.tobytes(), 6)
         return b"".join(_packbits_encode_row(r.tobytes()) for r in rows)
 
     px3 = px.reshape(h, w, spp)

@@ -740,11 +740,11 @@ def test_tiff_round_trip_and_dispatch():
     t[off] = 0
     assert np.array_equal(decode_tiff(bytes(t)), 255 - px)
 
-    # unsupported compression (Deflate=8) fails loudly
+    # unsupported compression (old-style JPEG=6) fails loudly
     t = bytearray(encode_tiff(px))
     coff = 8 + 2 + 3 * 12 + 8
     assert t[coff] == 1
-    t[coff] = 8
+    t[coff] = 6
     with _pt.raises(NotImplementedError):
         decode_tiff(bytes(t))
 
@@ -902,7 +902,7 @@ def test_tiff_tiled_and_planar():
     # compressions, both byte orders, with and without the predictor
     for px in (gray, rgb):
         for tile in ((8, 8), (16, 16), (17, 21), (5, 7)):
-            for comp in ("none", "packbits", "lzw"):
+            for comp in ("none", "packbits", "lzw", "deflate"):
                 for bo in ("II", "MM"):
                     for pred in (1, 2):
                         t = encode_tiff(px, comp, bo, tile=tile,
@@ -913,7 +913,7 @@ def test_tiff_tiled_and_planar():
     # planar 2: multi-strip, compressions, predictor, byte orders
     for px in (gray, rgb):
         for rps in (None, 5):
-            for comp in ("none", "packbits", "lzw"):
+            for comp in ("none", "packbits", "lzw", "deflate"):
                 for bo in ("II", "MM"):
                     for pred in (1, 2):
                         t = encode_tiff(px, comp, bo, rps, planar=2,
@@ -932,3 +932,39 @@ def test_tiff_tiled_and_planar():
         encode_tiff(gray, "jpeg", planar=2)
     with _pt.raises(AssertionError):
         encode_tiff(gray, tile=(8, 8), planar=2)
+
+
+def test_tiff_deflate():
+    """Adobe Deflate TIFF (compression 8): zlib streams per strip,
+    composing with multi-strip, the horizontal predictor, both byte
+    orders, gray and RGB; the legacy code 32946 decodes identically."""
+    import numpy as np
+
+    from feast_ray.functions.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(41)
+    gray = rng.randint(0, 256, (23, 19)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (11, 14, 3)).astype(np.uint8)
+    for px in (gray, rgb):
+        for bo in ("II", "MM"):
+            for rps in (None, 6):
+                for pred in (1, 2):
+                    t = encode_tiff(px, "deflate", bo, rps, predictor=pred)
+                    assert np.array_equal(decode_tiff(t), px), (
+                        px.shape, bo, rps, pred)
+
+    # legacy code 32946 is accepted as an alias of 8
+    import struct
+    t = bytearray(encode_tiff(gray, "deflate"))
+    # find the compression tag (259) in the IFD and patch its value
+    (n,) = struct.unpack("<H", t[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        (tag,) = struct.unpack("<H", t[off:off + 2])
+        if tag == 259:
+            struct.pack_into("<H", t, off + 8, 32946)
+    assert np.array_equal(decode_tiff(bytes(t)), gray)
+
+    # deflate beats "none" on a compressible (solid) image
+    solid = np.full((64, 64), 7, np.uint8)
+    assert len(encode_tiff(solid, "deflate")) < len(encode_tiff(solid))
