@@ -6085,6 +6085,83 @@ from ranked where rn <= 10
 """
 
 
+# -------------------------------------------------------------------- q100
+
+def q100_compressibility(sf_dir: str):
+    """Compression-ratio quality signal (late round 5 — the Dolma /
+    web-pipeline "compressibility" heuristic: highly zlib-compressible
+    text is boilerplate/repetition, incompressible text is noise):
+    one map_batches stage appends per-doc raw/compressed byte lengths
+    and an integer-exact cross-multiplied bucket (< 40% repetitive,
+    < 60% mixed, else normal), then a combiner-shape grouped_agg per
+    (source, bucket) — functions/compressibility.py.
+
+    Oracle: q80/q94's sequential-recompute dump doctrine for the ONE
+    non-SQL term (zlib length — a pure per-doc function, so the
+    distributed scores are bit-identical to the sequential reference
+    under any partitioning); raw UTF-8 length, buckets and the
+    aggregation are all INDEPENDENTLY re-derived in DuckDB
+    (octet_length(encode(text)), integer compares, group by)."""
+    from feast_ray.functions.compressibility import (
+        compress_lengths,
+        compress_stats,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = docs.map_batches(
+        lambda t: compress_stats(t, "text").drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+    # sequential single-process reference recompute -> oracle input
+    import pyarrow.parquet as _pq
+
+    ref = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    _raw, comp = compress_lengths(ref["text"].to_pylist())
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({"doc_id": ref["doc_id"].cast(pa.int64()),
+                  "ref_comp": pa.array(comp, pa.int64())}),
+        os.path.join(_PPL_ORACLE_DIR, "zlib_lengths.parquet"),
+    )
+    return grouped_agg(
+        out,
+        ["source", "comp_bucket"],
+        [
+            AggSpec(None, "count", "n_docs"),
+            AggSpec("raw_len", "sum", "sum_raw"),
+            AggSpec("comp_len", "sum", "sum_comp"),
+        ],
+    )
+
+
+def _q100_sql() -> str:
+    from feast_ray.functions.compressibility import MIXED_PCT, REPETITIVE_PCT
+
+    return f"""
+with d as (
+  select doc_id, source,
+    cast(octet_length(encode(text)) as bigint) as raw_len
+  from documents),
+j as (
+  select d.source, d.raw_len, z.ref_comp as comp_len,
+    case
+      when d.raw_len = 0 then 'empty'
+      when z.ref_comp * 100 < d.raw_len * {REPETITIVE_PCT} then 'repetitive'
+      when z.ref_comp * 100 < d.raw_len * {MIXED_PCT} then 'mixed'
+      else 'normal'
+    end as comp_bucket
+  from d join read_parquet('{_PPL_ORACLE_DIR}/zlib_lengths.parquet') z
+    using (doc_id))
+select source, comp_bucket, count(*) as n_docs,
+  cast(sum(raw_len) as bigint) as sum_raw,
+  cast(sum(comp_len) as bigint) as sum_comp
+from j group by source, comp_bucket
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6185,6 +6262,7 @@ QUERIES = {
     "q97_ccnet_perplexity": q97_ccnet_perplexity,
     "q98_temperature_mix": q98_temperature_mix,
     "q99_ann_sq8": q99_ann_sq8,
+    "q100_compressibility": q100_compressibility,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6267,6 +6345,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_ccnet_perplexity": _q97_sql(),
         "q98_temperature_mix": _q98_sql(),
         "q99_ann_sq8": _q99_sql(),
+        "q100_compressibility": _q100_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
