@@ -6162,6 +6162,94 @@ from j group by source, comp_bucket
 """
 
 
+# -------------------------------------------------------------------- q101
+
+def q101_wet_ingest(sf_dir: str):
+    """WET (Common-Crawl extracted-text) ingest — the crawl's native
+    wire format upstream of any parquet lake (late round 5,
+    sources/warc.py): the documents table is materialized ONCE into
+    sharded ``.wet.gz`` files (one gzip member per record, ISO 28500,
+    byte-stable writer, fingerprint-cached), then read back through
+    ``read_wet`` — file-level parallel gzip-member walk + one
+    map_batches parse — and every record re-emits (doc_id parsed from
+    the URL, url, warc_date, text md5, byte length).
+
+    The oracle never sees the WET files: DuckDB re-derives url, date,
+    md5 and octet length straight from the documents table, so the
+    gate value-checks the north rule's literal per-row invariant —
+    byte-identical extracted text per url — through the full
+    write→gzip→parse→decode round trip."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as _pq
+
+    from feast_ray.sources.warc import read_wet, write_wet
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_wet1"
+    wet_dir = f"/tmp/feast_ray_cache/wet_{base}"
+    marker = os.path.join(wet_dir, "_source_fingerprint.txt")
+    if not (os.path.exists(marker) and open(marker).read() == fingerprint):
+        import shutil
+
+        shutil.rmtree(wet_dir, ignore_errors=True)
+        os.makedirs(wet_dir)
+        tbl = _pq.read_table(src, columns=["doc_id", "source", "text"])
+        d0 = datetime(2026, 1, 1)
+        shards: "dict[int, list]" = {s: [] for s in range(8)}
+        for did, srcname, text in zip(
+            tbl["doc_id"].to_pylist(), tbl["source"].to_pylist(),
+            tbl["text"].to_pylist(),
+        ):
+            shards[did % 8].append({
+                "url": f"https://crawl.example/{srcname}/{did}",
+                "date": (d0 + timedelta(seconds=did)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"),
+                "text": text,
+            })
+        for s, recs in shards.items():
+            write_wet(recs, os.path.join(wet_dir, f"part_{s}.wet.gz"))
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+
+    files = sorted(
+        os.path.join(wet_dir, f) for f in os.listdir(wet_dir)
+        if f.endswith(".wet.gz")
+    )
+    ds = read_wet(files)
+
+    def _project(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(
+                [int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()),
+            "url": t["url"],
+            "warc_date": t["warc_date"],
+            "text_md5": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                pa.string()),
+            "n_bytes": pa.array(
+                [len(x.encode("utf-8")) for x in texts], pa.int64()),
+        })
+
+    return ds.map_batches(_project, batch_format="pyarrow")
+
+
+_Q101_SQL = """
+select doc_id,
+  'https://crawl.example/' || source || '/' || doc_id as url,
+  strftime(timestamp '2026-01-01 00:00:00' + to_seconds(doc_id),
+           '%Y-%m-%dT%H:%M:%SZ') as warc_date,
+  md5(text) as text_md5,
+  cast(octet_length(encode(text)) as bigint) as n_bytes
+from documents
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6263,6 +6351,7 @@ QUERIES = {
     "q98_temperature_mix": q98_temperature_mix,
     "q99_ann_sq8": q99_ann_sq8,
     "q100_compressibility": q100_compressibility,
+    "q101_wet_ingest": q101_wet_ingest,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6346,6 +6435,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_temperature_mix": _q98_sql(),
         "q99_ann_sq8": _q99_sql(),
         "q100_compressibility": _q100_sql(),
+        "q101_wet_ingest": _Q101_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -1,6 +1,7 @@
 from feast_ray.sources.delta import delta_file_uris, read_delta, write_delta
 from feast_ray.sources.parquet import read_table
 from feast_ray.sources.sql import duckdb_factory, read_sql
+from feast_ray.sources.warc import parse_warc_stream, read_wet, write_wet
 from feast_ray.sources.webpages import synth_webpages, webpages_parquet_dir
 
 __all__ = [
@@ -12,4 +13,7 @@ __all__ = [
     "delta_file_uris",
     "read_sql",
     "duckdb_factory",
+    "read_wet",
+    "write_wet",
+    "parse_warc_stream",
 ]
