@@ -460,6 +460,27 @@ def run_bench() -> dict:
             timings["ann_ivfpq_search_10kq"] = round(dt, 3)
             extras["ann_queries_per_sec"] = round(10_000 / dt, 1)
 
+            # SQ8 flat scan over the same 512k corpus (round 5, q99):
+            # codebook-free 4x-compressed codes, exact int64 scoring
+            # through the chunked composite-key block top-k.
+            from feast_ray.functions.similarity import (
+                ann_topk_sq8,
+                sq8_build,
+            )
+
+            sq_dir = "/tmp/feast_ray_bench/sq8_corpus"
+            shutil.rmtree(sq_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            vmin, scale = sq8_build(corpus_ds, sq_dir)
+            timings["ann_sq8_build_512k"] = round(
+                time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = ann_topk_sq8(sq_dir, queries, vmin, scale, k=10).count()
+            dt = time.perf_counter() - t0
+            assert n == 100_000, n
+            timings["ann_sq8_search_10kq"] = round(dt, 3)
+            extras["sq8_queries_per_sec"] = round(10_000 / dt, 1)
+
         def _clf() -> None:
             # trainable quality classifier (round 5): distill the
             # heuristic keep/drop labels into a hashed-ngram logistic

@@ -1422,26 +1422,40 @@ def ann_topk_sq8(
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.int64())})
-        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         raw = tbl["codes"].to_numpy(zero_copy_only=False)
         codes = np.frombuffer(b"".join(raw), np.uint8).reshape(
             len(ids), -1).astype(np.int64)
-        scores = codes @ qc.T  # (n, nq) exact int64
-        keep = min(k, len(ids))
-        # per-query block top-k (score desc, id asc)
-        order = np.lexsort((ids[:, None].repeat(len(qi), 1), -scores),
-                           axis=0)[:keep]
-        rq, ri, rs = [], [], []
-        for j in range(len(qi)):
-            sel = order[:, j]
-            rq.append(np.full(keep, qi[j], np.int64))
-            ri.append(ids[sel])
-            rs.append(scores[sel, j])
-        return pa.table({
-            "query_id": pa.array(np.concatenate(rq), pa.int64()),
-            id_col: pa.array(np.concatenate(ri).astype(np.int64), pa.int64()),
-            "score": pa.array(np.concatenate(rs), pa.int64()),
-        })
+        # sort the block by id so a composite (score, -rowpos) key
+        # breaks ties toward the SMALLER id — exact top-k with one
+        # vectorized argpartition per query chunk, no (n, nq) id
+        # matrix and no per-query Python loop (thousands-of-queries
+        # economics, same doctrine as the IVF-PQ per-cell scorer)
+        order0 = np.argsort(ids, kind="stable")
+        ids, codes = ids[order0], codes[order0]
+        n = len(ids)
+        keep = min(k, n)
+        rowpos = np.arange(n, dtype=np.int64)[:, None]
+        parts = []
+        for q0 in range(0, len(qi), 1024):
+            qcc = qc[q0 : q0 + 1024]
+            scores = codes @ qcc.T  # (n, <=1024) exact int64
+            # scores < d*255^2 << 2^62 / n: the composite key is safe
+            key = scores * n - rowpos
+            top = np.argpartition(-key, keep - 1, axis=0)[:keep]
+            kk = np.take_along_axis(key, top, axis=0)
+            ordk = np.argsort(-kk, axis=0, kind="stable")
+            sel = np.take_along_axis(top, ordk, axis=0)  # (keep, nq)
+            nq = sel.shape[1]
+            parts.append(pa.table({
+                "query_id": pa.array(
+                    np.repeat(qi[q0 : q0 + nq], keep), pa.int64()),
+                id_col: pa.array(ids[sel].T.ravel(), pa.int64()),
+                "score": pa.array(
+                    np.take_along_axis(scores, sel, axis=0).T.ravel(),
+                    pa.int64()),
+            }))
+        return pa.concat_tables(parts)
 
     cand = ray.data.read_parquet(path, columns=[id_col, "codes"]) \
         .map_batches(_block, batch_format="pyarrow")

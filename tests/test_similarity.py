@@ -626,3 +626,35 @@ def test_sq8_partition_invariance_and_oracle(emb, tmp_path):
     assert np.array_equal(s3, [0.0, 0.0])
     assert np.array_equal(sq8_encode(const, v3, s3),
                           np.zeros((4, 2), np.uint8))
+
+
+def test_sq8_chunked_many_queries_ties(tmp_path):
+    """The chunked composite-key block scorer (>1024 queries crosses
+    a chunk boundary) stays exact under heavy score ties: coarse
+    3-level vectors force many equal int64 scores, and the tie-break
+    must still pick the smallest vec_id."""
+    from feast_ray.functions.similarity import (
+        ann_topk_sq8,
+        sq8_build,
+        sq8_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    mat = rng.choice([0.0, 0.5, 1.0], size=(160, 8)).astype(np.float32)
+    ids = np.arange(160, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    p = str(tmp_path / "sq8_ties")
+    vmin, scale = sq8_build(ray.data.from_pandas(df).repartition(4), p)
+
+    queries = rng.choice([0.0, 0.5, 1.0], size=(1100, 8)).astype(np.float32)
+    got = ann_topk_sq8(p, queries, vmin, scale, k=3).to_pandas()
+    assert len(got) == 1100 * 3
+
+    cc = sq8_encode(mat, vmin, scale).astype(np.int64)
+    qc = sq8_encode(queries, vmin, scale).astype(np.int64)
+    sc = cc @ qc.T
+    for j in (0, 511, 1023, 1024, 1099):  # spans the chunk boundary
+        order = np.lexsort((ids, -sc[:, j]))[:3]
+        sub = got[got.query_id == j]
+        assert np.array_equal(sub["vec_id"].to_numpy(), ids[order]), j
+        assert np.array_equal(sub["score"].to_numpy(), sc[order, j]), j
