@@ -6250,6 +6250,308 @@ from documents
 """
 
 
+# -------------------------------------------------------------------- q102
+
+def q102_trained_quality_pipeline(sf_dir: str):
+    """Composed TRAINED-model quality pipeline (late round 5 — the
+    north star's literal shape with every model learned from the
+    corpus instead of fixed): multiclass fastText-shape language-ID
+    (q95) → corpus-trained Kneser–Ney perplexity buckets (q97) →
+    distilled fastText-shape quality classifier (q93), fused into one
+    per-source keep/drop funnel. All three trainings are the
+    bit-deterministic int64-quantized-gradient / integer-count fits;
+    scoring streams the corpus three ways and the branches meet
+    through auto-bucketed hash joins on doc_id.
+
+    Keep rule: predicted language matches the stored label AND the
+    perplexity bucket is not 'tail' AND the classifier score is
+    positive — the CCNet/Llama-data filter chain. Output: per-source
+    n_docs / n_lang_ok / n_ppl_ok / n_clf_ok / n_keep (exact int64).
+
+    SQL-oracled end to end by composing the three dump doctrines
+    under q102-prefixed dump files (no run-order coupling with
+    q93/q95/q97): DuckDB re-derives every char-bigram bucket, every
+    token's KN backoff path, every word/bigram gram bucket, the three
+    per-doc decisions and the funnel counts — bit-equal."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.langid_clf import (
+        langid_features,
+        langid_fit,
+        langid_predict,
+        langid_quantize,
+    )
+    from feast_ray.functions.nglm import (
+        kn_fit,
+        kn_score,
+        kn_thresholds,
+        ppl_bucket,
+        sample_mask,
+    )
+    from feast_ray.functions.quality_clf import (
+        clf_features,
+        clf_fit,
+        clf_quantize,
+        clf_score,
+    )
+    from feast_ray.stages.join import hash_join
+    from feast_ray.stages.relational import distinct
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "text"])
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+
+    # ---- model 1: multiclass language-ID (q95 recipe, q102 dumps)
+    classes = sorted(
+        distinct(docs.map_batches(
+            lambda t: t.select(["lang"]), batch_format="pyarrow"
+        ), ["lang"]).to_pandas()["lang"]
+    )
+    K = len(classes)
+    feats = langid_features(docs, classes, buckets=_LANGID_BUCKETS)
+    W, bv = langid_fit(feats, K, buckets=_LANGID_BUCKETS, iters=30, lr=4.0)
+    lam_l, beta_l = langid_quantize(W, bv)
+    nz_b, nz_k = np.nonzero(lam_l)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([np.full(K, -1), nz_b]), pa.int64()),
+            "cls": pa.array(
+                np.concatenate([np.arange(K), nz_k]), pa.int64()),
+            "lam": pa.array(
+                np.concatenate([beta_l, lam_l[nz_b, nz_k]]).astype(np.int64),
+                pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "q102_langid_lam.parquet"),
+    )
+    _pq.write_table(
+        pa.table({"cls": pa.array(np.arange(K), pa.int64()),
+                  "lang": pa.array(classes, pa.string())}),
+        os.path.join(_PPL_ORACLE_DIR, "q102_langid_classes.parquet"),
+    )
+
+    # ---- model 2: quality classifier distilled from the heuristic
+    # labels (q93 recipe)
+    labeled = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow"
+    ).map_batches(apply_quality_rules, batch_format="pyarrow")
+    labeled = labeled.map_batches(
+        lambda t: t.select(["doc_id", "text"]).append_column(
+            "label", t["keep"].cast(pa.int8())),
+        batch_format="pyarrow",
+    )
+    feats_c = clf_features(labeled, buckets=_DSIR_BUCKETS)
+    w_c, b_c = clf_fit(feats_c, buckets=_DSIR_BUCKETS, iters=40, lr=4.0)
+    lam_c, beta_c = clf_quantize(w_c, b_c)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([[-1], np.arange(_DSIR_BUCKETS)]), pa.int64()),
+            "lam": pa.array(
+                np.concatenate([[beta_c], lam_c]).astype(np.int64),
+                pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "q102_clf_lam.parquet"),
+    )
+
+    # ---- model 3: Kneser–Ney LM + CCNet thresholds (q97 recipe)
+    model = kn_fit(docs, max_vocab=4096, max_bigrams=262144)
+    V = model["V"]
+    _pq.write_table(
+        pa.table({
+            "word": pa.array(model["vocab"], pa.string()),
+            "id": pa.array(np.arange(V, dtype=np.int64)),
+            "cont_q": pa.array(model["cont_q"]),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "q102_kn_vocab.parquet"),
+    )
+    ctx_ids = np.flatnonzero(model["has_ctx"]).astype(np.int64)
+    _pq.write_table(
+        pa.table({"id": pa.array(ctx_ids),
+                  "back_q": pa.array(model["back_q"][ctx_ids])}),
+        os.path.join(_PPL_ORACLE_DIR, "q102_kn_ctx.parquet"),
+    )
+    _pq.write_table(
+        pa.table({"key": pa.array(model["big_keys"]),
+                  "q": pa.array(model["big_q"])}),
+        os.path.join(_PPL_ORACLE_DIR, "q102_kn_bigram.parquet"),
+    )
+    mref = ray.put(model)
+    samp = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(sample_mask(t["doc_id"].to_numpy(), 2))),
+        batch_format="pyarrow",
+    )
+    sdf = kn_score(samp, mref, passthrough=("lang",)).to_pandas()
+    thr = kn_thresholds(sdf, classes)
+    _pq.write_table(
+        pa.Table.from_pandas(thr, preserve_index=False),
+        os.path.join(_PPL_ORACLE_DIR, "q102_kn_thresholds.parquet"),
+    )
+
+    # ---- streaming composition: three scorer branches meet on doc_id
+    pred = langid_predict(docs, lam_l, beta_l, classes,
+                          passthrough=["lang", "source"])
+    ppl = ppl_bucket(kn_score(docs, mref, passthrough=("lang",)), thr)
+    ppl = ppl.map_batches(
+        lambda t: t.select(["doc_id", "ppl_bucket"]), batch_format="pyarrow")
+    clf = clf_score(docs, lam_c, beta_c).map_batches(
+        lambda t: t.select(["doc_id", "clf_score"]), batch_format="pyarrow")
+    j = hash_join(pred, ppl, "doc_id")
+    j = hash_join(j, clf, "doc_id")
+
+    def _flags(t: pa.Table) -> pa.Table:
+        lang_ok = pc.cast(
+            pc.equal(t["pred_lang"], t["lang"]), pa.int64())
+        ppl_ok = pc.cast(
+            pc.not_equal(t["ppl_bucket"], "tail"), pa.int64())
+        clf_ok = pc.cast(pc.greater(t["clf_score"], 0), pa.int64())
+        keep = pc.multiply(pc.multiply(lang_ok, ppl_ok), clf_ok)
+        return pa.table({
+            "source": t["source"],
+            "lang_ok": lang_ok,
+            "ppl_ok": ppl_ok,
+            "clf_ok": clf_ok,
+            "keep": keep,
+        })
+
+    return grouped_agg(
+        j.map_batches(_flags, batch_format="pyarrow"),
+        ["source"],
+        [
+            AggSpec(None, "count", "n_docs"),
+            AggSpec("lang_ok", "sum", "n_lang_ok"),
+            AggSpec("ppl_ok", "sum", "n_ppl_ok"),
+            AggSpec("clf_ok", "sum", "n_clf_ok"),
+            AggSpec("keep", "sum", "n_keep"),
+        ],
+    )
+
+
+def _q102_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    two64 = 1 << 64
+    # langid chain (q95 doctrine, q102 dumps)
+    h0l = (
+        "((unicode(substr(text, i, 1))::HUGEINT * 1099511628211::HUGEINT"
+        f" + unicode(substr(text, i + 1, 1))::HUGEINT) % {two64}::HUGEINT)"
+    )
+    sml = _splitmix64_sql("h0")
+    # clf chain (q93 doctrine)
+    h0c = _HORNER_SQL.format(s="gram")
+    smc = _splitmix64_sql("h0")
+    return f"""
+with
+-- language-ID branch
+llam as (select bucket, cls, lam
+         from read_parquet('{d}/q102_langid_lam.parquet')
+         where bucket >= 0),
+lbias as (select cls, lam as beta
+          from read_parquet('{d}/q102_langid_lam.parquet')
+          where bucket = -1),
+lcls as (select * from read_parquet('{d}/q102_langid_classes.parquet')),
+lg as (select doc_id, text,
+              unnest(generate_series(1, greatest(length(text) - 1, 0))) as i
+       from documents),
+lhb as (select doc_id,
+               cast({sml} % {_LANGID_BUCKETS}::HUGEINT as bigint) as bucket
+        from (select doc_id, {h0l} as h0 from lg)),
+lws as (select lhb.doc_id, l.cls, cast(sum(l.lam) as bigint) as s
+        from lhb join llam l on l.bucket = lhb.bucket
+        group by lhb.doc_id, l.cls),
+lsc as (select dd.doc_id, b.cls, b.beta + coalesce(w.s, 0) as score
+        from (select doc_id from documents) dd
+        cross join lbias b
+        left join lws w on w.doc_id = dd.doc_id and w.cls = b.cls),
+lpred as (select doc_id, cls from (
+    select doc_id, cls,
+           row_number() over (partition by doc_id
+                              order by score desc, cls asc) as rn
+    from lsc) where rn = 1),
+-- quality-classifier branch
+clam as (select bucket, lam from read_parquet('{d}/q102_clf_lam.parquet')
+         where bucket >= 0),
+cbias as (select lam as beta from read_parquet('{d}/q102_clf_lam.parquet')
+          where bucket = -1),
+cdw as (select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+cuni as (select doc_id, unnest(w) as gram from cdw),
+cbi as (select doc_id, w[i] || ' ' || w[i + 1] as gram
+        from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+              from cdw where len(w) >= 2)),
+cgrams as (select * from cuni union all select * from cbi),
+ch0 as (select doc_id, gram, {h0c} as h0 from cgrams),
+chb as (select doc_id,
+               cast({smc} % {_DSIR_BUCKETS}::HUGEINT as bigint) as bucket
+        from ch0),
+cws as (select chb.doc_id, cast(sum(l.lam) as bigint) as s
+        from chb join clam l on l.bucket = chb.bucket
+        group by chb.doc_id),
+cscore as (select d2.doc_id,
+                  (select beta from cbias) + coalesce(ws.s, 0) as clf_score
+           from (select doc_id from documents) d2
+           left join cws ws on ws.doc_id = d2.doc_id),
+-- Kneser-Ney perplexity branch
+v as (select word, id, cont_q from read_parquet('{d}/q102_kn_vocab.parquet')),
+unk as (select id as uid, cont_q as ucq from v where word = '<unk>'),
+nv as (select count(*) as V from v),
+kctx as (select id, back_q from read_parquet('{d}/q102_kn_ctx.parquet')),
+kbg as (select key, q from read_parquet('{d}/q102_kn_bigram.parquet')),
+kthr as (select lang, t1, t2
+         from read_parquet('{d}/q102_kn_thresholds.parquet')),
+kdw as (select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+ktok as (
+  select t.doc_id, t.i,
+    coalesce(v1.id, (select uid from unk)) as wid,
+    coalesce(v1.cont_q, (select ucq from unk)) as cq,
+    case when t.i > 1
+         then coalesce(v0.id, (select uid from unk)) end as pid
+  from (select doc_id, w, unnest(generate_series(1, len(w))) as i
+        from kdw where len(w) >= 1) t
+  left join v v1 on v1.word = t.w[t.i]
+  left join v v0 on v0.word = t.w[t.i - 1]),
+ksc as (
+  select ktok.doc_id,
+    case when ktok.pid is null then ktok.cq
+         when b.q is not null then b.q
+         when c.back_q is not null then c.back_q + ktok.cq
+         else ktok.cq end as q
+  from ktok
+  left join kbg b on b.key = ktok.pid * (select V from nv) + ktok.wid
+  left join kctx c on c.id = ktok.pid),
+kagg as (select doc_id, cast(sum(q) as bigint) as lp_sum,
+                count(*) as n_tokens
+         from ksc group by doc_id),
+kfin as (select d3.doc_id, d3.lang,
+                coalesce(a.n_tokens, 0) as n_tokens,
+                case when coalesce(a.n_tokens, 0) = 0 then 0
+                     else (-a.lp_sum) * 1000 // a.n_tokens end as avg_nlp_q
+         from documents d3 left join kagg a using (doc_id)),
+kbucket as (
+  select f.doc_id,
+    case when f.n_tokens = 0 or f.avg_nlp_q <= t.t1 then 'head'
+         when f.avg_nlp_q <= t.t2 then 'middle'
+         else 'tail' end as ppl_bucket
+  from kfin f join kthr t on t.lang = f.lang),
+-- funnel
+flags as (
+  select d.source,
+    case when cl.lang = d.lang then 1 else 0 end as lang_ok,
+    case when kb.ppl_bucket <> 'tail' then 1 else 0 end as ppl_ok,
+    case when cs.clf_score > 0 then 1 else 0 end as clf_ok
+  from documents d
+  join lpred p on p.doc_id = d.doc_id
+  join lcls cl on cl.cls = p.cls
+  join kbucket kb on kb.doc_id = d.doc_id
+  join cscore cs on cs.doc_id = d.doc_id)
+select source, count(*) as n_docs,
+  cast(sum(lang_ok) as bigint) as n_lang_ok,
+  cast(sum(ppl_ok) as bigint) as n_ppl_ok,
+  cast(sum(clf_ok) as bigint) as n_clf_ok,
+  cast(sum(lang_ok * ppl_ok * clf_ok) as bigint) as n_keep
+from flags group by source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6352,6 +6654,7 @@ QUERIES = {
     "q99_ann_sq8": q99_ann_sq8,
     "q100_compressibility": q100_compressibility,
     "q101_wet_ingest": q101_wet_ingest,
+    "q102_trained_quality_pipeline": q102_trained_quality_pipeline,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6436,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_ann_sq8": _q99_sql(),
         "q100_compressibility": _q100_sql(),
         "q101_wet_ingest": _Q101_SQL,
+        "q102_trained_quality_pipeline": _q102_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
