@@ -324,16 +324,31 @@ class MediaDecoder:
             return self._decode_jpeg(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._decode_gif(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return self._decode_webp(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return self._decode_tiff(payload)
         raise NotImplementedError(
             "real decode supports uncompressed BMP, PNG (all legal IHDR "
             "layouts), baseline/progressive/lossless JPEG, GIF, MJPEG AVI, "
-            "baseline TIFF (none/LZW/PackBits/JPEG) and PCM WAV natively; "
-            "other "
-            "compressed formats (WebP/MP4/...) need PIL/ffmpeg, not "
-            "available in this environment"
+            "TIFF (none/LZW/Deflate/PackBits/JPEG), lossless (VP8L) WebP "
+            "and PCM WAV natively; lossy WebP and inter-frame video need "
+            "PIL/ffmpeg, not available in this environment"
         )
+
+    @staticmethod
+    def _decode_webp(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """VP8L WebP → (w, h, 16-bin luminance histogram)."""
+        from feast_ray.functions.webp import decode_webp
+
+        rgba = decode_webp(payload)
+        lum = rgba[..., :3].astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114])
+        feat = np.bincount(
+            (lum.astype(np.uint8) >> 4).ravel(), minlength=FEATURE_DIM
+        ).astype(np.float64)
+        s = feat.sum()
+        return rgba.shape[1], rgba.shape[0], (feat / s if s else feat)
 
     @staticmethod
     def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:

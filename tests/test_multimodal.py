@@ -115,11 +115,12 @@ def test_real_decode_bmp_wav():
     f2 = np.asarray(out.loc[2, "feature"])
     # samples -0.5, 0.0, 0.5, ~1.0 -> bins 4, 8, 12, 15
     assert f2[4] == 0.25 and f2[8] == 0.25 and f2[12] == 0.25 and f2[15] == 0.25
-    # unsupported format = honest boundary (WebP: no native codec;
-    # TIFF decodes natively since late round 5)
+    # unsupported format = honest boundary (lossy VP8 WebP: VP8L
+    # decodes natively since late round 5)
     dec = MediaDecoder(mode="real")
     with pytest.raises(NotImplementedError):
-        dec._decode_real(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        dec._decode_real(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
 
 
 def test_png_decode_all_filters_roundtrip():
@@ -150,8 +151,9 @@ def test_png_decode_all_filters_roundtrip():
     px = np.full((5, 8), 42, np.uint8)
     assert len(encode_png(px)) == 68 + 5 * (1 + 8)
     with _pytest.raises(NotImplementedError, match="PIL|native"):
-        # WebP, not TIFF: TIFF decodes natively since late round 5
-        MediaDecoder(mode="real")._decode_real(b"RIFF\x00\x00\x00\x00WEBP ")
+        # an unknown container: WebP (VP8L) and TIFF decode natively
+        # since late round 5
+        MediaDecoder(mode="real")._decode_real(b"RIFF\x00\x00\x00\x00MP4 ")
 
 
 def test_jpeg_roundtrip_and_closed_form():
