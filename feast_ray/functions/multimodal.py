@@ -418,7 +418,8 @@ class MediaDecoder:
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
             or payload[:6] in (b"GIF87a", b"GIF89a")
             or payload[:4] in (b"II*\x00", b"MM\x00*")
-            or (payload[:4] == b"RIFF" and payload[8:12] in (b"WAVE", b"AVI "))
+            or (payload[:4] == b"RIFF"
+                and payload[8:12] in (b"WAVE", b"AVI ", b"WEBP"))
         ):
             try:
                 return self._decode_real(payload)

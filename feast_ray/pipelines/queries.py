@@ -1636,6 +1636,18 @@ def q30_multimodal_decode(sf_dir: str):
                     jpeg_qtab=JPEG_QTAB_ORACLE,
                 ))
                 kinds.append("image/tiff")
+            elif did % 9 == 5:
+                # late round 5: WebP lossless (VP8L) — solid RGB gray;
+                # every per-pixel symbol costs ZERO bits (all five
+                # prefix codes degenerate to simple/single), so
+                # n_bytes is 30 (v <= 1: 1-bit simple-code symbols)
+                # or 32, independent of the dims
+                from feast_ray.functions.webp import encode_webp
+
+                w, h, v = 3 + did % 11, 2 + did % 5, did % 256
+                px3 = np.full((h, w, 3), v, np.uint8)
+                payloads.append(encode_webp(px3))
+                kinds.append("image/webp")
             else:
                 payloads.append(s.encode("utf-8"))
                 kinds.append("image/fake")
@@ -1707,7 +1719,27 @@ def _q30_sql() -> str:
     n_safe = len(jpeg_safe_gray_values())
     return f"""
 with docs_f as (select doc_id, text from documents
-                where doc_id % 3 = 2 and doc_id % 9 <> 2),
+                where doc_id % 3 = 2 and doc_id % 9 not in (2, 5)),
+webp_rows as (
+  -- late round 5: doc_id % 9 = 5 rows are VP8L WebP (solid RGB
+  -- gray). Every per-pixel symbol reads zero bits, so n_bytes is a
+  -- dim-independent constant: 30 when v <= 1 (1-bit simple-code
+  -- symbol fields) else 32. The decoded luminance is v except for
+  -- the nine IEEE-double values where 0.299v+0.587v+0.114v
+  -- truncates to v-1 (a structural constant of the float dot).
+  select doc_id as media_id, 'image/webp' as media_type,
+    cast(3 + doc_id % 11 as bigint) as width,
+    cast(2 + doc_id % 5 as bigint) as height,
+    cast(case when doc_id % 256 <= 1 then 30 else 32 end
+         as bigint) as n_bytes,
+    case when vdec // 16 = 0 then 1.0 else 0.0 end as f0,
+    case when vdec // 16 = 7 then 1.0 else 0.0 end as f7,
+    case when vdec // 16 = 15 then 1.0 else 0.0 end as f15
+  from (select doc_id,
+          case when doc_id % 256 in (59, 63, 118, 126, 223, 236,
+                                     239, 249, 252)
+               then doc_id % 256 - 1 else doc_id % 256 end as vdec
+        from documents where doc_id % 9 = 5)),
 tiff as (
   -- late round 5: doc_id % 9 = 2 rows are TIFF (solid gray);
   -- n_bytes = 122-byte header/IFD + h*w (uncompressed), 2*h
@@ -1901,6 +1933,9 @@ from jpg_rows
 union all
 select media_id, media_type, width, height, n_bytes, f0, f7, f15
 from tiff_rows
+union all
+select media_id, media_type, width, height, n_bytes, f0, f7, f15
+from webp_rows
 """
 
 
