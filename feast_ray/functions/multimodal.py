@@ -125,22 +125,18 @@ class MediaDecoder:
 
     @staticmethod
     def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-        """PCM WAV → (sample_rate, n_channels, amplitude histogram)."""
-        import io
-        import wave
+        """WAV → (sample_rate, n_channels, amplitude histogram).
 
-        with wave.open(io.BytesIO(payload)) as f:
-            nch, sw, rate, n = (
-                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
-            )
-            raw = f.readframes(n)
-        if sw == 2:
-            arr = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
-        elif sw == 1:
-            arr = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
-        else:
-            raise NotImplementedError(f"WAV decode supports 8/16-bit PCM (got {8 * sw}-bit)")
-        feat = np.histogram(arr, bins=FEATURE_DIM, range=(-1.0, 1.0))[0].astype(np.float64)
+        Full native RIFF codec (``functions/wavcodec.py``): PCM
+        8/16/24/32, float32, G.711 A-law/µ-law, IMA ADPCM,
+        WAVE_FORMAT_EXTENSIBLE. MP3/AAC/FLAC stay the declared audio
+        boundary (wavcodec raises NotImplementedError)."""
+        from feast_ray.functions.wavcodec import decode_wav
+
+        rate, nch, _n, arr = decode_wav(payload)
+        feat = np.histogram(
+            arr.ravel(), bins=FEATURE_DIM, range=(-1.0, 1.0)
+        )[0].astype(np.float64)
         s = feat.sum()
         return rate, nch, (feat / s if s else feat)
 

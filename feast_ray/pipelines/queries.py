@@ -6587,6 +6587,222 @@ from flags group by source
 """
 
 
+def q103_audio_decode(sf_dir: str):
+    """Audio decode over a six-codec WAV corpus (late round 5 — the
+    audio twin of q30): per document a synthesized RIFF/WAVE payload
+    in one of PCM16, PCM8, G.711 µ-law, G.711 A-law, IMA ADPCM or
+    IEEE float32 (``functions/wavcodec.py`` — from-scratch container
+    parse + pure-integer G.711 expansion + block-vectorized ADPCM),
+    decoded by the ``AudioDecoder`` actor pool into (sample_rate,
+    n_channels, n_samples, n_bytes, amplitude-histogram features).
+
+    Oracle: five arms are CLOSED-FORM — constant-sample payloads whose
+    decoded value (and so the one-hot histogram bin) is pure integer
+    arithmetic DuckDB re-derives from doc_id, including the full G.711
+    expansion formulas and the canonical-header n_bytes; the IMA ADPCM
+    arm (a stateful per-sample recurrence, not SQL-expressible) uses
+    the q80/q100 sequential-recompute dump doctrine — the walk decode
+    is a pure per-doc function, so distributed == sequential under any
+    partitioning. Reference parity: typed media bytes columns,
+    feast/types.py:75-138."""
+    from feast_ray.functions.wavcodec import (
+        AUDIO_FEATURE_DIM,
+        alaw_decode_int,
+        decode_audio,
+        decode_wav,
+        encode_wav,
+        mulaw_decode_int,
+    )
+
+    def _payload(d: int) -> tuple[bytes, str]:
+        arm = d % 6
+        n = 64 + d % 97
+        nch = 1 + d % 2
+        rate = 8000 * (1 + d % 3)
+        if arm == 0:
+            s = np.full((n, nch), ((d * 131) % 65536) - 32768, np.int64)
+            return encode_wav(s, rate, "pcm16"), "pcm16"
+        if arm == 1:
+            s = np.full((n, nch), ((d * 37) % 65536) - 32768, np.int64)
+            return encode_wav(s, rate, "pcm8"), "pcm8"
+        if arm == 2:
+            c = (d * 59) % 256
+            c = 128 if c == 127 else c  # µ-law −0 canonicalizes to +0
+            m = int(mulaw_decode_int(np.array([c], np.int64))[0])
+            return encode_wav(np.full((n, nch), m, np.int64), rate, "mulaw"), "mulaw"
+        if arm == 3:
+            c = (d * 83) % 256
+            m = int(alaw_decode_int(np.array([c], np.int64))[0])
+            return encode_wav(np.full((n, nch), m, np.int64), rate, "alaw"), "alaw"
+        if arm == 4:
+            n4 = 400 + d % 1301
+            s = _q103_adpcm_wave(d, n4, nch)
+            return (
+                encode_wav(s, rate, "ima_adpcm", block_align=256),
+                "ima_adpcm",
+            )
+        v = ((d % 4001) - 2000) / 2048.0  # exactly float32-representable
+        return encode_wav(np.full((n, nch), v, np.float64), rate, "float32"), "float32"
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _to_audio(t: pa.Table) -> pa.Table:
+        payloads, kinds = [], []
+        for d in t["doc_id"].to_pylist():
+            p, k = _payload(int(d))
+            payloads.append(p)
+            kinds.append(k)
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "codec": pa.array(kinds, pa.string()),
+            }
+        )
+
+    dec = decode_audio(docs.map_batches(_to_audio, batch_format="pyarrow"))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        flat = t["feature"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), AUDIO_FEATURE_DIM)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "codec": t["codec"],
+                "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+                "n_channels": pc.cast(t["n_channels"], pa.int64()),
+                "n_samples": pc.cast(t["n_samples"], pa.int64()),
+                "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+                "f0": pa.array(mat[:, 0]),
+                "f7": pa.array(mat[:, 7]),
+                "f15": pa.array(mat[:, 15]),
+            }
+        )
+
+    # sequential reference recompute for the ADPCM arm → oracle dump
+    import pyarrow.parquet as _pq
+
+    ref_ids = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for d in ref_ids:
+        d = int(d)
+        if d % 6 != 4:
+            continue
+        p, _ = _payload(d)
+        _r, _c, _n, arr = decode_wav(p)
+        f = np.histogram(arr.ravel(), bins=AUDIO_FEATURE_DIM, range=(-1.0, 1.0))[0]
+        f = f.astype(np.float64)
+        f = f / f.sum() if f.sum() else f
+        rows.append((d, f[0], f[7], f[15]))
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "rf0": pa.array([r[1] for r in rows], pa.float64()),
+                "rf7": pa.array([r[2] for r in rows], pa.float64()),
+                "rf15": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(_PPL_ORACLE_DIR, "q103_adpcm_ref.parquet"),
+    )
+    return dec.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q103_adpcm_wave(d: int, n: int, nch: int) -> np.ndarray:
+    """Deterministic per-doc pseudo-audio walk (splitmix64 scramble of
+    a doc-offset counter → ±500 increments → clipped cumsum). Pure
+    function of (d, n, nch): the engine's corpus builder and the
+    sequential oracle recompute call the same code."""
+    i = np.arange(n * nch, dtype=np.uint64) + np.uint64((d * 1_000_003) % (1 << 62))
+    z = i + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    inc = (z % np.uint64(1001)).astype(np.int64) - 500
+    return np.cumsum(inc).clip(-32768, 32767).reshape(n, nch)
+
+
+def _q103_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    return f"""
+with base as (
+  select doc_id, doc_id % 6 as arm,
+         64 + doc_id % 97 as n,
+         1 + doc_id % 2 as nch,
+         8000 * (1 + doc_id % 3) as rate
+  from documents),
+pcm16 as (
+  select doc_id, 'pcm16' as codec, rate, nch, n,
+         44 + 2*n*nch as n_bytes,
+         ((doc_id*131) % 65536) // 4096 as bin
+  from base where arm = 0),
+pcm8 as (
+  select doc_id, 'pcm8' as codec, rate, nch, n,
+         44 + n*nch + (n*nch) % 2 as n_bytes,
+         (((doc_id*37) % 65536) // 256) // 16 as bin
+  from base where arm = 1),
+-- G.711 mu-law integer expansion: u = 255-c; mag = ((u%16)*8+132)<<((u//16)%8) - 132
+mu as (
+  select doc_id, codec, rate, nch, n, n_bytes,
+         (case when u >= 128 then -mag else mag end + 32768) // 4096 as bin
+  from (
+    select doc_id, 'mulaw' as codec, rate, nch, n,
+           58 + n*nch + (n*nch) % 2 as n_bytes, u,
+           ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 as mag
+    from (
+      select *, 255 - (case when (doc_id*59) % 256 = 127 then 128
+                            else (doc_id*59) % 256 end) as u
+      from base where arm = 2))),
+-- G.711 A-law: a = c xor 85; seg 0 -> m16+8, seg 1 -> m16+264, else <<(seg-1)
+al as (
+  select doc_id, codec, rate, nch, n, n_bytes,
+         (case when a >= 128 then t else -t end + 32768) // 4096 as bin
+  from (
+    select doc_id, 'alaw' as codec, rate, nch, n,
+           58 + n*nch + (n*nch) % 2 as n_bytes, a,
+           case when (a // 16) % 8 = 0 then (a % 16) * 16 + 8
+                when (a // 16) % 8 = 1 then (a % 16) * 16 + 264
+                else ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+           end as t
+    from (
+      select *, xor((doc_id*83) % 256, 85) as a
+      from base where arm = 3))),
+f32 as (
+  select doc_id, 'float32' as codec, rate, nch, n,
+         58 + 4*n*nch as n_bytes,
+         cast(floor((((doc_id % 4001) - 2000) / 2048.0 + 1) * 8) as bigint) as bin
+  from base where arm = 5),
+onehot as (
+  select doc_id, codec, rate, nch, n, n_bytes,
+         case when bin = 0 then 1.0 else 0.0 end as f0,
+         case when bin = 7 then 1.0 else 0.0 end as f7,
+         case when bin = 15 then 1.0 else 0.0 end as f15
+  from (select * from pcm16 union all select * from pcm8
+        union all select * from mu union all select * from al
+        union all select * from f32)),
+-- IMA ADPCM arm: stateful recurrence -> sequential-recompute dump;
+-- n_samples and the canonical n_bytes stay closed-form (1 block = 256 B,
+-- spb = 505 mono / 249 stereo)
+adpcm as (
+  select b.doc_id, 'ima_adpcm' as codec, b.rate, b.nch,
+         400 + b.doc_id % 1301 as n,
+         58 + 256 * (((400 + b.doc_id % 1301)
+                      + (case when b.nch = 1 then 505 else 249 end) - 1)
+                     // (case when b.nch = 1 then 505 else 249 end)) as n_bytes,
+         r.rf0 as f0, r.rf7 as f7, r.rf15 as f15
+  from base b join read_parquet('{d}/q103_adpcm_ref.parquet') r
+    on r.doc_id = b.doc_id
+  where b.arm = 4)
+select doc_id as media_id, codec, rate as sample_rate,
+       cast(nch as bigint) as n_channels, cast(n as bigint) as n_samples,
+       cast(n_bytes as bigint) as n_bytes, f0, f7, f15
+from (select * from onehot union all select * from adpcm)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6690,6 +6906,7 @@ QUERIES = {
     "q100_compressibility": q100_compressibility,
     "q101_wet_ingest": q101_wet_ingest,
     "q102_trained_quality_pipeline": q102_trained_quality_pipeline,
+    "q103_audio_decode": q103_audio_decode,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6775,6 +6992,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_compressibility": _q100_sql(),
         "q101_wet_ingest": _Q101_SQL,
         "q102_trained_quality_pipeline": _q102_sql(),
+        "q103_audio_decode": _q103_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
