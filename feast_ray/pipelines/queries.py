@@ -6803,6 +6803,86 @@ from (select * from onehot union all select * from adpcm)
 """
 
 
+def q104_ann_hnsw(sf_dir: str):
+    """Sharded HNSW graph ANN (Malkov & Yashunin 2016) — the graph
+    member of the ANN family (brute q21 / IVF q29 / IVF-PQ q81/q88 /
+    SQ8 q99): corpus hash-sharded by splitmix64(vec_id), one
+    navigable-small-world graph built per shard in parallel (the
+    sequential insert loop is per-shard ``map_groups`` state), search
+    fans out per shard and merges per-query top-k. Fully deterministic
+    (hash-drawn levels, (dist, id) tie-breaks), so distributed ==
+    sequential under any partitioning — ``functions/hnsw.py``.
+
+    Oracle: the candidate SET comes from the q80 sequential-recompute
+    dump (graph search is iterative, not SQL-expressible), but every
+    SCORE is INDEPENDENTLY re-derived by DuckDB's
+    list_cosine_similarity over the raw embeddings (the q29 doctrine:
+    state dumped, arithmetic re-checked)."""
+    import shutil
+
+    from feast_ray.functions.hnsw import (
+        ann_topk_hnsw,
+        hnsw_build,
+        hnsw_search_sequential,
+    )
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                        batch_format="pyarrow")
+        .to_pandas().sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_numpy())
+    qids = qdf["vec_id"].to_numpy()
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)),
+        batch_format="pyarrow")
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_m8efc64s4"
+    index_path = f"/tmp/feast_ray_cache/hnsw_{base}"
+    marker = os.path.join(index_path, "_source_fingerprint.txt")
+    fresh = (os.path.exists(os.path.join(index_path, "meta.json"))
+             and os.path.exists(marker) and open(marker).read() == fingerprint)
+    if not fresh:
+        shutil.rmtree(index_path, ignore_errors=True)
+        hnsw_build(corpus, index_path, n_shards=4, m=8, ef_construction=64)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+
+    # sequential reference recompute over the SAME persisted graphs →
+    # oracle candidate set (scores re-derived independently in SQL)
+    import pyarrow.parquet as _pq
+
+    ref = hnsw_search_sequential(index_path, queries, k=10, ef_search=64,
+                                 query_ids=qids)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({"query_id": pa.array(ref["query_id"].to_numpy(), pa.int64()),
+                  "vec_id": pa.array(ref["vec_id"].to_numpy(), pa.int64())}),
+        os.path.join(_PPL_ORACLE_DIR, "q104_hnsw_ref.parquet"),
+    )
+    return ann_topk_hnsw(index_path, queries, k=10, ef_search=64,
+                         query_ids=qids, round_to=4)
+
+
+def _q104_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    return f"""
+with p as (select query_id, vec_id
+           from read_parquet('{d}/q104_hnsw_ref.parquet')),
+q as (select vec_id as qid, cast(embedding as double[]) as qe
+      from embeddings where vec_id < 5),
+c as (select vec_id, cast(embedding as double[]) as e
+      from embeddings where vec_id >= 5)
+select p.query_id, p.vec_id,
+       round(list_cosine_similarity(c.e, q.qe), 4) as score
+from p join q on q.qid = p.query_id join c on c.vec_id = p.vec_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6907,6 +6987,7 @@ QUERIES = {
     "q101_wet_ingest": q101_wet_ingest,
     "q102_trained_quality_pipeline": q102_trained_quality_pipeline,
     "q103_audio_decode": q103_audio_decode,
+    "q104_ann_hnsw": q104_ann_hnsw,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -6993,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_wet_ingest": _Q101_SQL,
         "q102_trained_quality_pipeline": _q102_sql(),
         "q103_audio_decode": _q103_sql(),
+        "q104_ann_hnsw": _q104_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -1,0 +1,134 @@
+"""Sharded HNSW suite: recall vs brute force on a clustered corpus,
+distributed == sequential parity, graph partition-invariance,
+serialization round trip, deterministic levels, tiny-corpus edges."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from feast_ray.functions.hnsw import (
+    ShardHNSW,
+    _levels_for,
+    ann_topk_hnsw,
+    hnsw_build,
+    hnsw_search_sequential,
+    shard_of,
+)
+
+
+def _corpus(n=2400, d=16, centers=20, seed=42):
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(centers, d))
+    vecs = c[rng.integers(0, centers, n)] + 0.15 * rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n)
+    return ids, vecs
+
+
+def _ds(ids, vecs, blocks=8):
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    ids, vecs = _corpus()
+    path = str(tmp_path_factory.mktemp("hnsw") / "idx")
+    info = hnsw_build(_ds(ids, vecs), path, n_shards=4, m=8, ef_construction=64)
+    return ids, vecs, path, info
+
+
+def test_recall_vs_bruteforce(built):
+    ids, vecs, path, _ = built
+    q = vecs[:8]
+    out = ann_topk_hnsw(path, q, k=10, ef_search=64).to_pandas()
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    rec = 0.0
+    for j in range(len(q)):
+        exact = set(ids[np.argsort(-sims[:, j])[:10]])
+        rec += len(exact & set(out[out.query_id == j].vec_id)) / 10
+    assert rec / len(q) >= 0.9
+
+
+def test_distributed_equals_sequential(built):
+    _ids, vecs, path, _ = built
+    q = vecs[5:12]
+    out = (ann_topk_hnsw(path, q, k=10, ef_search=48).to_pandas()
+           .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    ref = hnsw_search_sequential(path, q, k=10, ef_search=48)
+    ref["score"] = ref["score"].round(4)
+    ref = ref.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert out[["query_id", "vec_id"]].equals(ref[["query_id", "vec_id"]])
+    assert np.allclose(out["score"], ref["score"], atol=1e-9)
+
+
+def test_graph_partition_invariance(built, tmp_path):
+    ids, vecs, path, _ = built
+    other = str(tmp_path / "idx2")
+    hnsw_build(_ds(ids, vecs, blocks=2), other, n_shards=4, m=8,
+               ef_construction=64)
+    for s in range(4):
+        a = (pq.read_table(f"{path}/graph/shard={s}.parquet").to_pandas()
+             .sort_values(["level", "src", "dst"]).reset_index(drop=True))
+        b = (pq.read_table(f"{other}/graph/shard={s}.parquet").to_pandas()
+             .sort_values(["level", "src", "dst"]).reset_index(drop=True))
+        assert a.equals(b)
+    shutil.rmtree(other)
+
+
+def test_levels_and_shards_deterministic():
+    ids = np.arange(1000)
+    lv = _levels_for(ids, 8)
+    assert np.array_equal(lv, _levels_for(ids, 8))
+    assert lv.min() == 0
+    # exponential: level>=1 fraction near 1/M
+    frac = (lv >= 1).mean()
+    assert 0.04 < frac < 0.25
+    sh = shard_of(ids, 7)
+    assert np.array_equal(sh, shard_of(ids, 7))
+    assert set(sh) == set(range(7))
+
+
+def test_serialization_roundtrip_search_parity():
+    ids, vecs = _corpus(n=300, seed=9)
+    g = ShardHNSW(ids, vecs, m=6, ef_construction=48)
+    edges, meta = g.to_tables()
+    g2 = ShardHNSW.from_tables(ids, vecs, edges, meta)
+    for q in vecs[:5]:
+        assert g.search(q, 5, ef=32) == g2.search(q, 5, ef=32)
+
+
+def test_tiny_corpus_edges():
+    ids = np.array([7])
+    vecs = np.ones((1, 4))
+    g = ShardHNSW(ids, vecs, m=4, ef_construction=8)
+    assert g.search(np.ones(4), 3) == [(pytest.approx(1.0), 7)]
+    # corpus smaller than M: every node reachable
+    ids3, vecs3 = np.array([1, 2, 3]), np.eye(3)
+    g3 = ShardHNSW(ids3, vecs3, m=8, ef_construction=16)
+    got = g3.search(np.array([1.0, 0.0, 0.0]), 3, ef=8)
+    assert {v for _s, v in got} == {1, 2, 3}
+    assert got[0][1] == 1  # exact match ranks first
+
+
+def test_select_heuristic_spreads_clusters():
+    # base at origin-ish; two tight clusters: heuristic must not take
+    # all M from the nearer cluster
+    rng = np.random.default_rng(1)
+    base = np.zeros((1, 8))
+    near = 0.1 * rng.normal(size=(6, 8)) + np.array([1.0] + [0] * 7)
+    far = 0.1 * rng.normal(size=(6, 8)) + np.array([0, 1.0] + [0] * 6)
+    vecs = np.vstack([base, near, far])
+    ids = np.arange(13)
+    g = ShardHNSW(ids, vecs, m=3, ef_construction=32)
+    chosen = g._select_heuristic(0, list(range(1, 13)), 3)
+    sides = {int(g.ids[c] >= 7) for c in chosen}
+    assert sides == {0, 1}
