@@ -481,6 +481,64 @@ def run_bench() -> dict:
             timings["ann_sq8_search_10kq"] = round(dt, 3)
             extras["sq8_queries_per_sec"] = round(10_000 / dt, 1)
 
+        def _hnsw() -> None:
+            # Sharded HNSW graph ANN (round 5, q104) over a 128k-vector
+            # corpus: 32 hash-sharded graphs built in parallel (each a
+            # sequential insert loop — the documented pure-Python
+            # graph-build economics, ~500 vec/s/shard), then a
+            # 10k-query fan-out search. Every query visits every shard
+            # graph; coarse shard routing (IVF over shard medoids)
+            # is the documented scale refinement.
+            import numpy as _np
+
+            import pyarrow.parquet as _pq2
+
+            from feast_ray.functions.hnsw import ann_topk_hnsw, hnsw_build
+
+            base = _pq2.read_table(
+                os.path.join(SF_DIR, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            bm = _np.stack(
+                base["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(_np.float64)
+            nb, d = bm.shape
+            reps = max(1, 131_072 // nb)
+            bref = ray.put(bm)
+
+            def _mk(tbl: _pa.Table) -> _pa.Table:
+                b = ray.get(bref)
+                out = []
+                for rid in tbl["id"].to_pylist():
+                    rng = _np.random.RandomState(2000 + rid)
+                    mat = b + rng.standard_normal(b.shape) * 0.05
+                    out.append(_pa.table({
+                        "vec_id": _pa.array(
+                            _np.arange(nb, dtype=_np.int64) + rid * nb),
+                        "embedding": _pa.array(list(mat.astype(_np.float32))),
+                    }))
+                return _pa.concat_tables(out)
+
+            corpus_ds = _rd.range(reps).map_batches(
+                _mk, batch_format="pyarrow", batch_size=4)
+            idx_dir = "/tmp/feast_ray_bench/hnsw_corpus"
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            hnsw_build(corpus_ds, idx_dir, n_shards=32, m=8,
+                       ef_construction=48)
+            dt = time.perf_counter() - t0
+            timings["ann_hnsw_build_128k"] = round(dt, 3)
+            extras["hnsw_build_vecs_per_sec"] = round(reps * nb / dt, 1)
+            qrng = _np.random.RandomState(11)
+            queries = (bm[qrng.randint(0, nb, 10_000)]
+                       + qrng.standard_normal((10_000, d)) * 0.05)
+            t0 = time.perf_counter()
+            n = ann_topk_hnsw(idx_dir, queries, k=10, ef_search=32).count()
+            dt = time.perf_counter() - t0
+            assert n == 100_000, n
+            timings["ann_hnsw_search_10kq"] = round(dt, 3)
+            extras["hnsw_queries_per_sec"] = round(10_000 / dt, 1)
+
         def _clf() -> None:
             # trainable quality classifier (round 5): distill the
             # heuristic keep/drop labels into a hashed-ngram logistic

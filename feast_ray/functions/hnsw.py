@@ -340,8 +340,11 @@ def ann_topk_hnsw(
             "score": pa.array(out_s, pa.float64()),
         })
 
-    cand = ray.data.from_items(shard_rows).map_batches(
-        _search_shard, batch_format="pyarrow", batch_size=1)
+    cand = (
+        ray.data.from_items(shard_rows)
+        .repartition(len(shard_rows))  # one task per shard graph
+        .map_batches(_search_shard, batch_format="pyarrow", batch_size=1)
+    )
 
     from feast_ray.functions.similarity import _final_per_query_topk
 
