@@ -6883,6 +6883,68 @@ from p join q on q.qid = p.query_id join c on c.vec_id = p.vec_id
 """
 
 
+def q105_pagerank(sf_dir: str):
+    """Distributed PageRank over a deterministic synthetic link graph
+    (late round 5 — the crawl-prioritization / host-quality prior;
+    Common Crawl ships exactly this ranking): every document links to
+    three targets ``(doc_id² + P_j·doc_id) % n`` (P = 7, 101, 997 —
+    non-bijective, so in-degree is skewed), 5 damped iterations at
+    d=0.85. All arithmetic is INT64 FIXED POINT (the q92/q93/q97
+    integer doctrine): rank₀ = scale//n, contribution = rank//3,
+    update = base + (85·Σ)//100 — order-free integer sums, so the
+    driver fixpoint, the distributed iterated hash_join+grouped_agg
+    path (``functions/graphrank.py``), and the UNROLLED SQL below
+    agree bit-exactly. NO dump tables: the oracle re-derives the full
+    5-iteration recurrence in pure SQL — the strongest oracle class.
+
+    Scale shape: per iteration one auto-bucketed partitioned join
+    (edges ⋈ ranks) + one combiner-shape sum by dst; rank vector and
+    edge list both stream (driver path only below the documented
+    gate)."""
+    from feast_ray.functions.graphrank import pagerank
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate([(d * d + p * d) % n for p in (7, 101, 997)])
+        # interleave per-doc (order irrelevant to integer sums)
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return pagerank(edges, n, iters=5, out_degree=3)
+
+
+def _q105_sql() -> str:
+    iters, scale, dp = 5, 10**12, 85
+    head = f"""
+with n as (select count(*) as cnt from documents),
+e as (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+b as (select ({100 - dp} * ({scale} // cnt)) // 100 as base from n),
+r0 as (select doc_id as node, {scale} // cnt as r from documents, n)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+s{i} as (select e.dst as node, sum(r{i-1}.r // 3) as s
+  from e join r{i-1} on r{i-1}.node = e.src group by e.dst),
+r{i} as (select d.doc_id as node,
+    cast(b.base + ({dp} * coalesce(s{i}.s, 0)) // 100 as bigint) as r
+  from documents d left join s{i} on s{i}.node = d.doc_id, b)""")
+    return (head + "," + ",".join(steps) + f"""
+, ind as (select dst as node, count(*) as c from e group by dst)
+select d.doc_id as node, cast(coalesce(ind.c, 0) as bigint) as in_deg,
+       r{iters}.r as rank_q
+from documents d
+left join ind on ind.node = d.doc_id
+join r{iters} on r{iters}.node = d.doc_id
+""")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6988,6 +7050,7 @@ QUERIES = {
     "q102_trained_quality_pipeline": q102_trained_quality_pipeline,
     "q103_audio_decode": q103_audio_decode,
     "q104_ann_hnsw": q104_ann_hnsw,
+    "q105_pagerank": q105_pagerank,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7075,6 +7138,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_trained_quality_pipeline": _q102_sql(),
         "q103_audio_decode": _q103_sql(),
         "q104_ann_hnsw": _q104_sql(),
+        "q105_pagerank": _q105_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -1,0 +1,84 @@
+"""PageRank suite: driver/distributed bit-parity (constant and
+computed degrees), integer-doctrine invariants, hub-graph ranking
+sanity, dangling-source convention."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from feast_ray.functions.graphrank import pagerank
+
+
+def _edges_tbl(src, dst):
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, dtype=np.int64)),
+        "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+    })).repartition(5)
+
+
+def _skewed(n=400):
+    d = np.arange(n)
+    src = np.repeat(d, 3)
+    dst = np.concatenate([(d * d + p * d) % n for p in (7, 101, 997)])
+    return src, dst
+
+
+def test_driver_distributed_bit_parity_const_deg():
+    src, dst = _skewed()
+    e = _edges_tbl(src, dst)
+    a = (pagerank(e, 400, out_degree=3, mode="driver").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (pagerank(e, 400, out_degree=3, mode="distributed").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert a.equals(b[a.columns])
+    assert a["rank_q"].dtype == np.int64
+    # skewed in-degree by construction
+    assert a["in_deg"].max() >= 5 and (a["in_deg"] == 0).any()
+
+
+def test_driver_distributed_bit_parity_computed_deg():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 120, 700)
+    dst = rng.integers(0, 120, 700)
+    e = _edges_tbl(src, dst)
+    a = (pagerank(e, 120, mode="driver").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (pagerank(e, 120, mode="distributed").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert a.equals(b[a.columns])
+
+
+def test_hub_ranks_highest():
+    # star: everyone links to node 0 plus a ring edge
+    n = 50
+    d = np.arange(1, n)
+    src = np.concatenate([d, d])
+    dst = np.concatenate([np.zeros(n - 1, np.int64), (d + 1) % n])
+    out = (pagerank(_edges_tbl(src, dst), n, mode="driver").to_pandas()
+           .sort_values("rank_q", ascending=False))
+    assert out.iloc[0]["node"] == 0
+    # n-1 star edges plus the ring edge from node n-1
+    assert out.iloc[0]["in_deg"] == n
+
+
+def test_no_inlink_node_gets_base_rank():
+    # 1 -> 2 only; node 0 has no in-links, out-degree 0 (dangling)
+    out = (pagerank(_edges_tbl([1], [2]), 3, mode="driver").to_pandas()
+           .set_index("node"))
+    scale = 10**12
+    base = 15 * (scale // 3) // 100
+    assert out.loc[0, "rank_q"] == base and out.loc[0, "in_deg"] == 0
+    # node 2 receives node 1's full (deg=1) contribution in iter 1,
+    # then 1's rank decays to base: r2 = base + 85*(base//1)//100
+    assert out.loc[2, "rank_q"] == base + 85 * base // 100
+
+
+def test_rank_mass_bounded_and_deterministic():
+    src, dst = _skewed(200)
+    e = _edges_tbl(src, dst)
+    a = pagerank(e, 200, out_degree=3, mode="driver").to_pandas()
+    b = pagerank(e, 200, out_degree=3, mode="driver").to_pandas()
+    assert a.sort_values("node").equals(b.sort_values("node"))
+    # total mass can only shrink under integer floors
+    assert a["rank_q"].sum() <= 10**12
+    assert (a["rank_q"] > 0).all()
