@@ -6945,6 +6945,66 @@ join r{iters} on r{iters}.node = d.doc_id
 """)
 
 
+def q106_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test split (late round 5 — the
+    eval-hygiene op every LLM data pipeline needs): documents are
+    split 80/10/10 BY NEAR-DUP COMPONENT, not by row — the q51
+    MinHash-LSH verified pair graph's min-label components are the
+    split unit (singletons are their own component), and the split
+    bucket is splitmix64(component) % 100. Guarantee by construction:
+    no two near-duplicate documents can straddle train and test (the
+    leakage mode row-hash splits are blind to — Lee et al. 2022 §6.2
+    measure exactly this contamination).
+
+    Oracle: pure SQL — q51's recursive-CTE component fixpoint composed
+    with the shared splitmix64 SQL finalizer; no dump tables."""
+    import pyarrow.compute as _pc2
+
+    from feast_ray.functions.components import minhash_components
+    from feast_ray.functions.hnsw import _splitmix64
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    comps = minhash_components(docs, "doc_id", "text", threshold=0.8)
+    base = docs.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow")
+    labeled = hash_join(base, comps, on="doc_id", how="left")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        comp = _pc2.fill_null(t["component"], _pc2.cast(t["doc_id"], pa.int64()))
+        z = _splitmix64(comp.to_numpy(zero_copy_only=False).astype(np.uint64))
+        b = (z % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "component": comp.cast(pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return labeled.map_batches(_assign, batch_format="pyarrow")
+
+
+def _q106_sql() -> str:
+    sm = _splitmix64_sql("(comp % 18446744073709551616::HUGEINT)")
+    return f"""
+with recursive {_minhash_components_ctes()},
+comps as (select node as doc_id, min(comp) as component from cc group by node),
+lab as (
+  select d.doc_id, d.source,
+         coalesce(c.component, d.doc_id) as comp
+  from documents d left join comps c on c.doc_id = d.doc_id),
+buck as (
+  select doc_id, source, comp as component,
+         cast(({sm}) % 100 as bigint) as b
+  from lab)
+select doc_id, source, component,
+       case when b < 80 then 'train' when b < 90 then 'val'
+            else 'test' end as split
+from buck
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7051,6 +7111,7 @@ QUERIES = {
     "q103_audio_decode": q103_audio_decode,
     "q104_ann_hnsw": q104_ann_hnsw,
     "q105_pagerank": q105_pagerank,
+    "q106_leakage_safe_split": q106_leakage_safe_split,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7139,6 +7200,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_audio_decode": _q103_sql(),
         "q104_ann_hnsw": _q104_sql(),
         "q105_pagerank": _q105_sql(),
+        "q106_leakage_safe_split": _q106_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
