@@ -538,6 +538,15 @@ def run_bench() -> dict:
             assert n == 100_000, n
             timings["ann_hnsw_search_10kq"] = round(dt, 3)
             extras["hnsw_queries_per_sec"] = round(10_000 / dt, 1)
+            # centroid-routed fan-out (R=8 of 32): the IVF-over-shards
+            # pruning — search cost drops ~4x at hash-shard recall
+            t0 = time.perf_counter()
+            n = ann_topk_hnsw(idx_dir, queries, k=10, ef_search=32,
+                              route_shards=8).count()
+            dt = time.perf_counter() - t0
+            assert n == 100_000, n
+            timings["ann_hnsw_search_routed_10kq"] = round(dt, 3)
+            extras["hnsw_routed_queries_per_sec"] = round(10_000 / dt, 1)
 
         def _clf() -> None:
             # trainable quality classifier (round 5): distill the

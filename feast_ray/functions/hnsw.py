@@ -278,7 +278,11 @@ def hnsw_build(
             pa.table({id_col: pa.array(ids, pa.int64()),
                       vec_col: pa.array(list(vecs.astype(np.float32)))}),
             os.path.join(path, "vectors", f"shard={s}.parquet"))
-        return pd.DataFrame([{"shard": s, **meta}])
+        # routing centroid: mean of the shard's unit vectors (float32
+        # round-tripped so driver routing == any recompute)
+        cent = g.vecs.mean(axis=0).astype(np.float32).astype(np.float64)
+        return pd.DataFrame([{"shard": s, **meta,
+                              "centroid": [cent.tolist()]}])
 
     metas = (
         ds.map_batches(_tag, batch_format="pyarrow")
@@ -289,11 +293,44 @@ def hnsw_build(
     info = {"n_shards": n_shards, "m": m, "ef_construction": ef_construction,
             "shards": {int(r["shard"]): {"entry": int(r["entry"]),
                                          "top": int(r["top"]),
-                                         "m": int(r["m"]), "n": int(r["n"])}
+                                         "m": int(r["m"]), "n": int(r["n"]),
+                                         "centroid": list(r["centroid"][0])}
                        for _, r in metas.iterrows()}}
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(info, fh)
     return info
+
+
+def _shard_meta(info: dict, s) -> dict:
+    sh = info["shards"]
+    return sh[str(s)] if str(s) in sh else sh[s]
+
+
+def _route_queries(info: dict, qn: np.ndarray,
+                   route_shards: int | None) -> dict[int, np.ndarray]:
+    """→ {shard: query indices}. ``route_shards=None`` fans every
+    query out to every shard; an int R visits only each query's R
+    most-similar shard CENTROIDS (stable argsort, so float ties break
+    by shard id — deterministic)."""
+    shards = sorted(int(s) for s in info["shards"])
+    if route_shards is None or route_shards >= len(shards):
+        allq = np.arange(len(qn))
+        return {s: allq for s in shards}
+    norms = np.linalg.norm(qn, axis=1)
+    norms[norms == 0] = 1.0
+    qu = qn / norms[:, None]
+    cents = np.stack([np.asarray(_shard_meta(info, s)["centroid"], np.float64)
+                      for s in shards])
+    sims = qu @ cents.T  # (nq, S)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :route_shards]
+    out: dict[int, np.ndarray] = {}
+    for col in range(route_shards):
+        for s_idx in np.unique(order[:, col]):
+            qsel = np.nonzero(order[:, col] == s_idx)[0]
+            s = shards[int(s_idx)]
+            out[s] = (np.sort(np.concatenate([out[s], qsel]))
+                      if s in out else qsel)
+    return out
 
 
 def ann_topk_hnsw(
@@ -306,30 +343,41 @@ def ann_topk_hnsw(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    route_shards: int | None = None,
 ) -> ray.data.Dataset:
-    """Search every shard graph (one task per shard, queries broadcast
+    """Search the shard graphs (one task per shard, queries broadcast
     once via ``ray.put``) and merge per-query top-k across shards.
     Output (query_id, vec_id, score) — score = cosine, desc, ties by
-    vec_id (same contract as ``ann_topk_bruteforce``)."""
+    vec_id (same contract as ``ann_topk_bruteforce``).
+
+    ``route_shards=R`` prunes the fan-out to each query's R
+    closest shard centroids (the IVF-over-shards refinement: search
+    cost drops S/R-fold; recall depends on shard/cluster alignment —
+    hash shards spread clusters, so keep R a meaningful fraction, or
+    shard by content cluster for tight routing)."""
     with open(os.path.join(path, "meta.json")) as fh:
         info = json.load(fh)
     qn = np.asarray(queries, dtype=np.float64)
     qids = (np.arange(len(qn)) if query_ids is None
             else np.asarray(query_ids, dtype=np.int64))
-    qref = ray.put((qn, qids))
+    routing = _route_queries(info, qn, route_shards)
+    qref = ray.put((qn, qids, {s: v for s, v in routing.items()}))
 
-    shard_rows = [{"shard": int(s)} for s in sorted(info["shards"])]
+    shard_rows = [{"shard": int(s)} for s in sorted(routing)]
 
     def _search_shard(batch: pa.Table) -> pa.Table:
-        q, qi = ray.get(qref)
+        q, qi, route = ray.get(qref)
         out_q, out_id, out_s = [], [], []
         for s in batch["shard"].to_pylist():
+            sel = route[s]
+            if len(sel) == 0:
+                continue
             vt = pq.read_table(os.path.join(path, "vectors", f"shard={s}.parquet"))
             et = pq.read_table(os.path.join(path, "graph", f"shard={s}.parquet"))
             ids = vt[id_col].to_numpy(zero_copy_only=False)
             vecs = np.stack(vt[vec_col].to_numpy(zero_copy_only=False))
-            g = ShardHNSW.from_tables(ids, vecs, et, info["shards"][str(s)])
-            for j in range(len(q)):
+            g = ShardHNSW.from_tables(ids, vecs, et, _shard_meta(info, s))
+            for j in sel:
                 for score, vid in g.search(q[j], k, ef_search):
                     out_q.append(int(qi[j]))
                     out_id.append(vid)
@@ -355,23 +403,25 @@ def ann_topk_hnsw(
 def hnsw_search_sequential(
     path: str, queries: np.ndarray, k: int = 10, *, ef_search: int = 64,
     query_ids: np.ndarray | None = None, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", route_shards: int | None = None,
 ) -> pd.DataFrame:
-    """Single-process reference: same graphs, same search, merged with
-    the same (score desc, vec_id asc) order — the q104 oracle dump."""
+    """Single-process reference: same graphs, same routing, same
+    search, merged with the same (score desc, vec_id asc) order — the
+    q104 oracle dump."""
     with open(os.path.join(path, "meta.json")) as fh:
         info = json.load(fh)
     qn = np.asarray(queries, dtype=np.float64)
     qids = (np.arange(len(qn)) if query_ids is None
             else np.asarray(query_ids, dtype=np.int64))
+    routing = _route_queries(info, qn, route_shards)
     rows: list[tuple[int, int, float]] = []
-    for s in sorted(info["shards"], key=int):
+    for s in sorted(routing):
         vt = pq.read_table(os.path.join(path, "vectors", f"shard={s}.parquet"))
         et = pq.read_table(os.path.join(path, "graph", f"shard={s}.parquet"))
         ids = vt[id_col].to_numpy(zero_copy_only=False)
         vecs = np.stack(vt[vec_col].to_numpy(zero_copy_only=False))
-        g = ShardHNSW.from_tables(ids, vecs, et, info["shards"][str(s)])
-        for j in range(len(qn)):
+        g = ShardHNSW.from_tables(ids, vecs, et, _shard_meta(info, s))
+        for j in routing[s]:
             for score, vid in g.search(qn[j], k, ef_search):
                 rows.append((int(qids[j]), vid, score))
     df = pd.DataFrame(rows, columns=["query_id", id_col, "score"])

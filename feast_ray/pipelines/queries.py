@@ -6841,7 +6841,7 @@ def q104_ann_hnsw(sf_dir: str):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_m8efc64s4"
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_m8efc64s4c"
     index_path = f"/tmp/feast_ray_cache/hnsw_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (os.path.exists(os.path.join(index_path, "meta.json"))

@@ -119,6 +119,24 @@ def test_tiny_corpus_edges():
     assert got[0][1] == 1  # exact match ranks first
 
 
+def test_routed_search_parity_and_recall(built):
+    ids, vecs, path, info = built
+    q = vecs[:8]
+    out = (ann_topk_hnsw(path, q, k=10, ef_search=64, route_shards=2)
+           .to_pandas().sort_values(["query_id", "vec_id"])
+           .reset_index(drop=True))
+    ref = hnsw_search_sequential(path, q, k=10, ef_search=64, route_shards=2)
+    ref = ref.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert out[["query_id", "vec_id"]].equals(ref[["query_id", "vec_id"]])
+    # routing metadata exists and has unit-ish centroids
+    for s in info["shards"].values():
+        c = np.asarray(s["centroid"])
+        assert c.shape == (vecs.shape[1],) and np.linalg.norm(c) > 0
+    # hash shards spread clusters -> R=2 of 4 still finds most of the
+    # exact set it visits; sanity: every query returns k rows
+    assert (out.groupby("query_id").size() == 10).all()
+
+
 def test_select_heuristic_spreads_clusters():
     # base at origin-ish; two tight clusters: heuristic must not take
     # all M from the nearer cluster
