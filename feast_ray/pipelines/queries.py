@@ -7005,6 +7005,85 @@ from buck
 """
 
 
+def q107_cdc_dedup(sf_dir: str):
+    """Content-defined chunking + chunk-level dedup (late round 5 —
+    the FastCDC storage-dedup primitive, Xia et al. 2016, in its
+    text-domain form): gear-register boundaries over codepoints
+    (vectorized 64-shift window, ``functions/cdc.py``), md5 chunk
+    hashes, per-source dedup stats (total vs unique chunk mass —
+    the sub-document boilerplate measure). Insertion-resistant where
+    fixed-size chunking is not (test_cdc.py proves 14/15 chunks
+    survive a 1-char insertion vs 0/20 fixed-size).
+
+    Oracle: only the BOUNDARIES come from the sequential-recompute
+    dump (the gear register is not SQL-expressible); every chunk HASH
+    is INDEPENDENTLY re-derived by DuckDB ``md5(substring(text, …))``
+    — char-based substring + md5-of-UTF-8 match the engine's
+    codepoint spans and ``hashlib.md5`` exactly — and the dedup
+    aggregation is plain SQL."""
+    from feast_ray.functions.cdc import cdc_chunk_spans, cdc_chunks
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    chunks = docs.map_batches(
+        lambda t: cdc_chunks(t, carry=("source",)), batch_format="pyarrow")
+    tot = grouped_agg(
+        chunks, ["source"],
+        [AggSpec(None, "count", "n_chunks"),
+         AggSpec("length", "sum", "total_chars")])
+    per_hash = grouped_agg(
+        chunks, ["source", "chunk_hash"],
+        [AggSpec("length", "max", "length")])
+    uq = grouped_agg(
+        per_hash, ["source"],
+        [AggSpec(None, "count", "n_unique_chunks"),
+         AggSpec("length", "sum", "unique_chars")])
+    out = hash_join(tot, uq, on="source")
+
+    # sequential reference recompute → boundary dump (pure per-doc fn)
+    import pyarrow.parquet as _pq
+
+    ref = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    spans = cdc_chunk_spans([t or "" for t in ref["text"].to_pylist()])
+    rows_id, rows_st, rows_ln = [], [], []
+    for d, sp in zip(ref["doc_id"].to_pylist(), spans):
+        for st, ln in sp:
+            rows_id.append(d)
+            rows_st.append(st)
+            rows_ln.append(ln)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                  "start": pa.array(rows_st, pa.int64()),
+                  "length": pa.array(rows_ln, pa.int64())}),
+        os.path.join(_PPL_ORACLE_DIR, "q107_cdc_spans.parquet"),
+    )
+    return out
+
+
+def _q107_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    return f"""
+with ch as (
+  select r.doc_id, d.source, r.length,
+         md5(substring(d.text, r.start + 1, r.length)) as h
+  from read_parquet('{d}/q107_cdc_spans.parquet') r
+  join documents d on d.doc_id = r.doc_id),
+tot as (select source, count(*) as n_chunks,
+               cast(sum(length) as bigint) as total_chars
+        from ch group by source),
+per_hash as (select source, h, max(length) as length
+             from ch group by source, h),
+uq as (select source, count(*) as n_unique_chunks,
+              cast(sum(length) as bigint) as unique_chars
+       from per_hash group by source)
+select t.source, t.n_chunks, t.total_chars,
+       u.n_unique_chunks, u.unique_chars
+from tot t join uq u on u.source = t.source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7112,6 +7191,7 @@ QUERIES = {
     "q104_ann_hnsw": q104_ann_hnsw,
     "q105_pagerank": q105_pagerank,
     "q106_leakage_safe_split": q106_leakage_safe_split,
+    "q107_cdc_dedup": q107_cdc_dedup,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7201,6 +7281,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_ann_hnsw": _q104_sql(),
         "q105_pagerank": _q105_sql(),
         "q106_leakage_safe_split": _q106_sql(),
+        "q107_cdc_dedup": _q107_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
