@@ -620,6 +620,7 @@ def run_bench() -> dict:
         _stage("embed_pages", _embed)
         _stage("stream_ingest_1m", _stream)
         _stage("ann_ivfpq_corpus", _ann)
+        _stage("ann_hnsw_corpus", _hnsw)
         _stage("quality_clf_corpus", _clf)
         _stage("knlm_corpus", _knlm)
 

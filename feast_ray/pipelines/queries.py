@@ -7084,6 +7084,96 @@ from tot t join uq u on u.source = t.source
 """
 
 
+def q108_c4_span_dedup(sf_dir: str):
+    """C4-style span dedup stats (Raffel et al. 2020 §2.2 — C4 drops
+    any three-sentence span seen before in the corpus; this corpus
+    has no sentence punctuation, so the span unit is the direct
+    analogue: non-overlapping 30-WORD windows): words split on the
+    literal space (one vectorized Arrow split_pattern pass), each
+    30-word window md5-hashed, GLOBAL first occurrence kept (min
+    (doc_id, span_idx) — the bucketed exact-dedup shape,
+    hash-partitioned by span hash), per-document span/duplicate
+    counts. Complements q63 (Lee et al. SLIDING 50-token removal):
+    this is the attribution/stats view with keep-first semantics.
+
+    Oracle: fully SQL, no dump — DuckDB re-derives the split
+    (string_split), the window concat + md5, the first-occurrence
+    rule (row_number over hash ordered by doc_id, span_idx) and the
+    per-doc aggregation."""
+    import hashlib as _hl
+
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    W = 30
+
+    def _spans(t: pa.Table) -> pa.Table:
+        word_lists = pc.split_pattern(t["text"], pattern=" ")
+        ids = t["doc_id"].to_pylist()
+        o_id, o_idx, o_h, o_rank = [], [], [], []
+        for d, words in zip(ids, word_lists.to_pylist()):
+            n = len(words) // W
+            for i in range(n):
+                span = " ".join(words[W * i:W * i + W])
+                o_id.append(d)
+                o_idx.append(i)
+                o_h.append(_hl.md5(span.encode("utf-8")).hexdigest())
+                o_rank.append(d * (1 << 20) + i)
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "span_idx": pa.array(o_idx, pa.int64()),
+            "h": pa.array(o_h, pa.string()),
+            "rank": pa.array(o_rank, pa.int64()),
+        })
+
+    spans = docs.map_batches(_spans, batch_format="pyarrow")
+    firsts = grouped_agg(spans, ["h"], [AggSpec("rank", "min", "min_rank")])
+    j = hash_join(spans, firsts, on="h")
+
+    def _mark(t: pa.Table) -> pa.Table:
+        dup = pc.greater(t["rank"], t["min_rank"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dup": pc.cast(dup, pa.int64()),
+        })
+
+    per_doc = grouped_agg(
+        j.map_batches(_mark, batch_format="pyarrow"),
+        ["doc_id"],
+        [AggSpec(None, "count", "n_spans"), AggSpec("dup", "sum", "n_dup")])
+    base = docs.map_batches(lambda t: t.select(["doc_id"]),
+                            batch_format="pyarrow")
+    out = hash_join(base, per_doc, on="doc_id", how="left")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_spans": pc.fill_null(t["n_spans"], 0).cast(pa.int64()),
+            "n_dup": pc.fill_null(t["n_dup"], 0).cast(pa.int64()),
+        })
+
+    return out.map_batches(_fill, batch_format="pyarrow")
+
+
+_Q108_SQL = """
+with s as (select doc_id, string_split(text, ' ') as words from documents),
+tr as (
+  select doc_id, i as span_idx,
+         md5(array_to_string(words[30*i + 1 : 30*i + 30], ' ')) as h
+  from s, unnest(generate_series(0, (len(words) // 30) - 1)) as t(i)),
+rn as (select doc_id, span_idx, h,
+       row_number() over (partition by h
+                          order by doc_id, span_idx) as rnk
+       from tr),
+agg as (select doc_id, count(*) as n_spans,
+        cast(sum(case when rnk > 1 then 1 else 0 end) as bigint) as n_dup
+        from rn group by doc_id)
+select d.doc_id, coalesce(a.n_spans, 0) as n_spans,
+       coalesce(a.n_dup, 0) as n_dup
+from documents d left join agg a on a.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7192,6 +7282,7 @@ QUERIES = {
     "q105_pagerank": q105_pagerank,
     "q106_leakage_safe_split": q106_leakage_safe_split,
     "q107_cdc_dedup": q107_cdc_dedup,
+    "q108_c4_span_dedup": q108_c4_span_dedup,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7282,6 +7373,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_pagerank": _q105_sql(),
         "q106_leakage_safe_split": _q106_sql(),
         "q107_cdc_dedup": _q107_sql(),
+        "q108_c4_span_dedup": _Q108_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
