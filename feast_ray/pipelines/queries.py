@@ -7174,6 +7174,54 @@ from documents d left join agg a on a.doc_id = d.doc_id
 """
 
 
+def q109_topp_calibration(sf_dir: str):
+    """Exact top-p threshold calibration WITHOUT a global sort (late
+    round 5 — "keep the top 30% by score" needs the exact corpus
+    p-quantile; the q41 sketch is approximate and ``ds.sort`` is an
+    all-to-all of everything): the k-th order statistic comes from
+    ``functions/selection.py`` — iterative 65 536-bucket histogram
+    refinement, one streaming pass per round, ≤ 4 rounds over int64 —
+    then one filter pass keeps exactly k documents. Ties are encoded
+    INTO the key ((2³¹−n_chars)·2³¹ + doc_id — longest first, ties by
+    doc_id), so the cut is exact with no residual tie pass.
+
+    Oracle: fully SQL, no dump — row_number over (n_chars desc,
+    doc_id) ≤ (3·count)//10, grouped per source."""
+    from feast_ray.functions.selection import exact_kth
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    n = docs.count()
+    k = (3 * n) // 10
+    CAP = 1 << 31
+
+    def _key(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("key", pa.array((CAP - nc) * CAP + did))
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow").materialize()
+    kth = exact_kth(keyed, "key", k)
+    kept = keyed.map_batches(
+        lambda t, _kth=kth: t.filter(pc.less_equal(t["key"], _kth)),
+        batch_format="pyarrow")
+    return grouped_agg(
+        kept, ["source"],
+        [AggSpec(None, "count", "n_keep"),
+         AggSpec("n_chars", "min", "min_kept_chars")])
+
+
+_Q109_SQL = """
+with k as (select (3 * count(*)) // 10 as k from documents),
+r as (select doc_id, source, n_chars,
+      row_number() over (order by n_chars desc, doc_id) as rn
+      from documents)
+select source, count(*) as n_keep,
+       cast(min(n_chars) as bigint) as min_kept_chars
+from r, k where rn <= k.k group by source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7283,6 +7331,7 @@ QUERIES = {
     "q106_leakage_safe_split": q106_leakage_safe_split,
     "q107_cdc_dedup": q107_cdc_dedup,
     "q108_c4_span_dedup": q108_c4_span_dedup,
+    "q109_topp_calibration": q109_topp_calibration,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7374,6 +7423,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_leakage_safe_split": _q106_sql(),
         "q107_cdc_dedup": _q107_sql(),
         "q108_c4_span_dedup": _Q108_SQL,
+        "q109_topp_calibration": _Q109_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
