@@ -7222,6 +7222,77 @@ from r, k where rn <= k.k group by source
 """
 
 
+def q110_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (late round 5 — the multi-level report shape):
+    (source, lang) totals, per-source subtotals and the grand total in
+    ONE corpus shuffle — coarser levels re-aggregate the finest
+    grouped_agg result (count→sum-of-counts), never re-scanning the
+    input (``stages/aggregate.py rollup_agg``). Rolled-up keys are
+    NULL per the SQL convention, so DuckDB's native ``group by
+    rollup`` is the oracle verbatim."""
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    from feast_ray.stages.aggregate import rollup_agg
+
+    return rollup_agg(
+        docs, ["source", "lang"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("n_chars", "sum", "sum_chars")])
+
+
+_Q110_SQL = """
+select source, lang, count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_chars
+from documents group by rollup (source, lang)
+"""
+
+
+def q111_window_funcs(sf_dir: str):
+    """Per-key ordered window functions (ROW_NUMBER / LAG / running
+    SUM — the SQL window-function trio) over the events stream:
+    rows co-partition by user through the auto-bucketed exchange,
+    each bucket sorts once and computes all three vectorized
+    (``stages/relational.py window_row_funcs``). Order is made total
+    with (ts, event_id); values go through exact cents
+    (round(value·100) — integral by construction) so the running sum
+    is integer-deterministic on both sides."""
+    from feast_ray.stages.relational import window_row_funcs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "vi": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    out = window_row_funcs(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"],
+        rank_as="rn",
+        lag_cols={"vi": "lag_vi"},
+        cumsum_cols={"vi": "cum_vi"},
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rn", "lag_vi", "cum_vi"]),
+        batch_format="pyarrow")
+
+
+_Q111_SQL = """
+with e as (select event_id, ts, user_id,
+           cast(round(value * 100) as bigint) as vi from events)
+select event_id, user_id,
+  row_number() over w as rn,
+  lag(vi) over w as lag_vi,
+  cast(sum(vi) over (partition by user_id order by ts, event_id
+       rows between unbounded preceding and current row) as bigint) as cum_vi
+from e window w as (partition by user_id order by ts, event_id)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7332,6 +7403,8 @@ QUERIES = {
     "q107_cdc_dedup": q107_cdc_dedup,
     "q108_c4_span_dedup": q108_c4_span_dedup,
     "q109_topp_calibration": q109_topp_calibration,
+    "q110_rollup": q110_rollup,
+    "q111_window_funcs": q111_window_funcs,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7424,6 +7497,8 @@ def oracle_sql() -> dict[str, str]:
         "q107_cdc_dedup": _q107_sql(),
         "q108_c4_span_dedup": _Q108_SQL,
         "q109_topp_calibration": _Q109_SQL,
+        "q110_rollup": _Q110_SQL,
+        "q111_window_funcs": _Q111_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -873,3 +873,66 @@ def session_agg(
         return out.drop(columns="__sid")
 
     return bucketed_group_reduce(ds, keys, _sessions, num_buckets=num_buckets)
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    specs: "list[AggSpec]",
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP for ALGEBRAIC specs (sum/count/min/max): the
+    finest level is ONE ``grouped_agg`` over the corpus; every coarser
+    level re-aggregates that (small) result instead of re-scanning the
+    input — count becomes a sum of counts, sum/min/max compose with
+    themselves. Rolled-up key columns come back NULL (the SQL ROLLUP
+    convention, so DuckDB's ``group by rollup`` is the oracle).
+
+    Scale shape: the input is shuffled exactly once (the finest
+    grouped_agg's combiner exchange); levels 0..n−1 run over the
+    finest AGGREGATE, whose size is the group count, not the corpus.
+    """
+    import pyarrow as _pa
+
+    for s in specs:
+        if s.fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"rollup_agg needs algebraic fns, got {s.fn!r}")
+    finest = grouped_agg(ds, keys, specs).materialize()
+    key_types = {
+        f.name: f.type
+        for f in _dataset_arrow_schema(finest)
+        if f.name in keys
+    }
+    reagg = [AggSpec(s.alias, "sum" if s.fn in ("sum", "count") else s.fn,
+                     s.alias) for s in specs]
+    out_cols = keys + [s.alias for s in specs]
+
+    def _pad(missing: list[str]):
+        def _fn(t: _pa.Table) -> _pa.Table:
+            for m in missing:
+                t = t.append_column(m, _pa.nulls(len(t), key_types[m]))
+            # restore count dtype lost to the re-sum
+            cols = {}
+            for s in specs:
+                col = t[s.alias]
+                if s.fn == "count":
+                    col = col.cast(_pa.int64())
+                cols[s.alias] = col
+            arrays = [cols.get(c, t[c]) for c in out_cols]
+            return _pa.table(dict(zip(out_cols, arrays)))
+        return _fn
+
+    levels = [finest.map_batches(_pad([]), batch_format="pyarrow")]
+    for depth in range(len(keys) - 1, -1, -1):
+        lvl = grouped_agg(finest, keys[:depth], reagg)
+        levels.append(lvl.map_batches(_pad(keys[depth:]),
+                                      batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _dataset_arrow_schema(ds: "ray.data.Dataset"):
+    from feast_ray.stages.join import dataset_schema
+
+    return dataset_schema(ds)

@@ -185,3 +185,56 @@ def group_limit(
 
     pre = ds.map_batches(_block_limit, batch_format="pyarrow")
     return bucketed_group_reduce(pre, group_cols, _limit, num_buckets=num_buckets)
+
+
+def window_row_funcs(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    *,
+    rank_as: str | None = None,
+    lag_cols: "dict[str, str] | None" = None,
+    cumsum_cols: "dict[str, str] | None" = None,
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Per-key ordered row functions — SQL's ROW_NUMBER / LAG /
+    running SUM — over a partitioned exchange: rows co-locate by
+    ``hash(keys)`` (the bucketed_group_reduce shape, auto-sized
+    buckets), each bucket sorts ONCE by (keys, order_by) and computes
+    every requested function vectorized (groupby.cumcount / shift /
+    cumsum — no per-key Python). The caller must make (order_by)
+    a total order within a key (add a unique id as the last column)
+    or ranks are not well-defined.
+
+    Partitioning assumption (documented, same as every bucketed op):
+    one key's rows fit a worker — keys are users/hosts/sessions, not
+    the whole corpus.
+    """
+    import pandas as _pd
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    lag_cols = lag_cols or {}
+    cumsum_cols = cumsum_cols or {}
+
+    def _merge(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        if not len(df):
+            out = df.copy()
+            if rank_as:
+                out[rank_as] = _pd.Series([], dtype="int64")
+            for src, dst in lag_cols.items():
+                out[dst] = _pd.Series([], dtype=df.dtypes.get(src, "float64"))
+            for src, dst in cumsum_cols.items():
+                out[dst] = _pd.Series([], dtype=df.dtypes.get(src, "float64"))
+            return out
+        df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)
+        g = df.groupby(keys, sort=False)
+        if rank_as:
+            df[rank_as] = (g.cumcount() + 1).astype("int64")
+        for src, dst in lag_cols.items():
+            df[dst] = g[src].shift()
+        for src, dst in cumsum_cols.items():
+            df[dst] = g[src].cumsum()
+        return df
+
+    return bucketed_group_reduce(ds, keys, _merge, num_buckets=num_buckets)
