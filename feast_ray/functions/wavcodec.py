@@ -473,7 +473,7 @@ class AudioDecoder:
         nbytes = np.empty(k, np.int64)
         feats = np.empty((k, AUDIO_FEATURE_DIM), np.float64)
         for i, p in enumerate(payloads):
-            r, c, n, arr = decode_wav(p)
+            r, c, n, arr = decode_audio_any(p)
             rate[i], nch[i], nsamp[i], nbytes[i] = r, c, n, len(p)
             f = np.histogram(arr.ravel(), bins=AUDIO_FEATURE_DIM,
                              range=(-1.0, 1.0))[0].astype(np.float64)
@@ -509,3 +509,164 @@ def decode_audio(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+# --------------------------------------------------------------------------
+# AIFF (big-endian PCM, 80-bit extended sample rate) and AU (Sun/NeXT)
+# --------------------------------------------------------------------------
+
+def _f80_encode(rate: int) -> bytes:
+    """Sample rate → IEEE 754 80-bit extended, big-endian (AIFF COMM).
+    Positive integers only (sample rates): exponent 16383+k with the
+    explicit integer bit set."""
+    if rate <= 0:
+        raise ValueError(rate)
+    k = rate.bit_length() - 1
+    mant = rate << (63 - k)  # integer bit at position 63
+    return struct.pack(">HQ", 16383 + k, mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    exp, mant = struct.unpack(">HQ", b[:10])
+    if exp & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = exp - 16383 - 63
+    return int(mant * (2.0 ** e)) if e < 0 else mant << e
+
+
+def decode_aiff(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """AIFF → (rate, nch, n_samples, float64 (n, nch) in [-1, 1)).
+    Big-endian signed PCM 8/16/24/32 per the public AIFF-1.3 spec."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from(">I", payload, 4)[0])
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    nch, nframes, bits = struct.unpack_from(">hIh", comm, 0)
+    rate = _f80_decode(comm[8:18])
+    off, _blk = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + off:]
+    if bits == 8:
+        arr = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        arr = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        arr = np.frombuffer(data, ">i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise NotImplementedError(f"AIFF {bits}-bit")
+    arr = arr[: nframes * nch].reshape(-1, nch)
+    return rate, nch, len(arr), arr
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """int-domain samples (n,) or (n, nch) → canonical AIFF payload:
+    12-byte FORM/AIFF + COMM (8+18) + SSND (8+8+data+pad) = 54 + data
+    (+pad) — the closed form q112's oracle uses."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s.reshape(-1, 1)
+    n, nch = s.shape
+    if bits == 8:
+        data = s.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = s.astype(">i2").tobytes()
+    elif bits == 24:
+        v = s.astype(np.int64) & 0xFFFFFF
+        raw = np.empty((n, nch, 3), dtype=np.uint8)
+        raw[..., 0], raw[..., 1], raw[..., 2] = v >> 16, (v >> 8) & 0xFF, v & 0xFF
+        data = raw.tobytes()
+    elif bits == 32:
+        data = s.astype(">i4").tobytes()
+    else:
+        raise ValueError(bits)
+    pad = b"\x00" if len(data) & 1 else b""
+    comm = struct.pack(">hIh", nch, n, bits) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + pad)
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+
+def aiff_n_bytes(bits: int, n_samples: int, n_channels: int) -> int:
+    data = (bits // 8) * n_samples * n_channels
+    return 54 + data + (data & 1)
+
+
+_AU_ENCODINGS = {1: "mulaw", 2: "pcm8", 3: "pcm16", 6: "float32"}
+_AU_CODES = {v: k for k, v in _AU_ENCODINGS.items()}
+
+
+def decode_au(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Sun/NeXT .au → (rate, nch, n_samples, float64 (n, nch)).
+    Encodings: 1 µ-law, 2 signed PCM8, 3 PCM16 BE, 6 float32 BE."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, nch = struct.unpack_from(">IIIII", payload, 4)
+    data = payload[off:off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == 1:
+        lin = mulaw_decode_int(np.frombuffer(data, np.uint8))
+        arr = lin.astype(np.float64) / 32768.0
+    elif enc == 2:
+        arr = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        arr = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+    elif enc == 6:
+        arr = np.frombuffer(data, ">f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch)
+    return rate, nch, len(arr), arr
+
+
+def encode_au(samples: np.ndarray, sample_rate: int,
+              codec: str = "pcm16") -> bytes:
+    """Canonical AU payload: 24-byte header + data (no padding) —
+    n_bytes = 24 + data, the q112 closed form."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s.reshape(-1, 1)
+    n, nch = s.shape
+    if codec == "mulaw":
+        data = g711_encode(s.ravel(), "mulaw").tobytes()
+    elif codec == "pcm8":
+        data = s.astype(np.int8).tobytes()
+    elif codec == "pcm16":
+        data = s.astype(">i2").tobytes()
+    elif codec == "float32":
+        data = s.astype(">f4").tobytes()
+    else:
+        raise ValueError(codec)
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data),
+                                _AU_CODES[codec], sample_rate, nch)
+    return hdr + data
+
+
+def au_n_bytes(codec: str, n_samples: int, n_channels: int) -> int:
+    per = {"mulaw": 1, "pcm8": 1, "pcm16": 2, "float32": 4}[codec]
+    return 24 + per * n_samples * n_channels
+
+
+def decode_audio_any(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Magic-sniffed audio decode: RIFF/WAVE, FORM/AIFF, .snd (AU)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
+    raise NotImplementedError("unknown audio container")

@@ -7293,6 +7293,131 @@ from e window w as (partition by user_id order by ts, event_id)
 """
 
 
+def q112_audio_legacy(sf_dir: str):
+    """Legacy audio containers (late round 5 — the other two formats
+    crawled web audio actually arrives in): big-endian AIFF (80-bit
+    extended sample rate, signed PCM) and Sun/NeXT AU (µ-law default
+    encoding, PCM16 BE, float32 BE) — ``functions/wavcodec.py`` AIFF/AU
+    sections — decoded through the same magic-sniffing AudioDecoder
+    actor pool as q103. All five arms are constant-sample payloads, so
+    the oracle is fully closed-form DuckDB integer arithmetic
+    (including the G.711 µ-law expansion reused from q103) — no dump
+    tables."""
+    from feast_ray.functions.wavcodec import (
+        AUDIO_FEATURE_DIM,
+        decode_audio,
+        encode_aiff,
+        encode_au,
+        mulaw_decode_int,
+    )
+
+    def _payload(d: int) -> tuple[bytes, str]:
+        arm = d % 5
+        n = 48 + d % 77
+        nch = 1 + d % 2
+        rate = 8000 + 1000 * (d % 5)
+        if arm == 0:
+            s = np.full((n, nch), ((d * 151) % 65536) - 32768, np.int64)
+            return encode_aiff(s, rate, bits=16), "aiff16"
+        if arm == 1:
+            s = np.full((n, nch), ((d * 29) % 256) - 128, np.int64)
+            return encode_aiff(s, rate, bits=8), "aiff8"
+        if arm == 2:
+            c = (d * 61) % 256
+            c = 128 if c == 127 else c
+            m = int(mulaw_decode_int(np.array([c], np.int64))[0])
+            return encode_au(np.full((n, nch), m, np.int64), rate, "mulaw"), "au_mulaw"
+        if arm == 3:
+            s = np.full((n, nch), ((d * 173) % 65536) - 32768, np.int64)
+            return encode_au(s, rate, "pcm16"), "au_pcm16"
+        v = ((d % 3001) - 1500) / 2048.0  # exactly float32-representable
+        return encode_au(np.full((n, nch), v, np.float64), rate, "float32"), "au_f32"
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _to_audio(t: pa.Table) -> pa.Table:
+        payloads, kinds = [], []
+        for d in t["doc_id"].to_pylist():
+            p, k = _payload(int(d))
+            payloads.append(p)
+            kinds.append(k)
+        return pa.table({
+            "media_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "codec": pa.array(kinds, pa.string()),
+        })
+
+    dec = decode_audio(docs.map_batches(_to_audio, batch_format="pyarrow"))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        flat = t["feature"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), AUDIO_FEATURE_DIM)
+        return pa.table({
+            "media_id": t["media_id"],
+            "codec": t["codec"],
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "n_channels": pc.cast(t["n_channels"], pa.int64()),
+            "n_samples": pc.cast(t["n_samples"], pa.int64()),
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+            "f0": pa.array(mat[:, 0]),
+            "f7": pa.array(mat[:, 7]),
+            "f15": pa.array(mat[:, 15]),
+        })
+
+    return dec.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q112_sql() -> str:
+    return """
+with base as (
+  select doc_id, doc_id % 5 as arm,
+         48 + doc_id % 77 as n,
+         1 + doc_id % 2 as nch,
+         8000 + 1000 * (doc_id % 5) as rate
+  from documents),
+a16 as (
+  select doc_id, 'aiff16' as codec, rate, nch, n,
+         54 + 2*n*nch as n_bytes,
+         ((doc_id*151) % 65536) // 4096 as bin
+  from base where arm = 0),
+a8 as (
+  select doc_id, 'aiff8' as codec, rate, nch, n,
+         54 + n*nch + (n*nch) % 2 as n_bytes,
+         ((doc_id*29) % 256) // 16 as bin
+  from base where arm = 1),
+aum as (
+  select doc_id, codec, rate, nch, n, n_bytes,
+         (case when u >= 128 then -mag else mag end + 32768) // 4096 as bin
+  from (
+    select doc_id, 'au_mulaw' as codec, rate, nch, n,
+           24 + n*nch as n_bytes, u,
+           ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 as mag
+    from (
+      select *, 255 - (case when (doc_id*61) % 256 = 127 then 128
+                            else (doc_id*61) % 256 end) as u
+      from base where arm = 2))),
+au16 as (
+  select doc_id, 'au_pcm16' as codec, rate, nch, n,
+         24 + 2*n*nch as n_bytes,
+         ((doc_id*173) % 65536) // 4096 as bin
+  from base where arm = 3),
+auf as (
+  select doc_id, 'au_f32' as codec, rate, nch, n,
+         24 + 4*n*nch as n_bytes,
+         cast(floor((((doc_id % 3001) - 1500) / 2048.0 + 1) * 8) as bigint) as bin
+  from base where arm = 4)
+select doc_id as media_id, codec, rate as sample_rate,
+       cast(nch as bigint) as n_channels, cast(n as bigint) as n_samples,
+       cast(n_bytes as bigint) as n_bytes,
+       case when bin = 0 then 1.0 else 0.0 end as f0,
+       case when bin = 7 then 1.0 else 0.0 end as f7,
+       case when bin = 15 then 1.0 else 0.0 end as f15
+from (select * from a16 union all select * from a8
+      union all select * from aum union all select * from au16
+      union all select * from auf)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7405,6 +7530,7 @@ QUERIES = {
     "q109_topp_calibration": q109_topp_calibration,
     "q110_rollup": q110_rollup,
     "q111_window_funcs": q111_window_funcs,
+    "q112_audio_legacy": q112_audio_legacy,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7499,6 +7625,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_topp_calibration": _Q109_SQL,
         "q110_rollup": _Q110_SQL,
         "q111_window_funcs": _Q111_SQL,
+        "q112_audio_legacy": _q112_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

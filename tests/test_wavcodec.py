@@ -192,3 +192,93 @@ def test_media_decoder_real_wav_path():
     w, h, f = MediaDecoder(mode="real")._decode_real(p)
     assert (w, h) == (44100, 2)
     assert f[0] == 1.0  # -1.0 amplitude -> bin 0
+
+
+# --------------------------------------------------------------------------
+# AIFF / AU (q112)
+# --------------------------------------------------------------------------
+
+def test_f80_sample_rate_roundtrip():
+    from feast_ray.functions.wavcodec import _f80_decode, _f80_encode
+
+    for rate in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000, 2**31):
+        assert _f80_decode(_f80_encode(rate)) == rate
+    with pytest.raises(ValueError):
+        _f80_encode(0)
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("nch", [1, 2])
+def test_aiff_roundtrip(bits, nch):
+    from feast_ray.functions.wavcodec import aiff_n_bytes, decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(bits * 10 + nch)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    s = rng.integers(lo, hi + 1, (57, nch))
+    p = encode_aiff(s, 44100, bits=bits)
+    assert len(p) == aiff_n_bytes(bits, 57, nch)
+    rate, c, n, arr = decode_aiff(p)
+    assert (rate, c, n) == (44100, nch, 57)
+    assert np.array_equal(arr * float(1 << (bits - 1)), s.astype(np.float64))
+
+
+def test_aiff_ssnd_offset_and_odd_pad():
+    from feast_ray.functions.wavcodec import decode_aiff, encode_aiff
+
+    # odd data size (8-bit, 33 mono samples) forces the chunk pad byte
+    s = np.arange(-16, 17).reshape(-1, 1)
+    p = encode_aiff(s, 8000, bits=8)
+    assert len(p) % 2 == 0
+    rate, c, n, arr = decode_aiff(p)
+    assert n == 33 and np.array_equal(arr.ravel() * 128, s.ravel().astype(np.float64))
+
+
+@pytest.mark.parametrize("codec,tol", [("mulaw", 512), ("pcm8", 256),
+                                       ("pcm16", 0), ("float32", 0)])
+def test_au_roundtrip(codec, tol):
+    from feast_ray.functions.wavcodec import au_n_bytes, decode_au, encode_au
+
+    rng = np.random.default_rng(hash(codec) % 2**32)
+    if codec == "pcm8":
+        s = rng.integers(-128, 128, (41, 2))
+        scale = 128.0
+    elif codec == "float32":
+        s = (rng.integers(-1500, 1501, (41, 2))) / 2048.0
+        scale = 1.0
+    else:
+        s = rng.integers(-30000, 30001, (41, 2))
+        scale = 32768.0
+    p = encode_au(s, 16000, codec)
+    assert len(p) == au_n_bytes(codec, 41, 2)
+    rate, c, n, arr = decode_au(p)
+    assert (rate, c, n) == (16000, 2, 41)
+    if codec == "pcm8":
+        assert np.array_equal(arr * scale, s.astype(np.float64))
+    elif tol == 0:
+        assert np.array_equal(arr * scale, s.astype(np.float64))
+    else:
+        assert np.abs(arr * scale - s).max() <= tol
+
+
+def test_decode_audio_any_sniffing_and_stage():
+    from feast_ray.functions.wavcodec import (
+        decode_audio_any, encode_aiff, encode_au)
+
+    s = np.full((50, 1), 8192, np.int64)
+    for p in (encode_wav(s, 8000, "pcm16"), encode_aiff(s, 8000, 16),
+              encode_au(s, 8000, "pcm16")):
+        rate, c, n, arr = decode_audio_any(p)
+        assert (rate, c, n) == (8000, 1, 50)
+        assert np.all(arr == 8192 / 32768.0)
+    with pytest.raises(NotImplementedError):
+        decode_audio_any(b"\x00\x01\x02\x03junk")
+    # the actor-pool stage dispatches per-row on magic
+    tbl = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [encode_wav(s, 8000, "pcm16"), encode_aiff(s, 11000, 16),
+             encode_au(s, 9000, "mulaw")], pa.binary()),
+    })
+    out = AudioDecoder()(tbl)
+    assert out["sample_rate"].to_pylist() == [8000, 11000, 9000]
+    assert out["n_samples"].to_pylist() == [50, 50, 50]
