@@ -662,11 +662,16 @@ def au_n_bytes(codec: str, n_samples: int, n_channels: int) -> int:
 
 
 def decode_audio_any(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Magic-sniffed audio decode: RIFF/WAVE, FORM/AIFF, .snd (AU)."""
+    """Magic-sniffed audio decode: RIFF/WAVE, FORM/AIFF, .snd (AU),
+    fLaC (the lossless compressed format, `functions/flac.py`)."""
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     if payload[:4] == b"FORM":
         return decode_aiff(payload)
     if payload[:4] == b".snd":
         return decode_au(payload)
+    if payload[:4] == b"fLaC":
+        from feast_ray.functions.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError("unknown audio container")

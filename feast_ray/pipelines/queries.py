@@ -7418,6 +7418,125 @@ from (select * from a16 union all select * from a8
 """
 
 
+def q113_audio_flac(sf_dir: str):
+    """FLAC (RFC 9639) lossless audio through the same magic-sniffing
+    AudioDecoder actor pool — ``functions/flac.py``, the native
+    decoder pinned by a deterministic first-party encoder.  Three arms
+    whose encoded size has a closed form the oracle restates: a mono
+    constant (one CONSTANT subframe, 54 bytes flat), a mono integer
+    ramp (FIXED order 2, Rice k=0, all-zero residuals -> exactly one
+    bit per sample past the warmup), and a stereo constant pair
+    encoded mid/side (CONSTANT mid + 17-bit CONSTANT side, 58 bytes
+    flat).  Full subframe/residual coverage (verbatim, LPC, escape
+    partitions, wasted bits, left/right-side stereo) is pinned by the
+    round-trip suite in ``tests/test_flac.py``."""
+    from feast_ray.functions.flac import encode_flac
+    from feast_ray.functions.wavcodec import AUDIO_FEATURE_DIM, decode_audio
+
+    def _payload(d: int) -> tuple[bytes, str]:
+        arm = d % 3
+        n = 48 + d % 77
+        rate = 8000 + 1000 * (d % 7)
+        if arm == 0:
+            v = ((d * 151) % 65536) - 32768
+            return encode_flac(np.full(n, v, np.int64), rate), "flac_const"
+        if arm == 1:
+            a = ((d * 37) % 4096) - 2048
+            b = 1 + d % 3
+            s = (a + b * np.arange(n)).astype(np.int64)
+            return encode_flac(s, rate), "flac_ramp"
+        left = ((d * 53) % 65536) - 32768
+        right = ((d * 97) % 65536) - 32768
+        s = np.stack([np.full(n, left, np.int64), np.full(n, right, np.int64)],
+                     axis=1)
+        return encode_flac(s, rate, stereo="mid_side"), "flac_ms"
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _to_audio(t: pa.Table) -> pa.Table:
+        payloads, kinds = [], []
+        for d in t["doc_id"].to_pylist():
+            p, k = _payload(int(d))
+            payloads.append(p)
+            kinds.append(k)
+        return pa.table({
+            "media_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "codec": pa.array(kinds, pa.string()),
+        })
+
+    dec = decode_audio(docs.map_batches(_to_audio, batch_format="pyarrow"))
+
+    def _proj(t: pa.Table) -> pa.Table:
+        flat = t["feature"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(t), AUDIO_FEATURE_DIM)
+        return pa.table({
+            "media_id": t["media_id"],
+            "codec": t["codec"],
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "n_channels": pc.cast(t["n_channels"], pa.int64()),
+            "n_samples": pc.cast(t["n_samples"], pa.int64()),
+            "n_bytes": pc.cast(t["n_bytes"], pa.int64()),
+            "f0": pa.array(mat[:, 0]),
+            "f7": pa.array(mat[:, 7]),
+            "f8": pa.array(mat[:, 8]),
+        })
+
+    return dec.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q113_sql() -> str:
+    return """
+with base as (
+  select doc_id, doc_id % 3 as arm,
+         48 + doc_id % 77 as n,
+         8000 + 1000 * (doc_id % 7) as rate
+  from documents),
+cst as (
+  select doc_id, 'flac_const' as codec, rate, 1 as nch, n,
+         54 as n_bytes,
+         ((doc_id*151) % 65536) // 4096 as bin0, -1 as bin1
+  from base where arm = 0),
+ms as (
+  select doc_id, 'flac_ms' as codec, rate, 2 as nch, n,
+         58 as n_bytes,
+         ((doc_id*53) % 65536) // 4096 as bin0,
+         ((doc_id*97) % 65536) // 4096 as bin1
+  from base where arm = 2),
+onehot as (
+  select doc_id, codec, rate, nch, n, n_bytes,
+         (case when bin0 = 0 then 1.0 else 0.0 end
+          + case when bin1 = 0 then 1.0 else 0.0 end)
+           / (case when bin1 < 0 then 1 else 2 end) as f0,
+         (case when bin0 = 7 then 1.0 else 0.0 end
+          + case when bin1 = 7 then 1.0 else 0.0 end)
+           / (case when bin1 < 0 then 1 else 2 end) as f7,
+         (case when bin0 = 8 then 1.0 else 0.0 end
+          + case when bin1 = 8 then 1.0 else 0.0 end)
+           / (case when bin1 < 0 then 1 else 2 end) as f8
+  from (select * from cst union all select * from ms)),
+ramp as (
+  select b.doc_id, 'flac_ramp' as codec, b.rate, 1 as nch, b.n,
+         44 + (111 + b.n) // 8 as n_bytes,
+         sum(case when (a + s * i + 32768) // 4096 = 0
+                  then 1.0 else 0.0 end) / b.n as f0,
+         sum(case when (a + s * i + 32768) // 4096 = 7
+                  then 1.0 else 0.0 end) / b.n as f7,
+         sum(case when (a + s * i + 32768) // 4096 = 8
+                  then 1.0 else 0.0 end) / b.n as f8
+  from (select *, ((doc_id*37) % 4096) - 2048 as a, 1 + doc_id % 3 as s
+        from base where arm = 1) b,
+       lateral (select unnest(generate_series(0, b.n - 1)) as i) g
+  group by b.doc_id, b.rate, b.n, b.a, b.s)
+select doc_id as media_id, codec, rate as sample_rate,
+       cast(nch as bigint) as n_channels, cast(n as bigint) as n_samples,
+       cast(n_bytes as bigint) as n_bytes, f0, f7, f8
+from (select doc_id, codec, rate, nch, n, n_bytes, f0, f7, f8 from onehot
+      union all
+      select doc_id, codec, rate, nch, n, n_bytes, f0, f7, f8 from ramp)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7531,6 +7650,7 @@ QUERIES = {
     "q110_rollup": q110_rollup,
     "q111_window_funcs": q111_window_funcs,
     "q112_audio_legacy": q112_audio_legacy,
+    "q113_audio_flac": q113_audio_flac,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7626,6 +7746,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_rollup": _Q110_SQL,
         "q111_window_funcs": _Q111_SQL,
         "q112_audio_legacy": _q112_sql(),
+        "q113_audio_flac": _q113_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
