@@ -7537,6 +7537,49 @@ from (select doc_id, codec, rate, nch, n, n_bytes, f0, f7, f8 from onehot
 """
 
 
+def q114_cube(sf_dir: str):
+    """GROUP BY CUBE (late round 5): all four (source, lang) grouping
+    sets in ONE corpus shuffle — the 2^k − 1 coarser levels
+    re-aggregate the finest grouped result (``stages/aggregate.py
+    cube_agg``), never re-scanning the input. DuckDB's native
+    ``group by cube`` is the oracle verbatim."""
+    from feast_ray.stages.aggregate import cube_agg
+
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    return cube_agg(
+        docs, ["source", "lang"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("n_chars", "sum", "sum_chars")])
+
+
+_Q114_SQL = """
+select source, lang, count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_chars
+from documents group by cube (source, lang)
+"""
+
+
+def q115_pivot(sf_dir: str):
+    """PIVOT (late round 5): documents long→wide — one row per source,
+    one float64 column per distinct lang, cells sum(n_chars), NULL
+    where the combination has no rows (``stages/aggregate.py
+    pivot_agg``). The corpus is reduced by one (source, lang)
+    grouped_agg — the only full shuffle — and the reshape runs over
+    that small aggregate; the pivot-value set is collected from the
+    AGGREGATE, so both sides derive the column set from the data.
+    DuckDB's dynamic ``PIVOT ... USING sum(...)`` is the oracle."""
+    from feast_ray.stages.aggregate import pivot_agg
+
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    return pivot_agg(docs, "source", "lang",
+                     AggSpec("n_chars", "sum", "sum_chars"))
+
+
+_Q115_SQL = """
+PIVOT documents ON lang USING sum(n_chars) GROUP BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7651,6 +7694,8 @@ QUERIES = {
     "q111_window_funcs": q111_window_funcs,
     "q112_audio_legacy": q112_audio_legacy,
     "q113_audio_flac": q113_audio_flac,
+    "q114_cube": q114_cube,
+    "q115_pivot": q115_pivot,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7747,6 +7792,8 @@ def oracle_sql() -> dict[str, str]:
         "q111_window_funcs": _Q111_SQL,
         "q112_audio_legacy": _q112_sql(),
         "q113_audio_flac": _q113_sql(),
+        "q114_cube": _Q114_SQL,
+        "q115_pivot": _Q115_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

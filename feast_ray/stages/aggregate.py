@@ -936,3 +936,98 @@ def _dataset_arrow_schema(ds: "ray.data.Dataset"):
     from feast_ray.stages.join import dataset_schema
 
     return dataset_schema(ds)
+
+
+def cube_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    specs: "list[AggSpec]",
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE for algebraic specs: every one of the 2^k key
+    subsets, with rolled-up keys NULL (so DuckDB's ``group by cube``
+    is the oracle verbatim).  Same doctrine as ``rollup_agg``: the
+    corpus is shuffled exactly ONCE (the finest grouped_agg); all
+    2^k − 1 coarser levels re-aggregate that small result — count
+    composes as sum-of-counts, sum/min/max with themselves.
+
+    Scale shape: coarser-level cost is O(2^k × |finest|); k is the
+    report dimensionality (2–4), |finest| the group count — never the
+    corpus.
+    """
+    for s in specs:
+        if s.fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube_agg needs algebraic fns, got {s.fn!r}")
+    finest = grouped_agg(ds, keys, specs).materialize()
+    key_types = {
+        f.name: f.type
+        for f in _dataset_arrow_schema(finest)
+        if f.name in keys
+    }
+    reagg = [AggSpec(s.alias, "sum" if s.fn in ("sum", "count") else s.fn,
+                     s.alias) for s in specs]
+    out_cols = keys + [s.alias for s in specs]
+
+    def _pad(missing: list[str]):
+        def _fn(t: pa.Table) -> pa.Table:
+            for m in missing:
+                t = t.append_column(m, pa.nulls(len(t), key_types[m]))
+            cols = {}
+            for s in specs:
+                col = t[s.alias]
+                if s.fn == "count":
+                    col = col.cast(pa.int64())
+                cols[s.alias] = col
+            arrays = [cols.get(c, t[c]) for c in out_cols]
+            return pa.table(dict(zip(out_cols, arrays)))
+        return _fn
+
+    levels = [finest.map_batches(_pad([]), batch_format="pyarrow")]
+    for mask in range((1 << len(keys)) - 2, -1, -1):
+        subset = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        missing = [k for i, k in enumerate(keys) if not mask & (1 << i)]
+        lvl = grouped_agg(finest, subset, reagg)
+        levels.append(lvl.map_batches(_pad(missing), batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def pivot_agg(
+    ds: "ray.data.Dataset",
+    index: str,
+    pivot: str,
+    spec: "AggSpec",
+    max_pivot_values: int = 1000,
+) -> "ray.data.Dataset":
+    """PIVOT: one row per ``index`` value, one float64 column per
+    distinct ``pivot`` value (named by the value), cells the
+    aggregated ``spec`` — NULL where the (index, pivot) combination
+    has no rows, matching DuckDB's ``PIVOT ... USING agg(...)``.
+
+    Scale shape: the corpus is reduced by ONE grouped_agg on
+    (index, pivot) — the only full shuffle — then the reshape runs
+    per-index-group over that small aggregate.  The pivot-value set
+    is collected driver-side from the AGGREGATE (bounded by
+    ``max_pivot_values``; a pivot is only meaningful when the column
+    set fits a schema — wide fan-outs should stay long-format).
+    """
+    finest = grouped_agg(ds, [index, pivot], [spec]).materialize()
+    vals = sorted({
+        r[pivot]
+        for r in finest.select_columns([pivot]).take_all()
+    })
+    if len(vals) > max_pivot_values:
+        raise ValueError(
+            f"pivot column {pivot!r} has {len(vals)} distinct values "
+            f"(> {max_pivot_values}); keep long format at this fan-out")
+    val_cols = [str(v) for v in vals]
+
+    def _reshape(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot(index=index, columns=pivot, values=spec.alias)
+        wide = wide.reindex(columns=vals)
+        wide.columns = val_cols
+        wide = wide.astype("float64").reset_index()
+        return wide
+
+    return finest.groupby(index).map_groups(_reshape, batch_format="pandas")

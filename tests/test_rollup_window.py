@@ -81,3 +81,58 @@ def test_window_funcs_match_pandas():
     # first row of every key has no lag
     firsts = out[out.rn == 1]
     assert firsts["lag_v"].isna().all() and len(firsts) == 25
+
+
+def test_cube_levels_match_pandas():
+    from feast_ray.stages.aggregate import cube_agg
+
+    tbl = _docs()
+    out = cube_agg(
+        rd.from_arrow(tbl).repartition(5), ["source", "lang"],
+        [AggSpec(None, "count", "n_docs"), AggSpec("n_chars", "sum", "s")],
+    ).to_pandas()
+    df = tbl.to_pandas()
+    # four grouping sets: (source,lang), (source), (lang), ()
+    fine = df.groupby(["source", "lang"]).size()
+    assert len(out) == len(fine) + df["source"].nunique() + \
+        df["lang"].nunique() + 1
+    grand = out[out["source"].isna() & out["lang"].isna()]
+    assert len(grand) == 1
+    assert int(grand["n_docs"].iloc[0]) == len(df)
+    assert int(grand["s"].iloc[0]) == int(df["n_chars"].sum())
+    # the lang-only level (absent from ROLLUP) matches pandas
+    lang_lvl = out[out["source"].isna() & out["lang"].notna()]
+    exp = df.groupby("lang")["n_chars"].sum()
+    got = dict(zip(lang_lvl["lang"], lang_lvl["s"]))
+    assert {k: int(v) for k, v in got.items()} == \
+        {k: int(v) for k, v in exp.items()}
+    assert out["n_docs"].dtype == np.int64
+
+
+def test_pivot_missing_combo_is_null():
+    from feast_ray.stages.aggregate import pivot_agg
+
+    tbl = pa.table({
+        "source": ["a", "a", "b"],
+        "lang": ["en", "de", "en"],
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = pivot_agg(rd.from_arrow(tbl).repartition(2), "source", "lang",
+                    AggSpec("n_chars", "sum", "s")).to_pandas()
+    out = out.sort_values("source").reset_index(drop=True)
+    assert list(out.columns) == ["source", "de", "en"]
+    assert out.loc[0, "de"] == 20.0 and out.loc[0, "en"] == 10.0
+    assert pd.isna(out.loc[1, "de"]) and out.loc[1, "en"] == 30.0
+
+
+def test_pivot_value_cap():
+    from feast_ray.stages.aggregate import pivot_agg
+
+    tbl = pa.table({
+        "source": ["a"] * 5,
+        "lang": [f"l{i}" for i in range(5)],
+        "n_chars": pa.array(range(5), pa.int64()),
+    })
+    with pytest.raises(ValueError):
+        pivot_agg(rd.from_arrow(tbl), "source", "lang",
+                  AggSpec("n_chars", "sum", "s"), max_pivot_values=3)
