@@ -7580,6 +7580,160 @@ PIVOT documents ON lang USING sum(n_chars) GROUP BY source
 """
 
 
+def q116_full_outer_join(sf_dir: str):
+    """FULL OUTER hash join (late round 5 — the last missing join
+    type): high-value order stats per customer ⟗ BUILDING-segment
+    customers. Both sides co-partition on the key through the same
+    auto-bucketed exchange as the inner/left paths
+    (``stages/join.py hash_join(how="full")``) — outer semantics are
+    exact under co-partitioning because a key's rows from BOTH sides
+    land in one bucket, so each unmatched row surfaces exactly once
+    with coalesced keys. Money goes through exact cents. DuckDB's
+    ``full outer join`` is the oracle verbatim."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.join import hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _hi(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = price > 150000.0
+        return pa.table({
+            "custkey": pc.filter(t["o_custkey"], pa.array(keep)),
+            "cents": pa.array(np.round(price[keep] * 100).astype(np.int64)),
+        })
+
+    left = grouped_agg(
+        orders.map_batches(_hi, batch_format="pyarrow"),
+        ["custkey"],
+        [AggSpec(None, "count", "n_orders"), AggSpec("cents", "sum", "sum_cents")],
+    )
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _bld(t: pa.Table) -> pa.Table:
+        seg = pc.equal(t["c_mktsegment"], "BUILDING")
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        keep = seg.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": pc.filter(t["c_custkey"], seg),
+            "acctbal_cents": pa.array(np.round(bal[keep] * 100).astype(np.int64)),
+        })
+
+    right = cust.map_batches(_bld, batch_format="pyarrow")
+    return hash_join(left, right, on="custkey", how="full")
+
+
+_Q116_SQL = """
+with o as (
+  select o_custkey as custkey, count(*) as n_orders,
+         cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+           as sum_cents
+  from orders where o_totalprice > 150000 group by 1),
+c as (
+  select c_custkey as custkey,
+         cast(round(c_acctbal * 100) as bigint) as acctbal_cents
+  from customer where c_mktsegment = 'BUILDING')
+select coalesce(o.custkey, c.custkey) as custkey,
+       o.n_orders, o.sum_cents, c.acctbal_cents
+from o full outer join c on o.custkey = c.custkey
+"""
+
+
+def q117_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS (late round 5) — the general form ROLLUP
+    (q110) and CUBE (q114) specialize: exactly the named key subsets
+    ((source, lang), (lang), ()) — NOT a rollup prefix chain — over
+    ONE corpus shuffle; each set re-aggregates the finest grouped
+    result (``stages/aggregate.py grouping_sets_agg``). DuckDB's
+    native ``group by grouping sets`` is the oracle verbatim."""
+    from feast_ray.stages.aggregate import AggSpec, grouping_sets_agg
+
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    return grouping_sets_agg(
+        docs, ["source", "lang"],
+        [["source", "lang"], ["lang"], []],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("n_chars", "sum", "sum_chars")])
+
+
+_Q117_SQL = """
+select source, lang, count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_chars
+from documents group by grouping sets ((source, lang), (lang), ())
+"""
+
+
+def q118_window_rank(sf_dir: str):
+    """LEAD / DENSE_RANK / NTILE window functions (late round 5 —
+    completing q111's trio): per-user ordered functions over the
+    events stream through one auto-bucketed exchange, all three
+    computed vectorized in the same per-bucket sort
+    (``stages/relational.py window_row_funcs``). DENSE_RANK ranks ts
+    boundaries (ties share a rank, no gaps); NTILE(4) hands the first
+    ``n_rows %% 4`` tiles the extra row — the standard allocation.
+    Values go through exact cents."""
+    from feast_ray.stages.relational import window_row_funcs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "vi": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    out = window_row_funcs(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        ["user_id"], ["ts", "event_id"],
+        lead_cols={"vi": "lead_vi"},
+        dense_rank_on=(["ts"], "drk"),
+        ntile=(4, "tile"),
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "lead_vi", "drk", "tile"]),
+        batch_format="pyarrow")
+
+
+_Q118_SQL = """
+with e as (select event_id, ts, user_id,
+           cast(round(value * 100) as bigint) as vi from events)
+select event_id, user_id,
+  lead(vi) over w as lead_vi,
+  dense_rank() over (partition by user_id order by ts) as drk,
+  cast(ntile(4) over w as bigint) as tile
+from e window w as (partition by user_id order by ts, event_id)
+"""
+
+
+def q119_grouped_percentile(sf_dir: str):
+    """Exact per-group discrete quantiles (late round 5): median and
+    p90 of document length per source — SQL PERCENTILE_DISC semantics
+    (smallest value with cume_dist ≥ q, float-division boundary
+    replicated bit-for-bit) via ONE bucketed exchange; each group
+    sorts once and reads every quantile from the sorted array
+    (``stages/aggregate.py grouped_quantile``). The global-exact
+    companion is q109's histogram-refinement selection, which never
+    sorts the corpus."""
+    from feast_ray.stages.aggregate import grouped_quantile
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return grouped_quantile(docs, ["source"], "n_chars",
+                            {"p50_chars": 0.5, "p90_chars": 0.9})
+
+
+_Q119_SQL = """
+select source,
+       quantile_disc(n_chars, 0.5) as p50_chars,
+       quantile_disc(n_chars, 0.9) as p90_chars
+from documents group by source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7696,6 +7850,10 @@ QUERIES = {
     "q113_audio_flac": q113_audio_flac,
     "q114_cube": q114_cube,
     "q115_pivot": q115_pivot,
+    "q116_full_outer_join": q116_full_outer_join,
+    "q117_grouping_sets": q117_grouping_sets,
+    "q118_window_rank": q118_window_rank,
+    "q119_grouped_percentile": q119_grouped_percentile,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7794,6 +7952,10 @@ def oracle_sql() -> dict[str, str]:
         "q113_audio_flac": _q113_sql(),
         "q114_cube": _Q114_SQL,
         "q115_pivot": _Q115_SQL,
+        "q116_full_outer_join": _Q116_SQL,
+        "q117_grouping_sets": _Q117_SQL,
+        "q118_window_rank": _Q118_SQL,
+        "q119_grouped_percentile": _Q119_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

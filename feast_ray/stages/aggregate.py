@@ -993,6 +993,138 @@ def cube_agg(
     return out
 
 
+def grouping_sets_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sets: "list[list[str]]",
+    specs: "list[AggSpec]",
+) -> "ray.data.Dataset":
+    """GROUP BY GROUPING SETS for algebraic specs — the general form
+    ROLLUP and CUBE are special cases of: the caller names exactly the
+    key subsets wanted. Same one-shuffle doctrine as ``rollup_agg`` /
+    ``cube_agg``: ONE ``grouped_agg`` over the corpus at the finest
+    level (the union of all requested keys), then every requested set
+    re-aggregates that small result (count → sum of counts, sum/min/max
+    compose with themselves); keys absent from a set come back NULL, so
+    DuckDB's ``group by grouping sets (...)`` is the oracle verbatim.
+
+    Scale shape: the input is shuffled exactly once; per-set cost is
+    O(|finest|) = the finest group count, never the corpus. A set equal
+    to ``keys`` reuses the finest aggregate directly.
+    """
+    for s in specs:
+        if s.fn not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"grouping_sets_agg needs algebraic fns, got {s.fn!r}")
+    keyset = set(keys)
+    for st in sets:
+        extra = set(st) - keyset
+        if extra:
+            raise ValueError(
+                f"grouping set {st!r} uses keys outside {keys}: {extra}")
+        if len(set(st)) != len(st):
+            raise ValueError(f"grouping set {st!r} repeats a key")
+    finest = grouped_agg(ds, keys, specs).materialize()
+    key_types = {
+        f.name: f.type
+        for f in _dataset_arrow_schema(finest)
+        if f.name in keys
+    }
+    reagg = [AggSpec(s.alias, "sum" if s.fn in ("sum", "count") else s.fn,
+                     s.alias) for s in specs]
+    out_cols = keys + [s.alias for s in specs]
+
+    def _pad(missing: list[str]):
+        def _fn(t: pa.Table) -> pa.Table:
+            for m in missing:
+                t = t.append_column(m, pa.nulls(len(t), key_types[m]))
+            cols = {}
+            for s in specs:
+                col = t[s.alias]
+                if s.fn == "count":
+                    col = col.cast(pa.int64())
+                cols[s.alias] = col
+            arrays = [cols.get(c, t[c]) for c in out_cols]
+            return pa.table(dict(zip(out_cols, arrays)))
+        return _fn
+
+    levels = []
+    for st in sets:
+        missing = [k for k in keys if k not in st]
+        lvl = finest if set(st) == keyset else grouped_agg(finest, list(st),
+                                                           reagg)
+        levels.append(lvl.map_batches(_pad(missing), batch_format="pyarrow"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _disc_quantile_index(n: int, q: float) -> int:
+    """0-based index of the discrete quantile: the smallest i with
+    cume_dist (i+1)/n >= q — SQL's PERCENTILE_DISC / DuckDB's
+    quantile_disc definition, replicated with the same float64
+    division so boundary cases (q*n an exact integer) agree
+    bit-for-bit with the oracle."""
+    import math
+
+    i = min(max(int(math.ceil(q * n)) - 1, 0), n - 1)
+    while i > 0 and i / n >= q:
+        i -= 1
+    while i < n - 1 and (i + 1) / n < q:
+        i += 1
+    return i
+
+
+def grouped_quantile(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    col: str,
+    qs: "dict[str, float]",
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """EXACT per-group discrete quantiles (SQL PERCENTILE_DISC WITHIN
+    GROUP): groups co-locate via the auto-bucketed exchange, each
+    group sorts its values once and reads every requested quantile
+    from the sorted array — one shuffle, all quantiles.
+
+    Partitioning assumption (same as every bucketed op): one KEY's
+    rows fit a worker — keys are sources/hosts/languages, not the
+    corpus. The global-exact path for corpus-wide quantiles is the
+    q109 histogram-refinement selection (``functions/selection.py``),
+    which never sorts; this is the per-group companion.
+
+    ``qs``: {output_alias: quantile in (0, 1]}. Nulls in ``col`` are
+    excluded (SQL semantics); a group with only nulls emits null.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    def _per_bucket(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        if not len(df):
+            out = df[keys].copy()
+            for a in qs:
+                out[a] = _pd.Series([], dtype=df.dtypes.get(col, "float64"))
+            return out
+        rows = []
+        for kv, g in df.groupby(keys, sort=False):
+            vals = _np.sort(g[col].dropna().to_numpy())
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rec = dict(zip(keys, kv))
+            for a, q in qs.items():
+                rec[a] = (
+                    vals[_disc_quantile_index(len(vals), q)]
+                    if len(vals) else None
+                )
+            rows.append(rec)
+        return _pd.DataFrame(rows)
+
+    return bucketed_group_reduce(ds, keys, _per_bucket,
+                                 num_buckets=num_buckets)
+
+
 def pivot_agg(
     ds: "ray.data.Dataset",
     index: str,

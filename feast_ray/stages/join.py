@@ -35,7 +35,15 @@ import ray.data
 
 from feast_ray.stages.exchange import raw_exchange_default, two_sided_exchange
 
-_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
+_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+}
+# per-batch (broadcast) joins can only preserve inner/left semantics:
+# an unmatched RIGHT row would be emitted once per batch
+_BROADCASTABLE = ("inner", "left")
 
 
 def dataset_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -93,6 +101,11 @@ def broadcast_join(
     pyarrow's C++ hash join."""
     on = [on] if isinstance(on, str) else list(on)
     right_keys = [right_on] if isinstance(right_on, str) else list(right_on or on)
+    if how not in _BROADCASTABLE:
+        raise ValueError(
+            f"broadcast_join supports {_BROADCASTABLE}, got {how!r}: a "
+            "per-batch join would emit unmatched right rows once per "
+            "batch — use hash_join for right/full outer")
     rt = _to_arrow(right)
     if right_keys != on:
         rename = dict(zip(right_keys, on))
@@ -459,6 +472,13 @@ def hash_join(
     ``hash(key) % num_buckets`` and join bucket-wise. Partitioning
     assumption: one bucket (both sides) fits in a worker's heap.
 
+    ``how``: inner / left / right / full (outer). Outer semantics are
+    exact under co-partitioning — a key's rows from BOTH sides land in
+    the same bucket, so unmatched rows are emitted exactly once, with
+    coalesced key columns (pyarrow's C++ join default). right/full are
+    incompatible with ``hot_keys`` salting (replication would
+    duplicate unmatched right rows) and have no broadcast equivalent.
+
     ``num_buckets=None`` (the default, VERDICT r4 #5) AUTO-SIZES the
     bucket count from the data: the tagged union is materialized once
     (the raw exchange materializes it anyway) and the count derives
@@ -498,6 +518,15 @@ def hash_join(
 
     from feast_ray.stages.exchange import auto_num_buckets
 
+    if how not in _JOIN_TYPE:
+        raise ValueError(f"hash_join: unknown join type {how!r}")
+    if hot_keys is not None and how in ("right", "full"):
+        # salting replicates hot RIGHT rows into every salted bucket;
+        # an unmatched replica would surface salt_factor times under
+        # right/full outer semantics
+        raise ValueError(
+            "hash_join: hot_keys salting is only valid for inner/left "
+            "joins (right-row replication breaks outer semantics)")
     if num_buckets is None and hot_keys is not None:
         # salting must know the bucket count at tag time (salted
         # offsets have to stay distinct mod num_buckets, or a hot

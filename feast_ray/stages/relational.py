@@ -195,16 +195,25 @@ def window_row_funcs(
     rank_as: str | None = None,
     lag_cols: "dict[str, str] | None" = None,
     cumsum_cols: "dict[str, str] | None" = None,
+    lead_cols: "dict[str, str] | None" = None,
+    dense_rank_on: "tuple[list[str], str] | None" = None,
+    ntile: "tuple[int, str] | None" = None,
     num_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
-    """Per-key ordered row functions — SQL's ROW_NUMBER / LAG /
-    running SUM — over a partitioned exchange: rows co-locate by
-    ``hash(keys)`` (the bucketed_group_reduce shape, auto-sized
-    buckets), each bucket sorts ONCE by (keys, order_by) and computes
-    every requested function vectorized (groupby.cumcount / shift /
-    cumsum — no per-key Python). The caller must make (order_by)
-    a total order within a key (add a unique id as the last column)
-    or ranks are not well-defined.
+    """Per-key ordered row functions — SQL's ROW_NUMBER / LAG / LEAD /
+    running SUM / DENSE_RANK / NTILE — over a partitioned exchange:
+    rows co-locate by ``hash(keys)`` (the bucketed_group_reduce shape,
+    auto-sized buckets), each bucket sorts ONCE by (keys, order_by)
+    and computes every requested function vectorized
+    (groupby.cumcount / shift / cumsum — no per-key Python). The
+    caller must make (order_by) a total order within a key (add a
+    unique id as the last column) or ranks are not well-defined.
+
+    ``dense_rank_on=(cols, alias)``: DENSE_RANK over ``cols`` (which
+    must be a prefix of the sort meaning — pass the order_by columns
+    that define rank ties). ``ntile=(n, alias)``: SQL NTILE(n) —
+    first ``n_rows % n`` tiles get the extra row, exactly the
+    standard's allocation.
 
     Partitioning assumption (documented, same as every bucketed op):
     one key's rows fit a worker — keys are users/hosts/sessions, not
@@ -216,16 +225,21 @@ def window_row_funcs(
 
     lag_cols = lag_cols or {}
     cumsum_cols = cumsum_cols or {}
+    lead_cols = lead_cols or {}
 
     def _merge(df: "_pd.DataFrame") -> "_pd.DataFrame":
         if not len(df):
             out = df.copy()
             if rank_as:
                 out[rank_as] = _pd.Series([], dtype="int64")
-            for src, dst in lag_cols.items():
+            for src, dst in {**lag_cols, **lead_cols}.items():
                 out[dst] = _pd.Series([], dtype=df.dtypes.get(src, "float64"))
             for src, dst in cumsum_cols.items():
                 out[dst] = _pd.Series([], dtype=df.dtypes.get(src, "float64"))
+            if dense_rank_on:
+                out[dense_rank_on[1]] = _pd.Series([], dtype="int64")
+            if ntile:
+                out[ntile[1]] = _pd.Series([], dtype="int64")
             return out
         df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)
         g = df.groupby(keys, sort=False)
@@ -233,8 +247,37 @@ def window_row_funcs(
             df[rank_as] = (g.cumcount() + 1).astype("int64")
         for src, dst in lag_cols.items():
             df[dst] = g[src].shift()
+        for src, dst in lead_cols.items():
+            df[dst] = g[src].shift(-1)
         for src, dst in cumsum_cols.items():
             df[dst] = g[src].cumsum()
+        if dense_rank_on:
+            dcols, dalias = dense_rank_on
+            # dense rank = running count of value boundaries within a
+            # key (the frame is sorted, so equal tuples are adjacent);
+            # rank-tie columns must be non-null — NaN != NaN would
+            # split a tie
+            first = (g.cumcount() == 0).to_numpy()
+            chg = df[dcols].ne(df[dcols].shift()).any(axis=1).to_numpy() | first
+            df[dalias] = (
+                _pd.Series(chg.astype("int64"))
+                .groupby([df[k] for k in keys], sort=False)
+                .cumsum()
+                .astype("int64")
+            )
+        if ntile:
+            import numpy as _np
+
+            n, talias = ntile
+            idx = g.cumcount().to_numpy()
+            cnt = g[df.columns[0]].transform("size").to_numpy()
+            q, r = cnt // n, cnt % n
+            big = idx < r * (q + 1)
+            df[talias] = _np.where(
+                big,
+                idx // _np.maximum(q + 1, 1) + 1,
+                r + (idx - r * (q + 1)) // _np.maximum(q, 1) + 1,
+            ).astype("int64")
         return df
 
     return bucketed_group_reduce(ds, keys, _merge, num_buckets=num_buckets)

@@ -136,3 +136,103 @@ def test_pivot_value_cap():
     with pytest.raises(ValueError):
         pivot_agg(rd.from_arrow(tbl), "source", "lang",
                   AggSpec("n_chars", "sum", "s"), max_pivot_values=3)
+
+
+def test_grouping_sets_match_pandas():
+    from feast_ray.stages.aggregate import grouping_sets_agg
+
+    tbl = _docs()
+    out = grouping_sets_agg(
+        rd.from_arrow(tbl).repartition(4), ["source", "lang"],
+        [["source", "lang"], ["lang"], []],
+        [AggSpec(None, "count", "n_docs"), AggSpec("n_chars", "sum", "s")],
+    ).to_pandas()
+    df = tbl.to_pandas()
+    finest = df.groupby(["source", "lang"]).size()
+    by_lang = df.groupby("lang").agg(s=("n_chars", "sum"))
+    assert len(out) == len(finest) + len(by_lang) + 1
+    # (lang) level: source NULL, lang set
+    got = out[out.source.isna() & out.lang.notna()].set_index("lang")
+    for lang, row in by_lang.iterrows():
+        assert got.loc[lang, "s"] == row["s"]
+    # () level
+    total = out[out.source.isna() & out.lang.isna()]
+    assert len(total) == 1 and total.iloc[0]["n_docs"] == len(df)
+    assert out["n_docs"].dtype == np.int64
+
+
+def test_grouping_sets_validates():
+    from feast_ray.stages.aggregate import grouping_sets_agg
+
+    ds = rd.from_arrow(_docs())
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["source"], [["lang"]],
+                          [AggSpec(None, "count", "n")])
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["source"], [["source", "source"]],
+                          [AggSpec(None, "count", "n")])
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["source"], [["source"]],
+                          [AggSpec("n_chars", "mean", "m")])
+
+
+def test_window_lead_dense_rank_ntile_match_pandas():
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["u1", "u2", "u3"], n),
+        # coarse ts so dense-rank ties actually occur
+        "t": rng.integers(0, 40, n).astype(np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    out = window_row_funcs(
+        rd.from_pandas(df).repartition(6), ["k"], ["t", "id"],
+        lead_cols={"v": "lead_v"},
+        dense_rank_on=(["t"], "drk"),
+        ntile=(4, "tile"),
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    ref = df.sort_values(["k", "t", "id"], kind="stable").copy()
+    g = ref.groupby("k", sort=False)
+    ref["lead_v"] = g["v"].shift(-1)
+    ref["drk"] = g["t"].rank(method="dense").astype(np.int64)
+    # SQL ntile: first (n % 4) tiles get the extra row
+    def _ntile(m: int, parts: int = 4) -> np.ndarray:
+        q, r = divmod(m, parts)
+        sizes = [q + 1] * r + [q] * (parts - r)
+        return np.repeat(np.arange(1, parts + 1), sizes[:parts])[:m]
+    ref["tile"] = np.concatenate([_ntile(len(x)) for _, x in g])
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert (out["drk"] == ref["drk"]).all()
+    assert (out["tile"] == ref["tile"]).all()
+    pd.testing.assert_series_equal(
+        out["lead_v"], ref["lead_v"], check_names=False)
+    assert out["drk"].dtype == np.int64 and out["tile"].dtype == np.int64
+
+
+def test_grouped_quantile_matches_duckdb_disc():
+    import duckdb
+
+    from feast_ray.stages.aggregate import grouped_quantile
+
+    rng = np.random.default_rng(11)
+    # group sizes deliberately hit q*n integer boundaries (multiples
+    # of 2, 4, 5, 10) and odd sizes
+    frames = []
+    for i, sz in enumerate([1, 2, 3, 4, 5, 10, 20, 37, 100]):
+        frames.append(pd.DataFrame({
+            "g": np.repeat(f"g{i}", sz),
+            "x": rng.integers(0, 1000, sz).astype(np.int64),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = grouped_quantile(
+        rd.from_pandas(df).repartition(5), ["g"], "x",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    ref = duckdb.sql(
+        "select g, quantile_disc(x, 0.25) p25, quantile_disc(x, 0.5) p50,"
+        " quantile_disc(x, 0.9) p90 from df group by g order by g"
+    ).df()
+    assert (out["p25"].to_numpy() == ref["p25"].to_numpy()).all()
+    assert (out["p50"].to_numpy() == ref["p50"].to_numpy()).all()
+    assert (out["p90"].to_numpy() == ref["p90"].to_numpy()).all()

@@ -1118,3 +1118,48 @@ def test_progressive_ac_refine_history_beyond_zrl_window():
     base = decode_jpeg(encode_jpeg_gray(px, q1))
     prog = decode_jpeg(encode_jpeg_progressive(px, q1, scans=scans))
     assert np.array_equal(base, prog)
+
+
+def test_hash_join_right_and_full_outer():
+    """Right/full outer (late round 5): unmatched rows from each side
+    surface exactly once with coalesced keys and typed nulls, in BOTH
+    exchange modes; broadcast_join and hot_keys reject outer types."""
+    import ray.data
+
+    from feast_ray.stages.join import broadcast_join
+
+    ldf = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    rdf = pd.DataFrame({"k": [2, 4, 9, 11], "rv": [2.0, 4.0, 9.0, 11.0]})
+    left = ray.data.from_pandas(ldf).repartition(3)
+    right = ray.data.from_pandas(rdf).repartition(2)
+
+    for mode in ("raw", "sort"):
+        router = (
+            hash_join(left, right, on="k", how="right", num_buckets=4,
+                      exchange=mode)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(router["k"]) == [2, 4, 9, 11]
+        assert pd.isna(router.loc[2, "lv"]) and pd.isna(router.loc[3, "lv"])
+        assert router.loc[0, "lv"] == 20
+
+        fouter = (
+            hash_join(left, right, on="k", how="full", num_buckets=4,
+                      exchange=mode)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        ref = ldf.merge(rdf, on="k", how="outer").sort_values("k")
+        assert list(fouter["k"]) == list(ref["k"])
+        assert (
+            fouter["lv"].isna().to_numpy() == ref["lv"].isna().to_numpy()
+        ).all()
+        assert (
+            fouter["rv"].isna().to_numpy() == ref["rv"].isna().to_numpy()
+        ).all()
+
+    with pytest.raises(ValueError):
+        broadcast_join(left, rdf, on="k", how="full")
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="full", hot_keys=[2])
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="bogus")
