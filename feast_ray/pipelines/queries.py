@@ -7734,6 +7734,180 @@ from documents group by source
 """
 
 
+def q120_inverted_index(sf_dir: str):
+    """Distributed inverted index (late round 5 — the lexical
+    retrieval arm): distinct (term, doc) pairs explode in-block (a
+    doc's text is one row, so its postings never cross blocks), ONE
+    bucketed exchange on term co-locates each term's postings, and
+    the output value-checks the FULL index content compactly — df +
+    md5 of the comma-joined ascending postings per term
+    (``functions/search.py``). DuckDB re-derives both from the same
+    tokenization (the q59 doctrine) with
+    ``md5(string_agg(... order by doc_id))``."""
+    from feast_ray.functions.search import build_inverted_index, postings_digest
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return postings_digest(build_inverted_index(docs, min_df=5))
+
+
+_Q120_SQL = r"""
+with toks as (
+  select distinct doc_id,
+         unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents)
+select term, cast(count(*) as bigint) as df,
+       md5(string_agg(cast(doc_id as varchar), ',' order by doc_id))
+         as postings_md5
+from toks group by term having count(*) >= 5
+"""
+
+
+def q121_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (late round 5): top-10 docs for the query
+    {hash, join, vector} — ZERO-shuffle scoring (df for the query
+    terms and the corpus scalars N/avgdl are tiny aggregates broadcast
+    once; tf and dl are per-doc so every block scores its docs
+    completely in-block), one thin grouped sum + bounded top-k
+    (``functions/search.py bm25_topk``). Determinism: libm ln per df
+    (the tfidf doctrine), per-term score quantized to int64
+    nano-units by ``floor(x·1e9 + 0.5)`` BEFORE the per-doc sum — the
+    SQL oracle restates every float op in the same order."""
+    from feast_ray.functions.search import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, ["hash", "join", "vector"], k=10)
+
+
+_Q121_SQL = r"""
+with toks0 as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tf as (select doc_id, term, cast(count(*) as bigint) as tf
+       from toks0 group by 1, 2),
+dl as (select doc_id, cast(count(*) as bigint) as dl
+       from toks0 group by 1),
+scal as (
+  select (select count(*) from documents) as n_docs,
+         cast((select count(*) from toks0) as double)
+           / (select count(*) from documents) as avgdl),
+qdf as (
+  select term, cast(count(distinct doc_id) as bigint) as df
+  from toks0 where term in ('hash', 'join', 'vector') group by term),
+sc as (
+  select tf.doc_id,
+    cast(floor(
+      ln((scal.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+      * ((tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / scal.avgdl))))
+      * 1e9 + 0.5) as bigint) as score_n
+  from tf join qdf using (term) join dl using (doc_id), scal),
+agg as (select doc_id, cast(sum(score_n) as bigint) as score_n
+        from sc group by doc_id)
+select doc_id, score_n from (
+  select *, row_number() over (order by score_n desc, doc_id) as rn
+  from agg) where rn <= 10
+"""
+
+
+def q122_fuzzy_ed1_join(sf_dir: str):
+    """Edit-distance-1 similarity self-join (late round 5 — PassJoin,
+    Li et al. PVLDB 2011, specialized to τ=1): every doc pair whose
+    12-ish-char text prefix is within one edit, WITHOUT the n² cross
+    product — each string emits ≤ 8 pigeonhole segment keys (one edit
+    leaves the other half intact as an exact prefix/suffix), key-equal
+    rows co-locate through one bucketed exchange, and the exact verify
+    is vectorized numpy over codepoint matrices grouped by length pair
+    (``functions/fuzzyjoin.py``). The oracle IS the n² cross product —
+    affordable at gate scale, exactly what the engine avoids."""
+    from feast_ray.functions.fuzzyjoin import ed1_self_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.utf8_lower(t["text"]).to_pandas()
+        cuts = 10 + ids % 3
+        s = pd.Series(txt.to_numpy(dtype=object))
+        out = np.empty(len(s), dtype=object)
+        for c in (10, 11, 12):  # three cut classes, vectorized slices
+            m = cuts == c
+            out[m] = s[m].str[:c].to_numpy(dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "s": pa.array(out, pa.string()),
+        })
+
+    pref = docs.map_batches(_prefix, batch_format="pyarrow")
+    return ed1_self_join(pref, "doc_id", "s")
+
+
+_Q122_SQL = """
+with s as (
+  select doc_id,
+         substr(lower(text), 1, cast(10 + doc_id % 3 as int)) as s
+  from documents)
+select a.doc_id as id1, b.doc_id as id2,
+       cast(levenshtein(a.s, b.s) as bigint) as ed
+from s a, s b
+where a.doc_id < b.doc_id and levenshtein(a.s, b.s) <= 1
+"""
+
+
+def q123_orc_source(sf_dir: str):
+    """ORC source (late round 5 — Ray Data 2.49 ships no read_orc;
+    ``sources/orc.py`` adds the stripe-parallel reader with in-reader
+    column pruning): the events table round-trips through a 4-file
+    striped ORC copy (deterministic, cached per corpus fingerprint
+    under /tmp) and aggregates revenue per event_type from the ORC
+    read. The oracle aggregates the SAME rows from the original
+    parquet — value equality proves the format round trip."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    from feast_ray.sources.orc import read_orc, write_orc
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+    orc_dir = f"/tmp/feast_ray_orc_cache/{fp}"
+    if not os.path.isdir(orc_dir):
+        tmp = orc_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = _pq.read_table(src, columns=["event_id", "event_type", "value"])
+        n = tbl.num_rows
+        step = (n + 3) // 4
+        for i in range(4):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                write_orc(part, os.path.join(tmp, f"part{i}.orc"),
+                          stripe_size=1 << 16)
+        os.rename(tmp, orc_dir)
+    ev = read_orc(orc_dir, columns=["event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    return grouped_agg(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        ["event_type"],
+        [AggSpec(None, "count", "n_events"),
+         AggSpec("cents", "sum", "sum_cents")])
+
+
+_Q123_SQL = """
+select event_type, count(*) as n_events,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) as sum_cents
+from events group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -7854,6 +8028,10 @@ QUERIES = {
     "q117_grouping_sets": q117_grouping_sets,
     "q118_window_rank": q118_window_rank,
     "q119_grouped_percentile": q119_grouped_percentile,
+    "q120_inverted_index": q120_inverted_index,
+    "q121_bm25_search": q121_bm25_search,
+    "q122_fuzzy_ed1_join": q122_fuzzy_ed1_join,
+    "q123_orc_source": q123_orc_source,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -7956,6 +8134,10 @@ def oracle_sql() -> dict[str, str]:
         "q117_grouping_sets": _Q117_SQL,
         "q118_window_rank": _Q118_SQL,
         "q119_grouped_percentile": _Q119_SQL,
+        "q120_inverted_index": _Q120_SQL,
+        "q121_bm25_search": _Q121_SQL,
+        "q122_fuzzy_ed1_join": _Q122_SQL,
+        "q123_orc_source": _Q123_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -1,0 +1,138 @@
+"""Inverted index / BM25 / ed-1 fuzzy join / ORC source."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j] + [0] * len(a)
+        for i, ca in enumerate(a, 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def _docs(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    words = ["hash", "join", "scan", "sort", "merge", "row", "key"]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, 1 + int(rng.integers(3, 15))))
+                 for _ in range(n)],
+    })
+
+
+def test_inverted_index_matches_pandas_and_partitioning():
+    from feast_ray.functions.search import build_inverted_index
+
+    df = _docs()
+    ref = (
+        df.assign(term=df["text"].str.lower().str.split())
+        .explode("term")
+        .drop_duplicates(["doc_id", "term"])
+        .groupby("term")["doc_id"]
+        .apply(lambda s: sorted(s))
+    )
+    for parts in (2, 7):
+        out = build_inverted_index(
+            rd.from_pandas(df).repartition(parts), min_df=1, num_buckets=4
+        ).to_pandas().set_index("term")
+        assert set(out.index) == set(ref.index)
+        for term, postings in ref.items():
+            assert list(out.loc[term, "postings"]) == postings
+            assert out.loc[term, "df"] == len(postings)
+
+
+def test_inverted_index_min_df():
+    from feast_ray.functions.search import build_inverted_index
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["common rare1", "common", "common rare2", "common"],
+    })
+    out = build_inverted_index(rd.from_pandas(df), min_df=2).to_pandas()
+    assert list(out["term"]) == ["common"]
+
+
+def test_bm25_matches_sequential_reference():
+    from feast_ray.functions.search import bm25_topk
+
+    import math
+
+    df = _docs(n=80, seed=9)
+    terms = ["hash", "join"]
+    # sequential reference with identical float ops
+    toks = [t.lower().split() for t in df["text"]]
+    n_docs = len(df)
+    avgdl = float(sum(len(x) for x in toks)) / n_docs
+    dfs = {t: sum(t in set(x) for x in toks) for t in terms}
+    scores = {}
+    for i, tk in enumerate(toks):
+        s = 0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            v = idf * ((tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (len(tk) / avgdl))))
+            s += int(np.floor(v * 1e9 + 0.5))
+        if s:
+            scores[i] = s
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for parts in (2, 6):
+        out = bm25_topk(rd.from_pandas(df).repartition(parts), terms,
+                        k=10).to_pandas()
+        assert list(zip(out["doc_id"], out["score_n"])) == ref
+
+
+def test_ed1_join_matches_brute_force():
+    from feast_ray.functions.fuzzyjoin import ed1_self_join
+
+    vocab = ["kitten", "sitting", "kitchen", "mitten", "mittens", "bitten",
+             "abc", "abd", "ab", "a", "", "héllo", "hallo", "hell", "shell"]
+    strs = [vocab[i % len(vocab)] + ("x" if i % 7 == 0 else "")
+            for i in range(70)]
+    df = pd.DataFrame({"doc_id": np.arange(70, dtype=np.int64), "s": strs})
+    ref = pd.DataFrame(
+        [(i, j, _lev(strs[i], strs[j]))
+         for i in range(70) for j in range(i + 1, 70)
+         if _lev(strs[i], strs[j]) <= 1],
+        columns=["id1", "id2", "ed"],
+    ).astype("int64")
+    for parts in (3, 8):
+        out = (
+            ed1_self_join(rd.from_pandas(df).repartition(parts),
+                          "doc_id", "s", num_buckets=4)
+            .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+        )
+        assert out.equals(ref)
+
+
+def test_orc_round_trip_and_pruning(tmp_path):
+    import pyarrow.orc as paorc
+
+    from feast_ray.sources.orc import read_orc, write_orc
+
+    t = pa.table({
+        "a": pa.array(np.arange(50000, dtype=np.int64)),
+        "b": pa.array(np.arange(50000) * 0.5),
+        "c": pa.array([f"s{i % 7}" for i in range(50000)]),
+    })
+    write_orc(t, str(tmp_path / "f1.orc"), stripe_size=1 << 17)
+    write_orc(t.slice(0, 300), str(tmp_path / "f2.orc"))
+    assert paorc.ORCFile(str(tmp_path / "f1.orc")).nstripes > 1
+    out = read_orc(str(tmp_path), columns=["a", "c"]).to_pandas()
+    assert len(out) == 50300 and list(out.columns) == ["a", "c"]
+    assert out["a"].sum() == t["a"].to_pandas().sum() + t["a"].to_pandas()[:300].sum()
+    full = read_orc(str(tmp_path / "f2.orc")).to_pandas()
+    assert full.equals(t.slice(0, 300).to_pandas())
+    with pytest.raises(FileNotFoundError):
+        read_orc(str(tmp_path / "nope_dir_without_orc" ))
