@@ -116,6 +116,163 @@ def postings_digest(index: ray.data.Dataset) -> ray.data.Dataset:
     return index.map_batches(_dig, batch_format="pandas")
 
 
+def build_positional_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: "list[str] | None" = None,
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Positional inverted index: Dataset(term, doc_id,
+    positions list<int64> ascending, 0-based token offsets). Same
+    exchange shape as ``build_inverted_index`` but the postings carry
+    positions (the phrase/proximity-query layout). ``terms`` prunes
+    the index to a query vocabulary at tokenize time (the phrase-
+    search path never ships the full vocabulary)."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    tset = set(terms) if terms is not None else None
+
+    def _pos(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl[text_col]), r"\s+", " ")
+        )
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        ids = np.repeat(
+            tbl[id_col].to_numpy(zero_copy_only=False), lens)
+        # 0-based token position within each doc
+        starts = np.repeat(la.offsets.to_numpy()[:-1], lens)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        keep = flat != ""
+        if tset is not None:
+            keep &= pd.Series(flat).isin(tset).to_numpy()
+        return pa.table({
+            "term": pa.array(flat[keep], pa.string()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+        })
+
+    trips = ds.map_batches(_pos, batch_format="pyarrow")
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "positions": pd.Series([], dtype=object),
+            })
+        df = df.sort_values(["term", "doc_id", "pos"], kind="stable")
+        g = df.groupby(["term", "doc_id"], sort=False)["pos"].agg(list)
+        out = g.reset_index().rename(columns={"pos": "positions"})
+        return out.astype({"doc_id": "int64"})
+
+    return bucketed_group_reduce(trips, ["term"], _reduce,
+                                 num_buckets=num_buckets)
+
+
+def phrase_search(
+    ds: ray.data.Dataset,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Exact phrase query over the positional index:
+    Dataset(doc_id, n_phrase) for docs containing the consecutive
+    token sequence ``phrase`` (n_phrase = occurrence count, counting
+    overlaps). The index rows for the |phrase| query terms re-keyed
+    by doc_id through one exchange; the adjacency intersection is
+    vectorized ``np.intersect1d`` over shifted position arrays."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    idx = build_positional_index(
+        ds, id_col, text_col, terms=list(set(phrase)),
+        num_buckets=num_buckets)
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_phrase": pd.Series([], dtype="int64"),
+            })
+        rows = []
+        for doc, g in df.groupby("doc_id", sort=False):
+            by_term = dict(zip(g["term"], g["positions"]))
+            if any(t not in by_term for t in phrase):
+                continue
+            cand = np.asarray(by_term[phrase[0]], np.int64)
+            for off, t in enumerate(phrase[1:], 1):
+                cand = np.intersect1d(
+                    cand, np.asarray(by_term[t], np.int64) - off,
+                    assume_unique=True)
+                if not len(cand):
+                    break
+            if len(cand):
+                rows.append((int(doc), len(cand)))
+        if not rows:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_phrase": pd.Series([], dtype="int64"),
+            })
+        out = pd.DataFrame(rows, columns=["doc_id", "n_phrase"])
+        return out.astype("int64")
+
+    return bucketed_group_reduce(idx, ["doc_id"], _match,
+                                 num_buckets=num_buckets)
+
+
+def dictionary_tag(
+    ds: ray.data.Dataset,
+    patterns: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Multi-pattern substring tagging (blocklist / topic-dictionary
+    scan): Dataset(doc_id, pattern) for every (doc, pattern) where the
+    normalized text (lowercase, whitespace collapsed) contains the
+    pattern. Zero shuffles — K C++ ``match_substring`` kernels per
+    block, one block visit. For dictionaries beyond a few hundred
+    entries an Aho-Corasick automaton per actor would replace the
+    K-pass scan; at typical blocklist sizes the vectorized kernels
+    win."""
+    import pyarrow.compute as pc
+
+    pats = sorted(set(patterns))
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl[text_col]), r"\s+", " ")
+        )
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_pat = [], []
+        for p in pats:
+            hit = pc.match_substring(txt, p).to_numpy(zero_copy_only=False)
+            if hit.any():
+                out_ids.append(ids[hit])
+                out_pat.append(np.full(int(hit.sum()), p, object))
+        if not out_ids:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pattern": pa.array([], pa.string()),
+            })
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "pattern": pa.array(np.concatenate(out_pat), pa.string()),
+        })
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
 def bm25_topk(
     ds: ray.data.Dataset,
     query_terms: list[str],

@@ -7908,6 +7908,90 @@ from events group by event_type
 """
 
 
+def q124_phrase_search(sf_dir: str):
+    """Exact phrase query "hash join" over a POSITIONAL inverted index
+    (late round 5): the index carries per-(term, doc) ascending token
+    positions, pruned to the query vocabulary at tokenize time; the
+    phrase rows re-key by doc through one exchange and adjacency is a
+    vectorized ``np.intersect1d`` over shifted position arrays —
+    occurrences count overlaps (``functions/search.py
+    build_positional_index / phrase_search``). DuckDB re-derives the
+    count with a list_filter lambda over the same tokenization."""
+    from feast_ray.functions.search import phrase_search
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_search(docs, ["hash", "join"])
+
+
+_Q124_SQL = r"""
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as tk
+  from documents),
+hits as (
+  select doc_id,
+         cast(len(list_filter(range(1, len(tk)),
+                              i -> tk[i] = 'hash' and tk[i+1] = 'join'))
+              as bigint) as n_phrase
+  from toks)
+select doc_id, n_phrase from hits where n_phrase > 0
+"""
+
+
+def q125_dictionary_tag(sf_dir: str):
+    """Multi-pattern dictionary tagging (late round 5 — the
+    blocklist/topic-lexicon scan of a filtering pipeline): every
+    (doc, pattern) pair where the normalized text contains one of 7
+    dictionary phrases — zero shuffles, K C++ ``match_substring``
+    kernels per block in one visit (``functions/search.py
+    dictionary_tag``). DuckDB: patterns VALUES × ``contains`` over
+    the same normalization."""
+    from feast_ray.functions.search import dictionary_tag
+
+    pats = ["fast key", "sort table", "batch batch", "slow small",
+            "customer line", "vector", "merge part"]
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dictionary_tag(docs, pats)
+
+
+_Q125_SQL = r"""
+with pats(pattern) as (values ('fast key'), ('sort table'),
+  ('batch batch'), ('slow small'), ('customer line'), ('vector'),
+  ('merge part')),
+norm as (
+  select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as t
+  from documents)
+select n.doc_id, p.pattern
+from norm n, pats p where contains(n.t, p.pattern)
+"""
+
+
+def q126_funnel(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase within 24 h
+    (late round 5): EXISTS semantics — any strictly-increasing triple
+    with t3 − t1 ≤ window converts the user. One user-keyed exchange;
+    per user the test is two vectorized searchsorted probes per
+    step-3 event (the latest step-2 before t3 is the best witness),
+    O(n log n) — the SQL oracle IS the triple self-join the engine
+    avoids (``functions/funnel.py``)."""
+    from feast_ray.functions.funnel import funnel_converted_users
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    return funnel_converted_users(
+        ev, ["view", "click", "purchase"], 86400.0)
+
+
+_Q126_SQL = """
+select distinct v.user_id
+from events v
+join events c2 on c2.user_id = v.user_id and c2.event_type = 'click'
+  and c2.ts > v.ts
+join events p on p.user_id = v.user_id and p.event_type = 'purchase'
+  and p.ts > c2.ts and p.ts <= v.ts + interval 1 day
+where v.event_type = 'view'
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8032,6 +8116,9 @@ QUERIES = {
     "q121_bm25_search": q121_bm25_search,
     "q122_fuzzy_ed1_join": q122_fuzzy_ed1_join,
     "q123_orc_source": q123_orc_source,
+    "q124_phrase_search": q124_phrase_search,
+    "q125_dictionary_tag": q125_dictionary_tag,
+    "q126_funnel": q126_funnel,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8138,6 +8225,9 @@ def oracle_sql() -> dict[str, str]:
         "q121_bm25_search": _Q121_SQL,
         "q122_fuzzy_ed1_join": _Q122_SQL,
         "q123_orc_source": _Q123_SQL,
+        "q124_phrase_search": _Q124_SQL,
+        "q125_dictionary_tag": _Q125_SQL,
+        "q126_funnel": _Q126_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -136,3 +136,90 @@ def test_orc_round_trip_and_pruning(tmp_path):
     assert full.equals(t.slice(0, 300).to_pandas())
     with pytest.raises(FileNotFoundError):
         read_orc(str(tmp_path / "nope_dir_without_orc" ))
+
+
+def test_positional_index_and_phrase():
+    from feast_ray.functions.search import build_positional_index, phrase_search
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "hash join hash join join",   # overlap-ish: 2 occurrences
+            "join hash",                   # 0
+            "hash  join",                  # whitespace collapse: 1
+            "nothing here",                # 0 (terms absent)
+            "hash join",                   # 1
+        ],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    idx = build_positional_index(ds, terms=["hash", "join"],
+                                 num_buckets=2).to_pandas()
+    row = idx[(idx.term == "hash") & (idx.doc_id == 0)].iloc[0]
+    assert list(row["positions"]) == [0, 2]
+    out = (phrase_search(ds, ["hash", "join"], num_buckets=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["n_phrase"])) == [(0, 2), (2, 1), (4, 1)]
+    with pytest.raises(ValueError):
+        phrase_search(ds, ["solo"])
+
+
+def test_phrase_three_tokens_counts_overlaps():
+    from feast_ray.functions.search import phrase_search
+
+    df = pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["a b a b a b a"],  # "a b a": positions 0, 2, 4
+    })
+    out = phrase_search(rd.from_pandas(df), ["a", "b", "a"],
+                        num_buckets=2).to_pandas()
+    assert list(zip(out["doc_id"], out["n_phrase"])) == [(0, 3)]
+
+
+def test_dictionary_tag_matches_pandas():
+    from feast_ray.functions.search import dictionary_tag
+
+    df = _docs(n=40, seed=5)
+    pats = ["hash join", "sort", "zzz none"]
+    out = (dictionary_tag(rd.from_pandas(df).repartition(4), pats)
+           .to_pandas().sort_values(["doc_id", "pattern"])
+           .reset_index(drop=True))
+    norm = df["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    ref = []
+    for p in sorted(set(pats)):
+        for i, t in zip(df["doc_id"], norm):
+            if p in t:
+                ref.append((i, p))
+    ref = pd.DataFrame(sorted(ref), columns=["doc_id", "pattern"])
+    assert list(out["doc_id"]) == list(ref["doc_id"])
+    assert list(out["pattern"]) == list(ref["pattern"])
+
+
+def test_funnel_matches_brute_force():
+    from feast_ray.functions.funnel import funnel_converted_users
+
+    rng = np.random.default_rng(21)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400 * 5, n), unit="s"),
+    })
+    W = 3600.0 * 6
+    out = (funnel_converted_users(
+        rd.from_pandas(df).repartition(5),
+        ["view", "click", "purchase"], W, num_buckets=3)
+        .to_pandas()["user_id"].sort_values().tolist())
+    ref = []
+    for uid, g in df.groupby("user_id"):
+        a = g[g.event_type == "view"]["ts"].to_numpy()
+        b = g[g.event_type == "click"]["ts"].to_numpy()
+        c = g[g.event_type == "purchase"]["ts"].to_numpy()
+        hit = any(
+            t1 < t2 < t3 and (t3 - t1) <= np.timedelta64(int(W * 1e9), "ns")
+            for t1 in a for t2 in b for t3 in c)
+        if hit:
+            ref.append(int(uid))
+    assert out == sorted(ref)
+    with pytest.raises(ValueError):
+        funnel_converted_users(rd.from_pandas(df), ["view", "click"], W)
