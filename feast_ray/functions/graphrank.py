@@ -29,7 +29,9 @@ static edge side — documented, not needed at bench scale.)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from feast_ray.stages.aggregate import AggSpec, grouped_agg
@@ -185,3 +187,133 @@ def pagerank(
         })
 
     return final.map_batches(_final, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Exact distributed triangle count over an undirected simple
+    graph (self-loops dropped, multi-edges collapsed) — the
+    clustering-coefficient / community-density primitive. Returns a
+    single row (n_edges, n_triangles).
+
+    Method — degree-ordered edge orientation (the MapReduce classic,
+    Suri & Vassilvitskii WWW 2011): orient every edge from the
+    lower-(degree, id) endpoint to the higher, so every node's
+    out-degree is O(√E) regardless of hub skew; each node emits its
+    out-neighbor PAIRS (wedges), and a wedge (b, c) closes a triangle
+    iff the oriented edge (b, c) exists. Every triangle is counted
+    exactly once (at its lowest-ranked vertex). The COUNT is
+    orientation-invariant, so the SQL oracle can restate it with the
+    simpler id-ordered triple join.
+
+    Exchanges: one to dedup undirected edges, one combiner-shape
+    degree count (broadcast — node-count-bounded; at 10^12 nodes it
+    becomes a join on both endpoints, the documented flip), one on the
+    wedge key (b, c) matching wedges against edges.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d)),
+            "v": pa.array(np.maximum(s, d)),
+        })
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow")
+
+    def _dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["u", "v"])
+
+    uniq = bucketed_group_reduce(und, ["u", "v"], _dedup,
+                                 num_buckets=num_buckets).materialize()
+
+    def _ends(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [t["u"].combine_chunks(), t["v"].combine_chunks()]),
+        })
+
+    deg = grouped_agg(
+        uniq.map_batches(_ends, batch_format="pyarrow"),
+        ["node"], [AggSpec(None, "count", "deg")]).to_pandas()
+    deg_ref = ray.put(dict(zip(deg["node"], deg["deg"])))
+
+    def _orient(t: pa.Table) -> pa.Table:
+        lut = ray.get(deg_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = pd.Series(u).map(lut).to_numpy(np.int64)
+        dv = pd.Series(v).map(lut).to_numpy(np.int64)
+        # rank = (deg, id): orient low -> high
+        flip = (dv < du) | ((dv == du) & (v < u))
+        a = np.where(flip, v, u)
+        b = np.where(flip, u, v)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    oriented = uniq.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    def _wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        outs = []
+        for _, g in df.groupby("a", sort=False):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append((nb[i], nb[j]))
+        if not outs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        x = np.concatenate([o[0] for o in outs])
+        y = np.concatenate([o[1] for o in outs])
+        # pre-count duplicate wedges (several anchors can emit the
+        # same (x, y) pair) — combiner shape
+        out = (pd.DataFrame({"x": x, "y": y})
+               .groupby(["x", "y"], as_index=False, sort=False).size()
+               .rename(columns={"size": "w"}))
+        return out.astype("int64")
+
+    wedges = bucketed_group_reduce(oriented, ["a"], _wedges,
+                                   num_buckets=num_buckets)
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        # oriented edges keyed like wedges, w = -1 marks "edge"
+        x = t["a"].to_numpy(zero_copy_only=False)
+        y = t["b"].to_numpy(zero_copy_only=False)
+        # wedge pairs are emitted with x < y in SORTED neighbor order,
+        # but the closing edge (b, c) is oriented by RANK — normalize
+        # to id order on both sides so the keys collide
+        return pa.table({
+            "x": pa.array(np.minimum(x, y)),
+            "y": pa.array(np.maximum(x, y)),
+            "w": pa.array(np.full(len(x), -1, np.int64)),
+        })
+
+    closing = oriented.map_batches(_edge_rows, batch_format="pyarrow")
+
+    def _close(df: "pd.DataFrame") -> "pd.DataFrame":
+        has_edge = df[df["w"] < 0][["x", "y"]].drop_duplicates()
+        wed = df[df["w"] > 0]
+        if not len(wed) or not len(has_edge):
+            return pd.DataFrame({"n_triangles": pd.Series([], dtype="int64")})
+        m = wed.merge(has_edge, on=["x", "y"], how="inner")
+        return pd.DataFrame({"n_triangles": [int(m["w"].sum())]})
+
+    tri = bucketed_group_reduce(wedges.union(closing), ["x", "y"], _close,
+                                num_buckets=num_buckets)
+    n_tri = sum(r["n_triangles"] for r in tri.take_all())
+    n_edges = uniq.count()
+    return ray.data.from_items([{"n_edges": n_edges,
+                                 "n_triangles": int(n_tri)}])

@@ -7992,6 +7992,111 @@ where v.event_type = 'view'
 """
 
 
+def q127_jaccard_join(sf_dir: str):
+    """EXACT token-set Jaccard ≥ 0.95 self-join via prefix filtering
+    (late round 5 — All-Pairs/PPJoin, Bayardo et al. WWW 2007; the
+    exact companion to q25's MinHash approximation): sets order by one
+    global rarest-first token order, each set emits only its
+    ``s − ⌈τ·s⌉ + 1`` prefix tokens, prefix collisions become
+    candidates through one exchange, and the verify compares
+    ``100·|A∩B| ≥ 95·|A∪B|`` in INTEGERS (``functions/setjoin.py``).
+    The oracle is the n² cross product over DuckDB list_intersect —
+    affordable at gate scale, exactly what the prefix filter avoids."""
+    from feast_ray.functions.setjoin import jaccard_self_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_self_join(docs, 95)
+
+
+_Q127_SQL = r"""
+with s as (
+  select doc_id,
+         list_sort(list_distinct(regexp_extract_all(lower(text), '\S+')))
+           as toks
+  from documents)
+select a.doc_id as id1, b.doc_id as id2,
+       cast(len(list_intersect(a.toks, b.toks)) as bigint) as inter,
+       cast(len(a.toks) + len(b.toks)
+            - len(list_intersect(a.toks, b.toks)) as bigint) as uni
+from s a, s b
+where a.doc_id < b.doc_id
+  and 100 * len(list_intersect(a.toks, b.toks))
+      >= 95 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""
+
+
+def q128_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) interval builder (late
+    round 5 — the warehouse dimension-history staple): per user,
+    consecutive events with an unchanged event_type collapse into one
+    validity interval [valid_from, next change) with NULL closing the
+    current state — SQL's lag-change-detect + lead-close pattern in
+    ONE per-bucket sort through one partitioned exchange
+    (``stages/relational.py scd2_intervals``)."""
+    from feast_ray.stages.relational import scd2_intervals
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    out = scd2_intervals(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_type", "valid_from", "valid_to"]),
+        batch_format="pyarrow")
+
+
+_Q128_SQL = """
+with o as (
+  select user_id, event_type, ts,
+         lag(event_type) over w as prev
+  from events window w as (partition by user_id order by ts, event_id)),
+chg as (
+  select user_id, event_type, ts from o
+  where prev is null or event_type <> prev)
+select user_id, event_type, ts as valid_from,
+       lead(ts) over (partition by user_id order by ts) as valid_to
+from chg
+"""
+
+
+def q129_triangle_count(sf_dir: str):
+    """Exact distributed triangle count (late round 5 — Suri &
+    Vassilvitskii WWW 2011 degree-ordered orientation) over the q105
+    synthetic link graph made undirected: every node's out-degree is
+    O(√E) after orientation regardless of hub skew, wedges match
+    closing edges through one pair-keyed exchange, and the total is
+    orientation-invariant — so the SQL oracle restates it as the
+    simple id-ordered triple join (``functions/graphrank.py
+    triangle_count``)."""
+    from feast_ray.functions.graphrank import triangle_count
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate([(d * d + p * d) % n for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return triangle_count(edges)
+
+
+_Q129_SQL = """
+with n as (select count(*) as cnt from documents),
+raw as (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+e as (
+  select distinct least(src, dst) as u, greatest(src, dst) as v
+  from raw where src <> dst)
+select (select count(*) from e) as n_edges,
+       (select count(*)
+        from e e1 join e e2 on e2.u = e1.u and e2.v > e1.v
+        join e e3 on e3.u = e1.v and e3.v = e2.v) as n_triangles
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8119,6 +8224,9 @@ QUERIES = {
     "q124_phrase_search": q124_phrase_search,
     "q125_dictionary_tag": q125_dictionary_tag,
     "q126_funnel": q126_funnel,
+    "q127_jaccard_join": q127_jaccard_join,
+    "q128_scd2_intervals": q128_scd2_intervals,
+    "q129_triangle_count": q129_triangle_count,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8228,6 +8336,9 @@ def oracle_sql() -> dict[str, str]:
         "q124_phrase_search": _Q124_SQL,
         "q125_dictionary_tag": _Q125_SQL,
         "q126_funnel": _Q126_SQL,
+        "q127_jaccard_join": _Q127_SQL,
+        "q128_scd2_intervals": _Q128_SQL,
+        "q129_triangle_count": _Q129_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -281,3 +281,47 @@ def window_row_funcs(
         return df
 
     return bucketed_group_reduce(ds, keys, _merge, num_buckets=num_buckets)
+
+
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    state_col: str,
+    *,
+    from_as: str = "valid_from",
+    to_as: str = "valid_to",
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension (type 2) interval builder: per key,
+    collapse consecutive rows with an unchanged ``state_col`` into one
+    row valid from its first timestamp until the NEXT state change
+    (NULL for the current state) — SQL's
+    ``lag`` (change detection) + ``lead`` (interval close) pattern,
+    computed in one per-bucket sort through one partitioned exchange.
+    ``order_by[0]`` is the validity timestamp; the caller makes
+    (order_by) a total order within a key."""
+    import pandas as _pd
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ts_col = order_by[0]
+
+    def _build(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        cols = keys + [state_col, from_as, to_as]
+        if not len(df):
+            out = df.reindex(columns=keys + [state_col]).copy()
+            out[from_as] = _pd.Series([], dtype=df.dtypes.get(ts_col))
+            out[to_as] = _pd.Series([], dtype=df.dtypes.get(ts_col))
+            return out[cols]
+        df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)
+        g = df.groupby(keys, sort=False)
+        first = g.cumcount() == 0
+        changed = first | (df[state_col] != df[state_col].shift())
+        iv = df[changed].copy()
+        iv = iv.rename(columns={ts_col: from_as})
+        g2 = iv.groupby(keys, sort=False)
+        iv[to_as] = g2[from_as].shift(-1)
+        return iv[cols]
+
+    return bucketed_group_reduce(ds, keys, _build, num_buckets=num_buckets)

@@ -223,3 +223,98 @@ def test_funnel_matches_brute_force():
     assert out == sorted(ref)
     with pytest.raises(ValueError):
         funnel_converted_users(rd.from_pandas(df), ["view", "click"], W)
+
+
+def test_jaccard_join_matches_brute_force():
+    from feast_ray.functions.setjoin import jaccard_self_join
+
+    rng = np.random.default_rng(4)
+    words = [f"w{i}" for i in range(20)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, int(rng.integers(5, 18))))
+                 for _ in range(120)],
+    })
+    sets = [set(t.lower().split()) for t in docs["text"]]
+    for tau in (50, 70, 100):
+        ref = pd.DataFrame(
+            [(i, j, len(sets[i] & sets[j]), len(sets[i] | sets[j]))
+             for i in range(120) for j in range(i + 1, 120)
+             if 100 * len(sets[i] & sets[j]) >= tau * len(sets[i] | sets[j])],
+            columns=["id1", "id2", "inter", "uni"]).astype("int64")
+        out = jaccard_self_join(
+            rd.from_pandas(docs).repartition(5), tau, num_buckets=4
+        ).to_pandas()
+        if not len(ref):
+            # all-empty reduces lose the schema (exchange-wide
+            # convention) — emptiness is the assertion
+            assert len(out) == 0, f"tau={tau}"
+            continue
+        out = out.sort_values(["id1", "id2"]).reset_index(drop=True)
+        assert out.equals(ref), f"tau={tau}"
+    with pytest.raises(ValueError):
+        jaccard_self_join(rd.from_pandas(docs), 0)
+
+
+def test_triangle_count_matches_brute_force():
+    from feast_ray.functions.graphrank import triangle_count
+
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 500).astype(np.int64),
+        "dst": rng.integers(0, 40, 500).astype(np.int64),
+    })
+    E = {(min(s, d), max(s, d))
+         for s, d in zip(edges["src"], edges["dst"]) if s != d}
+    adj = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(len(adj[u] & adj[v]) for u, v in E) // 3
+    for parts in (2, 6):
+        res = triangle_count(rd.from_pandas(edges).repartition(parts),
+                             num_buckets=4).to_pandas()
+        assert res.iloc[0]["n_edges"] == len(E)
+        assert res.iloc[0]["n_triangles"] == tri
+
+
+def test_scd2_intervals_matches_pandas():
+    from feast_ray.stages.relational import scd2_intervals
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.permutation(n) * 61, unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    out = (scd2_intervals(
+        rd.from_pandas(ev).repartition(4), ["user_id"],
+        ["ts", "event_id"], "event_type", num_buckets=3)
+        .to_pandas().sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True))
+    refr = []
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        rows, prev = [], None
+        for _, r in g.iterrows():
+            if prev is None or r["event_type"] != prev:
+                rows.append([uid, r["event_type"], r["ts"], pd.NaT])
+            prev = r["event_type"]
+        for k in range(len(rows) - 1):
+            rows[k][3] = rows[k + 1][2]
+        refr.extend(rows)
+    ref = (pd.DataFrame(refr,
+           columns=["user_id", "event_type", "valid_from", "valid_to"])
+           .sort_values(["user_id", "valid_from"]).reset_index(drop=True))
+    assert len(out) == len(ref)
+    assert (out["event_type"] == ref["event_type"]).all()
+    assert (out["valid_from"] == ref["valid_from"]).all()
+    assert out["valid_to"].fillna(pd.Timestamp(0)).equals(
+        ref["valid_to"].fillna(pd.Timestamp(0)))
+    # every user's intervals tile: valid_to of row k == valid_from k+1
+    for _, g in out.groupby("user_id"):
+        assert (g["valid_to"].iloc[:-1].to_numpy()
+                == g["valid_from"].iloc[1:].to_numpy()).all()
+        assert pd.isna(g["valid_to"].iloc[-1])
