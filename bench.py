@@ -614,7 +614,34 @@ def run_bench() -> dict:
             timings["knlm_score_corpus"] = round(dt, 3)
             extras["knlm_docs_per_sec"] = round(n / dt, 1)
 
+        def _bm25() -> None:
+            # lexical retrieval at corpus scale (round 5, q120/q121):
+            # the inverted-index build is one term-keyed exchange over
+            # thin distinct (term, doc) pairs; BM25 scoring is the
+            # zero-shuffle pass (df + scalars broadcast, per-doc score
+            # complete in-block)
+            from feast_ray.functions.search import (
+                bm25_topk,
+                build_inverted_index,
+            )
+
+            t0 = time.perf_counter()
+            n_terms = build_inverted_index(
+                corpus, id_col="url", text_col="text", min_df=2).count()
+            timings["invindex_build_corpus"] = round(
+                time.perf_counter() - t0, 3)
+            extras["invindex_terms"] = int(n_terms)
+            n_pages = state["n_pages"]
+            t0 = time.perf_counter()
+            top = bm25_topk(corpus, ["hash", "join", "vector"],
+                            id_col="url", text_col="text", k=10).count()
+            dt = time.perf_counter() - t0
+            timings["bm25_search_corpus"] = round(dt, 3)
+            extras["bm25_pages_per_sec"] = round(n_pages / dt, 1)
+            assert top == 10
+
         _stage("minhash_dedup_corpus", _minhash)
+        _stage("bm25_corpus", _bm25)
         _stage("simhash_dups_corpus", _simhash)
         _stage("spandup_copartition_corpus", _spandup)
         _stage("embed_pages", _embed)

@@ -49,6 +49,17 @@ import ray.data
 from feast_ray.functions.tfidf import _doc_terms
 
 
+def _id_array(values) -> "pa.Array":
+    """Arrow array for a doc-id column of any dtype (int keys in the
+    gate tables, string urls in the page corpus)."""
+    import numpy as _np
+
+    v = _np.asarray(values)
+    if v.dtype == object or v.dtype.kind in "SU":
+        return pa.array(v.astype(object), pa.string())
+    return pa.array(v.astype(_np.int64), pa.int64())
+
+
 def build_inverted_index(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -65,7 +76,7 @@ def build_inverted_index(
         d = _doc_terms(tbl, id_col, text_col)
         return pa.table({
             "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
-            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+            "doc_id": _id_array(d["doc_id"].to_numpy()),
         })
 
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
@@ -153,7 +164,7 @@ def build_positional_index(
             keep &= pd.Series(flat).isin(tset).to_numpy()
         return pa.table({
             "term": pa.array(flat[keep], pa.string()),
-            "doc_id": pa.array(ids[keep], pa.int64()),
+            "doc_id": _id_array(ids[keep]),
             "pos": pa.array(pos[keep], pa.int64()),
         })
 
@@ -169,7 +180,7 @@ def build_positional_index(
         df = df.sort_values(["term", "doc_id", "pos"], kind="stable")
         g = df.groupby(["term", "doc_id"], sort=False)["pos"].agg(list)
         out = g.reset_index().rename(columns={"pos": "positions"})
-        return out.astype({"doc_id": "int64"})
+        return out
 
     return bucketed_group_reduce(trips, ["term"], _reduce,
                                  num_buckets=num_buckets)
@@ -216,14 +227,14 @@ def phrase_search(
                 if not len(cand):
                     break
             if len(cand):
-                rows.append((int(doc), len(cand)))
+                rows.append((doc, len(cand)))
         if not rows:
             return pd.DataFrame({
                 "doc_id": pd.Series([], dtype="int64"),
                 "n_phrase": pd.Series([], dtype="int64"),
             })
         out = pd.DataFrame(rows, columns=["doc_id", "n_phrase"])
-        return out.astype("int64")
+        return out.astype({"n_phrase": "int64"})
 
     return bucketed_group_reduce(idx, ["doc_id"], _match,
                                  num_buckets=num_buckets)
@@ -266,7 +277,7 @@ def dictionary_tag(
                 "pattern": pa.array([], pa.string()),
             })
         return pa.table({
-            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "doc_id": _id_array(np.concatenate(out_ids)),
             "pattern": pa.array(np.concatenate(out_pat), pa.string()),
         })
 
@@ -295,7 +306,7 @@ def bm25_topk(
         d = d.assign(dl=dl)
         d = d[d["term"].isin(terms)]
         return pa.table({
-            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+            "doc_id": _id_array(d["doc_id"].to_numpy()),
             "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
             "tf": pa.array(d["tf"].to_numpy().astype(np.int64)),
             "dl": pa.array(d["dl"].to_numpy().astype(np.int64)),
@@ -344,7 +355,7 @@ def bm25_topk(
             .sum()
         )
         return pa.table({
-            "doc_id": pa.array(agg["doc_id"].to_numpy(), pa.int64()),
+            "doc_id": _id_array(agg["doc_id"].to_numpy()),
             "score_n": pa.array(agg["score_n"].to_numpy(), pa.int64()),
         })
 
