@@ -269,3 +269,57 @@ def run_expectations(
     order = {e.exp_id: i for i, e in enumerate(exps)}
     out = pd.DataFrame(results, columns=["exp_id", "n", "bad", "success"])
     return out.sort_values("exp_id", key=lambda s: s.map(order)).reset_index(drop=True)
+
+
+def drift_psi(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    bin_col: str,
+    base_col: str,
+    n_bins: int,
+) -> "ray.data.Dataset":
+    """Population-stability-index drift between a BASE slice
+    (``base_col`` true) and the CURRENT slice, per key — the
+    distribution-drift monitor behind feast's validation-reference
+    workflow (`dqm/profilers/ge_profiler.py` drift expectations),
+    closed-form: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with Laplace
+    +1 smoothing, p_i = (c_i+1)/(n+n_bins).
+
+    Scale shape: ONE combiner-shape grouped count on
+    (keys, base, bin) — report-sized (|keys|·2·n_bins rows) — then
+    driver-side closed-form math over that aggregate. Determinism:
+    integer counts, libm ln per bin, each bin term quantized to int64
+    nano-units (floor(x·1e9 + 0.5)) BEFORE the order-free sum — the
+    SQL restatement reproduces every float op in the same order.
+
+    Returns Dataset(keys..., psi_n int64) where psi_n = PSI·1e9.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    cnt = grouped_agg(ds, keys + [base_col, bin_col],
+                      [AggSpec(None, "count", "c")]).to_pandas()
+    rows = []
+    for kv, g in cnt.groupby(keys, sort=False):
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        ca = np.zeros(n_bins, np.int64)
+        cb = np.zeros(n_bins, np.int64)
+        base_mask = g[base_col].to_numpy(bool)
+        bins = g[bin_col].to_numpy(np.int64)
+        cs = g["c"].to_numpy(np.int64)
+        np.add.at(ca, bins[base_mask], cs[base_mask])
+        np.add.at(cb, bins[~base_mask], cs[~base_mask])
+        na, nb = int(ca.sum()), int(cb.sum())
+        psi = 0
+        for i in range(n_bins):
+            p = (int(ca[i]) + 1) / float(na + n_bins)
+            q = (int(cb[i]) + 1) / float(nb + n_bins)
+            term = (p - q) * math.log(p / q)
+            psi += int(math.floor(term * 1e9 + 0.5))
+        rows.append(dict(zip(keys, kv)) | {"psi_n": psi})
+    return ray.data.from_items(rows)

@@ -8097,6 +8097,100 @@ select (select count(*) from e) as n_edges,
 """
 
 
+def q130_json_extract(sf_dir: str):
+    """Vectorized JSON field extraction (late round 5): the events
+    ``props`` payload ('{"k": N}') flattens to a typed int64 column
+    through one C++ ``extract_regex`` kernel per field — no per-row
+    json.loads (``stages/utils.py json_extract_fields``; nested/array
+    extraction is the declared boundary, a simdjson-class parser being
+    the scale path) — then aggregates per event_type. DuckDB's
+    json_extract_string is the oracle."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.utils import json_extract_fields
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    flat = json_extract_fields(ev, "props", {"k": ("k", "int64")},
+                               keep=["event_type", "props"])
+    return grouped_agg(
+        flat, ["event_type"],
+        [AggSpec(None, "count", "n_events"),
+         AggSpec("k", "sum", "sum_k"),
+         AggSpec("k", "max", "max_k")])
+
+
+_Q130_SQL = """
+select event_type, count(*) as n_events,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint))
+            as bigint) as sum_k,
+       cast(max(cast(json_extract_string(props, '$.k') as bigint))
+            as bigint) as max_k
+from events group by event_type
+"""
+
+
+def q131_drift_psi(sf_dir: str):
+    """Population-stability-index drift monitor (late round 5 — the
+    feast validation-reference / data-drift workflow made
+    closed-form): per event_type, PSI between the first half of the
+    month (base) and the rest over 10 fixed value bins (exact cents),
+    Laplace-smoothed — one report-sized grouped count, driver-side
+    closed-form math, every bin term quantized to int64 nano-units
+    before the order-free sum (``feast_ray/dqm.py drift_psi``). The
+    SQL oracle reproduces every float op in the same order."""
+    from feast_ray.dqm import drift_psi
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+    cutoff = np.datetime64("2024-01-16T00:00:00")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "base": pa.array(ts < cutoff),
+            "bin": pa.array(np.minimum(cents // 4000, 9)),
+        })
+
+    return drift_psi(ev.map_batches(_prep, batch_format="pyarrow"),
+                     ["event_type"], "bin", "base", 10)
+
+
+_Q131_SQL = """
+with e as (
+  select event_type, (ts < timestamp '2024-01-16') as base,
+         least(cast(round(value * 100) as bigint) // 4000, 9) as bin
+  from events),
+grid as (
+  select et.event_type, b.bin
+  from (select distinct event_type from e) et,
+       (select unnest(generate_series(0, 9)) as bin) b),
+cnt as (
+  select event_type, base, bin, count(*) as c from e group by 1, 2, 3),
+f as (
+  select g.event_type, g.bin,
+         coalesce((select c from cnt where cnt.event_type = g.event_type
+                   and cnt.base and cnt.bin = g.bin), 0) as ca,
+         coalesce((select c from cnt where cnt.event_type = g.event_type
+                   and not cnt.base and cnt.bin = g.bin), 0) as cb
+  from grid g),
+tot as (
+  select event_type, sum(ca) as na, sum(cb) as nb from f group by 1),
+terms as (
+  select f.event_type,
+    cast(floor(
+      (((f.ca + 1) / cast(t.na + 10 as double))
+       - ((f.cb + 1) / cast(t.nb + 10 as double)))
+      * ln(((f.ca + 1) / cast(t.na + 10 as double))
+           / ((f.cb + 1) / cast(t.nb + 10 as double)))
+      * 1e9 + 0.5) as bigint) as tn
+  from f join tot t using (event_type))
+select event_type, cast(sum(tn) as bigint) as psi_n
+from terms group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8227,6 +8321,8 @@ QUERIES = {
     "q127_jaccard_join": q127_jaccard_join,
     "q128_scd2_intervals": q128_scd2_intervals,
     "q129_triangle_count": q129_triangle_count,
+    "q130_json_extract": q130_json_extract,
+    "q131_drift_psi": q131_drift_psi,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8339,6 +8435,8 @@ def oracle_sql() -> dict[str, str]:
         "q127_jaccard_join": _Q127_SQL,
         "q128_scd2_intervals": _Q128_SQL,
         "q129_triangle_count": _Q129_SQL,
+        "q130_json_extract": _Q130_SQL,
+        "q131_drift_psi": _Q131_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -57,3 +57,54 @@ def prefix_columns(tbl: pa.Table, prefix: str, exclude: list[str]) -> pa.Table:
     return tbl.rename_columns(
         [c if c in exclude else f"{prefix}__{c}" for c in tbl.column_names]
     )
+
+
+def json_extract_fields(
+    ds,
+    col: str,
+    fields: "dict[str, tuple[str, str]]",
+    keep: "list[str] | None" = None,
+):
+    """Extract top-level scalar fields from a JSON string column:
+    ``fields`` maps output name -> (json key, dtype in
+    {'int64','float64','string'}). Reference parity:
+    feast's field_mapping + JSON-payload stream sources
+    (`spark_kafka_processor.py` json path).
+
+    Fast path — one C++ ``extract_regex`` kernel per field (flat
+    scalar keys only, the overwhelmingly common telemetry shape);
+    rows whose payload is missing the key (or malformed) yield NULL,
+    matching SQL json_extract semantics. Nested/array extraction is a
+    declared boundary (a simdjson-class vectorized parser is the
+    scale path; Python json.loads per row is not acceptable in a hot
+    stage).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data  # noqa: F401
+
+    def _pat(key: str, dtype: str) -> str:
+        if dtype == "int64":
+            return rf'"{key}"\s*:\s*(?P<v>-?\d+)'
+        if dtype == "float64":
+            return rf'"{key}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
+        return rf'"{key}"\s*:\s*"(?P<v>[^"]*)"'
+
+    pats = {name: _pat(key, dtype)
+            for name, (key, dtype) in fields.items()}
+
+    def _extract(tbl: pa.Table) -> pa.Table:
+        cols = {c: tbl[c] for c in (keep or tbl.column_names) if c != col}
+        src = tbl[col]
+        for name, (key, dtype) in fields.items():
+            st = pc.extract_regex(src, pats[name])
+            v = pc.struct_field(st, "v")
+            if dtype == "int64":
+                v = pc.cast(v, pa.int64())
+            elif dtype == "float64":
+                v = pc.cast(v, pa.float64())
+            cols[name] = v
+        return pa.table(cols)
+
+    return ds.map_batches(_extract, batch_format="pyarrow")
