@@ -8191,6 +8191,66 @@ from terms group by event_type
 """
 
 
+def q132_global_sort_rank(sf_dir: str):
+    """Distributed global ORDER BY with exact ranks (late round 5 —
+    the sample-sort; SURVEY §2.7 notes the reference has no
+    user-facing global sort): events ranked by (value desc, event_id
+    asc), the composite order encoded into one unique int64 key
+    ((40000 − cents)·2^20 + event_id). Per-block strided samples pick
+    range boundaries, ONE range exchange co-locates each key range,
+    buckets sort locally and ranks are local index + driver-side
+    prefix-sum of bucket sizes — payload rows are shuffled exactly
+    once, never globally sorted twice (``stages/relational.py
+    global_rank_int``). DuckDB's row_number() is the oracle."""
+    from feast_ray.stages.relational import global_rank_int
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "k": pa.array((40000 - cents) * (1 << 20) + eid),
+        })
+
+    out = global_rank_int(ev.map_batches(_key, batch_format="pyarrow"),
+                          "k", rank_as="rnk", keep_cols=["event_id"])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "rnk"]), batch_format="pyarrow")
+
+
+_Q132_SQL = """
+select event_id,
+       row_number() over (order by cast(round(value * 100) as bigint) desc,
+                          event_id asc) as rnk
+from events
+"""
+
+
+def q133_user_journey(sf_dir: str):
+    """Ordered per-group string concatenation (late round 5 — SQL's
+    string_agg WITH ORDER BY, the one holistic aggregate the two-phase
+    partial path cannot express): each user's event-type journey
+    string in (ts, event_id) order through ONE bucketed exchange and
+    one per-bucket sort (``stages/aggregate.py grouped_string_agg``) —
+    the path-analysis primitive."""
+    from feast_ray.stages.aggregate import grouped_string_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    return grouped_string_agg(ev, ["user_id"], "event_type",
+                              ["ts", "event_id"], sep=">", alias="journey")
+
+
+_Q133_SQL = """
+select user_id,
+       string_agg(event_type, '>' order by ts, event_id) as journey
+from events group by user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8323,6 +8383,8 @@ QUERIES = {
     "q129_triangle_count": q129_triangle_count,
     "q130_json_extract": q130_json_extract,
     "q131_drift_psi": q131_drift_psi,
+    "q132_global_sort_rank": q132_global_sort_rank,
+    "q133_user_journey": q133_user_journey,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8437,6 +8499,8 @@ def oracle_sql() -> dict[str, str]:
         "q129_triangle_count": _Q129_SQL,
         "q130_json_extract": _Q130_SQL,
         "q131_drift_psi": _Q131_SQL,
+        "q132_global_sort_rank": _Q132_SQL,
+        "q133_user_journey": _Q133_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -1163,3 +1163,40 @@ def pivot_agg(
         return wide
 
     return finest.groupby(index).map_groups(_reshape, batch_format="pandas")
+
+
+def grouped_string_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    val_col: str,
+    order_by: list[str],
+    sep: str = ",",
+    alias: str = "agg",
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Ordered per-group concatenation — SQL's
+    ``string_agg(val, sep ORDER BY ...)`` — the one HOLISTIC aggregate
+    shape the two-phase partial/final path cannot express (the result
+    depends on the total order of every element): groups co-locate
+    through ONE bucketed exchange, each bucket sorts once by
+    (keys, order_by) and joins vectorized per group. The user-journey /
+    path-analysis primitive (per-user ordered event-type strings).
+
+    Partitioning assumption (the standard bucketed-op contract): one
+    KEY's rows fit a worker. ``order_by`` must be a total order within
+    a key (add a unique id) or the concatenation is not well-defined.
+    """
+    import pandas as _pd
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    def _agg(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        if not len(df):
+            out = df[keys].copy()
+            out[alias] = _pd.Series([], dtype=object)
+            return out
+        df = df.sort_values(keys + order_by, kind="stable")
+        g = df.groupby(keys, sort=False)[val_col].agg(sep.join)
+        return g.reset_index().rename(columns={val_col: alias})
+
+    return bucketed_group_reduce(ds, keys, _agg, num_buckets=num_buckets)

@@ -11,6 +11,7 @@ wide step only sees the reduced stream.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -325,3 +326,116 @@ def scd2_intervals(
         return iv[cols]
 
     return bucketed_group_reduce(ds, keys, _build, num_buckets=num_buckets)
+
+
+def global_rank_int(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    rank_as: str = "rank",
+    keep_cols: "list[str] | None" = None,
+    num_buckets: int = 64,
+    sample_per_block: int = 256,
+) -> ray.data.Dataset:
+    """EXACT global ascending rank (1-based) by a UNIQUE int64 key —
+    the distributed ORDER BY / ROW_NUMBER() the reference never had
+    (SURVEY §2.7: "no user-facing global sort"): a sample-sort.
+    Composite orders encode into the key (the caller's contract, e.g.
+    ``(cents desc, id asc)`` → ``(C − cents)·2^k + id``); ties are NOT
+    ranked deterministically, hence the uniqueness requirement.
+
+    Shape — never a full sort shuffle of payload rows:
+    1. per-block deterministic samples (first + strided) → driver
+       picks ``num_buckets − 1`` RANGE boundaries (tiny);
+    2. one range exchange (searchsorted on the broadcast boundaries);
+    3. per-bucket vectorized argsort + size;
+    4. bucket sizes prefix-sum DRIVER-side (B integers) → each bucket
+       emits ``offset + local_index``.
+    Skewed key ranges only imbalance bucket sizes, never correctness;
+    boundary quality degrades to imbalance, not error.
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    keep_cols = keep_cols or []
+
+    def _sample(tbl: pa.Table) -> pa.Table:
+        k = tbl[key_col].to_numpy(zero_copy_only=False)
+        if not len(k):
+            return pa.table({"s": pa.array([], pa.int64())})
+        step = max(1, len(k) // sample_per_block)
+        return pa.table({"s": pa.array(np.sort(k)[::step][:sample_per_block]
+                                       .astype(np.int64))})
+
+    samp = np.sort(np.concatenate([
+        b["s"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(_sample, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ] or [np.array([], np.int64)]))
+    if len(samp):
+        cuts = samp[np.linspace(0, len(samp) - 1, num_buckets + 1)
+                    .astype(int)][1:-1]
+        bounds = np.unique(cuts).astype(np.int64)
+    else:
+        bounds = np.array([], np.int64)
+    bref = ray.put(bounds)
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        k = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {key_col: pa.array(k),
+                "__rb": pa.array(np.searchsorted(b, k, side="left")
+                                 .astype(np.int64))}
+        for c in keep_cols:
+            cols[c] = tbl[c]
+        return pa.table(cols)
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.drop(columns=["__rb"], errors="ignore").copy()
+            out["__loc"] = pd.Series([], dtype="int64")
+            out["__b"] = pd.Series([], dtype="int64")
+            return out
+        # the exchange hashes __rb, so one reduce may hold several
+        # RANGE buckets — order within each range bucket
+        df = df.sort_values(["__rb", key_col], kind="stable").reset_index(drop=True)
+        df["__loc"] = df.groupby("__rb", sort=False).cumcount().astype("int64")
+        df = df.rename(columns={"__rb": "__b"})
+        return df
+
+    local = bucketed_group_reduce(
+        tagged, ["__rb"], _local_sort,
+        # all rows of one RANGE bucket co-locate (the exchange hashes
+        # __rb); a reduce holding several range buckets sorts each
+        num_buckets=len(bounds) + 1,
+    ).materialize()
+
+    sizes = (
+        local.map_batches(
+            lambda t: pa.table({
+                "__b": t["__b"],
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        .groupby("__b").sum("one").to_pandas()
+    )
+    scol = [c for c in sizes.columns if c != "__b"][0]
+    sizes = sizes.sort_values("__b")
+    offs = dict(zip(sizes["__b"],
+                    np.concatenate([[0], np.cumsum(sizes[scol].to_numpy())[:-1]])))
+    oref = ray.put(offs)
+
+    def _rank(tbl: pa.Table) -> pa.Table:
+        o = ray.get(oref)
+        b = tbl["__b"].to_numpy(zero_copy_only=False)
+        loc = tbl["__loc"].to_numpy(zero_copy_only=False)
+        base = pd.Series(b).map(o).to_numpy(np.int64)
+        cols = {c: tbl[c] for c in tbl.column_names
+                if c not in ("__b", "__loc")}
+        cols[rank_as] = pa.array(base + loc + 1)
+        return pa.table(cols)
+
+    return local.map_batches(_rank, batch_format="pyarrow")

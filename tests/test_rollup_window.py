@@ -236,3 +236,61 @@ def test_grouped_quantile_matches_duckdb_disc():
     assert (out["p25"].to_numpy() == ref["p25"].to_numpy()).all()
     assert (out["p50"].to_numpy() == ref["p50"].to_numpy()).all()
     assert (out["p90"].to_numpy() == ref["p90"].to_numpy()).all()
+
+
+def test_global_rank_matches_argsort():
+    from feast_ray.stages.relational import global_rank_int
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    keys = rng.permutation(n).astype(np.int64) * 7 - 1000  # unique, negative too
+    df = pd.DataFrame({"k": keys, "tag": np.arange(n, dtype=np.int64)})
+    out = (global_rank_int(
+        rd.from_pandas(df).repartition(7), "k",
+        rank_as="r", keep_cols=["tag"], num_buckets=16)
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    # ascending rank == 1-based argsort position
+    assert list(out["r"]) == list(range(1, n + 1))
+    # payload column survives aligned with its key
+    ref = df.sort_values("k").reset_index(drop=True)
+    assert (out["tag"].to_numpy() == ref["tag"].to_numpy()).all()
+
+
+def test_global_rank_skewed_and_tiny():
+    from feast_ray.stages.relational import global_rank_int
+
+    # heavily skewed key range (boundary quality -> imbalance only)
+    k = np.concatenate([np.arange(50, dtype=np.int64),
+                        np.arange(10**9, 10**9 + 950, dtype=np.int64)])
+    df = pd.DataFrame({"k": k})
+    out = global_rank_int(rd.from_pandas(df).repartition(3), "k",
+                          num_buckets=8).to_pandas()
+    assert sorted(out["rank"]) == list(range(1, 1001))
+    assert (out.sort_values("k")["rank"].to_numpy()
+            == np.arange(1, 1001)).all()
+    tiny = global_rank_int(
+        rd.from_pandas(pd.DataFrame({"k": np.array([5], np.int64)})),
+        "k").to_pandas()
+    assert list(tiny["rank"]) == [1]
+
+
+def test_grouped_string_agg_matches_duckdb():
+    import duckdb
+
+    from feast_ray.stages.aggregate import grouped_string_agg
+
+    rng = np.random.default_rng(19)
+    n = 600
+    df = pd.DataFrame({
+        "g": rng.choice(["u1", "u2", "u3", "u4"], n),
+        "v": rng.choice(["a", "b", "c"], n),
+        "o": rng.permutation(n).astype(np.int64),
+    })
+    out = (grouped_string_agg(
+        rd.from_pandas(df).repartition(5), ["g"], "v", ["o"],
+        sep=">", alias="s", num_buckets=3)
+        .to_pandas().sort_values("g").reset_index(drop=True))
+    ref = duckdb.sql(
+        "select g, string_agg(v, '>' order by o) as s from df "
+        "group by g order by g").df()
+    assert out.equals(ref)
