@@ -8251,6 +8251,101 @@ from events group by user_id
 """
 
 
+def q134_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion (late round 5 —
+    the modern RAG retrieval pattern): the DENSE arm (exact cosine
+    top-50 for the vec_id-0 query over the rest of the embedding
+    corpus, the q21 kernel) fuses with the LEXICAL arm (BM25 top-50
+    for {hash, join, vector}, the q121 zero-shuffle scorer) by
+    INTEGER RRF — contribution 10^9 // (60 + rank) per arm, order-free
+    int sums, ties by doc id — top-10 out. Both arms are bounded
+    top-k outputs, so fusion is report-sized; the SQL oracle composes
+    both arms' chains with row_number and the same integer fusion."""
+    from feast_ray.functions.search import bm25_topk
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q0 = (emb.map_batches(
+            lambda t: t.filter(pc.equal(t["vec_id"], 0)),
+            batch_format="pyarrow").to_pandas())
+    qvec = np.asarray(q0["embedding"].to_numpy()[0], np.float64)
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 1)),
+        batch_format="pyarrow")
+    dense = ann_topk_bruteforce(
+        corpus, np.stack([qvec]), k=50, query_ids=np.array([0]),
+        round_to=None).to_pandas()
+    dense = dense.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+    dense["r"] = np.arange(1, len(dense) + 1)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lex = bm25_topk(docs, ["hash", "join", "vector"], k=50).to_pandas()
+    lex = lex.sort_values(["score_n", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    lex["r"] = np.arange(1, len(lex) + 1)
+
+    rrf: dict[int, int] = {}
+    for _, row in dense.iterrows():
+        rrf[int(row["vec_id"])] = rrf.get(int(row["vec_id"]), 0) + 10**9 // (60 + int(row["r"]))
+    for _, row in lex.iterrows():
+        rrf[int(row["doc_id"])] = rrf.get(int(row["doc_id"]), 0) + 10**9 // (60 + int(row["r"]))
+    fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_n": pa.array([s for _, s in fused], pa.int64()),
+    })
+
+
+_Q134_SQL = r"""
+with q as (select cast(embedding as double[]) as qe from embeddings
+           where vec_id = 0),
+c as (select vec_id, cast(embedding as double[]) as e from embeddings
+      where vec_id >= 1),
+dense as (
+  select vec_id as doc_id,
+         row_number() over (order by list_cosine_similarity(c.e, q.qe) desc,
+                            vec_id asc) as r
+  from c, q qualify r <= 50),
+toks0 as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tf as (select doc_id, term, cast(count(*) as bigint) as tf
+       from toks0 group by 1, 2),
+dl as (select doc_id, cast(count(*) as bigint) as dl
+       from toks0 group by 1),
+scal as (
+  select (select count(*) from documents) as n_docs,
+         cast((select count(*) from toks0) as double)
+           / (select count(*) from documents) as avgdl),
+qdf as (
+  select term, cast(count(distinct doc_id) as bigint) as df
+  from toks0 where term in ('hash', 'join', 'vector') group by term),
+sc as (
+  select tf.doc_id,
+    cast(floor(
+      ln((scal.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+      * ((tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / scal.avgdl))))
+      * 1e9 + 0.5) as bigint) as score_n
+  from tf join qdf using (term) join dl using (doc_id), scal),
+lexagg as (select doc_id, cast(sum(score_n) as bigint) as score_n
+           from sc group by doc_id),
+lex as (
+  select doc_id,
+         row_number() over (order by score_n desc, doc_id asc) as r
+  from lexagg qualify r <= 50),
+fused as (
+  select coalesce(d.doc_id, l.doc_id) as doc_id,
+         coalesce(1000000000 // (60 + d.r), 0)
+         + coalesce(1000000000 // (60 + l.r), 0) as rrf_n
+  from dense d full outer join lex l on d.doc_id = l.doc_id)
+select doc_id, rrf_n from (
+  select *, row_number() over (order by rrf_n desc, doc_id asc) as rn
+  from fused) where rn <= 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8385,6 +8480,7 @@ QUERIES = {
     "q131_drift_psi": q131_drift_psi,
     "q132_global_sort_rank": q132_global_sort_rank,
     "q133_user_journey": q133_user_journey,
+    "q134_hybrid_rrf": q134_hybrid_rrf,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8501,6 +8597,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_drift_psi": _Q131_SQL,
         "q132_global_sort_rank": _Q132_SQL,
         "q133_user_journey": _Q133_SQL,
+        "q134_hybrid_rrf": _Q134_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
