@@ -1008,6 +1008,7 @@ def ivfpq_build(
     sample_mode: str = "hash",
     residual: bool = False,
     opq: bool = False,
+    opq_joint: bool = False,
 ) -> np.ndarray:
     """Build the cell-partitioned PQ index: IVF centroids + PQ
     codebooks fit on one unbiased hash sample (ivf_build's doctrine),
@@ -1032,7 +1033,20 @@ def ivfpq_build(
     encode the ROTATED (residual) vector; search rotates each query
     once before building its ADC tables — everything downstream of
     the LUTs (scan, gather-sum, dump-doctrine oracle) is unchanged.
-    The rotation is saved as ``_rotation.npy``."""
+    The rotation is saved as ``_rotation.npy``.
+
+    ``opq_joint=True`` (late round 5 — the README candidate closing
+    the OPQ line): the COARSE quantizer joins the alternation — each
+    OPQ round re-fits the IVF centroids in the ROTATED space, assigns
+    cells there, trains the PQ books on rotated-space residuals, and
+    solves Procrustes against the FULL reconstruction
+    (centroid + decoded residual), so the rotation optimizes the
+    joint coarse+fine quantization error (Ge et al. §4's joint
+    variant). Centroids then LIVE in the rotated space: assignment
+    rotates x first, and search both probes and builds its ADC base
+    term from the rotated query — q·x = (qR)·(xR) exactly
+    (orthogonality), so the metric is unchanged and the dump-doctrine
+    oracle still needs no linear algebra. Implies ``residual``."""
     import json as _json
     import os
 
@@ -1049,16 +1063,36 @@ def ivfpq_build(
     sample = np.stack(sample_tbl[vec_col].to_numpy())
     index = IVFIndex(sample, n_cells=n_cells)
     sn = _normalize(sample)
-    if residual:
-        s_cells = np.argmax(sn @ index.centroids.T, axis=1)
-        train = sn - index.centroids[s_cells]
+    if opq_joint:
+        residual = True
+        rot = np.eye(sn.shape[1])
+        for _ in range(8):
+            y = sn @ rot
+            cent_r = IVFIndex(y, n_cells=n_cells).centroids
+            cells_s = np.argmax(y @ cent_r.T, axis=1)
+            resid = y - cent_r[cells_s]
+            books = pq_train(resid, m=m, ks=ks, prenormalized=True)
+            recon = cent_r[cells_s] + pq_decode(
+                pq_encode(resid, books), books)
+            u, _, vt = np.linalg.svd(sn.T @ recon)
+            rot = u @ vt
+        y = sn @ rot
+        cent_r = IVFIndex(y, n_cells=n_cells).centroids
+        cells_s = np.argmax(y @ cent_r.T, axis=1)
+        books = pq_train(y - cent_r[cells_s], m=m, ks=ks,
+                         prenormalized=True)
+        index.centroids = cent_r  # centroids live in the ROTATED space
     else:
-        train = sn
-    if opq:
-        rot, books = opq_train(train, m=m, ks=ks, prenormalized=True)
-    else:
-        rot = None
-        books = pq_train(train, m=m, ks=ks, prenormalized=True)
+        if residual:
+            s_cells = np.argmax(sn @ index.centroids.T, axis=1)
+            train = sn - index.centroids[s_cells]
+        else:
+            train = sn
+        if opq:
+            rot, books = opq_train(train, m=m, ks=ks, prenormalized=True)
+        else:
+            rot = None
+            books = pq_train(train, m=m, ks=ks, prenormalized=True)
     cref = ray.put((index.centroids, books, rot))
 
     def _assign(tbl: pa.Table) -> pa.Table:
@@ -1069,9 +1103,16 @@ def ivfpq_build(
             return tbl
         cent, cb, rr = ray.get(cref)
         mat = _normalize(_batch_matrix(tbl, vec_col))
-        cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
-        delta = mat - cent[cells] if residual else mat
-        codes = pq_encode(delta @ rr if rr is not None else delta, cb)
+        if opq_joint:
+            # joint layout: rotate FIRST — cells and residuals both
+            # live in the rotated space, codes need no extra rotation
+            y = mat @ rr
+            cells = np.argmax(y @ cent.T, axis=1).astype(np.int64)
+            codes = pq_encode(y - cent[cells], cb)
+        else:
+            cells = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+            delta = mat - cent[cells] if residual else mat
+            codes = pq_encode(delta @ rr if rr is not None else delta, cb)
         tbl = tbl.append_column("cell", pa.array(cells))
         for j in range(m):
             # int16: parquet/hive round-trips plain ints losslessly
@@ -1089,7 +1130,8 @@ def ivfpq_build(
     if rot is not None:
         np.save(os.path.join(path, "_rotation.npy"), rot)
     with open(os.path.join(path, "_meta.json"), "w") as fh:
-        _json.dump({"residual": residual, "m": m, "ks": ks, "opq": opq}, fh)
+        _json.dump({"residual": residual, "m": m, "ks": ks, "opq": opq,
+                    "opq_joint": opq_joint}, fh)
     return books
 
 
@@ -1125,25 +1167,30 @@ def ann_topk_ivfpq(
     centroids = np.load(os.path.join(index_path, "_centroids.npy"))
     books = np.load(os.path.join(index_path, "_codebooks.npy"))
     meta_p = os.path.join(index_path, "_meta.json")
-    residual = False
+    residual = joint = False
     if os.path.exists(meta_p):
         import json as _json
 
         with open(meta_p) as fh:
-            residual = bool(_json.load(fh).get("residual", False))
+            _meta = _json.load(fh)
+        residual = bool(_meta.get("residual", False))
+        joint = bool(_meta.get("opq_joint", False))
     m, ks, sub = books.shape
     index = IVFIndex.__new__(IVFIndex)
     index.centroids = centroids
     qn = _normalize(np.asarray(queries))
-    q_cells = index.cells_for(qn, nprobe)
-    probed = set(int(c) for c in np.unique(q_cells))
-    # residual ADC base term: q·centroid[cell], one small matmul
-    # (always in the ORIGINAL space — cells are assigned pre-rotation)
-    qcent = (qn @ centroids.T) if residual else None
     # OPQ: codes live in the rotated space, so rotate the query once —
     # q·(recon @ R^T) == (q @ R)·recon — and build LUTs from q@R
     rot_p = os.path.join(index_path, "_rotation.npy")
     qr = qn @ np.load(rot_p) if os.path.exists(rot_p) else qn
+    # joint OPQ: centroids ALSO live in the rotated space — probe and
+    # take the ADC base term from the rotated query; plain (non-joint)
+    # indexes keep cells in the original space
+    probe_q = qr if joint else qn
+    q_cells = index.cells_for(probe_q, nprobe)
+    probed = set(int(c) for c in np.unique(q_cells))
+    # residual ADC base term: q·centroid[cell], one small matmul
+    qcent = (probe_q @ centroids.T) if residual else None
     # per-query ADC lookup tables: lut[q][j, c] = q_sub_j . codeword_c
     # — ONE (n_q, sub) @ (sub, ks) matmul per subspace (a per-query
     # Python loop here dominates search setup at 10k+ queries). The

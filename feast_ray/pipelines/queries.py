@@ -4474,7 +4474,7 @@ def q90_ann_ivfpq_opq(sf_dir: str):
     return _ivfpq_query(sf_dir, opq=True)
 
 
-def _ivfpq_query(sf_dir: str, *, opq: bool):
+def _ivfpq_query(sf_dir: str, *, opq: bool, joint: bool = False):
     import shutil
 
     from feast_ray.functions.similarity import ann_topk_ivfpq, ivfpq_build
@@ -4492,8 +4492,9 @@ def _ivfpq_query(sf_dir: str, *, opq: bool):
     base = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_res1opq{int(opq)}"
-    tag = "ivfpq_opq" if opq else "ivfpq"
+    fingerprint = (f"{st_.st_size}_{int(st_.st_mtime)}_res1opq{int(opq)}"
+                   f"j{int(joint)}")
+    tag = "ivfpq_opqj" if joint else ("ivfpq_opq" if opq else "ivfpq")
     index_path = f"/tmp/feast_ray_cache/{tag}_{base}"
     marker = os.path.join(index_path, "_source_fingerprint.txt")
     fresh = (
@@ -4503,7 +4504,8 @@ def _ivfpq_query(sf_dir: str, *, opq: bool):
     )
     if not fresh:
         shutil.rmtree(index_path, ignore_errors=True)
-        ivfpq_build(corpus, index_path, residual=True, opq=opq)
+        ivfpq_build(corpus, index_path, residual=True, opq=opq,
+                    opq_joint=joint)
         with open(marker, "w") as fh:
             fh.write(fingerprint)
     out, stats = ann_topk_ivfpq(index_path, queries, k=10, nprobe=4)
@@ -8346,6 +8348,20 @@ select doc_id, rrf_n from (
 """
 
 
+def q135_ann_ivfpq_opq_joint(sf_dir: str):
+    """JOINT OPQ over cells (late round 5 — the last README
+    candidate): the coarse quantizer joins Ge et al.'s alternation —
+    per round the IVF centroids re-fit in the ROTATED space, cells
+    assign there, PQ books train on rotated-space residuals, and the
+    Procrustes solve targets the FULL reconstruction (centroid +
+    decoded residual), so one orthogonal R optimizes the joint
+    coarse+fine error. Search probes AND builds its ADC base from the
+    rotated query (q·x = (qR)·(xR) exactly), so scan/score/dump stay
+    byte-identical to q81/q90 and the same dump-doctrine SQL oracle
+    applies with ``ivfpq_opqj_*`` files."""
+    return _ivfpq_query(sf_dir, opq=True, joint=True)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8481,6 +8497,7 @@ QUERIES = {
     "q132_global_sort_rank": q132_global_sort_rank,
     "q133_user_journey": q133_user_journey,
     "q134_hybrid_rrf": q134_hybrid_rrf,
+    "q135_ann_ivfpq_opq_joint": q135_ann_ivfpq_opq_joint,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8598,6 +8615,7 @@ def oracle_sql() -> dict[str, str]:
         "q132_global_sort_rank": _Q132_SQL,
         "q133_user_journey": _Q133_SQL,
         "q134_hybrid_rrf": _Q134_SQL,
+        "q135_ann_ivfpq_opq_joint": _q81_sql(tag="ivfpq_opqj"),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -658,3 +658,105 @@ def test_sq8_chunked_many_queries_ties(tmp_path):
         sub = got[got.query_id == j]
         assert np.array_equal(sub["vec_id"].to_numpy(), ids[order]), j
         assert np.array_equal(sub["score"].to_numpy(), sc[order, j]), j
+
+
+def test_opq_joint_exhaustive_rerank_equals_bruteforce(emb, tmp_path):
+    """Joint OPQ (late round 5): centroids live in the rotated space
+    and probing/base terms use the rotated query — orthogonality
+    keeps the metric exact, so forced-exhaustive + rerank-all must
+    still reproduce brute force exactly; determinism across builds."""
+    from feast_ray.functions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+        ivfpq_build,
+    )
+
+    df = emb[["vec_id", "embedding"]]
+    ds = ray.data.from_pandas(df)
+    p1 = str(tmp_path / "j1")
+    b1 = ivfpq_build(ds, p1, n_cells=8, m=8, sample_size=400,
+                     opq_joint=True)
+    p2 = str(tmp_path / "j2")
+    b2 = ivfpq_build(ds, p2, n_cells=8, m=8, sample_size=400,
+                     opq_joint=True)
+    np.testing.assert_array_equal(b1, b2)
+    r1 = np.load(f"{p1}/_rotation.npy")
+    np.testing.assert_allclose(r1 @ r1.T, np.eye(r1.shape[0]), atol=1e-9)
+    import json
+
+    meta = json.load(open(f"{p1}/_meta.json"))
+    assert meta["opq_joint"] and meta["residual"]
+
+    mat = np.stack(df["embedding"].to_numpy())
+    queries = mat[:4]
+    exact = (
+        ann_topk_bruteforce(ds, queries, k=10, round_to=None)
+        .to_pandas().sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    full, _ = ann_topk_ivfpq(p1, queries, k=10, nprobe=8, rerank=len(df))
+    full = (full.to_pandas().sort_values(["query_id", "vec_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id"]], full[["query_id", "vec_id"]])
+    np.testing.assert_allclose(
+        exact["score"].to_numpy(), full["score"].to_numpy(), atol=1e-9)
+
+
+def test_opq_joint_quantization_error_le_separate(tmp_path):
+    """On an anisotropic clustered corpus the JOINT alternation's
+    end-to-end reconstruction error (centroid + decoded residual vs
+    the rotated vector) must not exceed the separate residual-OPQ
+    layout's — the whole point of folding the coarse quantizer into
+    the loop."""
+    import ray.data as rd
+
+    from feast_ray.functions.similarity import (
+        IVFIndex,
+        _normalize,
+        ivfpq_build,
+        pq_decode,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(6, 32)) * np.linspace(3, 0.2, 32)
+    pts = np.concatenate([
+        c + rng.normal(scale=0.15, size=(140, 32)) * np.linspace(2, 0.1, 32)
+        for c in centers])
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(pts), dtype=np.int64),
+        "embedding": [r.astype(np.float64) for r in pts],
+    })
+    ds = rd.from_pandas(df)
+
+    def _recon_err(path: str, joint: bool) -> float:
+        cent = np.load(f"{path}/_centroids.npy")
+        books = np.load(f"{path}/_codebooks.npy")
+        rot = np.load(f"{path}/_rotation.npy")
+        x = _normalize(pts)
+        y = x @ rot
+        if joint:
+            cells = np.argmax(y @ cent.T, axis=1)
+            resid = y - cent[cells]
+            from feast_ray.functions.similarity import pq_encode
+
+            recon = cent[cells] + pq_decode(pq_encode(resid, books), books)
+            return float(((y - recon) ** 2).sum(1).mean())
+        cells = np.argmax(x @ cent.T, axis=1)
+        resid = (x - cent[cells]) @ rot
+        from feast_ray.functions.similarity import pq_encode
+
+        recon = pq_decode(pq_encode(resid, books), books)
+        return float(((resid - recon) ** 2).sum(1).mean())
+
+    pj = str(tmp_path / "joint")
+    ivfpq_build(ds, pj, n_cells=6, m=8, ks=64, sample_size=840,
+                opq_joint=True)
+    ps = str(tmp_path / "sep")
+    ivfpq_build(ds, ps, n_cells=6, m=8, ks=64, sample_size=840,
+                residual=True, opq=True)
+    # joint measures the FULL error; separate only the residual leg —
+    # compare like with like: total quantization error of the layout
+    ej = _recon_err(pj, True)
+    es = _recon_err(ps, False)
+    assert ej <= es * 1.05, (ej, es)
