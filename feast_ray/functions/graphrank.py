@@ -317,3 +317,62 @@ def triangle_count(
     n_edges = uniq.count()
     return ray.data.from_items([{"n_edges": n_edges,
                                  "n_triangles": int(n_tri)}])
+
+
+def bfs_levels(
+    edges: "ray.data.Dataset",
+    source: int,
+    max_depth: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """Distributed breadth-first levels from ``source`` up to
+    ``max_depth`` hops — the crawl-frontier / graph-reachability
+    primitive (level = shortest hop distance, an exact integer, so
+    DuckDB's recursive CTE with min(level) oracles it bit-exactly).
+
+    Shape: level-synchronous frontier expansion — per hop, ONE
+    partitioned ``hash_join`` (edges ⋈ frontier on src), one distinct,
+    one ANTI join against the visited set (size-gated broadcast ↔
+    distributed marker join, the semi_join doctrine). The visited set
+    and frontier stream through the object store; the driver holds
+    only loop control. Edges re-exchange per hop — a pinned
+    co-partitioning across iterations is the documented refinement at
+    web scale (same note as pagerank's).
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    from feast_ray.stages.join import hash_join, semi_join
+    from feast_ray.stages.relational import distinct
+
+    levels = ray.data.from_items(
+        [{"node": int(source), "level": 0}]).materialize()
+    frontier = levels
+    for depth in range(1, max_depth + 1):
+        fr = frontier.map_batches(
+            lambda t: pa.table({src_col: t["node"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        hops = hash_join(edges, fr, on=src_col)
+        nxt = distinct(
+            hops.map_batches(
+                lambda t: pa.table({"node": t[dst_col].cast(pa.int64())}),
+                batch_format="pyarrow"),
+            ["node"])
+        fresh = semi_join(
+            nxt, levels.map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"),
+            on="node", anti=True)
+        frontier = fresh.map_batches(
+            lambda t, d=depth: t.append_column(
+                "level", pa.array(np.full(len(t), d, np.int64))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        levels = levels.union(frontier).materialize()
+    return levels.map_batches(
+        lambda t: pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "level": t["level"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")

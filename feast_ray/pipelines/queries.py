@@ -8362,6 +8362,46 @@ def q135_ann_ivfpq_opq_joint(sf_dir: str):
     return _ivfpq_query(sf_dir, opq=True, joint=True)
 
 
+def q136_bfs_levels(sf_dir: str):
+    """Distributed BFS levels (late round 5 — crawl-frontier /
+    reachability): shortest hop distance from node 0 over the q105
+    synthetic link graph, ≤ 4 hops. Level-synchronous frontier
+    expansion — per hop one partitioned hash_join (edges ⋈ frontier),
+    one distinct, one size-gated anti join against the visited set
+    (``functions/graphrank.py bfs_levels``); levels are exact
+    integers, so DuckDB's recursive CTE with min(level) oracles the
+    result bit-exactly — the strongest (dump-free) oracle class."""
+    from feast_ray.functions.graphrank import bfs_levels
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate([(d * d + p * d) % n for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return bfs_levels(edges, 1, 4)
+
+
+_Q136_SQL = """
+with recursive n as (select count(*) as cnt from documents),
+e as (
+  select distinct doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+walk as (
+  select cast(1 as bigint) as node, 0 as level
+  union all
+  select e.dst, walk.level + 1
+  from walk join e on e.src = walk.node
+  where walk.level < 4)
+select node, cast(min(level) as bigint) as level from walk group by node
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8498,6 +8538,7 @@ QUERIES = {
     "q133_user_journey": q133_user_journey,
     "q134_hybrid_rrf": q134_hybrid_rrf,
     "q135_ann_ivfpq_opq_joint": q135_ann_ivfpq_opq_joint,
+    "q136_bfs_levels": q136_bfs_levels,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8616,6 +8657,7 @@ def oracle_sql() -> dict[str, str]:
         "q133_user_journey": _Q133_SQL,
         "q134_hybrid_rrf": _Q134_SQL,
         "q135_ann_ivfpq_opq_joint": _q81_sql(tag="ivfpq_opqj"),
+        "q136_bfs_levels": _Q136_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

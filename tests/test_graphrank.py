@@ -82,3 +82,50 @@ def test_rank_mass_bounded_and_deterministic():
     # total mass can only shrink under integer floors
     assert a["rank_q"].sum() <= 10**12
     assert (a["rank_q"] > 0).all()
+
+
+def test_bfs_levels_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.functions.graphrank import bfs_levels
+
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 60, 300).astype(np.int64),
+        "dst": rng.integers(0, 60, 300).astype(np.int64),
+    })
+    for depth in (1, 3):
+        out = (bfs_levels(rd.from_pandas(edges).repartition(4), 5, depth)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        # brute-force BFS
+        adj = {}
+        for s, d in zip(edges["src"], edges["dst"]):
+            adj.setdefault(int(s), set()).add(int(d))
+        lev = {5: 0}
+        frontier = {5}
+        for dd in range(1, depth + 1):
+            nxt = set()
+            for u in frontier:
+                nxt |= adj.get(u, set())
+            nxt -= set(lev)
+            for v in nxt:
+                lev[v] = dd
+            frontier = nxt
+        ref = (pd.DataFrame(sorted(lev.items()), columns=["node", "level"])
+               .astype("int64"))
+        assert out.equals(ref), f"depth={depth}"
+
+
+def test_bfs_levels_isolated_source():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.functions.graphrank import bfs_levels
+
+    edges = pd.DataFrame({"src": np.array([1, 2], np.int64),
+                          "dst": np.array([2, 3], np.int64)})
+    out = bfs_levels(rd.from_pandas(edges), 99, 3).to_pandas()
+    assert list(out["node"]) == [99] and list(out["level"]) == [0]
