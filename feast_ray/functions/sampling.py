@@ -355,3 +355,44 @@ def temperature_resample(
         )
     )
     return ds.map_batches(_expand, batch_format="pyarrow"), targets
+
+
+def priority_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement by priority sampling
+    (Duffield, Lund, Thorup, JACM 2007): each row draws a
+    deterministic uniform u = splitmix64(id)/2^64 and gets priority
+    w/u; the k highest priorities are the sample. Near-optimal
+    variance for subset-sum estimation and — unlike A-Res exponential
+    keys — needs NO transcendental function, so every float op is one
+    IEEE divide reproduced bit-for-bit by the SQL oracle (ln/exp
+    differ by an ulp between SIMD libm implementations; division
+    never does).
+
+    Scale shape: a streaming per-block top-k merged by the bounded
+    final top-k (stages/relational.topk) — no shuffle, no sort of the
+    corpus. Determinism: splitmix64 of the id column is the only
+    randomness; ids must be unique.
+    """
+    import numpy as np
+
+    from feast_ray.functions.neardup import _splitmix64
+    from feast_ray.stages.relational import topk
+
+    def _pri(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _splitmix64(ids.view(np.uint64).copy())
+        u = h.astype(np.float64) / 18446744073709551616.0
+        return pa.table({
+            id_col: pa.array(ids),
+            weight_col: tbl[weight_col],
+            "pri": pa.array(w / u),
+        })
+
+    scored = ds.map_batches(_pri, batch_format="pyarrow")
+    return topk(scored, ["pri", id_col], k, descending=[True, False])

@@ -8402,6 +8402,37 @@ select node, cast(min(level) as bigint) as level from walk group by node
 """
 
 
+def q137_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (late
+    round 5 — the quality-weighted corpus subsampling op) by PRIORITY
+    SAMPLING (Duffield, Lund, Thorup JACM 2007): u =
+    splitmix64(doc_id)/2^64, priority = n_chars/u, keep the top 25.
+    Chosen over A-Res exponential keys because priority needs NO
+    transcendental — ln/exp differ by an ulp across SIMD libm
+    implementations, IEEE division never does, so the oracle
+    reproduces every float bit-for-bit (``functions/sampling.py
+    priority_sample``). Streaming per-block top-k, no shuffle."""
+    from feast_ray.functions.sampling import priority_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return priority_sample(docs, 25, "n_chars")
+
+
+def _q137_sql() -> str:
+    sm = _splitmix64_sql("h0")
+    return f"""
+with h0s as (select doc_id, n_chars, doc_id::HUGEINT as h0 from documents),
+pri as (
+  select doc_id, n_chars,
+         cast(n_chars as double)
+           / (cast({sm} as double) / 18446744073709551616.0) as pri
+  from h0s)
+select doc_id, n_chars, pri from (
+  select *, row_number() over (order by pri desc, doc_id) as rn
+  from pri) where rn <= 25
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8539,6 +8570,7 @@ QUERIES = {
     "q134_hybrid_rrf": q134_hybrid_rrf,
     "q135_ann_ivfpq_opq_joint": q135_ann_ivfpq_opq_joint,
     "q136_bfs_levels": q136_bfs_levels,
+    "q137_weighted_sample": q137_weighted_sample,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8658,6 +8690,7 @@ def oracle_sql() -> dict[str, str]:
         "q134_hybrid_rrf": _Q134_SQL,
         "q135_ann_ivfpq_opq_joint": _q81_sql(tag="ivfpq_opqj"),
         "q136_bfs_levels": _Q136_SQL,
+        "q137_weighted_sample": _q137_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

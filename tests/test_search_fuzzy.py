@@ -318,3 +318,35 @@ def test_scd2_intervals_matches_pandas():
         assert (g["valid_to"].iloc[:-1].to_numpy()
                 == g["valid_from"].iloc[1:].to_numpy()).all()
         assert pd.isna(g["valid_to"].iloc[-1])
+
+
+def test_priority_sample_deterministic_and_weighted():
+    from feast_ray.functions.neardup import _splitmix64
+    from feast_ray.functions.sampling import priority_sample
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # two weight classes: heavy rows 100x more likely
+        "w": np.where(np.arange(n) % 10 == 0, 1000, 10).astype(np.int64),
+    })
+    outs = []
+    for parts in (3, 9):
+        out = (priority_sample(
+            rd.from_pandas(df).repartition(parts), 50, "w")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    # partition-invariant
+    assert outs[0].equals(outs[1])
+    # matches the sequential definition exactly
+    h = _splitmix64(df["doc_id"].to_numpy().view(np.uint64).copy())
+    u = h.astype(np.float64) / 2.0**64
+    pri = df["w"].to_numpy(np.float64) / u
+    ref_ids = (pd.DataFrame({"doc_id": df["doc_id"], "pri": pri})
+               .sort_values(["pri", "doc_id"], ascending=[False, True])
+               .head(50)["doc_id"].sort_values().tolist())
+    assert outs[0]["doc_id"].tolist() == ref_ids
+    # weighting bites: heavy rows (10% of corpus) dominate the sample
+    heavy = (outs[0]["doc_id"] % 10 == 0).mean()
+    assert heavy > 0.6, heavy
