@@ -8433,6 +8433,57 @@ select doc_id, n_chars, pri from (
 """
 
 
+def q138_intersect_except(sf_dir: str):
+    """SQL set operations INTERSECT / EXCEPT (late round 5 —
+    completing the §2.7 set-op surface beyond union/distinct):
+    high-value customers (orders > 150k) ∩ and ∖ BUILDING-segment
+    customers, both DISTINCT semantics, unioned with an ``op`` tag.
+    Engine: one distinct per side, then the size-gated
+    ``semi_join`` / anti join (broadcast below the gate, distributed
+    marker join above) — INTERSECT ≡ semi, EXCEPT ≡ anti over
+    distinct keys. DuckDB's native INTERSECT/EXCEPT is the oracle."""
+    from feast_ray.stages.join import semi_join
+    from feast_ray.stages.relational import distinct, union_align
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _hi(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["o_totalprice"], 150000.0)
+        return pa.table({"custkey": pc.filter(t["o_custkey"], keep)})
+
+    left = distinct(orders.map_batches(_hi, batch_format="pyarrow"),
+                    ["custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def _bld(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({"custkey": pc.filter(t["c_custkey"], keep)})
+
+    right = distinct(cust.map_batches(_bld, batch_format="pyarrow"),
+                     ["custkey"])
+    inter = semi_join(left, right, on="custkey").map_batches(
+        lambda t: t.append_column(
+            "op", pa.array(np.repeat("intersect", len(t)), pa.string())),
+        batch_format="pyarrow")
+    exc = semi_join(left, right, on="custkey", anti=True).map_batches(
+        lambda t: t.append_column(
+            "op", pa.array(np.repeat("except", len(t)), pa.string())),
+        batch_format="pyarrow")
+    return union_align([inter, exc])
+
+
+_Q138_SQL = """
+with l as (select distinct o_custkey as custkey from orders
+           where o_totalprice > 150000),
+r as (select distinct c_custkey as custkey from customer
+      where c_mktsegment = 'BUILDING')
+select custkey, 'intersect' as op from (select * from l intersect select * from r)
+union all
+select custkey, 'except' as op from (select * from l except select * from r)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8571,6 +8622,7 @@ QUERIES = {
     "q135_ann_ivfpq_opq_joint": q135_ann_ivfpq_opq_joint,
     "q136_bfs_levels": q136_bfs_levels,
     "q137_weighted_sample": q137_weighted_sample,
+    "q138_intersect_except": q138_intersect_except,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8691,6 +8743,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_ann_ivfpq_opq_joint": _q81_sql(tag="ivfpq_opqj"),
         "q136_bfs_levels": _Q136_SQL,
         "q137_weighted_sample": _q137_sql(),
+        "q138_intersect_except": _Q138_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
