@@ -8484,6 +8484,150 @@ select custkey, 'except' as op from (select * from l except select * from r)
 """
 
 
+def q139_zscore(sf_dir: str):
+    """Per-group feature standardization (late round 5 — the ML
+    preprocessing staple): z-scores of event value within event_type.
+    Integer-moment doctrine: the ONLY distributed reduction is exact
+    int64 sums (n, Σcents, Σcents²) through the combiner-shape
+    grouped_agg; mean/std then evaluate ONCE per group in a closed
+    float expression the SQL oracle restates verbatim (no Welford
+    drift — DuckDB's stddev_samp is NOT used), and each row's z
+    quantizes to int64 nano-units."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.join import broadcast_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "c": pa.array(c),
+            "cc": pa.array(c * c),
+        })
+
+    prep = ev.map_batches(_prep, batch_format="pyarrow")
+    mom = grouped_agg(prep, ["event_type"],
+                      [AggSpec(None, "count", "n"),
+                       AggSpec("c", "sum", "s"),
+                       AggSpec("cc", "sum", "ss")]).to_pandas()
+    joined = broadcast_join(prep, mom, on="event_type")
+
+    def _z(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        sd = np.sqrt((ss - s * (s / n)) / (n - 1.0))
+        z = (c - mean) / sd
+        return pa.table({
+            "event_id": t["event_id"],
+            "z_n": pa.array(np.floor(z * 1e9 + 0.5).astype(np.int64)),
+        })
+
+    return joined.map_batches(_z, batch_format="pyarrow")
+
+
+_Q139_SQL = """
+with p as (
+  select event_id, event_type,
+         cast(round(value * 100) as bigint) as c
+  from events),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(c) as bigint) as s, cast(sum(c * c) as bigint) as ss
+  from p group by event_type)
+select p.event_id,
+  cast(floor(
+    ((cast(p.c as double) - cast(m.s as double) / cast(m.n as double))
+     / sqrt((cast(m.ss as double)
+             - cast(m.s as double) * (cast(m.s as double) / cast(m.n as double)))
+            / (cast(m.n as double) - 1.0)))
+    * 1e9 + 0.5) as bigint) as z_n
+from p join m using (event_type)
+"""
+
+
+def q140_feature_corr(sf_dir: str):
+    """Per-group Pearson correlation between two features (late
+    round 5 — the feature-redundancy / drift-analysis op): corr of
+    value cents vs the props JSON field k, per event_type. Same
+    integer-moment doctrine as q139: exact int64 sums (n, Σx, Σy,
+    Σx², Σy², Σxy) are the only reduction; corr evaluates once per
+    group as (nΣxy − ΣxΣy)/sqrt((nΣx² − Σx²ᵗ)(nΣy² − Σy²ᵗ)) in a
+    float expression the oracle restates term for term, quantized to
+    nano-units."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.utils import json_extract_fields
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "value", "props"])
+    flat = json_extract_fields(ev, "props", {"k": ("k", "int64")},
+                               keep=["event_type", "value", "props"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        x = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        y = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "yy": pa.array(y * y),
+            "xy": pa.array(x * y),
+        })
+
+    mom = grouped_agg(
+        flat.map_batches(_prep, batch_format="pyarrow"), ["event_type"],
+        [AggSpec(None, "count", "n"),
+         AggSpec("x", "sum", "sx"), AggSpec("y", "sum", "sy"),
+         AggSpec("xx", "sum", "sxx"), AggSpec("yy", "sum", "syy"),
+         AggSpec("xy", "sum", "sxy")])
+
+    def _corr(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt((f["n"] * f["sxx"] - f["sx"] * f["sx"])
+                      * (f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        corr = num / den
+        return pa.table({
+            "event_type": t["event_type"],
+            "corr_n": pa.array(np.floor(corr * 1e9 + 0.5).astype(np.int64)),
+        })
+
+    return mom.map_batches(_corr, batch_format="pyarrow")
+
+
+_Q140_SQL = """
+with p as (
+  select event_type,
+         cast(round(value * 100) as bigint) as x,
+         cast(json_extract_string(props, '$.k') as bigint) as y
+  from events),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+         cast(sum(x * x) as bigint) as sxx,
+         cast(sum(y * y) as bigint) as syy,
+         cast(sum(x * y) as bigint) as sxy
+  from p group by event_type)
+select event_type,
+  cast(floor(
+    (cast(n as double) * cast(sxy as double)
+     - cast(sx as double) * cast(sy as double))
+    / sqrt((cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))
+           * (cast(n as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double)))
+    * 1e9 + 0.5) as bigint) as corr_n
+from m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8623,6 +8767,8 @@ QUERIES = {
     "q136_bfs_levels": q136_bfs_levels,
     "q137_weighted_sample": q137_weighted_sample,
     "q138_intersect_except": q138_intersect_except,
+    "q139_zscore": q139_zscore,
+    "q140_feature_corr": q140_feature_corr,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8744,6 +8890,8 @@ def oracle_sql() -> dict[str, str]:
         "q136_bfs_levels": _Q136_SQL,
         "q137_weighted_sample": _q137_sql(),
         "q138_intersect_except": _Q138_SQL,
+        "q139_zscore": _Q139_SQL,
+        "q140_feature_corr": _Q140_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
