@@ -8628,6 +8628,60 @@ from m
 """
 
 
+def q141_iqr_outliers(sf_dir: str):
+    """Per-group IQR outlier audit (late round 5 — the Tukey-fence
+    data-quality rule feast's DQM expectations approximate): per
+    source, how many docs fall below/above [Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR] on n_chars. Composes ``grouped_quantile`` (exact
+    PERCENTILE_DISC Q1/Q3, one bucketed exchange) with a broadcast
+    join and a combiner-shape count; the fence compare is
+    INTEGER-exact — 4·x < 4·q1 − 6·iqr avoids the 1.5 float entirely
+    — so the SQL restatement cannot drift. Counts (not row flags) so
+    the report is never empty."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg, grouped_quantile
+    from feast_ray.stages.join import broadcast_join
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    q13 = grouped_quantile(docs, ["source"], "n_chars",
+                           {"q1": 0.25, "q3": 0.75}).to_pandas()
+    joined = broadcast_join(docs, q13, on="source")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q1 = t["q1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q3 = t["q3"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iqr = q3 - q1
+        low = (4 * x < 4 * q1 - 6 * iqr).astype(np.int64)
+        high = (4 * x > 4 * q3 + 6 * iqr).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "low": pa.array(low),
+            "high": pa.array(high),
+        })
+
+    return grouped_agg(
+        joined.map_batches(_flag, batch_format="pyarrow"), ["source"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("low", "sum", "n_low"),
+         AggSpec("high", "sum", "n_high")])
+
+
+_Q141_SQL = """
+with q as (
+  select source, quantile_disc(n_chars, 0.25) as q1,
+         quantile_disc(n_chars, 0.75) as q3
+  from documents group by source)
+select d.source, count(*) as n_docs,
+  cast(sum(case when 4 * d.n_chars < 4 * q.q1 - 6 * (q.q3 - q.q1)
+                then 1 else 0 end) as bigint) as n_low,
+  cast(sum(case when 4 * d.n_chars > 4 * q.q3 + 6 * (q.q3 - q.q1)
+                then 1 else 0 end) as bigint) as n_high
+from documents d join q using (source)
+group by d.source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8769,6 +8823,7 @@ QUERIES = {
     "q138_intersect_except": q138_intersect_except,
     "q139_zscore": q139_zscore,
     "q140_feature_corr": q140_feature_corr,
+    "q141_iqr_outliers": q141_iqr_outliers,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8892,6 +8947,7 @@ def oracle_sql() -> dict[str, str]:
         "q138_intersect_except": _Q138_SQL,
         "q139_zscore": _Q139_SQL,
         "q140_feature_corr": _Q140_SQL,
+        "q141_iqr_outliers": _Q141_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
