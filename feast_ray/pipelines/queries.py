@@ -8682,6 +8682,57 @@ group by d.source
 """
 
 
+def q142_grouped_percentile_cont(sf_dir: str):
+    """Interpolated per-group percentiles — SQL PERCENTILE_CONT
+    (late round 5, completing q119's disc companion): median and p90
+    of document length per source with DuckDB quantile_cont's exact
+    interpolation (position q·(n−1), v_lo + frac·(v_hi − v_lo) in the
+    same float64 op order, verified bit-for-bit) through the same one
+    bucketed exchange (``grouped_quantile(interpolate=True)``)."""
+    from feast_ray.stages.aggregate import grouped_quantile
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return grouped_quantile(docs, ["source"], "n_chars",
+                            {"p50c": 0.5, "p90c": 0.9}, interpolate=True)
+
+
+_Q142_SQL = """
+select source,
+       quantile_cont(n_chars, 0.5) as p50c,
+       quantile_cont(n_chars, 0.9) as p90c
+from documents group by source
+"""
+
+
+def q143_grouped_mode(sf_dir: str):
+    """Per-group MODE with a deterministic tie-break (late round 5):
+    most frequent event_type per user, ties to the smallest value —
+    PURE COMPOSITION of existing operators: one combiner-shape
+    grouped count on (user, value) then ``group_limit`` top-1 by
+    (count desc, value asc). DuckDB's mode() has unspecified ties, so
+    the oracle restates the rule with row_number — the engine and the
+    SQL share the total order, not the builtin."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.relational import group_limit
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_agg(ev, ["user_id", "event_type"],
+                         [AggSpec(None, "count", "n")])
+    return group_limit(counts, ["user_id"], 1, ["n", "event_type"],
+                       ascending=[False, True])
+
+
+_Q143_SQL = """
+with c as (
+  select user_id, event_type, cast(count(*) as bigint) as n
+  from events group by 1, 2)
+select user_id, event_type, n from (
+  select *, row_number() over (partition by user_id
+      order by n desc, event_type asc) as rn
+  from c) where rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8824,6 +8875,8 @@ QUERIES = {
     "q139_zscore": q139_zscore,
     "q140_feature_corr": q140_feature_corr,
     "q141_iqr_outliers": q141_iqr_outliers,
+    "q142_grouped_percentile_cont": q142_grouped_percentile_cont,
+    "q143_grouped_mode": q143_grouped_mode,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -8948,6 +9001,8 @@ def oracle_sql() -> dict[str, str]:
         "q139_zscore": _Q139_SQL,
         "q140_feature_corr": _Q140_SQL,
         "q141_iqr_outliers": _Q141_SQL,
+        "q142_grouped_percentile_cont": _Q142_SQL,
+        "q143_grouped_mode": _Q143_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -294,3 +294,28 @@ def test_grouped_string_agg_matches_duckdb():
         "select g, string_agg(v, '>' order by o) as s from df "
         "group by g order by g").df()
     assert out.equals(ref)
+
+
+def test_grouped_quantile_cont_matches_duckdb():
+    import duckdb
+
+    from feast_ray.stages.aggregate import grouped_quantile
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for i, sz in enumerate([2, 3, 4, 5, 11, 40, 100]):
+        frames.append(pd.DataFrame({
+            "g": np.repeat(f"g{i}", sz),
+            "x": rng.integers(0, 10**6, sz).astype(np.int64),
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    out = grouped_quantile(
+        rd.from_pandas(df).repartition(4), ["g"], "x",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9}, interpolate=True,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    ref = duckdb.sql(
+        "select g, quantile_cont(x, 0.25) p25, quantile_cont(x, 0.5) p50,"
+        " quantile_cont(x, 0.9) p90 from df group by g order by g").df()
+    # BIT-exact float equality is the contract (DuckDB's op order)
+    for c in ("p25", "p50", "p90"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
