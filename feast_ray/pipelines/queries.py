@@ -8733,6 +8733,131 @@ select user_id, event_type, n from (
 """
 
 
+def q144_window_pct(sf_dir: str):
+    """PERCENT_RANK / CUME_DIST window functions (late round 5 —
+    completing the window surface): per-user order by (ts, event_id)
+    — a total order, so every row is its own peer group and both
+    functions reduce to single float divisions ((rank−1)/(n−1), 0.0
+    for one-row keys; rank/n) that are bit-stable against the SQL
+    builtins — same single per-bucket sort as the rest of
+    ``window_row_funcs``."""
+    from feast_ray.stages.relational import window_row_funcs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+    out = window_row_funcs(
+        ev, ["user_id"], ["ts", "event_id"],
+        percent_rank_as="pr", cume_dist_as="cd")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "pr", "cd"]),
+        batch_format="pyarrow")
+
+
+_Q144_SQL = """
+select event_id, user_id,
+       percent_rank() over w as pr,
+       cume_dist() over w as cd
+from events window w as (partition by user_id order by ts, event_id)
+"""
+
+
+def q145_spearman(sf_dir: str):
+    """Spearman rank correlation per group (late round 5 — the
+    robust monotone-dependence diagnostic): value vs the props field
+    k within event_type. COMPOSITION: two ``window_row_funcs`` rank
+    passes (total orders (value cents, event_id) and (k, event_id) —
+    row_number ranks, so Spearman = Pearson on INTEGER ranks) feed
+    the q140 integer-moment doctrine — exact int64 rank-moment sums,
+    one closed-form float per group, nano-quantized. The oracle
+    mirrors both row_number chains and the final expression."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.relational import window_row_funcs
+    from feast_ray.stages.utils import json_extract_fields
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value", "props"])
+    flat = json_extract_fields(ev, "props", {"k": ("k", "int64")},
+                               keep=["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "c": pa.array(v), "k": t["k"],
+        })
+
+    base = flat.map_batches(_cents, batch_format="pyarrow")
+    rx = window_row_funcs(base, ["event_type"], ["c", "event_id"],
+                          rank_as="rx")
+    rxy = window_row_funcs(rx, ["event_type"], ["k", "event_id"],
+                           rank_as="ry")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        x = t["rx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["ry"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "yy": pa.array(y * y),
+            "xy": pa.array(x * y),
+        })
+
+    mom = grouped_agg(
+        rxy.map_batches(_prep, batch_format="pyarrow"), ["event_type"],
+        [AggSpec(None, "count", "n"),
+         AggSpec("x", "sum", "sx"), AggSpec("y", "sum", "sy"),
+         AggSpec("xx", "sum", "sxx"), AggSpec("yy", "sum", "syy"),
+         AggSpec("xy", "sum", "sxy")])
+
+    def _corr(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        num = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        den = np.sqrt((f["n"] * f["sxx"] - f["sx"] * f["sx"])
+                      * (f["n"] * f["syy"] - f["sy"] * f["sy"]))
+        rho = num / den
+        return pa.table({
+            "event_type": t["event_type"],
+            "rho_n": pa.array(np.floor(rho * 1e9 + 0.5).astype(np.int64)),
+        })
+
+    return mom.map_batches(_corr, batch_format="pyarrow")
+
+
+_Q145_SQL = """
+with p as (
+  select event_id, event_type,
+         cast(round(value * 100) as bigint) as c,
+         cast(json_extract_string(props, '$.k') as bigint) as k
+  from events),
+r as (
+  select event_type,
+         row_number() over (partition by event_type
+                            order by c, event_id) as x,
+         row_number() over (partition by event_type
+                            order by k, event_id) as y
+  from p),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+         cast(sum(x * x) as bigint) as sxx,
+         cast(sum(y * y) as bigint) as syy,
+         cast(sum(x * y) as bigint) as sxy
+  from r group by event_type)
+select event_type,
+  cast(floor(
+    (cast(n as double) * cast(sxy as double)
+     - cast(sx as double) * cast(sy as double))
+    / sqrt((cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))
+           * (cast(n as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double)))
+    * 1e9 + 0.5) as bigint) as rho_n
+from m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -8877,6 +9002,8 @@ QUERIES = {
     "q141_iqr_outliers": q141_iqr_outliers,
     "q142_grouped_percentile_cont": q142_grouped_percentile_cont,
     "q143_grouped_mode": q143_grouped_mode,
+    "q144_window_pct": q144_window_pct,
+    "q145_spearman": q145_spearman,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9003,6 +9130,8 @@ def oracle_sql() -> dict[str, str]:
         "q141_iqr_outliers": _Q141_SQL,
         "q142_grouped_percentile_cont": _Q142_SQL,
         "q143_grouped_mode": _Q143_SQL,
+        "q144_window_pct": _Q144_SQL,
+        "q145_spearman": _Q145_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -199,6 +199,8 @@ def window_row_funcs(
     lead_cols: "dict[str, str] | None" = None,
     dense_rank_on: "tuple[list[str], str] | None" = None,
     ntile: "tuple[int, str] | None" = None,
+    percent_rank_as: str | None = None,
+    cume_dist_as: str | None = None,
     num_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """Per-key ordered row functions — SQL's ROW_NUMBER / LAG / LEAD /
@@ -214,7 +216,10 @@ def window_row_funcs(
     must be a prefix of the sort meaning — pass the order_by columns
     that define rank ties). ``ntile=(n, alias)``: SQL NTILE(n) —
     first ``n_rows % n`` tiles get the extra row, exactly the
-    standard's allocation.
+    standard's allocation. ``percent_rank_as`` / ``cume_dist_as``:
+    (rank−1)/(n−1) (0.0 for a 1-row key) and rank/n — under the
+    required TOTAL order every row is its own peer group, so these
+    single float divisions are bit-stable against the SQL builtins.
 
     Partitioning assumption (documented, same as every bucketed op):
     one key's rows fit a worker — keys are users/hosts/sessions, not
@@ -241,6 +246,10 @@ def window_row_funcs(
                 out[dense_rank_on[1]] = _pd.Series([], dtype="int64")
             if ntile:
                 out[ntile[1]] = _pd.Series([], dtype="int64")
+            if percent_rank_as:
+                out[percent_rank_as] = _pd.Series([], dtype="float64")
+            if cume_dist_as:
+                out[cume_dist_as] = _pd.Series([], dtype="float64")
             return out
         df = df.sort_values(keys + order_by, kind="stable").reset_index(drop=True)
         g = df.groupby(keys, sort=False)
@@ -279,6 +288,18 @@ def window_row_funcs(
                 idx // _np.maximum(q + 1, 1) + 1,
                 r + (idx - r * (q + 1)) // _np.maximum(q, 1) + 1,
             ).astype("int64")
+        if percent_rank_as or cume_dist_as:
+            import numpy as _np
+
+            idx = g.cumcount().to_numpy().astype(_np.float64)
+            cnt = (g[df.columns[0]].transform("size")
+                   .to_numpy().astype(_np.float64))
+            if percent_rank_as:
+                with _np.errstate(invalid="ignore", divide="ignore"):
+                    pr = idx / (cnt - 1.0)
+                df[percent_rank_as] = _np.where(cnt > 1.0, pr, 0.0)
+            if cume_dist_as:
+                df[cume_dist_as] = (idx + 1.0) / cnt
         return df
 
     return bucketed_group_reduce(ds, keys, _merge, num_buckets=num_buckets)
