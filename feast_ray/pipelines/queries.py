@@ -8858,6 +8858,103 @@ from m
 """
 
 
+def q146_transition_matrix(sf_dir: str):
+    """Markov transition counts over user event sequences (late
+    round 5 — the behavior-modeling primitive): per user, consecutive
+    (prev_type → next_type) pairs in (ts, event_id) order, counted
+    corpus-wide. COMPOSITION: one ``window_row_funcs`` lag pass (the
+    per-user exchange) + one combiner-shape grouped count; first
+    events (no predecessor) are excluded, matching SQL's lag NULL."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.relational import window_row_funcs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    lagged = window_row_funcs(ev, ["user_id"], ["ts", "event_id"],
+                              lag_cols={"event_type": "prev_type"})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["prev_type"])
+        return pa.table({
+            "prev_type": pc.filter(t["prev_type"], keep),
+            "event_type": pc.filter(t["event_type"], keep),
+        })
+
+    return grouped_agg(
+        lagged.map_batches(_pairs, batch_format="pyarrow"),
+        ["prev_type", "event_type"], [AggSpec(None, "count", "n")])
+
+
+_Q146_SQL = """
+with l as (
+  select event_type,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev_type
+  from events)
+select prev_type, event_type, cast(count(*) as bigint) as n
+from l where prev_type is not null
+group by prev_type, event_type
+"""
+
+
+def q147_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (late round 5 — the product-analytics
+    staple): users cohorted by their FIRST active week (integer weeks
+    since 2024-01-01 — epoch arithmetic, no calendar ambiguity), one
+    row per (cohort_week, week_offset) with the distinct users active
+    then. Shape: distinct (user, week) actives (one exchange), a
+    grouped min for cohorts, one partitioned hash_join back, one
+    grouped count — every reduction exact integers."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.join import hash_join
+    from feast_ray.stages.relational import distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    week_us = 604800 * 1_000_000
+
+    def _wk(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "week": pa.array((ts - base_us) // week_us),
+        })
+
+    actives = distinct(ev.map_batches(_wk, batch_format="pyarrow"),
+                       ["user_id", "week"])
+    cohorts = grouped_agg(actives, ["user_id"],
+                          [AggSpec("week", "min", "cohort_week")])
+    joined = hash_join(actives, cohorts, on="user_id")
+
+    def _off(t: pa.Table) -> pa.Table:
+        w = t["week"].to_numpy(zero_copy_only=False)
+        c = t["cohort_week"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_week": pa.array(c),
+            "week_offset": pa.array(w - c),
+        })
+
+    return grouped_agg(
+        joined.map_batches(_off, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        [AggSpec(None, "count", "n_users")])
+
+
+_Q147_SQL = """
+with a as (
+  select distinct user_id,
+         (epoch_us(ts) - epoch_us(timestamp '2024-01-01')) // 604800000000
+           as week
+  from events),
+c as (select user_id, min(week) as cohort_week from a group by user_id)
+select c.cohort_week, a.week - c.cohort_week as week_offset,
+       cast(count(*) as bigint) as n_users
+from a join c using (user_id)
+group by 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9004,6 +9101,8 @@ QUERIES = {
     "q143_grouped_mode": q143_grouped_mode,
     "q144_window_pct": q144_window_pct,
     "q145_spearman": q145_spearman,
+    "q146_transition_matrix": q146_transition_matrix,
+    "q147_cohort_retention": q147_cohort_retention,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9132,6 +9231,8 @@ def oracle_sql() -> dict[str, str]:
         "q143_grouped_mode": _Q143_SQL,
         "q144_window_pct": _Q144_SQL,
         "q145_spearman": _Q145_SQL,
+        "q146_transition_matrix": _Q146_SQL,
+        "q147_cohort_retention": _Q147_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
