@@ -8955,6 +8955,65 @@ group by 1, 2
 """
 
 
+def q148_ipc_source(sf_dir: str):
+    """Arrow IPC / Feather-V2 source (late round 5 — the zero-copy
+    interchange format; Ray Data ships no reader): the orders table
+    round-trips through a 3-file IPC copy (multiple record batches
+    per file — the footer-indexed parallelism unit, one read task
+    each) and aggregates order totals per priority from the IPC read
+    (``sources/orc.py read_ipc``). The oracle aggregates the same
+    rows from the original parquet — value equality proves the
+    format round trip."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    from feast_ray.sources.orc import read_ipc, write_ipc
+
+    src_p = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_p)
+    fp = _hl.md5(f"{src_p}:{st.st_size}:{st.st_mtime_ns}".encode()
+                 ).hexdigest()[:16]
+    ipc_dir = f"/tmp/feast_ray_ipc_cache/{fp}"
+    if not os.path.isdir(ipc_dir):
+        tmp = ipc_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = _pq.read_table(
+            src_p, columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+        n = tbl.num_rows
+        step = (n + 2) // 3
+        for i in range(3):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                write_ipc(part, os.path.join(tmp, f"part{i}.arrow"),
+                          max_chunksize=max(1, part.num_rows // 4))
+        os.rename(tmp, ipc_dir)
+    orders = read_ipc(ipc_dir, columns=["o_orderpriority", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    return grouped_agg(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [AggSpec(None, "count", "n_orders"),
+         AggSpec("cents", "sum", "sum_cents")])
+
+
+_Q148_SQL = """
+select o_orderpriority, count(*) as n_orders,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+         as sum_cents
+from orders group by o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9103,6 +9162,7 @@ QUERIES = {
     "q145_spearman": q145_spearman,
     "q146_transition_matrix": q146_transition_matrix,
     "q147_cohort_retention": q147_cohort_retention,
+    "q148_ipc_source": q148_ipc_source,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9233,6 +9293,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_spearman": _Q145_SQL,
         "q146_transition_matrix": _Q146_SQL,
         "q147_cohort_retention": _Q147_SQL,
+        "q148_ipc_source": _Q148_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -81,3 +81,67 @@ def read_orc(
     return ray.data.from_items(items).map_batches(
         _read, batch_format="pyarrow", batch_size=1
     )
+
+
+def write_ipc(table: "pa.Table", path: str,
+              *, max_chunksize: "int | None" = None) -> None:
+    """Write one Arrow IPC (Feather V2) file; ``max_chunksize`` splits
+    the table into multiple record batches (the IPC parallelism
+    unit)."""
+    import pyarrow.ipc as paipc
+
+    with paipc.new_file(path, table.schema) as w:
+        if max_chunksize:
+            for b in table.to_batches(max_chunksize=max_chunksize):
+                w.write_batch(b)
+        else:
+            w.write_table(table)
+
+
+def read_ipc(
+    paths: "str | list[str]",
+    *,
+    columns: "list[str] | None" = None,
+) -> ray.data.Dataset:
+    """Arrow IPC / Feather-V2 files/dirs -> Dataset, one task per
+    RECORD BATCH (the IPC row-group analog; the footer indexes batch
+    offsets so the planner reads metadata only), columns pruned at
+    the reader. Same planner shape as :func:`read_orc`."""
+    import pyarrow.ipc as paipc
+
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith((".arrow", ".feather", ".ipc"))
+            )
+        elif os.path.isfile(p):
+            files.append(p)
+        else:
+            raise FileNotFoundError(f"IPC path does not exist: {p!r}")
+    if not files:
+        raise FileNotFoundError(f"no IPC files under {paths!r}")
+    items = []
+    for f in files:
+        with paipc.open_file(f) as r:  # footer-only
+            items.extend({"path": f, "batch": b}
+                         for b in range(r.num_record_batches))
+
+    def _read(batch: "pa.Table") -> pa.Table:
+        tabs = []
+        for path, bi in zip(batch["path"].to_pylist(),
+                            batch["batch"].to_pylist()):
+            with paipc.open_file(path) as r:
+                rb = r.get_batch(bi)
+            t = pa.Table.from_batches([rb])
+            if columns is not None:
+                t = t.select(columns)
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    return ray.data.from_items(items).map_batches(
+        _read, batch_format="pyarrow", batch_size=1
+    )

@@ -350,3 +350,25 @@ def test_priority_sample_deterministic_and_weighted():
     # weighting bites: heavy rows (10% of corpus) dominate the sample
     heavy = (outs[0]["doc_id"] % 10 == 0).mean()
     assert heavy > 0.6, heavy
+
+
+def test_ipc_round_trip_and_batch_parallelism(tmp_path):
+    import pyarrow.ipc as paipc
+
+    from feast_ray.sources.orc import read_ipc, write_ipc
+
+    t = pa.table({
+        "a": pa.array(np.arange(10000, dtype=np.int64)),
+        "b": pa.array([f"v{i % 5}" for i in range(10000)]),
+    })
+    write_ipc(t, str(tmp_path / "f1.arrow"), max_chunksize=1024)
+    write_ipc(t.slice(0, 100), str(tmp_path / "f2.arrow"))
+    with paipc.open_file(str(tmp_path / "f1.arrow")) as r:
+        assert r.num_record_batches == 10
+    out = read_ipc(str(tmp_path), columns=["a"]).to_pandas()
+    assert len(out) == 10100 and list(out.columns) == ["a"]
+    assert out["a"].sum() == t["a"].to_pandas().sum() + 4950
+    full = read_ipc(str(tmp_path / "f2.arrow")).to_pandas()
+    assert full.equals(t.slice(0, 100).to_pandas())
+    with pytest.raises(FileNotFoundError):
+        read_ipc(str(tmp_path / "missing.arrow"))
