@@ -9014,6 +9014,72 @@ from orders group by o_orderpriority
 """
 
 
+def q149_ewma(sf_dir: str):
+    """Per-user EWMA with α = 1/2 (late round 5 — the streaming
+    smoothing recurrence): s_t = (s_{t−1} + c_t) / 2 over exact
+    cents in (ts, event_id) order. α = 1/2 makes every step one
+    float64 add + one exact halving — deterministic IEEE on both
+    engines with NO libm — and the oracle replays the recurrence as
+    a recursive CTE joined on row_number (depth = max events per
+    user). The recurrence is sequential BY DEFINITION; distribution
+    is across users (one bucketed exchange), and the per-row scan
+    inside a bucket is the documented shape (a Blelloch
+    segmented-scan reformulation is the refinement if per-key
+    sequences ever outgrow a worker)."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"], "c": pa.array(v),
+        })
+
+    def _ewma(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "rn": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        c = df["c"].to_numpy(np.float64)
+        first = (df.groupby("user_id", sort=False).cumcount() == 0
+                 ).to_numpy()
+        s = np.empty(len(df), np.float64)
+        cur = 0.0
+        for i in range(len(df)):  # sequential recurrence (see doc)
+            cur = c[i] if first[i] else (cur + c[i]) / 2.0
+            s[i] = cur
+        rn = (df.groupby("user_id", sort=False).cumcount() + 1
+              ).to_numpy(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "rn": rn, "s": s})
+
+    return bucketed_group_reduce(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        ["user_id"], _ewma)
+
+
+_Q149_SQL = """
+with recursive e as (
+  select user_id, cast(round(value * 100) as bigint) as c,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as rn
+  from events),
+r as (
+  select user_id, rn, cast(c as double) as s from e where rn = 1
+  union all
+  select e.user_id, e.rn, (r.s + e.c) / 2.0
+  from r join e on e.user_id = r.user_id and e.rn = r.rn + 1)
+select user_id, cast(rn as bigint) as rn, s from r
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9163,6 +9229,7 @@ QUERIES = {
     "q146_transition_matrix": q146_transition_matrix,
     "q147_cohort_retention": q147_cohort_retention,
     "q148_ipc_source": q148_ipc_source,
+    "q149_ewma": q149_ewma,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9294,6 +9361,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_transition_matrix": _Q146_SQL,
         "q147_cohort_retention": _Q147_SQL,
         "q148_ipc_source": _Q148_SQL,
+        "q149_ewma": _Q149_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
