@@ -9080,6 +9080,57 @@ select user_id, cast(rn as bigint) as rn, s from r
 """
 
 
+def q150_salted_skew_join(sf_dir: str):
+    """Skew-salted partitioned join through the oracle gate (late
+    round 5 — the hot-key recipe was only unit-tested until now):
+    every event joins its event-type aggregate on a FIVE-VALUE key —
+    maximal skew, each key ~20% of the corpus. ``hot_keys`` salts the
+    two heaviest types: hot LEFT rows spread round-robin over
+    salt_factor salted buckets, matching RIGHT rows replicate into
+    each, so one hot key costs 1/salt_factor of its rows per reducer
+    instead of sinking one. Salting is semantics-invariant, so the
+    oracle is the plain SQL join."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.join import hash_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pa.array(v),
+        })
+
+    left = ev.map_batches(_cents, batch_format="pyarrow")
+    right = grouped_agg(left, ["event_type"],
+                        [AggSpec(None, "count", "n_type"),
+                         AggSpec("cents", "sum", "type_cents")])
+    out = hash_join(left, right, on="event_type",
+                    hot_keys=["click", "view"], salt_factor=8)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "event_type", "n_type",
+                            "type_cents"]),
+        batch_format="pyarrow")
+
+
+_Q150_SQL = """
+with l as (
+  select event_id, event_type,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+r as (
+  select event_type, count(*) as n_type,
+         cast(sum(cents) as bigint) as type_cents
+  from l group by event_type)
+select l.event_id, l.event_type, r.n_type, r.type_cents
+from l join r using (event_type)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9230,6 +9281,7 @@ QUERIES = {
     "q147_cohort_retention": q147_cohort_retention,
     "q148_ipc_source": q148_ipc_source,
     "q149_ewma": q149_ewma,
+    "q150_salted_skew_join": q150_salted_skew_join,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9362,6 +9414,7 @@ def oracle_sql() -> dict[str, str]:
         "q147_cohort_retention": _Q147_SQL,
         "q148_ipc_source": _Q148_SQL,
         "q149_ewma": _Q149_SQL,
+        "q150_salted_skew_join": _Q150_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
