@@ -9131,6 +9131,66 @@ from l join r using (event_type)
 """
 
 
+def q151_watermark_filter(sf_dir: str):
+    """Watermark late-event filtering (late round 5 — the streaming
+    allowed-lateness rule made deterministic): within each user,
+    ARRIVAL order is event_id (the deterministic stand-in for wall
+    arrival); an event is LATE iff its ts lags the running max of all
+    PRIOR events' ts by more than 10 minutes. One user-keyed
+    exchange, per-bucket vectorized sort + shifted cummax; output is
+    the per-user kept/dropped tally. SQL restates the watermark as
+    ``max(ts) over (... rows between unbounded preceding and 1
+    preceding)``."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+    late_us = 600 * 1_000_000
+
+    def _tally(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prior_max = (pd.Series(ts)
+                     .groupby(df["user_id"].to_numpy(), sort=False)
+                     .transform(lambda s: s.cummax().shift(1))
+                     .to_numpy())
+        late = ~np.isnan(prior_max) & (ts < prior_max - late_us)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "late": late.astype(np.int64),
+        })
+        agg = (out.groupby("user_id", as_index=False, sort=False)
+               .agg(n=("late", "size"), n_late=("late", "sum")))
+        agg["n_kept"] = agg["n"] - agg["n_late"]
+        return agg[["user_id", "n_kept", "n_late"]].astype("int64")
+
+    return bucketed_group_reduce(ev, ["user_id"], _tally)
+
+
+_Q151_SQL = """
+with w as (
+  select user_id, ts,
+         max(ts) over (partition by user_id order by event_id
+                       rows between unbounded preceding
+                       and 1 preceding) as wm
+  from events)
+select user_id,
+  cast(sum(case when wm is null
+                 or ts >= wm - interval 10 minutes
+            then 1 else 0 end) as bigint) as n_kept,
+  cast(sum(case when wm is not null
+                 and ts < wm - interval 10 minutes
+            then 1 else 0 end) as bigint) as n_late
+from w group by user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9282,6 +9342,7 @@ QUERIES = {
     "q148_ipc_source": q148_ipc_source,
     "q149_ewma": q149_ewma,
     "q150_salted_skew_join": q150_salted_skew_join,
+    "q151_watermark_filter": q151_watermark_filter,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9415,6 +9476,7 @@ def oracle_sql() -> dict[str, str]:
         "q148_ipc_source": _Q148_SQL,
         "q149_ewma": _Q149_SQL,
         "q150_salted_skew_join": _Q150_SQL,
+        "q151_watermark_filter": _Q151_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
