@@ -9191,6 +9191,48 @@ from w group by user_id
 """
 
 
+def q152_mad_robust(sf_dir: str):
+    """Median absolute deviation per group (late round 5 — the robust
+    dispersion companion to q139's z-score and q141's IQR fences):
+    per source, median of n_chars and MAD = median(|x − median|),
+    both exact PERCENTILE_DISC over integers — PURE COMPOSITION of
+    ``grouped_quantile`` → broadcast join → integer abs-diff →
+    ``grouped_quantile`` (two bucketed exchanges, everything int64
+    until the output)."""
+    from feast_ray.stages.aggregate import grouped_quantile
+    from feast_ray.stages.join import broadcast_join
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    med = grouped_quantile(docs, ["source"], "n_chars",
+                           {"med": 0.5}).to_pandas()
+    joined = broadcast_join(docs, med, on="source")
+
+    def _dev(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["med"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "dev": pa.array(np.abs(x - m)),
+        })
+
+    mad = grouped_quantile(
+        joined.map_batches(_dev, batch_format="pyarrow"),
+        ["source"], "dev", {"mad": 0.5})
+    return broadcast_join(mad, med, on="source")
+
+
+_Q152_SQL = """
+with m as (
+  select source, quantile_disc(n_chars, 0.5) as med
+  from documents group by source),
+d as (
+  select d.source, abs(d.n_chars - m.med) as dev
+  from documents d join m using (source))
+select d.source, quantile_disc(d.dev, 0.5) as mad, m.med
+from d join m using (source) group by d.source, m.med
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9343,6 +9385,7 @@ QUERIES = {
     "q149_ewma": q149_ewma,
     "q150_salted_skew_join": q150_salted_skew_join,
     "q151_watermark_filter": q151_watermark_filter,
+    "q152_mad_robust": q152_mad_robust,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9477,6 +9520,7 @@ def oracle_sql() -> dict[str, str]:
         "q149_ewma": _Q149_SQL,
         "q150_salted_skew_join": _Q150_SQL,
         "q151_watermark_filter": _Q151_SQL,
+        "q152_mad_robust": _Q152_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

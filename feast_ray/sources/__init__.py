@@ -1,4 +1,5 @@
 from feast_ray.sources.delta import delta_file_uris, read_delta, write_delta
+from feast_ray.sources.orc import read_ipc, read_orc, write_ipc, write_orc
 from feast_ray.sources.parquet import read_table
 from feast_ray.sources.sql import duckdb_factory, read_sql
 from feast_ray.sources.warc import parse_warc_stream, read_wet, write_wet
@@ -6,6 +7,10 @@ from feast_ray.sources.webpages import synth_webpages, webpages_parquet_dir
 
 __all__ = [
     "read_table",
+    "read_orc",
+    "write_orc",
+    "read_ipc",
+    "write_ipc",
     "synth_webpages",
     "webpages_parquet_dir",
     "read_delta",
