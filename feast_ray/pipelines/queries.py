@@ -9233,6 +9233,99 @@ from d join m using (source) group by d.source, m.med
 """
 
 
+def q153_trend_slope(sf_dir: str):
+    """Per-group linear trend (late round 5 — revenue-drift
+    detection): ordinary-least-squares slope of daily revenue over
+    day index, per event_type. Two-stage integer-moment doctrine:
+    ONE grouped sum to daily revenue (day = exact epoch-day integer),
+    then int64 moments (n, Σx, Σy, Σxx, Σxy) per type — day indices
+    are 0..30 so moments never overflow — and the closed-form
+    slope/intercept evaluates once per group in floats the SQL
+    restates term for term, nano-quantized."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    day_us = 86400 * 1_000_000
+
+    def _day(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                         ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array((ts - base_us) // day_us),
+            "cents": pa.array(cents),
+        })
+
+    daily = grouped_agg(
+        ev.map_batches(_day, batch_format="pyarrow"),
+        ["event_type", "day"], [AggSpec("cents", "sum", "rev")])
+
+    def _mom(t: pa.Table) -> pa.Table:
+        x = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+        })
+
+    mom = grouped_agg(
+        daily.map_batches(_mom, batch_format="pyarrow"), ["event_type"],
+        [AggSpec(None, "count", "n"),
+         AggSpec("x", "sum", "sx"), AggSpec("y", "sum", "sy"),
+         AggSpec("xx", "sum", "sxx"), AggSpec("xy", "sum", "sxy")])
+
+    def _fit(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "sx", "sy", "sxx", "sxy")}
+        slope = ((f["n"] * f["sxy"] - f["sx"] * f["sy"])
+                 / (f["n"] * f["sxx"] - f["sx"] * f["sx"]))
+        icept = (f["sy"] - slope * f["sx"]) / f["n"]
+        return pa.table({
+            "event_type": t["event_type"],
+            "slope_n": pa.array(np.floor(slope * 1e9 + 0.5).astype(np.int64)),
+            "icept_n": pa.array(np.floor(icept * 1e9 + 0.5).astype(np.int64)),
+        })
+
+    return mom.map_batches(_fit, batch_format="pyarrow")
+
+
+_Q153_SQL = """
+with p as (
+  select event_type,
+         (epoch_us(ts) - epoch_us(timestamp '2024-01-01')) // 86400000000
+           as day,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+daily as (
+  select event_type, day, cast(sum(cents) as bigint) as rev
+  from p group by 1, 2),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(day) as bigint) as sx, cast(sum(rev) as bigint) as sy,
+         cast(sum(day * day) as bigint) as sxx,
+         cast(sum(day * rev) as bigint) as sxy
+  from daily group by event_type),
+fit as (
+  select event_type,
+    (cast(n as double) * cast(sxy as double)
+     - cast(sx as double) * cast(sy as double))
+    / (cast(n as double) * cast(sxx as double)
+       - cast(sx as double) * cast(sx as double)) as slope,
+    n, sx, sy
+  from m)
+select event_type,
+  cast(floor(slope * 1e9 + 0.5) as bigint) as slope_n,
+  cast(floor(((cast(sy as double) - slope * cast(sx as double))
+              / cast(n as double)) * 1e9 + 0.5) as bigint) as icept_n
+from fit
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9386,6 +9479,7 @@ QUERIES = {
     "q150_salted_skew_join": q150_salted_skew_join,
     "q151_watermark_filter": q151_watermark_filter,
     "q152_mad_robust": q152_mad_robust,
+    "q153_trend_slope": q153_trend_slope,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9521,6 +9615,7 @@ def oracle_sql() -> dict[str, str]:
         "q150_salted_skew_join": _Q150_SQL,
         "q151_watermark_filter": _Q151_SQL,
         "q152_mad_robust": _Q152_SQL,
+        "q153_trend_slope": _Q153_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
