@@ -319,3 +319,30 @@ def test_grouped_quantile_cont_matches_duckdb():
     # BIT-exact float equality is the contract (DuckDB's op order)
     for c in ("p25", "p50", "p90"):
         assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_window_percent_rank_cume_dist_match_duckdb():
+    import duckdb
+
+    from feast_ray.stages.relational import window_row_funcs
+
+    rng = np.random.default_rng(37)
+    n = 500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], n),
+        "t": rng.permutation(n).astype(np.int64),
+    })
+    # add a singleton key: percent_rank of a 1-row partition is 0.0
+    df.loc[n - 1, "k"] = "solo"
+    df = df[~((df.k == "solo") & (df.index < n - 1))]
+    out = (window_row_funcs(
+        rd.from_pandas(df).repartition(4), ["k"], ["t", "id"],
+        percent_rank_as="pr", cume_dist_as="cd", num_buckets=3)
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = duckdb.sql(
+        "select id, percent_rank() over w as pr, cume_dist() over w as cd "
+        "from df window w as (partition by k order by t, id) order by id"
+    ).df()
+    assert (out["pr"].to_numpy() == ref["pr"].to_numpy()).all()
+    assert (out["cd"].to_numpy() == ref["cd"].to_numpy()).all()
