@@ -9326,6 +9326,64 @@ from fit
 """
 
 
+def q154_entity_resolution(sf_dir: str):
+    """Entity resolution capstone (late round 5): fuzzy ed≤1 prefix
+    pairs (q122's PassJoin) become an undirected match graph whose
+    CONNECTED COMPONENTS define entities; every matched doc gets the
+    component minimum as its canonical id (``functions/components.py``
+    — size-gated driver fixpoint ↔ distributed label propagation).
+    Pure composition: similarity join → components → canonical pick;
+    the oracle chains the n² Levenshtein cross product into the q51
+    recursive-CTE min-label fixpoint."""
+    from feast_ray.functions.components import connected_components
+    from feast_ray.functions.fuzzyjoin import ed1_self_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.utf8_lower(t["text"]).to_pandas()
+        cuts = 10 + ids % 3
+        s = pd.Series(txt.to_numpy(dtype=object))
+        out = np.empty(len(s), dtype=object)
+        for c in (10, 11, 12):
+            m = cuts == c
+            out[m] = s[m].str[:c].to_numpy(dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "s": pa.array(out, pa.string()),
+        })
+
+    pref = docs.map_batches(_prefix, batch_format="pyarrow")
+    pairs = ed1_self_join(pref, "doc_id", "s").map_batches(
+        lambda t: pa.table({"id_a": t["id1"], "id_b": t["id2"]}),
+        batch_format="pyarrow")
+    return connected_components(pairs, out_node="doc_id",
+                                out_comp="canon_id")
+
+
+_Q154_SQL = """
+with recursive s as (
+  select doc_id,
+         substr(lower(text), 1, cast(10 + doc_id % 3 as int)) as s
+  from documents),
+vp as (
+  select a.doc_id as ida, b.doc_id as idb
+  from s a, s b
+  where a.doc_id < b.doc_id and levenshtein(a.s, b.s) <= 1),
+nodes as (select ida as node from vp union select idb as node from vp),
+edges as (select ida as a, idb as b from vp
+          union select idb as a, ida as b from vp),
+cc as (
+  select node, node as comp from nodes
+  union
+  select e.b as node, cc.comp
+  from cc join edges e on e.a = cc.node
+  where cc.comp < e.b)
+select node as doc_id, min(comp) as canon_id from cc group by node
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9480,6 +9538,7 @@ QUERIES = {
     "q151_watermark_filter": q151_watermark_filter,
     "q152_mad_robust": q152_mad_robust,
     "q153_trend_slope": q153_trend_slope,
+    "q154_entity_resolution": q154_entity_resolution,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9616,6 +9675,7 @@ def oracle_sql() -> dict[str, str]:
         "q151_watermark_filter": _Q151_SQL,
         "q152_mad_robust": _Q152_SQL,
         "q153_trend_slope": _Q153_SQL,
+        "q154_entity_resolution": _Q154_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
