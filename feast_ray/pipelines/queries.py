@@ -9384,6 +9384,77 @@ select node as doc_id, min(comp) as canon_id from cc group by node
 """
 
 
+def q155_chi_square(sf_dir: str):
+    """Chi-square independence statistic (late round 5 — the
+    categorical-drift / feature-dependence test): event_type ×
+    value-quartile contingency table. Observed counts are ONE exact
+    grouped count; expected = row·col/total and each cell's
+    (o−e)²/e evaluate in floats the SQL restates, quantized to
+    nano-units PER CELL before the order-free integer sum (the q131
+    doctrine). Output one χ²_n per event_type row set — a single
+    report row."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bin": pa.array(np.minimum(c // 2500, 3)),
+        })
+
+    obs = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type", "bin"], [AggSpec(None, "count", "o")]).to_pandas()
+    # report-sized closed form (5 types x 4 bins)
+    tot = int(obs["o"].sum())
+    rows = obs.groupby("event_type")["o"].sum().to_dict()
+    cols = obs.groupby("bin")["o"].sum().to_dict()
+    full = []
+    for et in sorted(rows):
+        for b in sorted(cols):
+            o = int(obs[(obs.event_type == et) & (obs.bin == b)]["o"].sum())
+            e = float(rows[et]) * float(cols[b]) / float(tot)
+            d = float(o) - e
+            full.append(int(np.floor((d * d / e) * 1e9 + 0.5)))
+    return pa.table({"chi2_n": pa.array([sum(full)], pa.int64()),
+                     "n_cells": pa.array([len(full)], pa.int64())})
+
+
+_Q155_SQL = """
+with p as (
+  select event_type,
+         least(cast(round(value * 100) as bigint) // 2500, 3) as bin
+  from events),
+o as (select event_type, bin, cast(count(*) as bigint) as o
+      from p group by 1, 2),
+grid as (
+  select r.event_type, c.bin,
+         coalesce((select o from o where o.event_type = r.event_type
+                   and o.bin = c.bin), 0) as o,
+         r.ro, c.co
+  from (select event_type, sum(o) as ro from o group by 1) r,
+       (select bin, sum(o) as co from o group by 1) c),
+cells as (
+  select cast(floor(
+    ((cast(o as double)
+      - cast(ro as double) * cast(co as double)
+        / (select cast(sum(o) as double) from o))
+     * (cast(o as double)
+        - cast(ro as double) * cast(co as double)
+          / (select cast(sum(o) as double) from o)))
+    / (cast(ro as double) * cast(co as double)
+       / (select cast(sum(o) as double) from o))
+    * 1e9 + 0.5) as bigint) as cell_n
+  from grid)
+select cast(sum(cell_n) as bigint) as chi2_n,
+       cast(count(*) as bigint) as n_cells
+from cells
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9539,6 +9610,7 @@ QUERIES = {
     "q152_mad_robust": q152_mad_robust,
     "q153_trend_slope": q153_trend_slope,
     "q154_entity_resolution": q154_entity_resolution,
+    "q155_chi_square": q155_chi_square,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9676,6 +9748,7 @@ def oracle_sql() -> dict[str, str]:
         "q152_mad_robust": _Q152_SQL,
         "q153_trend_slope": _Q153_SQL,
         "q154_entity_resolution": _Q154_SQL,
+        "q155_chi_square": _Q155_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
