@@ -9455,6 +9455,77 @@ from cells
 """
 
 
+def q156_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov test (late round 5 — the
+    distribution-shift audit between two event populations), EXACT
+    integer doctrine end to end: the statistic
+    D = max_x |F_a(x) − F_b(x)| is max |cum_a·n_b − cum_b·n_a| over
+    the merged value domain, an all-int64 quantity — no float ever
+    enters the comparison, so distributed and sequential agree
+    bit-exactly by construction.
+
+    Scale shape: the corpus pass is ONE distributed grouped count
+    over (cents) with a per-sample indicator sum (combiner partials,
+    auto-bucketed); the sweep then runs over the DISTINCT value
+    domain (≤ ~50k cents here — report-sized, domain-bounded, not
+    row-bounded). For an unbounded domain the documented refinement
+    is q132's sample-sort range exchange: per-range sweeps with
+    driver prefix offsets over the range totals."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ev = ev.filter(
+        expr="event_type == 'click' or event_type == 'purchase'")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        is_a = (np.asarray(t["event_type"]) == "click").astype(np.int64)
+        return pa.table({"cents": pa.array(cents), "a": pa.array(is_a)})
+
+    g = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"), ["cents"],
+        [AggSpec("a", "sum", "ca"), AggSpec(None, "count", "c")]).to_pandas()
+    g = g.sort_values("cents", kind="stable")
+    ca = g["ca"].to_numpy(dtype=np.int64)
+    cb = g["c"].to_numpy(dtype=np.int64) - ca
+    n1, n2 = int(ca.sum()), int(cb.sum())
+    d_num = int(np.abs(np.cumsum(ca) * n2 - np.cumsum(cb) * n1).max())
+    ks_n = int(np.floor(float(d_num) / (float(n1) * float(n2)) * 1e9 + 0.5))
+    return pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "ks_n": pa.array([ks_n], pa.int64()),
+    })
+
+
+_Q156_SQL = """
+with p as (
+  select event_type, cast(round(value * 100) as bigint) as cents
+  from events where event_type in ('click', 'purchase')),
+g as (
+  select cents,
+         cast(sum(case when event_type = 'click' then 1 else 0 end)
+              as bigint) as ca,
+         cast(count(*) as bigint) as c
+  from p group by cents),
+tot as (
+  select cast(sum(ca) as bigint) as n1,
+         cast(sum(c - ca) as bigint) as n2 from g),
+cum as (
+  select cast(sum(ca) over (order by cents) as bigint) as cca,
+         cast(sum(c - ca) over (order by cents) as bigint) as ccb
+  from g)
+select t.n1, t.n2,
+       cast(max(abs(c.cca * t.n2 - c.ccb * t.n1)) as bigint) as d_num,
+       cast(floor(cast(max(abs(c.cca * t.n2 - c.ccb * t.n1)) as double)
+                  / (cast(t.n1 as double) * cast(t.n2 as double))
+                  * 1e9 + 0.5) as bigint) as ks_n
+from cum c, tot t group by t.n1, t.n2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9611,6 +9682,7 @@ QUERIES = {
     "q153_trend_slope": q153_trend_slope,
     "q154_entity_resolution": q154_entity_resolution,
     "q155_chi_square": q155_chi_square,
+    "q156_ks_test": q156_ks_test,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9618,10 +9690,15 @@ QUERIES = {
 # round, taken from the FRONT of this dict. Rotate each round so the
 # 50-entry window always covers the queries with the least recent
 # driver-side evidence. Round-5 rotation: q13–q50 first (no r4 driver
-# record), then q73 (the fixed r4 dtype regression — its green hash
-# must land in CORRECTNESS_r05), q80 (newly oracled this round) and
-# any new q89+ queries, then the r4-checked remainder. Within each
-# tier, ascending id keeps runs reproducible.
+# record — completes the rolling driver check of q01–q88), then q73
+# (the fixed r4 dtype regression — its green hash must land in
+# CORRECTNESS_r05) and q80 (newly oracled this round). The remaining
+# slots go to the round-5 queries (q89+, none ever driver-checked);
+# since there are more of them than slots, a stride-7 sample
+# (q89, q96, …, q152 — exactly the 10 free slots) fills the window
+# first so the driver artifact spans the ENTIRE new surface end to
+# end rather than just its head.
+# Within each tier, ascending id keeps runs reproducible.
 import re as _re
 
 
@@ -9629,12 +9706,14 @@ def _gate_priority(k: str) -> tuple:
     n = int(_re.match(r"q(\d+)", k).group(1))
     if 13 <= n <= 50:
         tier = 0
-    elif n in (73, 80) or n >= 89:
+    elif n in (73, 80):
         tier = 1
+    elif n >= 89:
+        tier = 1 if (n - 89) % 7 == 0 else 2
     elif n >= 51:
-        tier = 2
-    else:
         tier = 3
+    else:
+        tier = 4
     return (tier, n)
 
 
@@ -9749,6 +9828,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_trend_slope": _Q153_SQL,
         "q154_entity_resolution": _Q154_SQL,
         "q155_chi_square": _Q155_SQL,
+        "q156_ks_test": _Q156_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
