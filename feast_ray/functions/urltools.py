@@ -138,3 +138,61 @@ def block_domains(
         return tbl.filter(pa.array(~blocked_arr))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+# --- registrable domain (public-suffix longest match) ----------------
+
+# A deterministic sample of the Mozilla Public Suffix List shapes the
+# engine exercises: plain TLDs, a two-label country suffix pair where
+# the one-label parent is ALSO a suffix ("uk" vs "co.uk" — longest
+# match must win), and a private-registry entry ("github.io") whose
+# registrable domains are user sites. The real PSL (~10k rules) drops
+# in unchanged: the matcher is generic over the set.
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "gov", "uk", "co.uk", "ac.uk", "com.au",
+    "github.io",
+)
+
+
+def registrable_domain_series(
+    host: pd.Series,
+    suffixes: tuple[str, ...] | list[str] = DEFAULT_PUBLIC_SUFFIXES,
+) -> pd.Series:
+    """eTLD+1 extraction: the registrable domain is the matched
+    public suffix plus exactly one preceding label; the LONGEST
+    listed suffix that sits on a label boundary wins (PSL semantics).
+    Hosts with no listed suffix yield <NA>; a host EQUAL to its
+    longest matching suffix (e.g. ``co.uk`` itself) is a public
+    suffix, not a registrable domain — also <NA>, and a shorter
+    listed suffix (``uk``) must NOT rescue it.
+
+    Vectorized: one C-backed ``.str.endswith`` pass per DISTINCT
+    suffix DEPTH group (not per suffix — suffixes of equal label
+    count are probed via a hash ``isin`` on the host's k-label tail),
+    so the real 10k-rule PSL costs ~5 passes, not 10k."""
+    host = host.astype("string").str.lower()
+    by_depth: dict[int, set[str]] = {}
+    for s in suffixes:
+        by_depth.setdefault(s.count(".") + 1, set()).add(s.lower())
+    maxk = max(by_depth)
+    # tail_k = last k labels of each host, built incrementally from
+    # the right (tail_1 = last label, tail_k = label + "." + tail_{k-1});
+    # rsplit keeps any deeper prefix joined in element 0, so every
+    # indexed element below is a single label.
+    parts = host.str.rsplit(".", n=maxk + 1)
+    out = pd.Series(pd.NA, index=host.index, dtype="string")
+    tail = pd.Series(pd.NA, index=host.index, dtype="string")
+    nlab = host.str.count(r"\.") + 1
+    for k in range(1, maxk + 1):
+        piece = parts.str[-k]
+        tail = piece if k == 1 else piece + "." + tail
+        if k not in by_depth:
+            continue
+        # increasing k = longer suffix, so later masks overwrite:
+        # longest match wins by loop order
+        ok = tail.isin(by_depth[k])
+        out = out.mask(ok & (nlab > k), parts.str[-(k + 1)] + "." + tail)
+        # host == the suffix: it IS a public suffix — clobber any
+        # shorter match (PSL longest-match, not first-usable-match)
+        out = out.mask(ok & (nlab == k), pd.NA)
+    return out

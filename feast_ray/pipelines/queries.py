@@ -9526,6 +9526,107 @@ from cum c, tot t group by t.n1, t.n2
 """
 
 
+def q157_registrable_domains(sf_dir: str):
+    """eTLD+1 (public-suffix registrable domain) aggregation — the
+    host-level grouping key every per-domain web-pipeline policy
+    (quotas, blocklists, crawl budgets) actually wants: ``co.uk``
+    must NOT be a "domain", ``example.co.uk`` is one. Hosts are
+    deterministically decorated per event to exercise every PSL
+    matching case by construction: longest-match over a nested
+    suffix pair (``uk`` vs ``co.uk``), a private-registry entry
+    (``github.io``), deep subdomains, a bare suffix (no registrable
+    domain), and an unlisted TLD (no match). The matcher
+    (``registrable_domain_series``) is one vectorized pandas pass
+    per suffix DEPTH (a hash ``isin`` on the k-label tail, longest
+    depth wins by overwrite order) — the real ~10k-rule PSL costs
+    ~5 passes, broadcast once per actor, no shuffle. The oracle
+    restates the GENERIC longest-match rule (suffix table join on
+    the k-label tail + arg_max over depth), not the per-arm answers.
+    """
+    from feast_ray.functions.urltools import registrable_domain_series
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def _hosts(tbl: pa.Table) -> pa.Table:
+        i = pd.Series(tbl["event_id"].to_numpy(zero_copy_only=False))
+        arm = i % 7
+        host = pd.Series("", index=i.index, dtype="string")
+        host[arm == 0] = "Sub" + (i % 4).astype(str) + ".Example.CO.UK"
+        host[arm == 1] = "blog" + (i % 5).astype(str) + ".GitHub.IO"
+        host[arm == 2] = "example" + (i % 3).astype(str) + ".uk"
+        host[arm == 3] = "co.uk"
+        host[arm == 4] = "www.site" + (i % 3).astype(str) + ".COM"
+        host[arm == 5] = "internal" + (i % 3).astype(str) + ".local"
+        host[arm == 6] = "a.b.c.example.com.au"
+        return pa.table({
+            "host": pa.array(host.astype(object), pa.string()),
+        })
+
+    def _reg(tbl: pa.Table) -> pa.Table:
+        h = tbl["host"].to_pandas()
+        reg = registrable_domain_series(h).fillna("(none)")
+        return pa.table({
+            "reg_domain": pa.array(reg.astype(object), pa.string()),
+            "host": pa.array(h.str.lower().astype(object), pa.string()),
+        })
+
+    pairs = ev.map_batches(_hosts, batch_format="pyarrow").map_batches(
+        _reg, batch_format="pyarrow")
+    pages = grouped_agg(pairs, ["reg_domain"],
+                        [AggSpec(None, "count", "n_pages")])
+    hosts = grouped_agg(distinct(pairs, ["reg_domain", "host"]),
+                        ["reg_domain"], [AggSpec(None, "count", "n_hosts")])
+    # report-sized join (a dozen registrable domains)
+    out = pages.to_pandas().merge(hosts.to_pandas(), on="reg_domain")
+    out = out.sort_values("reg_domain", kind="stable").reset_index(drop=True)
+    return pa.table({
+        "reg_domain": pa.array(out["reg_domain"].astype(object), pa.string()),
+        "n_pages": pa.array(out["n_pages"].to_numpy(np.int64)),
+        "n_hosts": pa.array(out["n_hosts"].to_numpy(np.int64)),
+    })
+
+
+_Q157_SQL = """
+with suf(s, k) as (
+  values ('com', 1), ('org', 1), ('net', 1), ('gov', 1), ('uk', 1),
+         ('co.uk', 2), ('ac.uk', 2), ('com.au', 2), ('github.io', 2)),
+hosts as (
+  select event_id,
+    lower(case event_id % 7
+      when 0 then 'Sub' || (event_id % 4) || '.Example.CO.UK'
+      when 1 then 'blog' || (event_id % 5) || '.GitHub.IO'
+      when 2 then 'example' || (event_id % 3) || '.uk'
+      when 3 then 'co.uk'
+      when 4 then 'www.site' || (event_id % 3) || '.COM'
+      when 5 then 'internal' || (event_id % 3) || '.local'
+      else 'a.b.c.example.com.au' end) as host
+  from events),
+lab as (
+  select event_id, host, string_split(host, '.') as l,
+         len(string_split(host, '.')) as n
+  from hosts),
+m as (
+  select lab.event_id, lab.host, suf.k,
+         case when lab.n > suf.k
+              then lab.l[lab.n - suf.k] || '.' || suf.s
+              else '(none)' end as reg
+  from lab join suf
+    on lab.n >= suf.k
+   and array_to_string(lab.l[lab.n - suf.k + 1 : lab.n], '.') = suf.s),
+best as (
+  select event_id, host, arg_max(reg, k) as reg
+  from m group by event_id, host),
+allh as (
+  select h.host, coalesce(b.reg, '(none)') as reg_domain
+  from hosts h left join best b
+    on h.event_id = b.event_id)
+select reg_domain,
+       cast(count(*) as bigint) as n_pages,
+       cast(count(distinct host) as bigint) as n_hosts
+from allh group by reg_domain order by reg_domain
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9683,6 +9784,7 @@ QUERIES = {
     "q154_entity_resolution": q154_entity_resolution,
     "q155_chi_square": q155_chi_square,
     "q156_ks_test": q156_ks_test,
+    "q157_registrable_domains": q157_registrable_domains,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9829,6 +9931,7 @@ def oracle_sql() -> dict[str, str]:
         "q154_entity_resolution": _Q154_SQL,
         "q155_chi_square": _Q155_SQL,
         "q156_ks_test": _Q156_SQL,
+        "q157_registrable_domains": _Q157_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -76,3 +76,53 @@ def test_block_domains_suffix_semantics():
         ray.data.from_pandas(df), ["bad.com"], "url", mode="annotate"
     ).to_pandas()
     assert ann["blocked"].sum() == 5 and len(ann) == 9
+
+
+def test_registrable_domain_rules():
+    from feast_ray.functions.urltools import registrable_domain_series
+
+    cases = {
+        # longest match: "co.uk" beats "uk"
+        "Sub.Example.CO.UK": "example.co.uk",
+        "a.b.c.example.com.au": "example.com.au",
+        # one-label suffix with a label left of it
+        "example.uk": "example.uk",
+        "www.site.COM": "site.com",
+        "site.com": "site.com",
+        # private-registry entry
+        "blog.GitHub.IO": "blog.github.io",
+        "deep.blog.github.io": "blog.github.io",
+        # bare suffixes: no label left -> no registrable domain
+        "co.uk": None,
+        "uk": None,
+        "github.io": None,
+        "com": None,
+        # unlisted TLD -> no match
+        "internal.local": None,
+        "host": None,
+    }
+    got = registrable_domain_series(pd.Series(list(cases)))
+    for raw, want, g in zip(cases, cases.values(), got):
+        if want is None:
+            assert pd.isna(g), f"{raw!r}: {g!r} != NA"
+        else:
+            assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
+def test_registrable_domain_custom_suffixes_and_empty():
+    from feast_ray.functions.urltools import registrable_domain_series
+
+    got = registrable_domain_series(
+        pd.Series(["x.a.b.c", "a.b.c", "b.c", "q.z"]),
+        suffixes=["b.c", "a.b.c"],
+    )
+    # 4-label host: longest listed suffix is a.b.c -> x.a.b.c
+    assert got[0] == "x.a.b.c"
+    # host EQUAL to the longest suffix IS a public suffix — the
+    # shorter b.c match must NOT rescue it (PSL longest-match)
+    assert pd.isna(got[1])
+    assert pd.isna(got[2])
+    assert pd.isna(got[3])
+    # empty input
+    out = registrable_domain_series(pd.Series([], dtype="string"))
+    assert len(out) == 0
