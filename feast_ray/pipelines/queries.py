@@ -9627,6 +9627,231 @@ from allh group by reg_domain order by reg_domain
 """
 
 
+def q158_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout — Delta's OPTIMIZE ZORDER
+    as a Ray Data op: normalize (value-cents, user_id) onto a 16-bit
+    grid with exact integer arithmetic, interleave bits into one
+    z-value, then range-partition by EXACT global rank (the q132
+    sample-sort exchange — never a full payload sort shuffle) into 16
+    layout partitions. Co-locating on z bounds BOTH dimensions per
+    partition, which is what makes q159's zone map effective on more
+    than one column. Output: per-partition row count + z envelope.
+    The oracle restates the normalization, the full 32-term bit
+    interleave (``zvalue_sql``) and the rank split generically."""
+    from feast_ray.functions.layout import normalize_to_grid, zvalue
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+    n = ev.count()
+    P = 16
+
+    def _cents_uid(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "uid": t["user_id"],
+            "cents": pa.array(cents),
+        })
+
+    prepped = ev.map_batches(_cents_uid, batch_format="pyarrow")
+
+    # bounds: per-block partials -> driver combine (tiny)
+    def _bounds(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        u = t["uid"].to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({"lox": pa.array([], pa.int64())})
+        return pa.table({
+            "lox": pa.array([int(c.min())], pa.int64()),
+            "hix": pa.array([int(c.max())], pa.int64()),
+            "loy": pa.array([int(u.min())], pa.int64()),
+            "hiy": pa.array([int(u.max())], pa.int64()),
+        })
+
+    b = prepped.map_batches(_bounds, batch_format="pyarrow").to_pandas()
+    lox, hix = int(b["lox"].min()), int(b["hix"].max())
+    loy, hiy = int(b["loy"].min()), int(b["hiy"].max())
+
+    def _z(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        u = t["uid"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(eid) and eid.max() >= (1 << 30):
+            raise ValueError("event_id >= 2^30: widen the rank key packing")
+        z = zvalue([normalize_to_grid(c, lox, hix),
+                    normalize_to_grid(u, loy, hiy)])
+        return pa.table({
+            "z": pa.array(z),
+            "key": pa.array(z * np.int64(1 << 30) + eid),
+        })
+
+    from feast_ray.stages.relational import global_rank_int
+
+    ranked = global_rank_int(
+        prepped.map_batches(_z, batch_format="pyarrow"), "key",
+        rank_as="rank", keep_cols=["z"])
+
+    def _pid(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False) - 1
+        return pa.table({
+            "pid": pa.array(r * np.int64(P) // np.int64(n)),
+            "z": t["z"],
+        })
+
+    out = grouped_agg(
+        ranked.map_batches(_pid, batch_format="pyarrow"), ["pid"],
+        [AggSpec(None, "count", "n_rows"),
+         AggSpec("z", "min", "z_min"),
+         AggSpec("z", "max", "z_max")]).to_pandas()
+    out = out.sort_values("pid", kind="stable").reset_index(drop=True)
+    return pa.table({
+        "pid": pa.array(out["pid"].to_numpy(np.int64)),
+        "n_rows": pa.array(out["n_rows"].to_numpy(np.int64)),
+        "z_min": pa.array(out["z_min"].to_numpy(np.int64)),
+        "z_max": pa.array(out["z_max"].to_numpy(np.int64)),
+    })
+
+
+def _q158_sql() -> str:
+    from feast_ray.functions.layout import zvalue_sql
+
+    z_expr = zvalue_sql(["nx", "ny"])
+    return f"""
+with p as (
+  select event_id, user_id,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+b as (
+  select min(cents) as lox, max(cents) as hix,
+         min(user_id) as loy, max(user_id) as hiy
+  from p),
+n as (
+  select p.event_id,
+         ((p.cents - b.lox) * 65535) // (b.hix - b.lox) as nx,
+         ((p.user_id - b.loy) * 65535) // (b.hiy - b.loy) as ny
+  from p, b),
+zt as (
+  select event_id, {z_expr} as z from n),
+r as (
+  select z,
+         row_number() over (order by z, event_id) - 1 as rn,
+         count(*) over () as cnt
+  from zt)
+select cast((rn * 16) // cnt as bigint) as pid,
+       cast(count(*) as bigint) as n_rows,
+       cast(min(z) as bigint) as z_min,
+       cast(max(z) as bigint) as z_max
+from r group by 1 order by 1
+"""
+
+
+def q159_zonemap_scan(sf_dir: str):
+    """Zone-map pruned scan — the partition-level min/max secondary
+    index that makes "prune at the read" real beyond row groups: the
+    corpus is laid out into 16 range partitions by exact rank on
+    (cents, event_id) (the clustered write), a zone map is built from
+    parquet FOOTER statistics only (no data page read at plan time),
+    and a ``10000 <= cents <= 15000`` predicate reads ONLY the
+    partitions whose envelope intersects the interval (with the row
+    filter still pushed into ``read_parquet`` below that). Output:
+    the aggregate over matching rows PLUS the pruning evidence
+    (partitions scanned / total) — the oracle independently predicts
+    the exact surviving-partition count from the rank-split
+    envelopes."""
+    import shutil
+
+    from feast_ray.functions.layout import build_zone_map, prune_partitions
+    from feast_ray.stages.relational import global_rank_int
+
+    out_dir = "/tmp/feast_ray_q159_%08x" % (
+        hash(os.path.abspath(sf_dir)) & 0xFFFFFFFF)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    P, LO, HI = 16, 10000, 15000
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    n = ev.count()
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(eid) and eid.max() >= (1 << 30):
+            raise ValueError("event_id >= 2^30: widen the rank key packing")
+        return pa.table({
+            "event_id": pa.array(eid),
+            "cents": pa.array(cents),
+            "key": pa.array(cents * np.int64(1 << 30) + eid),
+        })
+
+    ranked = global_rank_int(
+        ev.map_batches(_prep, batch_format="pyarrow"), "key",
+        rank_as="rank", keep_cols=["event_id", "cents"])
+
+    def _pid(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False) - 1
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": t["cents"],
+            "pid": pa.array(r * np.int64(P) // np.int64(n)),
+        })
+
+    ranked.map_batches(_pid, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["pid"])
+
+    zm = build_zone_map(out_dir, ["cents"])
+    keep, total = prune_partitions(zm, "cents", LO, HI)
+    # a list of paths is read file-wise: expand surviving partitions
+    files = [os.path.join(out_dir, p, f)
+             for p in keep for f in sorted(os.listdir(os.path.join(out_dir, p)))
+             if f.endswith(".parquet")]
+    pruned = ray.data.read_parquet(
+        files, columns=["cents"],
+        filter=(pc.field("cents") >= LO) & (pc.field("cents") <= HI))
+
+    def _part(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+        })
+
+    parts = pruned.map_batches(_part, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
+        "sum_cents": pa.array([int(parts["s"].sum())], pa.int64()),
+        "parts_scanned": pa.array([len(keep)], pa.int64()),
+        "parts_total": pa.array([total], pa.int64()),
+    })
+
+
+_Q159_SQL = """
+with p as (
+  select event_id, cast(round(value * 100) as bigint) as cents
+  from events),
+r as (
+  select cents,
+         row_number() over (order by cents, event_id) - 1 as rn,
+         count(*) over () as cnt
+  from p),
+env as (
+  select (rn * 16) // cnt as pid,
+         min(cents) as vmin, max(cents) as vmax
+  from r group by 1),
+scanned as (
+  select count(*) as c from env
+  where vmin <= 15000 and vmax >= 10000),
+m as (
+  select cast(count(*) as bigint) as n_rows,
+         cast(sum(cents) as bigint) as sum_cents
+  from p where cents between 10000 and 15000)
+select m.n_rows, m.sum_cents,
+       cast(s.c as bigint) as parts_scanned,
+       cast(16 as bigint) as parts_total
+from m, scanned s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -9785,6 +10010,8 @@ QUERIES = {
     "q155_chi_square": q155_chi_square,
     "q156_ks_test": q156_ks_test,
     "q157_registrable_domains": q157_registrable_domains,
+    "q158_zorder_layout": q158_zorder_layout,
+    "q159_zonemap_scan": q159_zonemap_scan,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -9932,6 +10159,8 @@ def oracle_sql() -> dict[str, str]:
         "q155_chi_square": _Q155_SQL,
         "q156_ks_test": _Q156_SQL,
         "q157_registrable_domains": _Q157_SQL,
+        "q158_zorder_layout": _q158_sql(),
+        "q159_zonemap_scan": _Q159_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
