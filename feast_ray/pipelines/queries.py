@@ -9852,6 +9852,155 @@ from m, scanned s
 """
 
 
+def q160_roc_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (Mann–Whitney U with tie-halving) —
+    the model-eval aggregate every trained-filter pipeline (q93/q95/
+    q102) needs at corpus scale, by the q156 integer doctrine: group
+    scores to their distinct values with per-value positive/negative
+    counts (ONE distributed grouped count, combiner partials), then
+    2·U = Σ_s p_s·(2·N_below(s) + n_s) over the sorted distinct
+    domain — all int64, so distributed and sequential agree
+    bit-exactly; the single float division (AUC itself) is restated
+    verbatim in SQL and nano-quantized. Label = purchase events,
+    score = value cents. Domain-bounded sweep (≤ ~56k distinct
+    cents); an unbounded domain takes q132's range exchange with
+    driver prefix offsets, as documented on q156."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pos = (np.asarray(t["event_type"]) == "purchase").astype(np.int64)
+        return pa.table({"cents": pa.array(cents), "pos": pa.array(pos)})
+
+    g = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"), ["cents"],
+        [AggSpec("pos", "sum", "p"), AggSpec(None, "count", "c")]).to_pandas()
+    g = g.sort_values("cents", kind="stable")
+    p = g["p"].to_numpy(np.int64)
+    nn = g["c"].to_numpy(np.int64) - p
+    n_below = np.concatenate([[0], np.cumsum(nn)[:-1]])
+    u2 = int((p * (2 * n_below + nn)).sum())
+    P, N = int(p.sum()), int(nn.sum())
+    auc_n = int(np.floor(float(u2) / (2.0 * float(P) * float(N)) * 1e9 + 0.5))
+    return pa.table({
+        "n_pos": pa.array([P], pa.int64()),
+        "n_neg": pa.array([N], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_n": pa.array([auc_n], pa.int64()),
+    })
+
+
+_Q160_SQL = """
+with s as (
+  select cast(round(value * 100) as bigint) as cents,
+         case when event_type = 'purchase' then 1 else 0 end as pos
+  from events),
+g as (
+  select cents, cast(sum(pos) as bigint) as p,
+         cast(count(*) - sum(pos) as bigint) as nn
+  from s group by cents),
+c as (
+  select p, nn,
+         cast(coalesce(sum(nn) over (order by cents
+           rows between unbounded preceding and 1 preceding), 0)
+           as bigint) as n_below
+  from g),
+t as (
+  select cast(sum(p) as bigint) as n_pos,
+         cast(sum(nn) as bigint) as n_neg,
+         cast(sum(p * (2 * n_below + nn)) as bigint) as u2
+  from c)
+select n_pos, n_neg, u2,
+       cast(floor(cast(u2 as double)
+                  / (2.0 * cast(n_pos as double) * cast(n_neg as double))
+                  * 1e9 + 0.5) as bigint) as auc_n
+from t
+"""
+
+
+def q161_schema_evolution(sf_dir: str):
+    """Schema-evolution-on-read (``read_parquet_evolved``): a table
+    whose files accreted columns and widened types over time reads as
+    ONE Dataset — missing columns null, int widened to float — with
+    footer-only planning and one read per distinct historical schema
+    version. The corpus: orders split into three generations by
+    ``o_orderkey % 3`` — v0 (key, cents:int64; no disc column),
+    v1 (+ disc:int64), v2 (cents written as float64 → promotion).
+    The aggregate exercises null-fill (count disc) and promotion
+    (sum of the float-unified cents — integer-valued floats below
+    2^53, so the distributed sum is exact); the oracle restates the
+    per-generation schema rules from the ORIGINAL parquet."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    src_p = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_p)
+    fp = _hl.md5(f"{src_p}:{st.st_size}:{st.st_mtime_ns}".encode()
+                 ).hexdigest()[:16]
+    evo_dir = f"/tmp/feast_ray_cache/evo_{fp}"
+    if not os.path.isdir(evo_dir):
+        tmp = evo_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = _pq.read_table(src_p, columns=["o_orderkey", "o_totalprice"])
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = key % 7
+        for gen in range(3):
+            m = key % 3 == gen
+            cols: dict = {"o_orderkey": pa.array(key[m])}
+            if gen == 2:
+                cols["cents"] = pa.array(cents[m].astype(np.float64))
+            else:
+                cols["cents"] = pa.array(cents[m])
+            if gen >= 1:
+                cols["disc"] = pa.array(disc[m])
+            _pq.write_table(pa.table(cols),
+                            os.path.join(tmp, f"gen{gen}.parquet"))
+        os.rename(tmp, evo_dir)
+
+    from feast_ray.sources import read_parquet_evolved
+
+    ds = read_parquet_evolved(evo_dir)
+
+    def _part(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        d = t["disc"]
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "nd": pa.array([len(d) - d.null_count], pa.int64()),
+            "sc": pa.array([float(c.sum())], pa.float64()),
+            "sd": pa.array([int(pc.sum(d).as_py() or 0)], pa.int64()),
+        })
+
+    p = ds.map_batches(_part, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(p["n"].sum())], pa.int64()),
+        "n_disc": pa.array([int(p["nd"].sum())], pa.int64()),
+        "sum_cents": pa.array([int(p["sc"].sum())], pa.int64()),
+        "sum_disc": pa.array([int(p["sd"].sum())], pa.int64()),
+    })
+
+
+_Q161_SQL = """
+with p as (
+  select o_orderkey as k,
+         cast(round(o_totalprice * 100) as bigint) as cents,
+         case when o_orderkey % 3 >= 1 then o_orderkey % 7 end as disc
+  from orders)
+select cast(count(*) as bigint) as n_rows,
+       cast(count(disc) as bigint) as n_disc,
+       cast(sum(cents) as bigint) as sum_cents,
+       cast(coalesce(sum(disc), 0) as bigint) as sum_disc
+from p
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10012,6 +10161,8 @@ QUERIES = {
     "q157_registrable_domains": q157_registrable_domains,
     "q158_zorder_layout": q158_zorder_layout,
     "q159_zonemap_scan": q159_zonemap_scan,
+    "q160_roc_auc": q160_roc_auc,
+    "q161_schema_evolution": q161_schema_evolution,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10161,6 +10312,8 @@ def oracle_sql() -> dict[str, str]:
         "q157_registrable_domains": _Q157_SQL,
         "q158_zorder_layout": _q158_sql(),
         "q159_zonemap_scan": _Q159_SQL,
+        "q160_roc_auc": _Q160_SQL,
+        "q161_schema_evolution": _Q161_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -92,3 +92,95 @@ def read_table(
         return tbl
 
     return ds.map_batches(_post, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- schema evolution on read -----------------------------------------
+
+
+def unify_evolved_schemas(schemas: "list[pa.Schema]") -> pa.Schema:
+    """Union-by-name across evolved file schemas: field position is
+    fixed by first appearance; a name seen with different types is
+    promoted within the numeric family (any int width → int64; int
+    mixed with float → float64); anything else (e.g. string vs int)
+    is a loud error — silent coercion would corrupt data. The
+    planning input is FOOTER schemas only (no data pages)."""
+    order: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.type
+                continue
+            a, b = types[f.name], f.type
+            if a.equals(b):
+                continue
+            num = lambda t: (pa.types.is_integer(t), pa.types.is_floating(t))
+            ai, af = num(a)
+            bi, bf = num(b)
+            if ai and bi:
+                types[f.name] = pa.int64()
+            elif (ai or af) and (bi or bf):
+                types[f.name] = pa.float64()
+            else:
+                raise ValueError(
+                    f"schema evolution cannot reconcile column "
+                    f"{f.name!r}: {a} vs {b}")
+    return pa.schema([pa.field(n, types[n]) for n in order])
+
+
+def read_parquet_evolved(
+    path: str, *, columns: "list[str] | None" = None
+) -> ray.data.Dataset:
+    """Read a directory of parquet files whose schemas EVOLVED over
+    time (columns added, int widened to float) as one Dataset with
+    the unified schema — missing columns become nulls, narrower
+    numerics are cast up. Ray's ``read_parquet`` requires one
+    schema; warehouse tables accrete columns for years.
+
+    Scale shape: planning touches footer schemas only; files are
+    grouped by their EXACT schema (k distinct historical versions →
+    k ``read_parquet`` calls, each file-parallel as usual) and each
+    group aligns to the unified schema with one zero-copy-where-
+    possible batch kernel before a metadata-only ``union``. The
+    align cost is per batch, never a shuffle."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    schemas = [_pq.read_schema(f) for f in files]
+    unified = unify_evolved_schemas(schemas)
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    groups: dict[tuple, list[str]] = {}
+    for f, sch in zip(files, schemas):
+        key = tuple((fl.name, str(fl.type)) for fl in sch)
+        groups.setdefault(key, []).append(f)
+
+    def _align(tbl: pa.Table) -> pa.Table:
+        cols = []
+        for fl in unified:
+            if fl.name in tbl.column_names:
+                c = tbl[fl.name]
+                if not c.type.equals(fl.type):
+                    c = pc.cast(c, fl.type)
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(tbl.num_rows, fl.type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    parts = []
+    for key, fs in groups.items():
+        have = {n for n, _ in key}
+        want = [c for c in (columns or [f.name for f in unified])
+                if c in have]
+        parts.append(
+            ray.data.read_parquet(fs, columns=want or None)
+            .map_batches(_align, batch_format="pyarrow"))
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])

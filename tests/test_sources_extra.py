@@ -88,3 +88,48 @@ def test_read_sql_duckdb(sf_small):
         "where o_totalprice > 100000"
     ).fetchone()[0]
     assert len(df) == exp and set(df.columns) == {"o_orderkey", "o_totalprice"}
+
+
+def test_unify_evolved_schemas_rules():
+    import pyarrow as pa
+    import pytest
+
+    from feast_ray.sources import unify_evolved_schemas
+
+    s1 = pa.schema([("id", pa.int32()), ("a", pa.int64())])
+    s2 = pa.schema([("id", pa.int64()), ("b", pa.string()),
+                    ("a", pa.float32())])
+    u = unify_evolved_schemas([s1, s2])
+    # first-appearance order; int widths -> int64; int+float -> float64
+    assert [f.name for f in u] == ["id", "a", "b"]
+    assert u.field("id").type == pa.int64()
+    assert u.field("a").type == pa.float64()
+    assert u.field("b").type == pa.string()
+    with pytest.raises(ValueError, match="cannot reconcile"):
+        unify_evolved_schemas([pa.schema([("x", pa.string())]),
+                               pa.schema([("x", pa.int64())])])
+
+
+def test_read_parquet_evolved_roundtrip(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feast_ray.sources import read_parquet_evolved
+
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64()),
+                             "v": pa.array([10, 20], pa.int64())}),
+                   str(tmp_path / "gen0.parquet"))
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "v": pa.array([30.5], pa.float64()),
+                             "w": pa.array(["x"], pa.string())}),
+                   str(tmp_path / "gen1.parquet"))
+    ds = read_parquet_evolved(str(tmp_path))
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "v", "w"]
+    assert df["v"].dtype == np.float64
+    assert df["v"].tolist() == [10.0, 20.0, 30.5]
+    assert df["w"].tolist()[:2] == [None, None] and df["w"][2] == "x"
+    # column pruning still plans footer-only and aligns
+    dv = read_parquet_evolved(str(tmp_path), columns=["v"]).to_pandas()
+    assert sorted(dv["v"].tolist()) == [10.0, 20.0, 30.5]
