@@ -10001,6 +10001,142 @@ from p
 """
 
 
+def q162_dim_stats(sf_dir: str):
+    """Dimension-wise embedding statistics (the feature-normalization
+    / whitening precompute every embedding pipeline runs before
+    training or indexing): per coordinate 0..63 over the corpus —
+    count, integer-nano sum, min, max, mean. List columns never
+    explode through a shuffle: each Arrow block's fixed-width
+    ``list<float>`` reshapes ZERO-COPY to (rows, 64) numpy, partials
+    are 64-row tables (combiner shape), and the only exchange is the
+    64-group final merge. Floats quantize to int64 nano-units BEFORE
+    summation (float32 → float64 widening is exact on both engines);
+    the one float op (mean) is restated verbatim in SQL."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = 64
+        m = flat.reshape(-1, d).astype(np.float64)
+        en = np.floor(m * 1e9 + 0.5).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, en.shape[0], np.int64)),
+            "s_n": pa.array(en.sum(axis=0)),
+            "min_n": pa.array(en.min(axis=0)),
+            "max_n": pa.array(en.max(axis=0)),
+        })
+
+    g = grouped_agg(
+        emb.map_batches(_partial, batch_format="pyarrow"), ["dim"],
+        [AggSpec("n", "sum", "n"), AggSpec("s_n", "sum", "s_n"),
+         AggSpec("min_n", "min", "min_n"),
+         AggSpec("max_n", "max", "max_n")]).to_pandas()
+    g = g.sort_values("dim", kind="stable").reset_index(drop=True)
+    mean = g["s_n"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    return pa.table({
+        "dim": pa.array(g["dim"].to_numpy(np.int64)),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "s_n": pa.array(g["s_n"].to_numpy(np.int64)),
+        "min_n": pa.array(g["min_n"].to_numpy(np.int64)),
+        "max_n": pa.array(g["max_n"].to_numpy(np.int64)),
+        "mean_n": pa.array(mean),
+    })
+
+
+_Q162_SQL = """
+with u as (
+  select unnest(generate_series(0, 63)) as dim,
+         unnest(embedding) as e
+  from embeddings),
+q as (
+  select dim,
+         cast(floor(cast(e as double) * 1e9 + 0.5) as bigint) as en
+  from u)
+select dim,
+       cast(count(*) as bigint) as n,
+       cast(sum(en) as bigint) as s_n,
+       cast(min(en) as bigint) as min_n,
+       cast(max(en) as bigint) as max_n,
+       cast(sum(en) as double) / cast(count(*) as double) as mean_n
+from q group by dim order by dim
+"""
+
+
+def q163_unpivot(sf_dir: str):
+    """UNPIVOT / melt — wide-to-long reshaping (the inverse of q115's
+    PIVOT): per-priority order-count columns melt into
+    (o_orderpriority, metric, val) rows. The wide input is itself
+    one corpus shuffle (grouped counts of three status flags); the
+    melt is a pure per-batch kernel — k× row amplification with NO
+    exchange (each output long row stays on its input block). Oracle:
+    DuckDB's native UNPIVOT over the identical wide CTE."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_orderstatus"])
+
+    def _flags(t: pa.Table) -> pa.Table:
+        st = np.asarray(t["o_orderstatus"])
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_open": pa.array((st == "O").astype(np.int64)),
+            "n_filled": pa.array((st == "F").astype(np.int64)),
+            "n_partial": pa.array((st == "P").astype(np.int64)),
+        })
+
+    wide = grouped_agg(
+        orders.map_batches(_flags, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [AggSpec("n_open", "sum", "n_open"),
+         AggSpec("n_filled", "sum", "n_filled"),
+         AggSpec("n_partial", "sum", "n_partial")])
+
+    metrics = ["n_open", "n_filled", "n_partial"]
+
+    def _melt(t: pa.Table) -> pa.Table:
+        k = len(metrics)
+        n = t.num_rows
+        keys = pc.take(t["o_orderpriority"],
+                       pa.array(np.repeat(np.arange(n), k)))
+        # interleave: row-major (row0 m0, row0 m1, ...) — deterministic
+        vals = np.empty(n * k, np.int64)
+        for j, m in enumerate(metrics):
+            vals[j::k] = t[m].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": keys,
+            "metric": pa.array(np.tile(np.array(metrics, object), n),
+                               pa.string()),
+            "val": pa.array(vals),
+        })
+
+    return wide.map_batches(_melt, batch_format="pyarrow")
+
+
+_Q163_SQL = """
+with flags as (
+  select o_orderpriority,
+         case when o_orderstatus = 'O' then 1 else 0 end as v_open,
+         case when o_orderstatus = 'F' then 1 else 0 end as v_filled,
+         case when o_orderstatus = 'P' then 1 else 0 end as v_partial
+  from orders),
+wide as (
+  select o_orderpriority,
+         cast(sum(v_open) as bigint) as n_open,
+         cast(sum(v_filled) as bigint) as n_filled,
+         cast(sum(v_partial) as bigint) as n_partial
+  from flags group by o_orderpriority)
+select o_orderpriority, metric, val
+from wide
+unpivot (val for metric in (n_open, n_filled, n_partial))
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10163,6 +10299,8 @@ QUERIES = {
     "q159_zonemap_scan": q159_zonemap_scan,
     "q160_roc_auc": q160_roc_auc,
     "q161_schema_evolution": q161_schema_evolution,
+    "q162_dim_stats": q162_dim_stats,
+    "q163_unpivot": q163_unpivot,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10314,6 +10452,8 @@ def oracle_sql() -> dict[str, str]:
         "q159_zonemap_scan": _Q159_SQL,
         "q160_roc_auc": _Q160_SQL,
         "q161_schema_evolution": _Q161_SQL,
+        "q162_dim_stats": _Q162_SQL,
+        "q163_unpivot": _Q163_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
