@@ -640,6 +640,101 @@ def run_bench() -> dict:
             extras["bm25_pages_per_sec"] = round(n_pages / dt, 1)
             assert top == 10
 
+        def _zonemap() -> None:
+            # data-layout pair at corpus scale (round 5, q158/q159):
+            # z-order-style range clustering of the page corpus by
+            # text length + a footer-stats zone map; compares the same
+            # narrow-band filtered aggregate over (a) the raw
+            # unclustered corpus vs (b) the clustered layout with
+            # partition pruning (row filter pushed down in BOTH)
+            import numpy as _np
+
+            from feast_ray.functions.layout import (
+                build_zone_map,
+                prune_partitions,
+            )
+            from feast_ray.stages.relational import global_rank_int
+
+            out_dir = "/tmp/feast_ray_bench_zorder"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            P = 32
+            src = _rd.read_parquet(pages_dir, columns=["url", "text"])
+            n_pages = state["n_pages"]
+
+            def _prep(t: _pa.Table) -> _pa.Table:
+                import pyarrow.compute as _pc
+
+                from feast_ray.functions.neardup import word_hashes64
+
+                ln = _pc.cast(_pc.utf8_length(t["text"]), _pa.int64())
+                h = (word_hashes64(t["url"].to_pylist())
+                     & _np.uint64((1 << 33) - 1)).astype(_np.int64)
+                key = ln.to_numpy(zero_copy_only=False) * (1 << 33) + h
+                return _pa.table({"url": t["url"], "text": t["text"],
+                                  "length": ln, "key": _pa.array(key)})
+
+            t0 = time.perf_counter()
+            ranked = global_rank_int(
+                src.map_batches(_prep, batch_format="pyarrow"), "key",
+                rank_as="rank", keep_cols=["url", "text", "length"])
+
+            def _pid(t: _pa.Table) -> _pa.Table:
+                r = t["rank"].to_numpy(zero_copy_only=False) - 1
+                return _pa.table({
+                    "url": t["url"], "text": t["text"],
+                    "length": t["length"],
+                    "pid": _pa.array(r * _np.int64(P) // _np.int64(n_pages)),
+                })
+
+            ranked.map_batches(_pid, batch_format="pyarrow").write_parquet(
+                out_dir, partition_cols=["pid"])
+            timings["zorder_layout_corpus"] = round(
+                time.perf_counter() - t0, 3)
+
+            zm = build_zone_map(out_dir, ["length"])
+            lo = int(zm["vmin"].to_pandas().min())
+            hi = int(zm["vmax"].to_pandas().max())
+            blo = lo + (hi - lo) * 45 // 100
+            bhi = lo + (hi - lo) * 50 // 100
+            import pyarrow.compute as _pc
+
+            flt = (_pc.field("length") >= blo) & (_pc.field("length") <= bhi)
+
+            def _agg(ds) -> int:
+                return ds.map_batches(
+                    lambda t: _pa.table({
+                        "n": _pa.array([t.num_rows], _pa.int64())}),
+                    batch_format="pyarrow",
+                ).to_pandas()["n"].sum()
+
+            def _with_len(t: _pa.Table) -> _pa.Table:
+                return t.append_column(
+                    "length",
+                    _pc.cast(_pc.utf8_length(t["text"]), _pa.int64()))
+
+            t0 = time.perf_counter()
+            n_raw = _agg(_rd.read_parquet(pages_dir, columns=["text"])
+                         .map_batches(_with_len, batch_format="pyarrow")
+                         .filter(expr=f"length >= {blo} and length <= {bhi}"))
+            t_raw = time.perf_counter() - t0
+            timings["scan_raw_band_corpus"] = round(t_raw, 3)
+
+            keep, total = prune_partitions(zm, "length", blo, bhi)
+            files = [os.path.join(out_dir, p, f)
+                     for p in keep
+                     for f in sorted(os.listdir(os.path.join(out_dir, p)))
+                     if f.endswith(".parquet")]
+            t0 = time.perf_counter()
+            n_zm = _agg(_rd.read_parquet(files, columns=["length"],
+                                         filter=flt))
+            t_zm = time.perf_counter() - t0
+            timings["scan_zonemap_band_corpus"] = round(t_zm, 3)
+            assert int(n_raw) == int(n_zm)
+            extras["zonemap_parts_scanned"] = f"{len(keep)}/{total}"
+            extras["zonemap_scan_speedup"] = round(t_raw / max(t_zm, 1e-9), 2)
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        _stage("zonemap_corpus", _zonemap)
         _stage("minhash_dedup_corpus", _minhash)
         _stage("bm25_corpus", _bm25)
         _stage("simhash_dups_corpus", _simhash)

@@ -212,6 +212,40 @@ def bloom_filter_new(
     return ds.map_batches(_probe, batch_format="pyarrow")
 
 
+def bloom_semi_prefilter(
+    ds: ray.data.Dataset,
+    bloom: BloomFilter,
+    key_col: str,
+    *,
+    prehashed: bool = False,
+) -> ray.data.Dataset:
+    """Join-pushdown polarity (the classic distributed-join dynamic
+    filter: Bloom-filter semi-join reduction): KEEP rows whose key is
+    possibly in the filter — members including false positives — and
+    drop definite non-members BEFORE the join's shuffle. With a
+    selective build side, most probe-side rows never enter the
+    exchange; false positives cost only wasted shuffle bytes, never
+    correctness, because the exact join still runs behind it.
+    ``prehashed=True``: ``key_col`` holds the same uint64 digests the
+    filter was built from (the caller's contract — e.g.
+    ``_splitmix64`` of an int key on BOTH sides)."""
+    bits_ref = ray.put(bloom.bits)
+    m, k = bloom.m, bloom.k
+
+    def _probe(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl
+        bf = BloomFilter(m=m, k=k, bits=ray.get(bits_ref))
+        if prehashed:
+            h = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            member = bf.contains_hashes(h)
+        else:
+            member = bf.contains(tbl[key_col].to_pylist())
+        return tbl.filter(pa.array(member))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
 def _partition_of(h: np.ndarray, num_partitions: int) -> np.ndarray:
     """Partition id from a SECOND splitmix pass over the digest —
     independent of the bits the position scheme consumes (p = h % P

@@ -10137,6 +10137,75 @@ unpivot (val for metric in (n_open, n_filled, n_partial))
 """
 
 
+def q164_bloom_join(sf_dir: str):
+    """Bloom-filter semi-join reduction (the dynamic-filter join
+    pushdown every warehouse applies before a shuffle join): urgent
+    orders are ~20% of the build side, so a Bloom filter over their
+    key digests — built distributed (mergeable segment partials),
+    broadcast once via ``ray.put`` — drops most lineitem rows BEFORE
+    the co-partitioned exchange; the exact ``hash_join`` behind it
+    makes false positives a bandwidth cost, never a correctness one.
+    Semantics-invariant ⇒ the oracle is the PLAIN join (the q150
+    doctrine). Both sides digest the int key with the same
+    ``_splitmix64`` (the prehashed contract)."""
+    from feast_ray.functions.bloom import bloom_build, bloom_semi_prefilter
+    from feast_ray.functions.neardup import _splitmix64
+    from feast_ray.stages.join import hash_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+
+    def _dig(t: pa.Table, col: str) -> pa.Table:
+        keyv = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(keyv.view(np.uint64).copy())
+        return t.append_column("kdig", pa.array(h.view(np.int64)))
+
+    build = orders.map_batches(
+        lambda t: _dig(t, "o_orderkey"), batch_format="pyarrow")
+    bf = bloom_build(build.select_columns(["kdig"]), "kdig",
+                     m_bits=1 << 20, prehashed=True)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice"])
+    li = li.map_batches(lambda t: _dig(t, "l_orderkey"),
+                        batch_format="pyarrow")
+    li = bloom_semi_prefilter(li, bf, "kdig", prehashed=True)
+
+    def _cents_drop(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_returnflag": t["l_returnflag"],
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    joined = hash_join(
+        li.map_batches(_cents_drop, batch_format="pyarrow"),
+        build.select_columns(["o_orderkey"]).map_batches(
+            lambda t: t.append_column(
+                "l_orderkey", t["o_orderkey"]).drop_columns(["o_orderkey"]),
+            batch_format="pyarrow"),
+        on="l_orderkey")
+    return grouped_agg(
+        joined, ["l_returnflag"],
+        [AggSpec(None, "count", "n_lines"),
+         AggSpec("cents", "sum", "sum_cents")])
+
+
+_Q164_SQL = """
+select l_returnflag,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+         as sum_cents
+from lineitem
+join orders on l_orderkey = o_orderkey
+where o_orderpriority = '1-URGENT'
+group by l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10301,6 +10370,7 @@ QUERIES = {
     "q161_schema_evolution": q161_schema_evolution,
     "q162_dim_stats": q162_dim_stats,
     "q163_unpivot": q163_unpivot,
+    "q164_bloom_join": q164_bloom_join,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10454,6 +10524,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_schema_evolution": _Q161_SQL,
         "q162_dim_stats": _Q162_SQL,
         "q163_unpivot": _Q163_SQL,
+        "q164_bloom_join": _Q164_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
