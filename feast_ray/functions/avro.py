@@ -212,3 +212,88 @@ def _encode(schema, val) -> bytes:
 
 def encode_record(val: dict, schema: dict) -> bytes:
     return _encode(schema, val)
+
+
+# ------------------------------------- object container files (OCF)
+
+AVRO_MAGIC = b"Obj\x01"
+_META_SCHEMA = {"type": "map", "values": "bytes"}
+# deterministic marker: no RNG in library code; uniqueness per file is
+# a corruption tripwire we don't need for first-party files
+_DEFAULT_SYNC = b"feast-ray-avro-s"
+
+
+def write_container(
+    path: str,
+    records: "list[dict]",
+    schema: dict,
+    *,
+    codec: str = "null",
+    records_per_block: int = 1000,
+    sync: bytes = _DEFAULT_SYNC,
+) -> None:
+    """Avro Object Container File writer (spec 1.11.1 container
+    format): magic, file-metadata map (``avro.schema`` JSON +
+    ``avro.codec``), 16-byte sync marker, then blocks of
+    (count, byte-length, data, sync). ``codec``: ``null`` or
+    ``deflate`` (raw DEFLATE, no zlib wrapper — the spec's framing).
+    Exists so the Iceberg-shaped source has real manifest files
+    without an avro library in the sandbox."""
+    import json as _json
+    import zlib as _zlib
+
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
+    meta = {"avro.schema": _json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    out = bytearray()
+    out += AVRO_MAGIC
+    out += _encode(_META_SCHEMA, meta)
+    out += sync
+    for i in range(0, len(records), records_per_block):
+        chunk = records[i:i + records_per_block]
+        body = b"".join(encode_record(r, schema) for r in chunk)
+        if codec == "deflate":
+            body = _zlib.compress(body)[2:-4]
+        out += _zigzag(len(chunk)) + _zigzag(len(body)) + body + sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_container(path: str) -> "tuple[list[dict], dict]":
+    """Read an Avro OCF: returns (records, schema). Verifies magic and
+    per-block sync markers; supports null and deflate codecs."""
+    import json as _json
+    import zlib as _zlib
+
+    buf = open(path, "rb").read()
+    if buf[:4] != AVRO_MAGIC:
+        raise ValueError(f"not an avro container file: {path}")
+    r = _Reader(buf)
+    r.pos = 4
+    meta = _decode(_META_SCHEMA, r)
+    schema = _json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r}")
+    sync = buf[r.pos:r.pos + 16]
+    r.pos += 16
+    records: list[dict] = []
+    while r.pos < len(buf):
+        count = r.read_long()
+        size = r.read_long()
+        body = buf[r.pos:r.pos + size]
+        r.pos += size
+        if buf[r.pos:r.pos + 16] != sync:
+            raise ValueError(f"avro block sync mismatch in {path}")
+        r.pos += 16
+        if codec == "deflate":
+            body = _zlib.decompress(body, wbits=-15)
+        br = _Reader(body)
+        for _ in range(count):
+            records.append(_decode(schema, br))
+        if br.pos != len(body):
+            raise ValueError(f"avro block trailing bytes in {path}")
+    return records, schema

@@ -10206,6 +10206,79 @@ group by l_returnflag
 """
 
 
+# --------------------------------------------------------------------- q165
+
+def _q165_table(sf_dir: str) -> str:
+    """Build (once per testdata generation) the Iceberg-shaped copy of
+    the events table: snapshot 1 = even event_ids, snapshot 2 = append
+    of the odd ones — both identity-partitioned by event_type, so the
+    current-snapshot read below prunes to the 'purchase' partitions at
+    PLAN time (metadata + avro manifests only). The q44 fingerprint
+    doctrine invalidates the cache when the source parquet changes."""
+    import shutil
+
+    from feast_ray.sources.iceberg import IcebergTable
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/feast_ray_cache/iceberg_events_{base}"
+    src = os.path.join(sf_dir, "events.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{st_.st_size}_{int(st_.st_mtime)}_ice1"
+    marker = os.path.join(path, "_source_fingerprint.txt")
+    if not (os.path.exists(marker) and open(marker).read() == fingerprint):
+        shutil.rmtree(path, ignore_errors=True)
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(tbl["event_id"], pa.scalar(1)),
+                        pa.scalar(0))
+        t = IcebergTable(path)
+        t.commit(tbl.filter(even), partition_by=["event_type"],
+                 timestamp_ms=1_000)
+        t.commit(tbl.filter(pc.invert(even)), partition_by=["event_type"],
+                 timestamp_ms=2_000)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return path
+
+
+def q165_iceberg_events(sf_dir: str):
+    """Iceberg-shaped table-format source (SURVEY §2.3 extension; the
+    Delta source q44's sibling for the other open table format): the
+    events table committed as two snapshots partitioned by event_type,
+    read at the CURRENT snapshot with identity-partition pruning
+    (partition_filter plans only the 'purchase' files — zero non-
+    matching tasks) and column pruning pushed into the parquet scan,
+    then a grouped count+sum per user. The oracle is the same
+    aggregate over the original parquet — snapshot-union invariance is
+    the check (append must lose/dup nothing)."""
+    from feast_ray.sources.iceberg import read_iceberg
+
+    path = _q165_table(sf_dir)
+    ds = read_iceberg(
+        path,
+        columns=["user_id", "value"],
+        partition_filter={"event_type": "purchase"},
+    )
+    ds = ds.map_batches(lambda t: _cents(t, "value", "cents", 100.0),
+                        batch_format="pyarrow")
+    return grouped_agg(
+        ds, ["user_id"],
+        [AggSpec(None, "count", "n_purchases"),
+         AggSpec("cents", "sum", "sum_cents")])
+
+
+_Q165_SQL = """
+select user_id,
+       cast(count(*) as bigint) as n_purchases,
+       cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint)
+         as sum_cents
+from events
+where event_type = 'purchase'
+group by user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10371,6 +10444,7 @@ QUERIES = {
     "q162_dim_stats": q162_dim_stats,
     "q163_unpivot": q163_unpivot,
     "q164_bloom_join": q164_bloom_join,
+    "q165_iceberg_events": q165_iceberg_events,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10525,6 +10599,7 @@ def oracle_sql() -> dict[str, str]:
         "q162_dim_stats": _Q162_SQL,
         "q163_unpivot": _Q163_SQL,
         "q164_bloom_join": _Q164_SQL,
+        "q165_iceberg_events": _Q165_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
