@@ -10279,6 +10279,46 @@ group by user_id
 """
 
 
+# --------------------------------------------------------------------- q166
+
+def q166_seq_pattern(sf_dir: str):
+    """Row-pattern recognition (SQL:2016 MATCH_RECOGNIZE's core, the
+    general form of q126's fixed funnel): per user, events order by
+    (ts, event_id), map to a symbol alphabet (v/c/p/e/s), and a regex
+    counts non-overlapping ``v[cs]*p`` motifs — a view leading to a
+    purchase through any clicks/signups with no error in between. One
+    user-keyed exchange; the regex is in the RE2∩PCRE-agreeing subset
+    (terminator excluded from the class), so DuckDB's
+    ``regexp_extract_all`` over ``string_agg(... order by)`` counts
+    identically (``functions/seqmatch.py``). Zero-match users are
+    kept — absence is part of the answer."""
+    from feast_ray.functions.seqmatch import sequence_pattern_counts
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    return sequence_pattern_counts(
+        ev, ["user_id"], ["ts", "event_id"], "event_type",
+        {"view": "v", "click": "c", "purchase": "p",
+         "error": "e", "signup": "s"},
+        r"v[cs]*p")
+
+
+_Q166_SQL = """
+with seq as (
+  select user_id,
+         string_agg(case event_type
+                      when 'view' then 'v' when 'click' then 'c'
+                      when 'purchase' then 'p' when 'error' then 'e'
+                      when 'signup' then 's' else '_' end,
+                    '' order by ts, event_id) as s
+  from events group by user_id)
+select user_id,
+       cast(len(regexp_extract_all(s, 'v[cs]*p')) as bigint) as n_matches,
+       cast(len(s) as bigint) as seq_len
+from seq
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10445,6 +10485,7 @@ QUERIES = {
     "q163_unpivot": q163_unpivot,
     "q164_bloom_join": q164_bloom_join,
     "q165_iceberg_events": q165_iceberg_events,
+    "q166_seq_pattern": q166_seq_pattern,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10600,6 +10641,7 @@ def oracle_sql() -> dict[str, str]:
         "q163_unpivot": _Q163_SQL,
         "q164_bloom_join": _Q164_SQL,
         "q165_iceberg_events": _Q165_SQL,
+        "q166_seq_pattern": _Q166_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
