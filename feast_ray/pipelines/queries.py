@@ -10319,6 +10319,179 @@ from seq
 """
 
 
+# --------------------------------------------------------------------- q167
+
+def q167_cov_block(sf_dir: str):
+    """Embedding covariance block (the distributed-PCA / whitening
+    building block q162's per-dim stats lead into): the exact 8×8
+    Gram + covariance over dims 0–7, computed as integer moments —
+    each Arrow block reshapes the ``list<float>`` column zero-copy,
+    quantizes to 1e4 units (|e|·1e4 ≤ ~2e4 ⇒ pair products ≤ 4e8 ⇒
+    int64 headroom to ~2e10 rows — the documented bound), and one
+    int64 matmul per block emits a 36-row (i≤j) partial. The only
+    exchange is the 36-group moment merge; covariance evaluates once
+    per pair as ``(sp − si·sj/n)/n`` in a float64 expression the
+    oracle restates term for term (nano-quantized)."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+    d = 8
+    iu, ju = np.triu_indices(d)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, 64)[:, :d].astype(np.float64)
+        en = np.floor(m * 1e4 + 0.5).astype(np.int64)
+        gram = en.T @ en
+        s = en.sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "n": pa.array(np.full(len(iu), en.shape[0], np.int64)),
+            "si": pa.array(s[iu]), "sj": pa.array(s[ju]),
+            "sp": pa.array(gram[iu, ju]),
+        })
+
+    mom = grouped_agg(
+        emb.map_batches(_partial, batch_format="pyarrow"), ["i", "j"],
+        [AggSpec("n", "sum", "n"), AggSpec("si", "sum", "si"),
+         AggSpec("sj", "sum", "sj"), AggSpec("sp", "sum", "sp")])
+
+    def _cov(t: pa.Table) -> pa.Table:
+        f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "si", "sj", "sp")}
+        cov = (f["sp"] - f["si"] * f["sj"] / f["n"]) / f["n"]
+        return t.append_column(
+            "cov_n", pa.array(np.floor(cov * 1e9 + 0.5).astype(np.int64)))
+
+    return mom.map_batches(_cov, batch_format="pyarrow")
+
+
+def _q167_sql() -> str:
+    cols = ",\n         ".join(
+        f"cast(floor(cast(embedding[{k + 1}] as double) * 1e4 + 0.5)"
+        f" as bigint) as x{k}" for k in range(8))
+    parts = []
+    for i in range(8):
+        for j in range(i, 8):
+            parts.append(
+                f"select {i} as i, {j} as j, cast(count(*) as bigint) as n,"
+                f" cast(sum(x{i}) as bigint) as si,"
+                f" cast(sum(x{j}) as bigint) as sj,"
+                f" cast(sum(x{i} * x{j}) as bigint) as sp from q")
+    body = "\nunion all\n".join(parts)
+    return f"""
+with q as (
+  select {cols}
+  from embeddings),
+m as (
+{body})
+select i, j, n, si, sj, sp,
+       cast(floor(((cast(sp as double)
+                    - cast(si as double) * cast(sj as double)
+                      / cast(n as double)) / cast(n as double)) * 1e9 + 0.5)
+            as bigint) as cov_n
+from m
+"""
+
+
+# --------------------------------------------------------------------- q168
+
+def q168_robots_policy(sf_dir: str):
+    """robots.txt crawl-policy evaluation (RFC 9309; the politeness
+    gate upstream of every Common-Crawl fetch): per-host robots.txt
+    BODIES are synthesized deterministically per source, parsed by the
+    real group/agent parser (longest agent token wins), and the rule
+    set — broadcast once — is evaluated per URL by longest-path-match
+    (Allow wins ties, no match ⇒ allowed). Each source host disallows
+    its ``/<src>/page-1`` prefix but re-allows the longer
+    ``/<src>/page-12`` prefix; the hot domain blocks ``/src1/``
+    entirely — so the answer exercises prefix-length precedence both
+    ways. The oracle restates the RESULTING rule table (the parse is
+    deterministic string literals) and the same arg-max-by
+    ``(octets, allow)`` in SQL (``functions/robots.py``)."""
+    from feast_ray.functions.robots import parse_robots, robots_filter
+    from feast_ray.sources.webpages import HOT_DOMAIN
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source"])
+
+    srcs = sorted(
+        r["source"]
+        for r in distinct(
+            read_table(sf_dir, "documents", columns=["source"]),
+            ["source"]).take_all())
+    host_rules = []
+    for s in srcs:
+        body = (f"# synthetic policy for {s}\n"
+                "User-agent: feastbot\n"
+                f"Disallow: /{s}/page-1\n"
+                f"Allow: /{s}/page-12\n"
+                "User-agent: otherbot\n"
+                "Disallow: /\n")
+        host_rules += [(f"{s}.example.com", allow, p)
+                       for allow, p in parse_robots(body, "feastbot")]
+    hot_body = ("User-agent: *\nDisallow: /src1/\n"
+                "User-agent: feastbot\nDisallow: /src2/\n")
+    host_rules += [(HOT_DOMAIN, allow, p)
+                   for allow, p in parse_robots(hot_body, "feastbot")]
+
+    def _urls(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_pandas().astype(str)
+        host = np.where(did % 3 == 0, HOT_DOMAIN,
+                        (src + ".example.com").to_numpy())
+        url = ("https://" + pd.Series(host) + "/" + src.to_numpy()
+               + "/page-" + pd.Series(did).astype(str))
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pa.array(url.to_numpy(dtype=object))})
+
+    ds = docs.map_batches(_urls, batch_format="pyarrow")
+    out = robots_filter(ds, "url", host_rules)
+    return grouped_agg(
+        out.map_batches(
+            lambda t: t.append_column(
+                "blocked", pc.cast(pc.invert(t["allowed"]), pa.int64())),
+            batch_format="pyarrow"),
+        ["host"],
+        [AggSpec(None, "count", "n_urls"),
+         AggSpec("blocked", "sum", "n_blocked")])
+
+
+_Q168_SQL = """
+with urls as (
+  select doc_id,
+         case when doc_id % 3 = 0 then 'big-portal.example.com'
+              else source || '.example.com' end as host,
+         '/' || source || '/page-' || cast(doc_id as varchar) as path
+  from documents),
+rules as (
+  select distinct source || '.example.com' as host, 0 as allow,
+         '/' || source || '/page-1' as prefix
+  from documents
+  union all
+  select distinct source || '.example.com', 1, '/' || source || '/page-12'
+  from documents
+  union all
+  select 'big-portal.example.com', 0, '/src2/'),
+m as (
+  select u.doc_id,
+         arg_max(r.allow, len(r.prefix) * 2 + r.allow) as allow
+  from urls u
+  join rules r on u.host = r.host and starts_with(u.path, r.prefix)
+  group by u.doc_id)
+select u.host,
+       cast(count(*) as bigint) as n_urls,
+       cast(sum(case when coalesce(m.allow, 1) = 0 then 1 else 0 end)
+            as bigint) as n_blocked
+from urls u left join m on u.doc_id = m.doc_id
+group by u.host
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10486,6 +10659,8 @@ QUERIES = {
     "q164_bloom_join": q164_bloom_join,
     "q165_iceberg_events": q165_iceberg_events,
     "q166_seq_pattern": q166_seq_pattern,
+    "q167_cov_block": q167_cov_block,
+    "q168_robots_policy": q168_robots_policy,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10642,6 +10817,8 @@ def oracle_sql() -> dict[str, str]:
         "q164_bloom_join": _Q164_SQL,
         "q165_iceberg_events": _Q165_SQL,
         "q166_seq_pattern": _Q166_SQL,
+        "q167_cov_block": _q167_sql(),
+        "q168_robots_policy": _Q168_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
