@@ -10492,6 +10492,169 @@ group by u.host
 """
 
 
+# --------------------------------------------------------------------- q169
+
+def q169_kmeans(sf_dir: str):
+    """Standalone distributed k-means (Lloyd's) over the embedding
+    corpus — the clustering op IVF builds on (q29), exposed first-
+    class: deterministic seed fit on a bounded sample (vec_id < 256),
+    then 5 distributed refinement passes where each block emits k×d
+    (cell, count, sum-vector) partials and the driver merges k rows —
+    the 100 TB shape (corpus never leaves the cluster, driver state is
+    k×d). Output: per-cluster size + micro-quantized cosine-to-
+    centroid sum (per-row quantize BEFORE the sum ⇒ partition-
+    invariant int64 reduction).
+
+    Oracle by the q29 dump doctrine: the fitted unit-norm centroids
+    are dumped to parquet; DuckDB re-derives every row's nearest-
+    centroid assignment (ties → lowest cell, matching argmax-first)
+    and the identical per-cluster integer sums. The FIT is one-time
+    state; the assignment + aggregation is what gets value-checked.
+    Float contract: per-row cosine drift between numpy matmul and
+    ``list_cosine_similarity`` is ~1e-15 against a 1e-6 quantum."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.similarity import (
+        IVFIndex,
+        _batch_matrix,
+        _kmeans_refine_distributed,
+        _normalize,
+    )
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = np.stack(
+        emb.filter(expr="vec_id < 256").to_pandas()
+        .sort_values("vec_id")["embedding"].to_numpy())
+    cent = IVFIndex(sample, n_cells=8, iters=5).centroids
+    cent = _kmeans_refine_distributed(emb, "embedding", cent, iters=5)
+
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "cell": pa.array(np.arange(len(cent), dtype=np.int64)),
+            "centroid": pa.array(list(cent.astype(np.float64))),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "kmeans_centroids.parquet"))
+
+    cref = ray.put(cent)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalize(_batch_matrix(t, "embedding"))
+        sims = mat @ c.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        return pa.table({
+            "cell": pa.array(a.astype(np.int64)),
+            "sim_u": pa.array(np.floor(best * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return grouped_agg(
+        emb.map_batches(_assign, batch_format="pyarrow"), ["cell"],
+        [AggSpec(None, "count", "n"),
+         AggSpec("sim_u", "sum", "sim_sum_u")])
+
+
+def _q169_sql() -> str:
+    return f"""
+with c as (
+  select cell, cast(centroid as double[]) as cv
+  from read_parquet('{_PPL_ORACLE_DIR}/kmeans_centroids.parquet')),
+e as (select vec_id, cast(embedding as double[]) as v from embeddings),
+scored as (
+  select e.vec_id, c.cell,
+         list_cosine_similarity(e.v, c.cv) as sim,
+         row_number() over (partition by e.vec_id
+                            order by list_cosine_similarity(e.v, c.cv) desc,
+                                     c.cell asc) as rn
+  from e cross join c)
+select cell,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(floor(sim * 1e6 + 0.5) as bigint)) as bigint)
+         as sim_sum_u
+from scored where rn = 1
+group by cell
+"""
+
+
+# --------------------------------------------------------------------- q170
+
+def q170_source_overlap(sf_dir: str):
+    """Corpus-overlap matrix — exact pairwise vocabulary Jaccard
+    between SOURCES (the dataset-similarity audit run before mixing
+    training corpora; the corpus-level sibling of q127's per-doc set
+    join): distinct (source, token) pairs (q59's tokenizer, one
+    dedup shuffle), then tokens co-locate by term and each term's
+    source set fans out to its s1<s2 pairs — bounded by k_sources²
+    per term (21² here), never corpus-sized — merged into per-pair
+    intersection counts; union closes via inclusion–exclusion from
+    the 21-row broadcast vocab sizes. All integers end to end."""
+    from feast_ray.functions.tfidf import _doc_terms
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        d = _doc_terms(t, "source", "text")
+        return pa.table({
+            "source": pa.array(d["doc_id"].to_numpy(dtype=object),
+                               pa.string()),
+            "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
+        })
+
+    toks = distinct(docs.map_batches(_toks, batch_format="pyarrow"),
+                    ["source", "term"]).materialize()
+
+    v = grouped_agg(toks, ["source"],
+                    [AggSpec(None, "count", "nv")]).to_pandas()
+    nv_ref = ray.put(dict(zip(v["source"], v["nv"].astype(np.int64))))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "s1": pd.Series([], dtype=object),
+                "s2": pd.Series([], dtype=object),
+                "inter": pd.Series([], dtype="int64")})
+        m = df.merge(df, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        out = m.groupby(["source_x", "source_y"], as_index=False).size()
+        out.columns = ["s1", "s2", "inter"]
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    inter = grouped_agg(
+        bucketed_group_reduce(toks, ["term"], _pairs),
+        ["s1", "s2"], [AggSpec("inter", "sum", "inter")])
+
+    def _uni(t: pa.Table) -> pa.Table:
+        d = ray.get(nv_ref)
+        a = pd.Series(t["s1"].to_pylist()).map(d).to_numpy(np.int64)
+        b = pd.Series(t["s2"].to_pylist()).map(d).to_numpy(np.int64)
+        i = t["inter"].to_numpy(zero_copy_only=False)
+        return t.append_column("uni", pa.array(a + b - i))
+
+    return inter.map_batches(_uni, batch_format="pyarrow")
+
+
+_Q170_SQL = r"""
+with toks as (
+  select distinct source,
+         unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+v as (select source, cast(count(*) as bigint) as nv from toks
+      group by source),
+p as (
+  select a.source as s1, b.source as s2, cast(count(*) as bigint) as inter
+  from toks a join toks b on a.term = b.term and a.source < b.source
+  group by 1, 2)
+select p.s1, p.s2, p.inter,
+       cast(va.nv + vb.nv - p.inter as bigint) as uni
+from p
+join v va on va.source = p.s1
+join v vb on vb.source = p.s2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10661,6 +10824,8 @@ QUERIES = {
     "q166_seq_pattern": q166_seq_pattern,
     "q167_cov_block": q167_cov_block,
     "q168_robots_policy": q168_robots_policy,
+    "q169_kmeans": q169_kmeans,
+    "q170_source_overlap": q170_source_overlap,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10819,6 +10984,8 @@ def oracle_sql() -> dict[str, str]:
         "q166_seq_pattern": _Q166_SQL,
         "q167_cov_block": _q167_sql(),
         "q168_robots_policy": _Q168_SQL,
+        "q169_kmeans": _q169_sql(),
+        "q170_source_overlap": _Q170_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
