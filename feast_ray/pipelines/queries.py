@@ -10655,6 +10655,79 @@ join v vb on vb.source = p.s2
 """
 
 
+# --------------------------------------------------------------------- q171
+
+def q171_nearest_asof(sf_dir: str):
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'`` semantics; the sensor-alignment /
+    attribution variant of q08's backward PIT): each purchase pairs
+    with the click whose timestamp is CLOSEST in either direction
+    within ±2 h, equidistant candidates resolving backward (earlier
+    click). The right side first dedupes to one click per (user, ts)
+    — min event_id — making nearest ties deterministic (the
+    documented contract on ``asof_join(direction=)``). Diff is exact
+    int64 microseconds; unmatched purchases stay with nulls."""
+    from feast_ray.stages.join import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+    pur = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts"]).rename_columns(
+            ["pid", "user_id", "ts"]),
+        batch_format="pyarrow")
+    clk = grouped_agg(
+        ev.filter(expr="event_type == 'click'").map_batches(
+            lambda t: t.select(["user_id", "ts", "event_id"]).rename_columns(
+                ["user_id", "cts", "event_id"]),
+            batch_format="pyarrow"),
+        ["user_id", "cts"], [AggSpec("event_id", "min", "cid")])
+
+    joined = asof_join(
+        pur, clk, left_ts="ts", right_ts="cts", by="user_id",
+        ttl=timedelta(hours=2), direction="nearest")
+
+    def _diff(t: pa.Table) -> pa.Table:
+        lt = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        rt_col = t["cts"].cast(pa.timestamp("us"))
+        rt = rt_col.to_numpy(zero_copy_only=False)
+        mask = pa.compute.is_valid(rt_col.combine_chunks()
+                                   if isinstance(rt_col, pa.ChunkedArray)
+                                   else rt_col)
+        ri = rt.astype("datetime64[us]").astype(np.int64)
+        d = np.abs(lt - ri)
+        return pa.table({
+            "pid": t["pid"], "user_id": t["user_id"],
+            "cid": t["cid"],
+            "diff_us": pa.array(d, pa.int64(), mask=pc.invert(
+                mask).to_numpy(zero_copy_only=False)),
+        })
+
+    return joined.map_batches(_diff, batch_format="pyarrow")
+
+
+_Q171_SQL = """
+with pur as (
+  select event_id as pid, user_id, ts from events
+  where event_type = 'purchase'),
+clk as (
+  select user_id, ts as cts, min(event_id) as cid from events
+  where event_type = 'click' group by user_id, ts),
+cand as (
+  select p.pid, c.cid, abs(epoch_us(p.ts) - epoch_us(c.cts)) as d,
+         row_number() over (
+           partition by p.pid
+           order by abs(epoch_us(p.ts) - epoch_us(c.cts)) asc,
+                    c.cts asc) as rn
+  from pur p
+  join clk c on c.user_id = p.user_id
+   and abs(epoch_us(p.ts) - epoch_us(c.cts)) <= 7200000000)
+select p.pid, p.user_id, b.cid, cast(b.d as bigint) as diff_us
+from pur p
+left join (select pid, cid, d from cand where rn = 1) b on b.pid = p.pid
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10826,6 +10899,7 @@ QUERIES = {
     "q168_robots_policy": q168_robots_policy,
     "q169_kmeans": q169_kmeans,
     "q170_source_overlap": q170_source_overlap,
+    "q171_nearest_asof": q171_nearest_asof,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -10986,6 +11060,7 @@ def oracle_sql() -> dict[str, str]:
         "q168_robots_policy": _Q168_SQL,
         "q169_kmeans": _q169_sql(),
         "q170_source_overlap": _Q170_SQL,
+        "q171_nearest_asof": _Q171_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

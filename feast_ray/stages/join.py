@@ -193,11 +193,20 @@ def asof_join(
     created_ts: str | None = None,
     right_suffix: str = "_r",
     created_cutoff: bool = False,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """Broadcast backward as-of join: for each left row, the newest
     right row with ``right_ts <= left_ts`` (and ``>= left_ts - ttl``
     when ttl is set), per `by` key; ties on right_ts broken by
     created_ts (PIT semantics, dask.py:1167-1270).
+
+    ``direction``: ``"backward"`` (PIT default), ``"forward"`` (first
+    right row at/after), or ``"nearest"`` (smallest absolute time
+    difference; equidistant candidates resolve BACKWARD — the earlier
+    right row). For deterministic nearest ties the right side must be
+    unique per (by, right_ts) — dedupe upstream; with duplicate
+    timestamps pandas' backward/forward candidate selection makes the
+    tie winner order-dependent.
 
     ``created_cutoff``: blank (not drop) the joined feature values
     whose ``created_ts`` is AFTER the entity timestamp — a backfilled
@@ -208,6 +217,10 @@ def asof_join(
     :func:`copartitioned_asof_join`.
     """
     by = [by] if isinstance(by, str) else list(by)
+    if direction != "backward" and (created_ts or created_cutoff):
+        raise ValueError(
+            "created_ts tie-break/cutoff is PIT (backward) semantics; "
+            f"not meaningful with direction={direction!r}")
     rdf = _to_arrow(right).to_pandas()
     cutoff_col = "__created_cut" if (created_cutoff and created_ts) else None
     rdf = _prep_asof_right(rdf, right_ts, created_ts, keep_created_as=cutoff_col)
@@ -231,7 +244,7 @@ def asof_join(
             right_on=right_ts if not same_ts_name else None,
             on=left_ts if same_ts_name else None,
             by=by,
-            direction="backward",
+            direction=direction,
             tolerance=ttl,
             allow_exact_matches=True,
             suffixes=("", right_suffix),

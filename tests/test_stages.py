@@ -1163,3 +1163,35 @@ def test_hash_join_right_and_full_outer():
         hash_join(left, right, on="k", how="full", hot_keys=[2])
     with pytest.raises(ValueError):
         hash_join(left, right, on="k", how="bogus")
+
+
+def test_asof_join_directions():
+    import ray.data
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1], "ts": pd.to_datetime([10, 20, 30], unit="s"),
+        "lid": [0, 1, 2],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 1],
+        "rts": pd.to_datetime([8, 14, 26, 40], unit="s"),
+        "v": [10, 20, 30, 40],
+    })
+    lds = ray.data.from_pandas(left)
+
+    near = (asof_join(lds, right, left_ts="ts", right_ts="rts", by="k",
+                      direction="nearest")
+            .to_pandas().sort_values("lid"))
+    # 10 -> 8 (d2) beats 14 (d4); 20 -> 14 (d6) vs 26 (d6) tie -> backward;
+    # 30 -> 26 (d4) beats 40 (d10)
+    assert near["v"].tolist() == [10, 20, 30]
+
+    fwd = (asof_join(lds, right, left_ts="ts", right_ts="rts", by="k",
+                     direction="forward")
+           .to_pandas().sort_values("lid"))
+    assert fwd["v"].tolist() == [20, 30, 40]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backward"):
+        asof_join(lds, right, left_ts="ts", right_ts="rts", by="k",
+                  direction="nearest", created_ts="rts")
