@@ -10728,6 +10728,74 @@ left join (select pid, cid, d from cand where rn = 1) b on b.pid = p.pid
 """
 
 
+# --------------------------------------------------------------------- q172
+
+def q172_cooccurrence(sf_dir: str):
+    """Top-term co-occurrence counts (the PMI / word-graph building
+    block — GloVe's counting pass at document granularity): the 100
+    highest-document-frequency terms (ties term-asc) broadcast as the
+    vocabulary, then each doc's distinct top-vocab terms fan out to
+    t1<t2 pairs — bounded by |V|² per doc, never corpus-sized — and
+    one grouped count yields n_ij. With q59's df counts (n_i, N) a
+    consumer forms PMI = log(N·n_ij/(n_i·n_j)); the counts here stay
+    all-integer (the log belongs to the consumer, not the exchange).
+    Two shuffles total: the df count and the pair count."""
+    from feast_ray.functions.tfidf import _doc_terms
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _dt(t: pa.Table) -> pa.Table:
+        d = _doc_terms(t, "doc_id", "text")
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
+        })
+
+    dt = docs.map_batches(_dt, batch_format="pyarrow").materialize()
+    dfc = grouped_agg(dt, ["term"],
+                      [AggSpec(None, "count", "df")]).to_pandas()
+    dfc = dfc.sort_values(["df", "term"], ascending=[False, True],
+                          kind="stable").head(100)
+    top_ref = ray.put(set(dfc["term"]))
+
+    # pairs need ALL of a doc's terms in one place — co-locate by
+    # doc_id (blocks may split a doc's rows), filter to the broadcast
+    # vocab BEFORE the pair merge so fan-out is |V|²-bounded
+    def _per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        top = ray.get(top_ref)
+        d = df[df["term"].isin(top)]
+        if not len(d):
+            return pd.DataFrame({
+                "t1": pd.Series([], dtype=object),
+                "t2": pd.Series([], dtype=object),
+                "n_ij": pd.Series([], dtype="int64")})
+        m = d.merge(d, on="doc_id")
+        m = m[m["term_x"] < m["term_y"]]
+        out = m.groupby(["term_x", "term_y"], as_index=False).size()
+        out.columns = ["t1", "t2", "n_ij"]
+        out["n_ij"] = out["n_ij"].astype("int64")
+        return out
+
+    partial = bucketed_group_reduce(dt, ["doc_id"], _per_bucket)
+    return grouped_agg(partial, ["t1", "t2"],
+                       [AggSpec("n_ij", "sum", "n_ij")])
+
+
+_Q172_SQL = r"""
+with dt as (
+  select distinct doc_id,
+         unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+df as (select term, count(*) as df from dt group by term),
+top as (select term from df order by df desc, term asc limit 100),
+ft as (select dt.doc_id, dt.term from dt join top using (term))
+select a.term as t1, b.term as t2, cast(count(*) as bigint) as n_ij
+from ft a join ft b on a.doc_id = b.doc_id and a.term < b.term
+group by 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10900,6 +10968,7 @@ QUERIES = {
     "q169_kmeans": q169_kmeans,
     "q170_source_overlap": q170_source_overlap,
     "q171_nearest_asof": q171_nearest_asof,
+    "q172_cooccurrence": q172_cooccurrence,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11061,6 +11130,7 @@ def oracle_sql() -> dict[str, str]:
         "q169_kmeans": _q169_sql(),
         "q170_source_overlap": _Q170_SQL,
         "q171_nearest_asof": _Q171_SQL,
+        "q172_cooccurrence": _Q172_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
