@@ -10796,6 +10796,72 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------- q173
+
+def q173_weighted_median(sf_dir: str):
+    """Exact grouped WEIGHTED median (the robust-estimation sibling of
+    q142's unweighted percentile_cont): per event_type, the lower
+    weighted median of value cents under integer weights
+    w = 1 + event_id % 5 — the smallest value whose cumulative weight
+    reaches half the total, tested as ``2·cum ≥ total`` so no float
+    halves exist on either engine. One key-partitioned exchange; the
+    per-bucket reduce is one sort + cumsum per group. All-integer."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "event_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+            "w": pa.array((1 + eid % 5).astype(np.int64)),
+        })
+
+    def _wmed(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "wmedian_cents": pd.Series([], dtype="int64")})
+        df = df.sort_values(["event_type", "cents"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("event_type", sort=False)
+        cum = g["w"].cumsum()
+        tot = g["w"].transform("sum")
+        hit = df[2 * cum >= tot]
+        first = hit.groupby("event_type", sort=False).head(1)
+        return pd.DataFrame({
+            "event_type": first["event_type"].to_numpy(),
+            "wmedian_cents": first["cents"].to_numpy(np.int64)})
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"], _wmed)
+
+
+_Q173_SQL = """
+with p as (
+  select event_type,
+         cast(round(value * 100) as bigint) as cents,
+         1 + event_id % 5 as w
+  from events),
+c as (
+  select event_type, cents,
+         sum(w) over (partition by event_type
+                      order by cents
+                      rows between unbounded preceding and current row)
+           as cum,
+         sum(w) over (partition by event_type) as tot
+  from p)
+select event_type,
+       cast(min(cents) as bigint) as wmedian_cents
+from c where 2 * cum >= tot
+group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -10969,6 +11035,7 @@ QUERIES = {
     "q170_source_overlap": q170_source_overlap,
     "q171_nearest_asof": q171_nearest_asof,
     "q172_cooccurrence": q172_cooccurrence,
+    "q173_weighted_median": q173_weighted_median,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11131,6 +11198,7 @@ def oracle_sql() -> dict[str, str]:
         "q170_source_overlap": _Q170_SQL,
         "q171_nearest_asof": _Q171_SQL,
         "q172_cooccurrence": _Q172_SQL,
+        "q173_weighted_median": _Q173_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
