@@ -734,6 +734,52 @@ def run_bench() -> dict:
             extras["zonemap_scan_speedup"] = round(t_raw / max(t_zm, 1e-9), 2)
             shutil.rmtree(out_dir, ignore_errors=True)
 
+        def _robots() -> None:
+            # RFC 9309 policy evaluation at corpus scale (round 5,
+            # q168): ~2 rules per host derived from the corpus's
+            # source set + one wildcard rule on the hot domain,
+            # broadcast once; longest-match per URL over 360k pages
+            import duckdb as _dk
+
+            from feast_ray.functions.robots import robots_filter
+            from feast_ray.sources.webpages import HOT_DOMAIN
+
+            srcs = [r[0] for r in _dk.connect().execute(
+                "select distinct source from read_parquet(?)",
+                [os.path.join(SF_DIR, "documents.parquet")]).fetchall()]
+            rules = []
+            for s in sorted(srcs):
+                rules.append((f"{s}.example.com", False, f"/{s}/page-1"))
+                rules.append((f"{s}.example.com", True, f"/{s}/page-12"))
+            rules.append((HOT_DOMAIN, False, "/src1/"))
+            rules.append((HOT_DOMAIN, False, "/*/page-3*"))
+
+            def _run() -> None:
+                out = robots_filter(
+                    _rd.read_parquet(pages_dir, columns=["url"]),
+                    "url", rules, host_as=None)
+                agg = out.map_batches(
+                    lambda t: _pa.table({
+                        "n": _pa.array([t.num_rows], _pa.int64()),
+                        "blocked": _pa.array(
+                            [t.num_rows
+                             - _pc_sum(t["allowed"])], _pa.int64()),
+                    }),
+                    batch_format="pyarrow").to_pandas().sum()
+                extras["robots_blocked_frac"] = round(
+                    float(agg["blocked"]) / max(float(agg["n"]), 1.0), 4)
+
+            import pyarrow.compute as _pc2
+
+            def _pc_sum(col) -> int:
+                return int(_pc2.sum(_pc2.cast(col, _pa.int64())).as_py())
+
+            dt = _best_of(_run)
+            timings["robots_policy_corpus"] = round(dt, 3)
+            extras["robots_urls_per_sec"] = round(
+                state["n_pages"] / dt, 1)
+
+        _stage("robots_policy_corpus", _robots)
         _stage("zonemap_corpus", _zonemap)
         _stage("minhash_dedup_corpus", _minhash)
         _stage("bm25_corpus", _bm25)
