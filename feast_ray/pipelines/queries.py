@@ -10862,6 +10862,92 @@ group by event_type
 """
 
 
+# --------------------------------------------------------------------- q174
+
+_CMS_W, _CMS_D = 1024, 4
+
+
+def q174_count_min(sf_dir: str):
+    """Count–Min sketch (Cormode & Muthukrishnan 2005 — the missing
+    member of the repo's mergeable-sketch family next to Bloom/HLL/
+    Misra–Gries/KLL): D=4 splitmix64 hash rows × W=1024 counters over
+    lineitem order keys. Per block one ``bincount`` per row ⇒ ≤ D·W
+    partial rows regardless of block size (combiner shape); the only
+    exchange is the 4096-group counter merge. Point estimates for the
+    probe keys (orderkey ≤ 200) take min over rows — integers end to
+    end, so the oracle recomputes the ENTIRE sketch and estimates
+    bit-exactly in SQL from the shared splitmix64 expression (no dump
+    needed: the sketch IS a grouped count)."""
+    from feast_ray.functions.neardup import _splitmix64
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        js, bs, cs = [], [], []
+        for j in range(_CMS_D):
+            with np.errstate(over="ignore"):
+                b = (_splitmix64(k + np.uint64(j))
+                     % np.uint64(_CMS_W)).astype(np.int64)
+            c = np.bincount(b, minlength=_CMS_W).astype(np.int64)
+            nz = np.nonzero(c)[0]
+            js.append(np.full(len(nz), j, np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(c[nz])
+        return pa.table({
+            "j": pa.array(np.concatenate(js)),
+            "b": pa.array(np.concatenate(bs)),
+            "c": pa.array(np.concatenate(cs)),
+        })
+
+    cms = grouped_agg(
+        li.map_batches(_partial, batch_format="pyarrow"), ["j", "b"],
+        [AggSpec("c", "sum", "c")]).to_pandas()
+    table = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    table[cms["j"].to_numpy(np.int64), cms["b"].to_numpy(np.int64)] = (
+        cms["c"].to_numpy(np.int64))
+    tref = ray.put(table)
+
+    probes = read_table(sf_dir, "orders", columns=["o_orderkey"]).filter(
+        expr="o_orderkey <= 200")
+
+    def _est(t: pa.Table) -> pa.Table:
+        tab = ray.get(tref)
+        k = t["o_orderkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        est = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+        for j in range(_CMS_D):
+            with np.errstate(over="ignore"):
+                b = (_splitmix64(k + np.uint64(j))
+                     % np.uint64(_CMS_W)).astype(np.int64)
+            est = np.minimum(est, tab[j][b])
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "est": pa.array(est)})
+
+    return probes.map_batches(_est, batch_format="pyarrow")
+
+
+def _q174_sql() -> str:
+    two64 = 1 << 64
+    h0 = f"((cast(k as HUGEINT) + j) % {two64}::HUGEINT)"
+    sm = _splitmix64_sql(h0)
+    bucket = f"cast({sm} % {_CMS_W}::HUGEINT as bigint)"
+    return f"""
+with js as (select unnest(generate_series(0, {_CMS_D - 1})) as j),
+li as (select l_orderkey as k from lineitem),
+hb as (select j, {bucket} as b from li cross join js),
+cms as (select j, b, cast(count(*) as bigint) as c from hb group by j, b),
+probe as (select distinct o_orderkey as k from orders
+          where o_orderkey <= 200),
+ph as (select k, j, {bucket} as b from probe cross join js)
+select ph.k as o_orderkey,
+       cast(min(coalesce(cms.c, 0)) as bigint) as est
+from ph left join cms on cms.j = ph.j and cms.b = ph.b
+group by ph.k
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11036,6 +11122,7 @@ QUERIES = {
     "q171_nearest_asof": q171_nearest_asof,
     "q172_cooccurrence": q172_cooccurrence,
     "q173_weighted_median": q173_weighted_median,
+    "q174_count_min": q174_count_min,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11199,6 +11286,7 @@ def oracle_sql() -> dict[str, str]:
         "q171_nearest_asof": _Q171_SQL,
         "q172_cooccurrence": _Q172_SQL,
         "q173_weighted_median": _Q173_SQL,
+        "q174_count_min": _q174_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
