@@ -10948,6 +10948,77 @@ group by ph.k
 """
 
 
+# --------------------------------------------------------------------- q175
+
+def _skyline2d(df: pd.DataFrame, smax: str, nmin: str) -> pd.DataFrame:
+    """Exact 2-D skyline (maximize ``smax``, minimize ``nmin``):
+    sort (smax desc, nmin asc); a row survives iff its nmin equals
+    its smax-group minimum AND beats the strict-prefix minimum —
+    O(n log n), dominance ties (equal on both axes) all survive."""
+    if not len(df):
+        return df
+    df = df.sort_values([smax, nmin], ascending=[False, True],
+                        kind="stable").reset_index(drop=True)
+    s = df[smax].to_numpy()
+    n = df[nmin].to_numpy()
+    gmin = df.groupby(smax, sort=False)[nmin].transform("min").to_numpy()
+    # strict-prefix min of n over rows with strictly larger s
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    run_min = np.minimum.accumulate(
+        np.r_[np.iinfo(np.int64).max,
+              np.minimum.reduceat(n, starts)])[:-1]
+    prefix = run_min[np.searchsorted(starts, np.arange(len(s)),
+                                     side="right") - 1]
+    keep = (n == gmin) & (n < prefix)
+    return df[keep]
+
+
+def q175_skyline(sf_dir: str):
+    """Skyline / Pareto frontier (Börzsönyi et al. ICDE 2001 — the
+    multi-criteria shortlist operator): customers non-dominated on
+    (total spend cents MAX, order count MIN). Distributed exactly:
+    the per-customer aggregate (one exchange), then a LOCAL skyline
+    per block — sound because a point dominated anywhere is dominated
+    globally, so local pruning never discards a skyline point — and
+    one final skyline over the (tiny) union of local survivors. The
+    oracle is the NOT-EXISTS dominance anti-join the engine's
+    O(n log n) sweep avoids."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    agg = grouped_agg(
+        orders.map_batches(
+            lambda t: _cents(t, "o_totalprice", "cents", 100.0)
+            .drop_columns(["o_totalprice"]),
+            batch_format="pyarrow"),
+        ["o_custkey"],
+        [AggSpec("cents", "sum", "spend_cents"),
+         AggSpec(None, "count", "n_orders")])
+
+    local = agg.map_batches(
+        lambda df: _skyline2d(df, "spend_cents", "n_orders"),
+        batch_format="pandas")
+    final = _skyline2d(local.to_pandas(), "spend_cents", "n_orders")
+    return pa.Table.from_pandas(
+        final[["o_custkey", "spend_cents", "n_orders"]],
+        preserve_index=False)
+
+
+_Q175_SQL = """
+with a as (
+  select o_custkey,
+         cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))
+              as bigint) as spend_cents,
+         cast(count(*) as bigint) as n_orders
+  from orders group by o_custkey)
+select p.o_custkey, p.spend_cents, p.n_orders
+from a p
+where not exists (
+  select 1 from a q
+  where q.spend_cents >= p.spend_cents and q.n_orders <= p.n_orders
+    and (q.spend_cents > p.spend_cents or q.n_orders < p.n_orders))
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11123,6 +11194,7 @@ QUERIES = {
     "q172_cooccurrence": q172_cooccurrence,
     "q173_weighted_median": q173_weighted_median,
     "q174_count_min": q174_count_min,
+    "q175_skyline": q175_skyline,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11287,6 +11359,7 @@ def oracle_sql() -> dict[str, str]:
         "q172_cooccurrence": _Q172_SQL,
         "q173_weighted_median": _Q173_SQL,
         "q174_count_min": _q174_sql(),
+        "q175_skyline": _Q175_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -303,3 +303,29 @@ def test_tiled_count_distinct_merge_high_cardinality():
     # each row lands in exactly 2 windows; all keys distinct
     assert len(got) == 2 * n
     assert (got["n"] == 1).all() and (got["dv"] == 1).all()
+
+
+def test_skyline2d_brute_parity():
+    """O(n log n) sweep == O(n^2) dominance brute force, incl. ties."""
+    import numpy as np
+    import pandas as pd
+
+    from feast_ray.pipelines.queries import _skyline2d
+
+    rng = np.random.RandomState(7)
+    for trial in range(25):
+        n = rng.randint(1, 60)
+        df = pd.DataFrame({
+            "s": rng.randint(0, 8, n).astype("int64"),
+            "m": rng.randint(0, 8, n).astype("int64"),
+            "rid": np.arange(n, dtype="int64"),
+        })
+        got = set(_skyline2d(df, "s", "m")["rid"])
+        s, m = df["s"].to_numpy(), df["m"].to_numpy()
+        exp = set()
+        for i in range(n):
+            dom = ((s >= s[i]) & (m <= m[i])
+                   & ((s > s[i]) | (m < m[i]))).any()
+            if not dom:
+                exp.add(i)
+        assert got == exp, f"trial {trial}"
