@@ -11019,6 +11019,93 @@ where not exists (
 """
 
 
+# --------------------------------------------------------------------- q176
+
+def q176_interval_islands(sf_dir: str):
+    """Gaps-and-islands: merge overlapping/touching intervals per key
+    (the coverage/uptime union every observability and session-
+    coverage pipeline needs; the interval-UNION complement of q47's
+    interval join): each event spans [ts, ts + (1 + event_id%7) min];
+    per user, islands = runs where an interval starts at or before
+    the running max end of everything earlier (sort + cummax — the
+    SQL window pattern, vectorized); output per user: island count
+    and total covered microseconds (gaps excluded, overlaps counted
+    once). One key-partitioned exchange; integers end to end."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts"])
+
+    def _spans(t: pa.Table) -> pa.Table:
+        s = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        dur = (1 + eid % 7).astype(np.int64) * 60_000_000
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": pa.array(s), "e": pa.array(s + dur),
+        })
+
+    def _islands(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_islands": pd.Series([], dtype="int64"),
+                "covered_us": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "s", "e"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("user_id", sort=False)
+        run_end = g["e"].cummax()
+        prev_end = run_end.groupby(df["user_id"], sort=False).shift()
+        new_island = prev_end.isna() | (df["s"] > prev_end)
+        isl = new_island.groupby(df["user_id"], sort=False).cumsum()
+        segg = (df.assign(isl=isl)
+                .groupby(["user_id", "isl"], sort=False)
+                .agg(s=("s", "min"), e=("e", "max")).reset_index())
+        segg["cov"] = segg["e"] - segg["s"]
+        out = segg.groupby("user_id", sort=False).agg(
+            n_islands=("isl", "size"),
+            covered_us=("cov", "sum")).reset_index()
+        return out.astype({"n_islands": "int64", "covered_us": "int64"})
+
+    return bucketed_group_reduce(
+        ev.map_batches(_spans, batch_format="pyarrow"),
+        ["user_id"], _islands)
+
+
+_Q176_SQL = """
+with iv as (
+  select user_id,
+         epoch_us(ts) as s,
+         epoch_us(ts) + (1 + event_id % 7) * 60000000 as e
+  from events),
+o as (
+  select user_id, s, e,
+         max(e) over (partition by user_id order by s, e
+                      rows between unbounded preceding and 1 preceding)
+           as prev_end
+  from iv),
+m as (
+  select user_id, s, e,
+         case when prev_end is null or s > prev_end then 1 else 0 end
+           as brk
+  from o),
+isl as (
+  select user_id, s, e,
+         sum(brk) over (partition by user_id order by s, e
+                        rows between unbounded preceding and current row)
+           as isl_id
+  from m),
+segs as (
+  select user_id, isl_id, min(s) as s0, max(e) as e1
+  from isl group by user_id, isl_id)
+select user_id,
+       cast(count(*) as bigint) as n_islands,
+       cast(sum(e1 - s0) as bigint) as covered_us
+from segs group by user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11195,6 +11282,7 @@ QUERIES = {
     "q173_weighted_median": q173_weighted_median,
     "q174_count_min": q174_count_min,
     "q175_skyline": q175_skyline,
+    "q176_interval_islands": q176_interval_islands,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11360,6 +11448,7 @@ def oracle_sql() -> dict[str, str]:
         "q173_weighted_median": _Q173_SQL,
         "q174_count_min": _q174_sql(),
         "q175_skyline": _Q175_SQL,
+        "q176_interval_islands": _Q176_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
