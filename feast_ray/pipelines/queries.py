@@ -11106,6 +11106,62 @@ from segs group by user_id
 """
 
 
+# --------------------------------------------------------------------- q177
+
+_Q177_N = 1000
+
+
+def q177_apportion(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment — the exact-total
+    budget allocator behind every "sample N docs proportional to
+    source size" step (q43's budget sampler takes per-group budgets;
+    this PRODUCES them): alloc_i = ⌊N·c_i/T⌋ plus one extra for the
+    largest remainders (N·c_i mod T desc, source asc) until Σ = N
+    exactly. Counts are one corpus exchange; the allocation itself is
+    k rows of integer arithmetic (driver-side by design — k sources,
+    not corpus rows)."""
+    docs = read_table(sf_dir, "documents", columns=["source"])
+    cnt = grouped_agg(docs, ["source"],
+                      [AggSpec(None, "count", "n_docs")]).to_pandas()
+    cnt = cnt.sort_values("source", kind="stable").reset_index(drop=True)
+    c = cnt["n_docs"].to_numpy(np.int64)
+    T = int(c.sum())
+    base = (_Q177_N * c) // T
+    rem = (_Q177_N * c) % T
+    extra = _Q177_N - int(base.sum())
+    order = (pd.DataFrame({"r": rem, "s": cnt["source"]})
+             .sort_values(["r", "s"], ascending=[False, True],
+                          kind="stable").index.to_numpy())
+    bump = np.zeros(len(c), np.int64)
+    bump[order[:extra]] = 1
+    return pa.table({
+        "source": pa.array(cnt["source"].to_numpy(dtype=object),
+                           pa.string()),
+        "n_docs": pa.array(c),
+        "alloc": pa.array(base + bump),
+    })
+
+
+_Q177_SQL = f"""
+with cnt as (
+  select source, cast(count(*) as bigint) as n_docs
+  from documents group by source),
+base as (
+  select source, n_docs,
+         {_Q177_N} * n_docs // (select sum(n_docs) from cnt) as b,
+         {_Q177_N} * n_docs % (select sum(n_docs) from cnt) as r
+  from cnt),
+ranked as (
+  select source, n_docs, b, r,
+         row_number() over (order by r desc, source asc) as rk
+  from base)
+select source, n_docs,
+       cast(b + case when rk <= {_Q177_N} - (select sum(b) from base)
+                     then 1 else 0 end as bigint) as alloc
+from ranked
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11283,6 +11339,7 @@ QUERIES = {
     "q174_count_min": q174_count_min,
     "q175_skyline": q175_skyline,
     "q176_interval_islands": q176_interval_islands,
+    "q177_apportion": q177_apportion,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11449,6 +11506,7 @@ def oracle_sql() -> dict[str, str]:
         "q174_count_min": _q174_sql(),
         "q175_skyline": _Q175_SQL,
         "q176_interval_islands": _Q176_SQL,
+        "q177_apportion": _Q177_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
