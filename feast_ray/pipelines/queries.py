@@ -11162,6 +11162,56 @@ from ranked
 """
 
 
+# --------------------------------------------------------------------- q178
+
+def q178_snapshot_diff(sf_dir: str):
+    """Table-format snapshot DIFF (the audit/debug op every lakehouse
+    exposes as ``table_changes``): rows added between q165's Iceberg
+    snapshots 1 and 2, computed by reading BOTH snapshots through the
+    time-travel planner and anti-joining new against old on the key —
+    the planner-level composition proof for the Iceberg source (plan
+    twice, no state shared). Snapshot 1 holds even event_ids, the
+    append holds the odd ones, so the oracle is the odd-row restate;
+    the engine must arrive there purely through manifest replay.
+    The anti-join probes a broadcast key-hash set (additions join
+    against the OLD snapshot — the small side by construction here;
+    size-gate to the partitioned semi/anti exchange when it isn't)."""
+    from feast_ray.sources.iceberg import read_iceberg
+
+    path = _q165_table(sf_dir)
+    old = read_iceberg(path, snapshot_id=1, columns=["event_id"])
+    new = read_iceberg(path, snapshot_id=2,
+                       columns=["event_id", "user_id", "event_type"])
+    old_ids = ray.put(np.sort(np.fromiter(
+        (r["event_id"] for r in old.take_all()), dtype=np.int64)))
+
+    def _anti(t: pa.Table) -> pa.Table:
+        known = ray.get(old_ids)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(known, eid)
+        idx = np.clip(idx, 0, len(known) - 1)
+        keep = known[idx] != eid if len(known) else np.ones(len(eid), bool)
+        return t.filter(pa.array(keep))
+
+    added = new.map_batches(_anti, batch_format="pyarrow")
+    return grouped_agg(
+        added, ["event_type"],
+        [AggSpec(None, "count", "n_added"),
+         AggSpec("user_id", "min", "min_user"),
+         AggSpec("user_id", "max", "max_user")])
+
+
+_Q178_SQL = """
+select event_type,
+       cast(count(*) as bigint) as n_added,
+       cast(min(user_id) as bigint) as min_user,
+       cast(max(user_id) as bigint) as max_user
+from events
+where event_id % 2 = 1
+group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11340,6 +11390,7 @@ QUERIES = {
     "q175_skyline": q175_skyline,
     "q176_interval_islands": q176_interval_islands,
     "q177_apportion": q177_apportion,
+    "q178_snapshot_diff": q178_snapshot_diff,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11507,6 +11558,7 @@ def oracle_sql() -> dict[str, str]:
         "q175_skyline": _Q175_SQL,
         "q176_interval_islands": _Q176_SQL,
         "q177_apportion": _Q177_SQL,
+        "q178_snapshot_diff": _Q178_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
