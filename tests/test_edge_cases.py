@@ -329,3 +329,80 @@ def test_skyline2d_brute_parity():
             if not dom:
                 exp.add(i)
         assert got == exp, f"trial {trial}"
+
+
+def test_count_min_overestimate_guarantee(sf_small):
+    """CMS point estimates must be >= true frequency for EVERY probe
+    key (the one-sided sketch guarantee), and exact when no probe
+    key collides in at least one row."""
+    import duckdb
+
+    from feast_ray.pipelines.queries import q174_count_min
+
+    got = q174_count_min(sf_small).to_pandas()
+    true = duckdb.sql(
+        f"""select o.o_orderkey, count(l.l_orderkey) as n
+            from read_parquet('{sf_small}/orders.parquet') o
+            left join read_parquet('{sf_small}/lineitem.parquet') l
+              on l.l_orderkey = o.o_orderkey
+            where o.o_orderkey <= 200 group by 1"""
+    ).df().set_index("o_orderkey")["n"]
+    assert len(got) == len(true)
+    for k, est in zip(got["o_orderkey"], got["est"]):
+        assert est >= int(true.loc[k])
+
+
+def test_interval_islands_brute_parity():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for u in range(12):
+        for _ in range(rng.randint(1, 15)):
+            s = int(rng.randint(0, 50))
+            rows.append({"user_id": u, "s": s,
+                         "e": s + int(rng.randint(1, 12))})
+    df = pd.DataFrame(rows)
+
+    # reference: brute union over integer points (e exclusive)
+    exp = {}
+    for u, g in df.groupby("user_id"):
+        pts = set()
+        for _, r in g.iterrows():
+            pts.update(range(r["s"], r["e"]))
+        pts = sorted(pts)
+        islands = 1 + sum(1 for a, b in zip(pts, pts[1:]) if b > a + 1)
+        exp[u] = (islands, len(pts))
+
+    # engine kernel (same reduce as q176) through the bucketed exchange
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    def _islands(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_islands": pd.Series([], dtype="int64"),
+                                 "covered_us": pd.Series([], dtype="int64")})
+        d = d.sort_values(["user_id", "s", "e"], kind="stable"
+                          ).reset_index(drop=True)
+        run_end = d.groupby("user_id", sort=False)["e"].cummax()
+        prev = run_end.groupby(d["user_id"], sort=False).shift()
+        isl = (prev.isna() | (d["s"] > prev)).groupby(
+            d["user_id"], sort=False).cumsum()
+        segg = (d.assign(isl=isl)
+                .groupby(["user_id", "isl"], sort=False)
+                .agg(s=("s", "min"), e=("e", "max")).reset_index())
+        segg["cov"] = segg["e"] - segg["s"]
+        out = segg.groupby("user_id", sort=False).agg(
+            n_islands=("isl", "size"), covered_us=("cov", "sum")
+        ).reset_index()
+        return out.astype({"n_islands": "int64", "covered_us": "int64"})
+
+    got = {r["user_id"]: (r["n_islands"], r["covered_us"])
+           for r in bucketed_group_reduce(
+               ds, ["user_id"], _islands, num_buckets=4).take_all()}
+    assert got == exp
