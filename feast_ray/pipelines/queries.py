@@ -11212,6 +11212,54 @@ group by event_type
 """
 
 
+# --------------------------------------------------------------------- q179
+
+def q179_filtered_ann(sf_dir: str):
+    """FILTERED vector search (the metadata-predicate + top-k combo
+    every production vector store exposes; pre-filter strategy): the
+    label predicate is pushed INTO the parquet scan (row-filter at
+    the read, so non-matching vectors never enter a block), then
+    exact cosine top-5 per query over the surviving subset via the
+    brute-force kernel — correct for any selectivity, the IVF path
+    (q29) takes over when the filtered set is still huge. Queries =
+    vec_id < 5 (unfiltered side); ties by vec_id; score rounded to
+    1e-4 (the q29 float contract)."""
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    qdf = (emb.filter(expr="vec_id < 5").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.stack(qdf["embedding"].to_numpy())
+
+    corpus = read_table(
+        sf_dir, "embeddings",
+        columns=["vec_id", "embedding", "label"],
+    ).filter(expr="vec_id >= 5 and label == 1").map_batches(
+        lambda t: t.select(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+
+    return ann_topk_bruteforce(corpus, queries, k=5, id_col="vec_id",
+                               vec_col="embedding", round_to=4)
+
+
+_Q179_SQL = """
+with q as (select vec_id as qid, cast(embedding as double[]) as qe
+           from embeddings where vec_id < 5),
+c as (select vec_id, cast(embedding as double[]) as v
+      from embeddings where vec_id >= 5 and label = 1),
+scored as (
+  select q.qid as query_id, c.vec_id,
+         list_cosine_similarity(c.v, q.qe) as raw,
+         row_number() over (partition by q.qid
+             order by list_cosine_similarity(c.v, q.qe) desc,
+                      c.vec_id asc) as rn
+  from c cross join q)
+select query_id, vec_id, round(raw, 4) as score
+from scored where rn <= 5
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11391,6 +11439,7 @@ QUERIES = {
     "q176_interval_islands": q176_interval_islands,
     "q177_apportion": q177_apportion,
     "q178_snapshot_diff": q178_snapshot_diff,
+    "q179_filtered_ann": q179_filtered_ann,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11559,6 +11608,7 @@ def oracle_sql() -> dict[str, str]:
         "q176_interval_islands": _Q176_SQL,
         "q177_apportion": _Q177_SQL,
         "q178_snapshot_diff": _Q178_SQL,
+        "q179_filtered_ann": _Q179_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
