@@ -11260,6 +11260,82 @@ from scored where rn <= 5
 """
 
 
+# --------------------------------------------------------------------- q180
+
+def q180_sequence_gaps(sf_dir: str):
+    """ID-sequence gap detection (the ledger/offset completeness
+    audit — "which event_ids are missing?"): over non-error events,
+    every maximal missing run [gap_start, gap_end] between consecutive
+    present ids. Distributed WITHOUT a global sort: ids range-bucket
+    by ``id // 4096`` (an order-preserving partition), each bucket
+    reports its internal gaps (sorted-unique diff > 1 — vectorized)
+    plus its (min, max) summary; the driver stitches ONLY the ≤
+    n_buckets boundary summaries (cross-bucket and empty-bucket gaps).
+    Oracle: lag-over-distinct-ids in SQL."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    W = 4096
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    ids = ev.filter(expr="event_type != 'error'").map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "bk": pc.cast(pc.divide(t["event_id"], pa.scalar(W)),
+                          pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the exchange HASHES bk, so one frame may hold several
+        # non-adjacent id ranges: gaps only count INSIDE a bk range
+        # (cross-bk gaps belong to the driver's summary stitch)
+        cols = ["kind", "a", "b"]
+        if not len(df):
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64")})[cols]
+        u = np.unique(df["event_id"].to_numpy(np.int64))
+        bku = u // W
+        same = bku[1:] == bku[:-1]
+        d = np.diff(u) > 1
+        out = pd.DataFrame({
+            "kind": np.zeros(int((d & same).sum()), np.int64),
+            "a": u[:-1][d & same] + 1, "b": u[1:][d & same] - 1})
+        first = np.flatnonzero(np.r_[True, bku[1:] != bku[:-1]])
+        last = np.r_[first[1:] - 1, len(u) - 1]
+        summ = pd.DataFrame({
+            "kind": np.ones(len(first), np.int64),
+            "a": u[first], "b": u[last]})
+        return pd.concat([out, summ], ignore_index=True)[cols]
+
+    parts = bucketed_group_reduce(ids, ["bk"], _bucket).to_pandas()
+    gaps = parts[parts["kind"] == 0][["a", "b"]]
+    summ = parts[parts["kind"] == 1].sort_values("a")
+    lo = summ["a"].to_numpy(np.int64)
+    hi = summ["b"].to_numpy(np.int64)
+    cross = pd.DataFrame({
+        "a": hi[:-1] + 1, "b": lo[1:] - 1})
+    cross = cross[cross["a"] <= cross["b"]]
+    allg = pd.concat([gaps, cross], ignore_index=True)
+    allg = allg.rename(columns={"a": "gap_start", "b": "gap_end"})
+    return pa.Table.from_pandas(
+        allg.astype({"gap_start": "int64", "gap_end": "int64"}),
+        preserve_index=False)
+
+
+_Q180_SQL = """
+with u as (
+  select distinct event_id from events where event_type != 'error'),
+l as (
+  select event_id,
+         lag(event_id) over (order by event_id) as prev
+  from u)
+select cast(prev + 1 as bigint) as gap_start,
+       cast(event_id - 1 as bigint) as gap_end
+from l where prev is not null and event_id > prev + 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11440,6 +11516,7 @@ QUERIES = {
     "q177_apportion": q177_apportion,
     "q178_snapshot_diff": q178_snapshot_diff,
     "q179_filtered_ann": q179_filtered_ann,
+    "q180_sequence_gaps": q180_sequence_gaps,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11609,6 +11686,7 @@ def oracle_sql() -> dict[str, str]:
         "q177_apportion": _Q177_SQL,
         "q178_snapshot_diff": _Q178_SQL,
         "q179_filtered_ann": _Q179_SQL,
+        "q180_sequence_gaps": _Q180_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
