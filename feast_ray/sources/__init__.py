@@ -1,4 +1,5 @@
 from feast_ray.sources.delta import delta_file_uris, read_delta, write_delta
+from feast_ray.sources.iceberg import IcebergTable, read_iceberg
 from feast_ray.sources.orc import read_ipc, read_orc, write_ipc, write_orc
 from feast_ray.sources.parquet import read_parquet_evolved, read_table, unify_evolved_schemas
 from feast_ray.sources.sql import duckdb_factory, read_sql
@@ -18,6 +19,8 @@ __all__ = [
     "read_delta",
     "write_delta",
     "delta_file_uris",
+    "read_iceberg",
+    "IcebergTable",
     "read_sql",
     "duckdb_factory",
     "read_wet",
