@@ -11336,6 +11336,113 @@ from l where prev is not null and event_id > prev + 1
 """
 
 
+# --------------------------------------------------------------------- q181
+
+def q181_mmr_rerank(sf_dir: str):
+    """MMR diversity re-ranking (Carbonell & Goldstein SIGIR 1998 —
+    the relevance-vs-redundancy re-ranker between ANN recall and the
+    user): top-20 cosine candidates for query vec_id=0, then 3 greedy
+    MMR steps with λ=0.7 in INTEGERS — score = 7·rel_u − 3·max-sim_u
+    over micro-quantized cosines, ties vec_id asc — so the greedy
+    trajectory is bit-deterministic. The candidate set is 20 rows by
+    construction (the distributed work is the ANN recall; MMR itself
+    is driver-side ON PURPOSE — it is sequential and bounded). Oracle:
+    the same three steps unrolled as chained CTEs over the identical
+    quantized relevance/pair tables."""
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q0 = np.stack(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].to_numpy())
+    corpus = emb.filter(expr="vec_id >= 5")
+    cand = ann_topk_bruteforce(
+        corpus, q0, k=20, id_col="vec_id", vec_col="embedding",
+        round_to=None).to_pandas().sort_values("vec_id")
+    rel_u = dict(zip(
+        cand["vec_id"],
+        np.floor(cand["score"].to_numpy(np.float64) * 1e6 + 0.5)
+        .astype(np.int64)))
+
+    ids = np.array(sorted(rel_u), dtype=np.int64)
+    vecs = (emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(ids))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    m = np.stack(vecs["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sim_u = np.floor(m @ m.T * 1e6 + 0.5).astype(np.int64)
+
+    lam_n, lam_d = 7, 3  # λ=0.7 as integers (×10)
+    selected: "list[int]" = []
+    remaining = list(range(len(ids)))
+    out_rows = []
+    for step in range(3):
+        best = None
+        for i in remaining:
+            pen = max((int(sim_u[i, j]) for j in selected), default=0)
+            sc = lam_n * int(rel_u[int(ids[i])]) - lam_d * pen
+            key = (-sc, int(ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, sc)
+        _, bi, bsc = best
+        selected.append(bi)
+        remaining.remove(bi)
+        out_rows.append({"rank": step + 1, "vec_id": int(ids[bi]),
+                         "mmr_u": int(bsc)})
+    return pa.Table.from_pandas(pd.DataFrame(out_rows),
+                                preserve_index=False)
+
+
+_Q181_SQL = """
+with q as (select cast(embedding as double[]) as qe from embeddings
+           where vec_id = 0),
+c0 as (
+  select e.vec_id,
+         cast(floor(list_cosine_similarity(
+             cast(e.embedding as double[]), q.qe) * 1e6 + 0.5) as bigint)
+           as rel_u,
+         row_number() over (
+           order by list_cosine_similarity(
+               cast(e.embedding as double[]), q.qe) desc,
+             e.vec_id asc) as rn
+  from embeddings e cross join q where e.vec_id >= 5),
+cand as (select vec_id, rel_u from c0 where rn <= 20),
+pairs as (
+  select a.vec_id as i, b.vec_id as j,
+         cast(floor(list_cosine_similarity(
+             cast(ea.embedding as double[]),
+             cast(eb.embedding as double[])) * 1e6 + 0.5) as bigint)
+           as s_u
+  from cand a join cand b on true
+  join embeddings ea on ea.vec_id = a.vec_id
+  join embeddings eb on eb.vec_id = b.vec_id),
+s1 as (
+  select vec_id, 7 * rel_u as sc from cand
+  order by sc desc, vec_id asc limit 1),
+s2 as (
+  select c.vec_id,
+         7 * c.rel_u - 3 * p.s_u as sc
+  from cand c
+  join s1 on true
+  join pairs p on p.i = c.vec_id and p.j = s1.vec_id
+  where c.vec_id != s1.vec_id
+  order by sc desc, c.vec_id asc limit 1),
+s3 as (
+  select c.vec_id,
+         7 * c.rel_u - 3 * greatest(p1.s_u, p2.s_u) as sc
+  from cand c
+  join s1 on true join s2 on true
+  join pairs p1 on p1.i = c.vec_id and p1.j = s1.vec_id
+  join pairs p2 on p2.i = c.vec_id and p2.j = s2.vec_id
+  where c.vec_id != s1.vec_id and c.vec_id != s2.vec_id
+  order by sc desc, c.vec_id asc limit 1)
+select 1 as rank, vec_id, cast(sc as bigint) as mmr_u from s1
+union all
+select 2, vec_id, cast(sc as bigint) from s2
+union all
+select 3, vec_id, cast(sc as bigint) from s3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11517,6 +11624,7 @@ QUERIES = {
     "q178_snapshot_diff": q178_snapshot_diff,
     "q179_filtered_ann": q179_filtered_ann,
     "q180_sequence_gaps": q180_sequence_gaps,
+    "q181_mmr_rerank": q181_mmr_rerank,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11687,6 +11795,7 @@ def oracle_sql() -> dict[str, str]:
         "q178_snapshot_diff": _Q178_SQL,
         "q179_filtered_ann": _Q179_SQL,
         "q180_sequence_gaps": _Q180_SQL,
+        "q181_mmr_rerank": _Q181_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
