@@ -11443,6 +11443,117 @@ select 3, vec_id, cast(sc as bigint) from s3
 """
 
 
+# --------------------------------------------------------------------- q182
+
+def q182_maxsim_retrieval(sf_dir: str):
+    """Late-interaction (ColBERT-style) MaxSim retrieval (Khattab &
+    Zaharia SIGIR 2020 — the multi-vector score modern RAG rerankers
+    use): query = doc 0's chunk embeddings (broadcast), corpus = every
+    other doc's chunk embeddings; score(doc) = Σ_qtok max_chunk
+    cos(q, c), cosines micro-quantized BEFORE the max/sum so the
+    reduction is integer and partition-invariant. Shape: per block one
+    (chunks × qtoks) matmul + a block-local (doc, qtok) max combiner
+    ⇒ the exchange carries ≤ docs·qtoks rows, never chunk pairs; a
+    second tiny exchange sums per doc. Zero-norm chunks excluded on
+    both sides (cosine undefined). Top-5 by (score desc, doc asc)."""
+    from feast_ray.functions.chunker import HashEmbedder, chunk_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = docs.map_batches(
+        lambda t: chunk_batch(t, "doc_id", "text"), batch_format="pyarrow"
+    ).map_batches(
+        HashEmbedder,
+        fn_constructor_kwargs={"text_col": "chunk_text", "dim": 32},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).map_batches(
+        lambda t: t.select(["doc_id", "chunk_id", "embedding"]),
+        batch_format="pyarrow")
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.flatten().to_numpy(
+            zero_copy_only=False).reshape(len(t), 32).astype(np.float64)
+
+    qtab = emb.filter(expr="doc_id == 0").to_pandas().sort_values("chunk_id")
+    qm = np.stack(qtab["embedding"].to_numpy()).astype(np.float64)
+    qnz = np.linalg.norm(qm, axis=1) > 0
+    qm = qm[qnz]
+    qref = ray.put(qm)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        keep = pc.not_equal(t["doc_id"], pa.scalar(0))
+        t = t.filter(keep)
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "qtok": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        c = _mat(t)
+        nz = np.linalg.norm(c, axis=1) > 0
+        t = t.filter(pa.array(nz))
+        c = c[nz]
+        sims = np.floor(c @ q.T * 1e6 + 0.5).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": np.repeat(did, sims.shape[1]),
+                           "qtok": np.tile(np.arange(sims.shape[1],
+                                                     dtype=np.int64),
+                                           len(did)),
+                           "m": sims.ravel()})
+        out = df.groupby(["doc_id", "qtok"], as_index=False)["m"].max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    mx = grouped_agg(
+        emb.map_batches(_partial, batch_format="pyarrow"),
+        ["doc_id", "qtok"], [AggSpec("m", "max", "m")])
+    sc = grouped_agg(mx, ["doc_id"], [AggSpec("m", "sum", "score_u")])
+    return topk(sc, ["score_u", "doc_id"], 5, descending=[True, False])
+
+
+def _q182_sql() -> str:
+    return f"""
+with chunks as ({_Q33_SQL}),
+words as (
+  select doc_id, chunk_id,
+         unnest(regexp_extract_all(chunk_text, '\\S+')) as word
+  from chunks),
+hashed as (
+  select doc_id, chunk_id, {_crc32_sql("word")} as h from words),
+deltas as (
+  select doc_id, chunk_id, h % 32 as bucket,
+         case when (h >> 16) & 1 = 1 then 1.0 else -1.0 end as d
+  from hashed),
+vs as (
+  select doc_id, chunk_id, bucket, sum(d) as v
+  from deltas group by doc_id, chunk_id, bucket),
+vecs as (
+  select c.doc_id, c.chunk_id, list(coalesce(vs.v, 0.0) order by bk.b)
+           as raw
+  from chunks c
+  cross join (select unnest(generate_series(0, 31)) as b) bk
+  left join vs on vs.doc_id = c.doc_id and vs.chunk_id = c.chunk_id
+             and vs.bucket = bk.b
+  group by c.doc_id, c.chunk_id),
+nz as (
+  select doc_id, chunk_id, raw from vecs
+  where list_sum(list_transform(raw, x -> x * x)) > 0),
+qv as (select chunk_id as qtok, raw as q from nz where doc_id = 0),
+sims as (
+  select nz.doc_id, qv.qtok,
+         cast(floor(list_cosine_similarity(nz.raw, qv.q) * 1e6 + 0.5)
+              as bigint) as s_u
+  from nz cross join qv where nz.doc_id != 0),
+mx as (
+  select doc_id, qtok, max(s_u) as m from sims group by doc_id, qtok),
+sc as (
+  select doc_id, cast(sum(m) as bigint) as score_u
+  from mx group by doc_id)
+select doc_id, score_u from sc
+order by score_u desc, doc_id asc limit 5
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11625,6 +11736,7 @@ QUERIES = {
     "q179_filtered_ann": q179_filtered_ann,
     "q180_sequence_gaps": q180_sequence_gaps,
     "q181_mmr_rerank": q181_mmr_rerank,
+    "q182_maxsim_retrieval": q182_maxsim_retrieval,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11796,6 +11908,7 @@ def oracle_sql() -> dict[str, str]:
         "q179_filtered_ann": _Q179_SQL,
         "q180_sequence_gaps": _Q180_SQL,
         "q181_mmr_rerank": _Q181_SQL,
+        "q182_maxsim_retrieval": _q182_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
