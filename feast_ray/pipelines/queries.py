@@ -11554,6 +11554,78 @@ order by score_u desc, doc_id asc limit 5
 """
 
 
+# --------------------------------------------------------------------- q183
+
+def q183_trimmed_mean(sf_dir: str):
+    """Exact grouped 10% trimmed mean (the robust-location sibling of
+    q152's MAD): per event_type, drop the k = ⌊n/10⌋ smallest and
+    largest value cents (ties broken by event_id so the trimmed SET is
+    identical on both engines, not just its size) and return the
+    integer sum + count of the kept middle — the mean itself stays a
+    single division restated verbatim. One key-bucketed exchange,
+    sort + positional mask per bucket."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "event_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    def _trim(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n_kept", "sum_kept", "tmean"]
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_kept": pd.Series([], dtype="int64"),
+                "sum_kept": pd.Series([], dtype="int64"),
+                "tmean": pd.Series([], dtype="float64")})[cols]
+        df = df.sort_values(["event_type", "cents", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("event_type", sort=False)
+        pos = g.cumcount().to_numpy()
+        n = g["cents"].transform("size").to_numpy()
+        k = n // 10
+        keep = (pos >= k) & (pos < n - k)
+        kept = df[keep]
+        out = kept.groupby("event_type", sort=False).agg(
+            n_kept=("cents", "size"), sum_kept=("cents", "sum")
+        ).reset_index()
+        out["tmean"] = (out["sum_kept"].to_numpy(np.float64)
+                        / out["n_kept"].to_numpy(np.float64))
+        return out.astype({"n_kept": "int64", "sum_kept": "int64"})[cols]
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"], _trim)
+
+
+_Q183_SQL = """
+with p as (
+  select event_type, event_id,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+r as (
+  select event_type, cents,
+         row_number() over (partition by event_type
+                            order by cents, event_id) as rn,
+         count(*) over (partition by event_type) as n
+  from p)
+select event_type,
+       cast(count(*) as bigint) as n_kept,
+       cast(sum(cents) as bigint) as sum_kept,
+       cast(sum(cents) as double) / cast(count(*) as double) as tmean
+from r
+where rn > n // 10 and rn <= n - n // 10
+group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11737,6 +11809,7 @@ QUERIES = {
     "q180_sequence_gaps": q180_sequence_gaps,
     "q181_mmr_rerank": q181_mmr_rerank,
     "q182_maxsim_retrieval": q182_maxsim_retrieval,
+    "q183_trimmed_mean": q183_trimmed_mean,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11909,6 +11982,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_sequence_gaps": _Q180_SQL,
         "q181_mmr_rerank": _Q181_SQL,
         "q182_maxsim_retrieval": _q182_sql(),
+        "q183_trimmed_mean": _Q183_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
