@@ -11626,6 +11626,81 @@ group by event_type
 """
 
 
+# --------------------------------------------------------------------- q184
+
+def q184_kendall(sf_dir: str):
+    """Grouped Kendall rank-correlation counts by Knight's O(n log n)
+    algorithm (JASA 1966; the rank-robust sibling of q140 Pearson /
+    q145 Spearman — quadratic pair enumeration avoided): per
+    event_type, exact concordant/discordant/tie pair counts between
+    value cents and event time, D from a vectorized mergesort
+    inversion count after the (x, y) sort, C closed via the integer
+    tie identity. The oracle IS the O(n²) pair join the engine
+    avoids. tau_b = (n_c − n_d)/√((n0−n1)(n0−n2)) is the consumer's
+    one float — counts stay exact."""
+    from feast_ray.functions.kendall import kendall_counts
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "value", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(np.round(v * 100).astype(np.int64)),
+            "y": pa.array(ts),
+        })
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n0", "n1", "n2", "n3", "n_c", "n_d"]
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            c = kendall_counts(grp["x"].to_numpy(np.int64),
+                               grp["y"].to_numpy(np.int64))
+            rows.append({"event_type": et, **c})
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{k: pd.Series([], dtype="int64")
+                   for k in cols[1:]}})[cols]
+        return pd.DataFrame(rows)[cols].astype(
+            {k: "int64" for k in cols[1:]})
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"], _counts)
+
+
+_Q184_SQL = """
+with p as (
+  select event_type, event_id,
+         cast(round(value * 100) as bigint) as x,
+         epoch_us(ts) as y,
+         row_number() over (partition by event_type
+                            order by event_id) as rid
+  from events),
+pairs as (
+  select a.event_type,
+         sign(b.x - a.x) as sx, sign(b.y - a.y) as sy
+  from p a join p b
+    on a.event_type = b.event_type and a.rid < b.rid)
+select event_type,
+       cast(count(*) as bigint) as n0,
+       cast(sum(case when sx = 0 then 1 else 0 end) as bigint) as n1,
+       cast(sum(case when sy = 0 then 1 else 0 end) as bigint) as n2,
+       cast(sum(case when sx = 0 and sy = 0 then 1 else 0 end)
+            as bigint) as n3,
+       cast(sum(case when sx * sy > 0 then 1 else 0 end) as bigint)
+         as n_c,
+       cast(sum(case when sx * sy < 0 then 1 else 0 end) as bigint)
+         as n_d
+from pairs group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11810,6 +11885,7 @@ QUERIES = {
     "q181_mmr_rerank": q181_mmr_rerank,
     "q182_maxsim_retrieval": q182_maxsim_retrieval,
     "q183_trimmed_mean": q183_trimmed_mean,
+    "q184_kendall": q184_kendall,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -11983,6 +12059,7 @@ def oracle_sql() -> dict[str, str]:
         "q181_mmr_rerank": _Q181_SQL,
         "q182_maxsim_retrieval": _q182_sql(),
         "q183_trimmed_mean": _Q183_SQL,
+        "q184_kendall": _Q184_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -406,3 +406,33 @@ def test_interval_islands_brute_parity():
            for r in bucketed_group_reduce(
                ds, ["user_id"], _islands, num_buckets=4).take_all()}
     assert got == exp
+
+
+def test_kendall_knight_vs_brute():
+    import numpy as np
+
+    from feast_ray.functions.kendall import count_inversions, kendall_counts
+
+    rng = np.random.RandomState(3)
+    for trial in range(30):
+        n = rng.randint(0, 80)
+        a = rng.randint(0, 10, n)
+        brute = sum(int(a[i] > a[j])
+                    for i in range(n) for j in range(i + 1, n))
+        assert count_inversions(a) == brute, f"inv trial {trial}"
+
+        x = rng.randint(0, 6, n).astype(np.int64)
+        y = rng.randint(0, 6, n).astype(np.int64)
+        got = kendall_counts(x, y)
+        nc = nd = n1 = n2 = n3 = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = int(np.sign(x[j] - x[i]))
+                sy = int(np.sign(y[j] - y[i]))
+                nc += sx * sy > 0
+                nd += sx * sy < 0
+                n1 += sx == 0
+                n2 += sy == 0
+                n3 += sx == 0 and sy == 0
+        assert got == {"n0": n * (n - 1) // 2, "n1": n1, "n2": n2,
+                       "n3": n3, "n_c": nc, "n_d": nd}, f"trial {trial}"
