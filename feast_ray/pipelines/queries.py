@@ -11701,6 +11701,95 @@ from pairs group by event_type
 """
 
 
+# --------------------------------------------------------------------- q185
+
+def q185_log_histogram(sf_dir: str):
+    """DDSketch-shaped log-bucket quantile histogram (Masson et al.
+    VLDB 2019's mergeable relative-error family, with INTEGER-EXACT
+    bucketing instead of float log — bucket = 4·bitlen(v) + the next
+    2 mantissa bits, so every engine places every value identically
+    and merges are plain integer adds; the float-γ variant's boundary
+    drift can't exist): lineitem price cents → per-block bincount
+    partials (≤ 256 rows/block), one bucket-merge exchange, then
+    p50/p90/p99 read off the cumulative counts as (bucket, lower
+    bound, cum) — relative error ≤ 12.5% by construction, exact
+    reconstruction restated in SQL (bit shifts both sides)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        v = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        v = np.maximum(v, 1)
+        # exact integer bit_length by binary-search shifts (float
+        # log2 is unsafe exactly at the bucket boundaries)
+        blv = np.zeros(len(v), np.int64)
+        w = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = w >= (np.int64(1) << np.int64(shift))
+            blv[m] += shift
+            w[m] >>= np.int64(shift)
+        blv += 1  # bit_length: v in [2^(bl-1), 2^bl)
+        sub = np.where(blv >= 3, (v >> np.maximum(blv - 3, 0)) & 3,
+                       v & 3)
+        bid = blv * 4 + sub
+        c = np.bincount(bid, minlength=260).astype(np.int64)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bid": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(c[nz])})
+
+    hist = grouped_agg(
+        li.map_batches(_bucket, batch_format="pyarrow"), ["bid"],
+        [AggSpec("c", "sum", "c")]).to_pandas().sort_values("bid")
+    bid = hist["bid"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    rows = []
+    for p in (50, 90, 99):
+        target = (n * p + 99) // 100  # ceil(p*n/100) in integers
+        i = int(np.searchsorted(cum, target))
+        b = int(bid[i])
+        bl, sub = b // 4, b % 4
+        lb = ((4 + sub) << (bl - 3)) if bl >= 3 else sub
+        rows.append({"p": p, "bid": b, "lb_cents": int(lb),
+                     "cum": int(cum[i])})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+_Q185_SQL = f"""
+with v0 as (
+  select greatest(cast(round(l_extendedprice * 100) as bigint), 1) as v
+  from lineitem),
+bl as (
+  select v, length(bin(v)) as blen from v0),
+b as (
+  select v, blen,
+         case when blen >= 3 then (v >> (blen - 3)) & 3 else v & 3 end
+           as sub
+  from bl),
+h as (
+  select blen * 4 + sub as bid, cast(count(*) as bigint) as c
+  from b group by 1),
+cc as (
+  select bid, c,
+         sum(c) over (order by bid
+                      rows between unbounded preceding and current row)
+           as cum,
+         sum(c) over () as n
+  from h),
+pq as (select unnest([50, 90, 99]) as p),
+hit as (
+  select pq.p, cc.bid, cc.cum,
+         row_number() over (partition by pq.p order by cc.bid) as rn
+  from pq join cc on cc.cum >= (cc.n * pq.p + 99) // 100)
+select p, bid, cast(cum as bigint) as cum,
+       cast(case when bid // 4 >= 3
+                 then (4 + bid % 4) * power(2, bid // 4 - 3)
+                 else bid % 4 end as bigint) as lb_cents
+from hit where rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11886,6 +11975,7 @@ QUERIES = {
     "q182_maxsim_retrieval": q182_maxsim_retrieval,
     "q183_trimmed_mean": q183_trimmed_mean,
     "q184_kendall": q184_kendall,
+    "q185_log_histogram": q185_log_histogram,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12060,6 +12150,7 @@ def oracle_sql() -> dict[str, str]:
         "q182_maxsim_retrieval": _q182_sql(),
         "q183_trimmed_mean": _Q183_SQL,
         "q184_kendall": _Q184_SQL,
+        "q185_log_histogram": _Q185_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
