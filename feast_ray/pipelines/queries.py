@@ -11790,6 +11790,103 @@ from hit where rn = 1
 """
 
 
+# --------------------------------------------------------------------- q186
+
+_Q186_N = 200
+
+
+def q186_proportional_sample(sf_dir: str):
+    """Exact-COUNT proportional corpus sample (the q177 allocation put
+    to work; q43's token-budget sibling with a hard global total):
+    Hamilton-apportion 200 slots across sources, then per source keep
+    exactly alloc_i docs by deterministic splitmix64(doc_id) rank
+    (ties doc_id asc) — an order-free, seedless, reproducible sample
+    whose total is EXACTLY 1000 at any scale. One count exchange + one
+    source-bucketed rank exchange. Output: the sampled doc ids."""
+    from feast_ray.functions.neardup import _splitmix64
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    cnt = grouped_agg(docs, ["source"],
+                      [AggSpec(None, "count", "n_docs")]).to_pandas()
+    cnt = cnt.sort_values("source", kind="stable").reset_index(drop=True)
+    c = cnt["n_docs"].to_numpy(np.int64)
+    T = int(c.sum())
+    base = (_Q186_N * c) // T
+    rem = (_Q186_N * c) % T
+    extra = _Q186_N - int(base.sum())
+    order = (pd.DataFrame({"r": rem, "s": cnt["source"]})
+             .sort_values(["r", "s"], ascending=[False, True],
+                          kind="stable").index.to_numpy())
+    bump = np.zeros(len(c), np.int64)
+    bump[order[:extra]] = 1
+    alloc_ref = ray.put(dict(zip(cnt["source"], (base + bump))))
+
+    def _h(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(did.view(np.uint64).copy()).view(np.int64)
+        return t.append_column("h", pa.array(h))
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "source"]
+        if not len(df):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object)})[cols]
+        alloc = ray.get(alloc_ref)
+        df = df.sort_values(["source", "h", "doc_id"],
+                            kind="stable").reset_index(drop=True)
+        pos = df.groupby("source", sort=False).cumcount().to_numpy()
+        quota = df["source"].map(alloc).to_numpy(np.int64)
+        return df[pos < quota][cols]
+
+    return bucketed_group_reduce(
+        docs.map_batches(_h, batch_format="pyarrow"),
+        ["source"], _pick)
+
+
+def _q186_sql() -> str:
+    two64 = 1 << 64
+    h0 = f"((cast(doc_id as HUGEINT) + {two64}::HUGEINT) % {two64}::HUGEINT)"
+    sm = _splitmix64_sql(f"({h0} + 0)")
+    # engine hashes the raw uint64 key (splitmix adds its own golden
+    # constant); signed view back ⇒ compare as the int64 two's
+    # complement value
+    return f"""
+with cnt as (
+  select source, cast(count(*) as bigint) as n_docs
+  from documents group by source),
+base as (
+  select source, n_docs,
+         {_Q186_N} * n_docs // (select sum(n_docs) from cnt) as b,
+         {_Q186_N} * n_docs % (select sum(n_docs) from cnt) as r
+  from cnt),
+ranked as (
+  select source, b, r,
+         row_number() over (order by r desc, source asc) as rk
+  from base),
+alloc as (
+  select source,
+         b + case when rk <= {_Q186_N} - (select sum(b) from base)
+                  then 1 else 0 end as a
+  from ranked),
+hashed as (
+  select doc_id, source,
+         cast(case when {sm} >= {1 << 63}::HUGEINT
+                   then {sm} - {two64}::HUGEINT
+                   else {sm} end as bigint) as h
+  from documents),
+rr as (
+  select doc_id, source,
+         row_number() over (partition by source
+                            order by h, doc_id) as rn
+  from hashed)
+select rr.doc_id, rr.source
+from rr join alloc on alloc.source = rr.source
+where rr.rn <= alloc.a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -11976,6 +12073,7 @@ QUERIES = {
     "q183_trimmed_mean": q183_trimmed_mean,
     "q184_kendall": q184_kendall,
     "q185_log_histogram": q185_log_histogram,
+    "q186_proportional_sample": q186_proportional_sample,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12151,6 +12249,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_trimmed_mean": _Q183_SQL,
         "q184_kendall": _Q184_SQL,
         "q185_log_histogram": _Q185_SQL,
+        "q186_proportional_sample": _q186_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
