@@ -11887,6 +11887,120 @@ where rr.rn <= alloc.a
 """
 
 
+# --------------------------------------------------------------------- q187
+
+def q187_resample_lerp(sf_dir: str):
+    """Time-series resampling — per-user linear interpolation onto a
+    fixed 6-hour grid (the regularization step before any forecasting
+    / feature-window model; gap in the window family, which aggregates
+    but never re-times): the grid anchors at the GLOBAL min event
+    time rounded up to the period (all-integer µs), each (user, grid
+    point) interpolates between its bracketing events (prev = last at
+    ts ≤ t by (ts, event_id), next = first after), and the lerp
+    ``(c0·(t1−t) + c1·(t−t0)) / (t1−t0)`` runs on exact-in-float64
+    integer operands in the same order on both engines, then nano-
+    quantizes. Grid points outside a user's span drop. One key-
+    bucketed exchange; searchsorted per user, no per-row Python."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    P = 6 * 3600 * 1_000_000  # 6 h in µs
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "tus": pa.array(ts),
+            "cents": pa.array(np.round(v * 100).astype(np.int64)),
+        })
+
+    prepped = ev.map_batches(_prep, batch_format="pyarrow").materialize()
+    bounds = grouped_agg(
+        prepped.map_batches(lambda t: t.append_column(
+            "one", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow"),
+        ["one"],
+        [AggSpec("tus", "min", "mn"), AggSpec("tus", "max", "mx")]
+    ).to_pandas()
+    mn, mx = int(bounds["mn"][0]), int(bounds["mx"][0])
+    g0 = -(-mn // P) * P
+    grid = np.arange(g0, mx + 1, P, dtype=np.int64)
+    gref = ray.put(grid)
+
+    def _lerp(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "tus", "v_n"]
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "tus": pd.Series([], dtype="int64"),
+                "v_n": pd.Series([], dtype="int64")})[cols]
+        g = ray.get(gref)
+        out = []
+        df = df.sort_values(["user_id", "tus", "event_id"],
+                            kind="stable")
+        for uid, grp in df.groupby("user_id", sort=False):
+            ts = grp["tus"].to_numpy(np.int64)
+            cs = grp["cents"].to_numpy(np.int64)
+            hi = np.searchsorted(ts, g, side="right")
+            valid = (hi > 0) & (hi < len(ts))
+            gv = g[valid]
+            lo = hi[valid] - 1
+            hiv = hi[valid]
+            t0, t1 = ts[lo].astype(np.float64), ts[hiv].astype(np.float64)
+            c0, c1 = cs[lo].astype(np.float64), cs[hiv].astype(np.float64)
+            tf = gv.astype(np.float64)
+            lerp = (c0 * (t1 - tf) + c1 * (tf - t0)) / (t1 - t0)
+            out.append(pd.DataFrame({
+                "user_id": np.full(len(gv), uid, np.int64),
+                "tus": gv,
+                "v_n": np.floor(lerp * 1e6 + 0.5).astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)[cols]
+
+    return bucketed_group_reduce(prepped, ["user_id"], _lerp)
+
+
+_Q187_SQL = """
+with p as (
+  select user_id, event_id, epoch_us(ts) as tus,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+b as (select min(tus) as mn, max(tus) as mx from p),
+grid as (
+  select ((mn + 21599999999) // 21600000000 + k) * 21600000000 as t
+  from b cross join
+    (select unnest(generate_series(0, 500)) as k)
+  where ((mn + 21599999999) // 21600000000 + k) * 21600000000 <= mx),
+users as (select distinct user_id from p),
+gp as (select u.user_id, g.t from users u cross join grid g),
+prev as (
+  select gp.user_id, gp.t,
+         max(p.tus) as t0,
+         arg_max(p.cents,
+                 cast(p.tus as hugeint) * 1048576 + p.event_id) as c0
+  from gp join p on p.user_id = gp.user_id and p.tus <= gp.t
+  group by gp.user_id, gp.t),
+nxt as (
+  select gp.user_id, gp.t,
+         min(p.tus) as t1,
+         arg_min(p.cents,
+                 cast(p.tus as hugeint) * 1048576 + p.event_id) as c1
+  from gp join p on p.user_id = gp.user_id and p.tus > gp.t
+  group by gp.user_id, gp.t)
+select pr.user_id,
+       cast(pr.t as bigint) as tus,
+       cast(floor((cast(pr.c0 as double) * (cast(nx.t1 as double)
+                                            - cast(pr.t as double))
+                   + cast(nx.c1 as double) * (cast(pr.t as double)
+                                              - cast(pr.t0 as double)))
+                  / (cast(nx.t1 as double) - cast(pr.t0 as double))
+                  * 1e6 + 0.5) as bigint) as v_n
+from prev pr join nxt nx on nx.user_id = pr.user_id and nx.t = pr.t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12074,6 +12188,7 @@ QUERIES = {
     "q184_kendall": q184_kendall,
     "q185_log_histogram": q185_log_histogram,
     "q186_proportional_sample": q186_proportional_sample,
+    "q187_resample_lerp": q187_resample_lerp,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12250,6 +12365,7 @@ def oracle_sql() -> dict[str, str]:
         "q184_kendall": _Q184_SQL,
         "q185_log_histogram": _Q185_SQL,
         "q186_proportional_sample": _q186_sql(),
+        "q187_resample_lerp": _Q187_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
