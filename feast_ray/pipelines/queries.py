@@ -12001,6 +12001,90 @@ from prev pr join nxt nx on nx.user_id = pr.user_id and nx.t = pr.t
 """
 
 
+# --------------------------------------------------------------------- q188
+
+def q188_spatial_join(sf_dir: str):
+    """Grid-partitioned spatial radius self-join (the geohash/S2
+    cell-bucketing pattern every spatial engine runs, in integer-
+    exact form): deterministic µ-degree points per supplier (integer
+    mod arithmetic, restated verbatim in SQL), 1°-cell grid, each
+    point replicated to its 3×3 neighborhood, pairs verified
+    dlat²+dlon² < R² in int64 and COUNTED EXACTLY ONCE by the
+    home-cell-of-the-smaller-id rule (a replica pair's roles swap
+    fails the id test — no dedup pass needed). R = 0.5° < cell ⇒ the
+    neighborhood is sufficient. The exchange moves 9 cell-tagged
+    24-byte rows per point; the oracle is the n² distance join the
+    grid avoids."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    R2 = 500_000 * 500_000
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def _points(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = (k * 2654435761) % 4_000_000 - 2_000_000
+        lon = (k * 40503) % 8_000_000 - 4_000_000
+        cl, cg = lat // 1_000_000, lon // 1_000_000
+        n = len(k)
+        reps = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                reps.append(pd.DataFrame({
+                    "cell": (cl + dy) * 1_000 + ((cg + dx) % 360),
+                    "sid": k, "lat": lat, "lon": lon,
+                    "home": np.full(n, dy == 0 and dx == 0)}))
+        return pa.Table.from_pandas(pd.concat(reps, ignore_index=True),
+                                    preserve_index=False)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id1", "id2", "d2"]
+        if not len(df):
+            return pd.DataFrame({
+                "id1": pd.Series([], dtype="int64"),
+                "id2": pd.Series([], dtype="int64"),
+                "d2": pd.Series([], dtype="int64")})[cols]
+        out = []
+        for _, grp in df.groupby("cell", sort=False):
+            h = grp[grp["home"]]
+            if not len(h):
+                continue
+            m = h.merge(grp, on="cell", suffixes=("_a", "_b"))
+            m = m[m["sid_a"] < m["sid_b"]]
+            if not len(m):
+                continue
+            d2 = ((m["lat_a"] - m["lat_b"]).to_numpy(np.int64) ** 2
+                  + (m["lon_a"] - m["lon_b"]).to_numpy(np.int64) ** 2)
+            keep = d2 < R2
+            out.append(pd.DataFrame({
+                "id1": m["sid_a"].to_numpy(np.int64)[keep],
+                "id2": m["sid_b"].to_numpy(np.int64)[keep],
+                "d2": d2[keep]}))
+        if not out:
+            return pd.DataFrame({
+                "id1": pd.Series([], dtype="int64"),
+                "id2": pd.Series([], dtype="int64"),
+                "d2": pd.Series([], dtype="int64")})[cols]
+        return pd.concat(out, ignore_index=True)[cols]
+
+    pts = sup.map_batches(_points, batch_format="pyarrow")
+    return bucketed_group_reduce(pts, ["cell"], _pairs)
+
+
+_Q188_SQL = """
+with p as (
+  select s_suppkey as sid,
+         (s_suppkey * 2654435761) % 4000000 - 2000000 as lat,
+         (s_suppkey * 40503) % 8000000 - 4000000 as lon
+  from supplier)
+select a.sid as id1, b.sid as id2,
+       cast((a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) as bigint) as d2
+from p a join p b on a.sid < b.sid
+where (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) < 250000000000
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12189,6 +12273,7 @@ QUERIES = {
     "q185_log_histogram": q185_log_histogram,
     "q186_proportional_sample": q186_proportional_sample,
     "q187_resample_lerp": q187_resample_lerp,
+    "q188_spatial_join": q188_spatial_join,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12366,6 +12451,7 @@ def oracle_sql() -> dict[str, str]:
         "q185_log_histogram": _Q185_SQL,
         "q186_proportional_sample": _q186_sql(),
         "q187_resample_lerp": _Q187_SQL,
+        "q188_spatial_join": _Q188_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
