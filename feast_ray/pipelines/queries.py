@@ -12085,6 +12085,79 @@ where (a.lat - b.lat) * (a.lat - b.lat)
 """
 
 
+# --------------------------------------------------------------------- q189
+
+def q189_corpus_digest(sf_dir: str):
+    """Order-invariant corpus content digest (the dataset-identity
+    checksum behind cache keys, version pinning and replica
+    verification — DVC/lakeFS territory): per row, a 64-bit digest of
+    (doc_id, text) via the repo's Horner+splitmix64 contract; the
+    corpus digest is the SUM mod 2^64 (commutative ⇒ identical under
+    any partitioning/order, mergeable per block). Output: row count +
+    digest (two's-complement int64), per source and overall — a
+    replica differing in ANY byte flips the digest. SQL recomputes
+    every row hash bit-exactly (the shared splitmix expression)."""
+    from feast_ray.functions.neardup import _splitmix64, word_hashes64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _digest(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = word_hashes64([s.encode() for s in t["text"].to_pylist()])
+        with np.errstate(over="ignore"):
+            row = _splitmix64(th + did.view(np.uint64))
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "dig": pa.array(row.view(np.int64)),
+        })
+
+    per = grouped_agg(
+        docs.map_batches(_digest, batch_format="pyarrow"), ["source"],
+        [AggSpec("one", "sum", "n_rows"), AggSpec("dig", "sum", "digest")])
+    # int64 sums wrap mod 2^64 identically on both engines only if the
+    # SQL side also wraps — restate mod-2^64 there; here numpy int64
+    # addition wraps by construction
+    return per
+
+
+def _q189_sql() -> str:
+    two64 = 1 << 64
+    # word_hashes64 hashes UTF-8 BYTES (the codepoint _HORNER_SQL
+    # diverges on non-ASCII — verified empirically): byte-level
+    # Horner over hex(encode(text)), each byte from its two hex
+    # nibbles, then the shared splitmix finalizer
+    hv1 = ("(unicode(substr(hx, 2*i-1, 1)) - case when "
+           "unicode(substr(hx, 2*i-1, 1)) >= 65 then 55 else 48 end)")
+    hv2 = ("(unicode(substr(hx, 2*i, 1)) - case when "
+           "unicode(substr(hx, 2*i, 1)) >= 65 then 55 else 48 end)")
+    h0 = (f"list_reduce(list_prepend(0::HUGEINT, "
+          f"list_transform(generate_series(1, length(hx)//2), "
+          f"i -> ({hv1} * 16 + {hv2})::HUGEINT)), "
+          f"(h, c) -> (h * 1099511628211::HUGEINT + c)"
+          f" % {two64}::HUGEINT)")
+    sm_text = _splitmix64_sql(f"({h0})")
+    sm_row = _splitmix64_sql(
+        f"(({sm_text} + cast(doc_id as HUGEINT) + {two64}::HUGEINT)"
+        f" % {two64}::HUGEINT)")
+    return f"""
+with hx0 as (
+  select source, doc_id, hex(encode(text)) as hx from documents),
+r as (
+  select source,
+         {sm_row} as h
+  from hx0),
+s as (
+  select source, cast(count(*) as bigint) as n_rows,
+         sum(h) % {two64}::HUGEINT as d
+  from r group by source)
+select source, n_rows,
+       cast(case when d >= {1 << 63}::HUGEINT then d - {two64}::HUGEINT
+                 else d end as bigint) as digest
+from s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12274,6 +12347,7 @@ QUERIES = {
     "q186_proportional_sample": q186_proportional_sample,
     "q187_resample_lerp": q187_resample_lerp,
     "q188_spatial_join": q188_spatial_join,
+    "q189_corpus_digest": q189_corpus_digest,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12452,6 +12526,7 @@ def oracle_sql() -> dict[str, str]:
         "q186_proportional_sample": _q186_sql(),
         "q187_resample_lerp": _Q187_SQL,
         "q188_spatial_join": _Q188_SQL,
+        "q189_corpus_digest": _q189_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
