@@ -12158,6 +12158,58 @@ from s
 """
 
 
+# --------------------------------------------------------------------- q190
+
+def q190_join_cardinality(sf_dir: str):
+    """Join-cardinality estimation (the planner histogram every
+    cost-based optimizer runs before choosing broadcast vs exchange —
+    this repo's own size gates in spirit): for the events ⋈ events
+    self-join on user_id, the 256-bucket hash-histogram estimate
+    Σ_b (Σ_{u∈b} n_u)² versus the EXACT Σ_u n_u² — both integers, the
+    estimate provably ≥ exact (collision inflation, the known bias).
+    One per-key count exchange feeds both; the histogram is the
+    mergeable 256-row combiner a planner would persist as table
+    stats. Output: exact, est, and the inflation in per-mille."""
+    from feast_ray.functions.neardup import _splitmix64
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    per = grouped_agg(ev, ["user_id"],
+                      [AggSpec(None, "count", "n")]).to_pandas()
+    n = per["n"].to_numpy(np.int64)
+    uid = per["user_id"].to_numpy(np.int64)
+    exact = int((n * n).sum())
+    b = (_splitmix64(uid.view(np.uint64).copy())
+         % np.uint64(256)).astype(np.int64)
+    bs = np.bincount(b, weights=n, minlength=256).astype(np.int64)
+    est = int((bs * bs).sum())
+    return pa.table({
+        "exact_pairs": pa.array([exact], pa.int64()),
+        "est_pairs": pa.array([est], pa.int64()),
+        "inflation_pm": pa.array([est * 1000 // exact], pa.int64()),
+    })
+
+
+def _q190_sql() -> str:
+    two64 = 1 << 64
+    h0 = f"((cast(user_id as HUGEINT) + {two64}::HUGEINT) % {two64}::HUGEINT)"
+    sm = _splitmix64_sql(h0)
+    return f"""
+with per as (
+  select user_id, cast(count(*) as bigint) as n
+  from events group by user_id),
+ex as (select sum(n * n) as exact_pairs from per),
+hb as (
+  select cast({sm} % 256::HUGEINT as bigint) as b, sum(n) as bn
+  from per group by 1),
+es as (select sum(bn * bn) as est_pairs from hb)
+select cast(ex.exact_pairs as bigint) as exact_pairs,
+       cast(es.est_pairs as bigint) as est_pairs,
+       cast(es.est_pairs * 1000 // ex.exact_pairs as bigint)
+         as inflation_pm
+from ex cross join es
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12348,6 +12400,7 @@ QUERIES = {
     "q187_resample_lerp": q187_resample_lerp,
     "q188_spatial_join": q188_spatial_join,
     "q189_corpus_digest": q189_corpus_digest,
+    "q190_join_cardinality": q190_join_cardinality,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12527,6 +12580,7 @@ def oracle_sql() -> dict[str, str]:
         "q187_resample_lerp": _Q187_SQL,
         "q188_spatial_join": _Q188_SQL,
         "q189_corpus_digest": _q189_sql(),
+        "q190_join_cardinality": _q190_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
