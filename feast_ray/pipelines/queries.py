@@ -12210,6 +12210,129 @@ from ex cross join es
 """
 
 
+# --------------------------------------------------------------------- q191
+
+def q191_welch_ttest(sf_dir: str):
+    """Per-event-type Welch two-sample t-test between the early and
+    late halves of the stream (the parametric sibling of q156's KS
+    and q131's PSI drift audits; reference precedent: the validation
+    profilers in sdk/python/feast/dqm): the halves split at the
+    integer epoch-µs midpoint of the global [min ts, max ts] range,
+    the moment core (n, Σcents, Σcents²) is exact int64 under any
+    partitioning, and the consumer-facing floats (Welch t,
+    Satterthwaite dof) are one closed-form chain over those ints
+    restated verbatim in SQL. Two passes: a keyless min/max aggregate
+    (report-sized) then one grouped-moments exchange. cents ≤ 56021 so
+    Σcents² stays < 2⁵³ at sf0.1 — exact in int64 AND in the double
+    the chain converts it to."""
+    import math
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64())})
+
+    rng = grouped_agg(
+        ev.map_batches(_us, batch_format="pyarrow"), [],
+        [AggSpec("us", "min", "lo"), AggSpec("us", "max", "hi")],
+    ).to_pandas()
+    cut = (int(rng["lo"].iloc[0]) + int(rng["hi"].iloc[0])) // 2
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "late": pa.array((us > cut).astype(np.int64)),
+            "cents": pa.array(cents),
+            "sq": pa.array(cents * cents),
+        })
+
+    g = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type", "late"],
+        [AggSpec(None, "count", "n"), AggSpec("cents", "sum", "s"),
+         AggSpec("sq", "sum", "ss")],
+    ).to_pandas()
+    early = g[g["late"] == 0].set_index("event_type")
+    late = g[g["late"] == 1].set_index("event_type")
+    rows = []
+    for et in sorted(set(early.index) & set(late.index)):
+        n1, s1, ss1 = (int(early.loc[et, c]) for c in ("n", "s", "ss"))
+        n2, s2, ss2 = (int(late.loc[et, c]) for c in ("n", "s", "ss"))
+        if n1 < 2 or n2 < 2:
+            continue
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (ss1 - s1 / n1 * s1) / (n1 - 1)
+        v2 = (ss2 - s2 / n2 * s2) / (n2 - 1)
+        se1, se2 = v1 / n1, v2 / n2
+        se = se1 + se2
+        t_stat = (m1 - m2) / math.sqrt(se)
+        dof = se * se / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+        rows.append({"event_type": et, "n1": n1, "s1": s1, "ss1": ss1,
+                     "n2": n2, "s2": s2, "ss2": ss2,
+                     "t_stat": t_stat, "dof": dof})
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        **{c: pa.array([r[c] for r in rows], pa.int64())
+           for c in ("n1", "s1", "ss1", "n2", "s2", "ss2")},
+        "t_stat": pa.array([r["t_stat"] for r in rows], pa.float64()),
+        "dof": pa.array([r["dof"] for r in rows], pa.float64()),
+    })
+
+
+_Q191_SQL = """
+with r as (
+  select (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 as cut
+  from events),
+p as (
+  select event_type,
+         case when epoch_us(ts) > (select cut from r)
+              then 1 else 0 end as late,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+m as (
+  select event_type, late,
+         cast(count(*) as bigint) as n,
+         cast(sum(cents) as bigint) as s,
+         cast(sum(cents * cents) as bigint) as ss
+  from p group by event_type, late),
+j as (
+  select a.event_type,
+         a.n as n1, a.s as s1, a.ss as ss1,
+         b.n as n2, b.s as s2, b.ss as ss2
+  from m a join m b on a.event_type = b.event_type
+  where a.late = 0 and b.late = 1 and a.n > 1 and b.n > 1),
+f as (
+  select *,
+         cast(s1 as double) / cast(n1 as double) as m1,
+         cast(s2 as double) / cast(n2 as double) as m2,
+         (cast(ss1 as double)
+            - cast(s1 as double) / cast(n1 as double)
+              * cast(s1 as double)) / cast(n1 - 1 as double) as v1,
+         (cast(ss2 as double)
+            - cast(s2 as double) / cast(n2 as double)
+              * cast(s2 as double)) / cast(n2 - 1 as double) as v2
+  from j),
+s as (
+  select *,
+         v1 / cast(n1 as double) as se1,
+         v2 / cast(n2 as double) as se2
+  from f)
+select event_type, n1, s1, ss1, n2, s2, ss2,
+       (m1 - m2) / sqrt(se1 + se2) as t_stat,
+       (se1 + se2) * (se1 + se2)
+         / (se1 * se1 / cast(n1 - 1 as double)
+            + se2 * se2 / cast(n2 - 1 as double)) as dof
+from s
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12401,6 +12524,7 @@ QUERIES = {
     "q188_spatial_join": q188_spatial_join,
     "q189_corpus_digest": q189_corpus_digest,
     "q190_join_cardinality": q190_join_cardinality,
+    "q191_welch_ttest": q191_welch_ttest,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12581,6 +12705,7 @@ def oracle_sql() -> dict[str, str]:
         "q188_spatial_join": _Q188_SQL,
         "q189_corpus_digest": _q189_sql(),
         "q190_join_cardinality": _q190_sql(),
+        "q191_welch_ttest": _Q191_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
