@@ -12333,6 +12333,91 @@ from s
 """
 
 
+# --------------------------------------------------------------------- q192
+
+def q192_lexical_diversity(sf_dir: str):
+    """Per-source lexical-diversity audit (corpus-quality signal the
+    web-pipeline literature uses to catch template farms and
+    boilerplate-heavy hosts): type-token ratio, hapax-legomenon count
+    and the Simpson diversity index 1 − Σc²/N², over lowercased
+    whitespace tokens. All-integer core (token count, type count,
+    hapax count, Σc²) — order-independent under any partitioning —
+    with the two consumer floats restated verbatim in SQL. Shape: one
+    (source, term)-keyed count exchange (per-batch combiner inside
+    grouped_agg's partial phase), then a per-source reduce over the
+    type rows — term cardinality, not token cardinality, crosses the
+    second exchange."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        src = np.repeat(
+            t["source"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        return pa.table({"source": pa.array(src[keep]),
+                         "term": pa.array(flat[keep], pa.string())})
+
+    tc = grouped_agg(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["source", "term"], [AggSpec(None, "count", "c")])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "c": pa.array(c),
+            "hapax": pa.array((c == 1).astype(np.int64)),
+            "csq": pa.array(c * c),
+        })
+
+    a = grouped_agg(
+        tc.map_batches(_derive, batch_format="pyarrow"), ["source"],
+        [AggSpec("c", "sum", "n_tokens"), AggSpec(None, "count", "n_types"),
+         AggSpec("hapax", "sum", "n_hapax"), AggSpec("csq", "sum", "sumsq")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t["sumsq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ty = t["n_types"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t["source"],
+            "n_tokens": t["n_tokens"], "n_types": t["n_types"],
+            "n_hapax": t["n_hapax"], "sumsq": t["sumsq"],
+            "simpson": pa.array(1.0 - sq / (n * n)),
+            "ttr": pa.array(ty / n),
+        })
+
+    return a.map_batches(_final, batch_format="pyarrow")
+
+
+_Q192_SQL = r"""
+with tok as (
+  select source, unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tc as (
+  select source, term, cast(count(*) as bigint) as c
+  from tok group by source, term),
+a as (
+  select source,
+         cast(sum(c) as bigint) as n_tokens,
+         cast(count(*) as bigint) as n_types,
+         cast(sum(case when c = 1 then 1 else 0 end) as bigint)
+           as n_hapax,
+         cast(sum(c * c) as bigint) as sumsq
+  from tc group by source)
+select source, n_tokens, n_types, n_hapax, sumsq,
+       1.0 - cast(sumsq as double)
+               / (cast(n_tokens as double) * cast(n_tokens as double))
+         as simpson,
+       cast(n_types as double) / cast(n_tokens as double) as ttr
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12525,6 +12610,7 @@ QUERIES = {
     "q189_corpus_digest": q189_corpus_digest,
     "q190_join_cardinality": q190_join_cardinality,
     "q191_welch_ttest": q191_welch_ttest,
+    "q192_lexical_diversity": q192_lexical_diversity,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12706,6 +12792,7 @@ def oracle_sql() -> dict[str, str]:
         "q189_corpus_digest": _q189_sql(),
         "q190_join_cardinality": _q190_sql(),
         "q191_welch_ttest": _Q191_SQL,
+        "q192_lexical_diversity": _Q192_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
