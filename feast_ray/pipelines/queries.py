@@ -12418,6 +12418,113 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q193
+
+def q193_assoc_rules(sf_dir: str):
+    """Market-basket association rules (Agrawal et al. 1993's 2-item
+    core — the recommender counting pass): baskets are the DISTINCT
+    (customer, part) purchase pairs through orders ⋈ lineitem; the 100
+    most-bought parts (ties part asc) broadcast as the candidate set;
+    each customer's top-set parts fan out to p1<p2 pairs (|V|²-bounded
+    per basket, q172's shape) and one grouped count yields n_ij.
+    Support / confidence / lift are single float chains over the exact
+    integer counts (n_ij, n_i, n_j, N = basket count), restated
+    verbatim in SQL. Shuffles: join exchange, basket distinct, pair
+    count — the broadcast side is 100 rows."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+    from feast_ray.stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    j = hash_join(
+        li.map_batches(lambda t: t.rename_columns(["o_orderkey", "part"]),
+                       batch_format="pyarrow"),
+        orders, on="o_orderkey")
+    baskets = distinct(j, ["o_custkey", "part"]).materialize()
+
+    buyers = grouped_agg(baskets, ["part"],
+                         [AggSpec(None, "count", "n_buyers")]).to_pandas()
+    n_total = int(grouped_agg(
+        distinct(baskets, ["o_custkey"]), [],
+        [AggSpec(None, "count", "n")]).to_pandas()["n"].iloc[0])
+    top = buyers.sort_values(["n_buyers", "part"],
+                             ascending=[False, True],
+                             kind="stable").head(100)
+    top_ref = ray.put(dict(zip(top["part"], top["n_buyers"])))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = ray.get(top_ref)
+        d = df[df["part"].isin(cnt)]
+        if not len(d):
+            return pd.DataFrame({
+                "p1": pd.Series([], dtype="int64"),
+                "p2": pd.Series([], dtype="int64"),
+                "n_ij": pd.Series([], dtype="int64")})
+        m = d.merge(d, on="o_custkey")
+        m = m[m["part_x"] < m["part_y"]]
+        out = m.groupby(["part_x", "part_y"], as_index=False).size()
+        out.columns = ["p1", "p2", "n_ij"]
+        return out.astype({"p1": "int64", "p2": "int64", "n_ij": "int64"})
+
+    pairs = grouped_agg(
+        bucketed_group_reduce(baskets, ["o_custkey"], _pairs),
+        ["p1", "p2"], [AggSpec("n_ij", "sum", "n_ij")]).to_pandas()
+    pairs = pairs[pairs["n_ij"] >= 5]
+
+    cnt = dict(zip(top["part"].astype(int), top["n_buyers"].astype(int)))
+    n_i = pairs["p1"].map(cnt).to_numpy(np.float64)
+    n_j = pairs["p2"].map(cnt).to_numpy(np.float64)
+    nij = pairs["n_ij"].to_numpy(np.float64)
+    nn = float(n_total)
+    return pa.table({
+        "p1": pa.array(pairs["p1"].to_numpy(np.int64)),
+        "p2": pa.array(pairs["p2"].to_numpy(np.int64)),
+        "n_ij": pa.array(pairs["n_ij"].to_numpy(np.int64)),
+        "n_i": pa.array(n_i.astype(np.int64)),
+        "n_j": pa.array(n_j.astype(np.int64)),
+        "support": pa.array(nij / nn),
+        "conf_fwd": pa.array(nij / n_i),
+        "conf_rev": pa.array(nij / n_j),
+        "lift": pa.array(nn * nij / (n_i * n_j)),
+    })
+
+
+_Q193_SQL = """
+with baskets as (
+  select distinct o.o_custkey, l.l_partkey as part
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey),
+buyers as (
+  select part, cast(count(*) as bigint) as n_buyers
+  from baskets group by part),
+tot as (
+  select cast(count(distinct o_custkey) as bigint) as n from baskets),
+top as (
+  select part, n_buyers from buyers
+  order by n_buyers desc, part asc limit 100),
+ft as (
+  select b.o_custkey, b.part from baskets b join top using (part)),
+pc as (
+  select a.part as p1, b.part as p2, cast(count(*) as bigint) as n_ij
+  from ft a join ft b
+    on a.o_custkey = b.o_custkey and a.part < b.part
+  group by 1, 2
+  having count(*) >= 5)
+select pc.p1, pc.p2, pc.n_ij,
+       ti.n_buyers as n_i, tj.n_buyers as n_j,
+       cast(pc.n_ij as double) / cast(t.n as double) as support,
+       cast(pc.n_ij as double) / cast(ti.n_buyers as double) as conf_fwd,
+       cast(pc.n_ij as double) / cast(tj.n_buyers as double) as conf_rev,
+       cast(t.n as double) * cast(pc.n_ij as double)
+         / (cast(ti.n_buyers as double) * cast(tj.n_buyers as double))
+         as lift
+from pc
+join top ti on ti.part = pc.p1
+join top tj on tj.part = pc.p2
+cross join tot t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12611,6 +12718,7 @@ QUERIES = {
     "q190_join_cardinality": q190_join_cardinality,
     "q191_welch_ttest": q191_welch_ttest,
     "q192_lexical_diversity": q192_lexical_diversity,
+    "q193_assoc_rules": q193_assoc_rules,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12793,6 +12901,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_join_cardinality": _q190_sql(),
         "q191_welch_ttest": _Q191_SQL,
         "q192_lexical_diversity": _Q192_SQL,
+        "q193_assoc_rules": _Q193_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
