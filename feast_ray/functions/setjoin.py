@@ -150,3 +150,143 @@ def jaccard_self_join(
 
     return bucketed_group_reduce(cand, ["id1", "id2"], _verify,
                                  num_buckets=num_buckets)
+
+
+def containment_self_join(
+    ds: ray.data.Dataset,
+    tau100: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    num_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Directed token-set CONTAINMENT join: Dataset(probe_id, host_id,
+    inter, sz) for ordered pairs probe ≠ host with
+    ``100·|P∩H| ≥ tau100·|P|`` and ``|P| ≥ min_tokens`` — the
+    quote/subset detector Jaccard misses (a paragraph embedded in a
+    10× larger page scores near-zero Jaccard but 100% containment).
+
+    Asymmetric prefix filter (the containment variant of the All-Pairs
+    bound): a probe set of size s can miss at most ``s − ⌈τ·s⌉``
+    tokens, so its rarest-first prefix of ``s − ⌈τ·s⌉ + 1`` tokens
+    must hit the host — the HOST side indexes ALL its tokens, the
+    probe side only its prefix. Rarest-first ordering keeps the
+    candidate buckets small exactly where host postings are long: a
+    stop-word's posting list is huge but almost no probe PREFIX
+    contains it. Verify recomputes |P∩H| exactly in integers."""
+    if not (0 < tau100 <= 100):
+        raise ValueError("tau100 in (0, 100]")
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    def _pairs_tbl(tbl: pa.Table) -> pa.Table:
+        d = _doc_terms(tbl, id_col, text_col)
+        return pa.table({
+            "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
+            "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+        })
+
+    pairs = ds.map_batches(_pairs_tbl, batch_format="pyarrow").materialize()
+    dfs = grouped_agg(pairs, ["term"],
+                      [AggSpec(None, "count", "df")]).to_pandas()
+    dfs = dfs.sort_values(["df", "term"], kind="stable").reset_index(drop=True)
+    order_ref = ray.put(dict(zip(dfs["term"], np.arange(len(dfs),
+                                                        dtype=np.int64))))
+
+    def _emit(side: str):
+        probe = side == "probe"
+
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "ptok": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "toks": pd.Series([], dtype=object)})
+            lut = ray.get(order_ref)
+            df = df.assign(rank=df["term"].map(lut).astype("int64"))
+            df = df.sort_values(["doc_id", "rank"], kind="stable")
+            ranks = df["rank"].to_numpy()
+            docs = df["doc_id"].to_numpy()
+            sizes = df.groupby("doc_id", sort=False).size().to_numpy()
+            arrs = np.empty(len(sizes), dtype=object)
+            for k, a in enumerate(np.split(ranks, np.cumsum(sizes)[:-1])):
+                arrs[k] = a.tolist()
+            grp = np.repeat(np.arange(len(sizes)), sizes)
+            if probe:
+                plens = sizes - (-(-tau100 * sizes // 100)) + 1
+                within = np.arange(len(ranks)) - np.repeat(
+                    np.cumsum(sizes) - sizes, sizes)
+                keep = (within < np.repeat(plens, sizes)) & (
+                    np.repeat(sizes, sizes) >= min_tokens)
+            else:
+                keep = np.ones(len(ranks), dtype=bool)
+            return pd.DataFrame({
+                "ptok": ranks[keep],
+                "doc_id": docs[keep],
+                "toks": arrs[grp[keep]],
+            })
+
+        return _fn
+
+    pref = pairs.map_batches(_emit("probe"), batch_format="pandas")
+    host = pairs.map_batches(_emit("host"), batch_format="pandas")
+
+    def _tag(side: int):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, dtype=np.int8)))
+        return _fn
+
+    both = pref.map_batches(_tag(0), batch_format="pyarrow").union(
+        host.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _cands(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("ptok", sort=False):
+            p = g[g["side"] == 0].drop_duplicates("doc_id")
+            h = g[g["side"] == 1].drop_duplicates("doc_id")
+            if not len(p) or not len(h):
+                continue
+            m = p.merge(h, how="cross", suffixes=("_p", "_h"))
+            m = m[m["doc_id_p"] != m["doc_id_h"]]
+            if len(m):
+                outs.append(pd.DataFrame({
+                    "probe_id": m["doc_id_p"].to_numpy(),
+                    "host_id": m["doc_id_h"].to_numpy(),
+                    "tp": m["toks_p"].to_numpy(dtype=object),
+                    "th": m["toks_h"].to_numpy(dtype=object)}))
+        if not outs:
+            return pd.DataFrame({
+                "probe_id": pd.Series([], dtype="int64"),
+                "host_id": pd.Series([], dtype="int64"),
+                "tp": pd.Series([], dtype=object),
+                "th": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucketed_group_reduce(both, ["ptok"], _cands,
+                                 num_buckets=num_buckets)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["probe_id", "host_id"])
+        if not len(df):
+            return pd.DataFrame({
+                "probe_id": pd.Series([], dtype="int64"),
+                "host_id": pd.Series([], dtype="int64"),
+                "inter": pd.Series([], dtype="int64"),
+                "sz": pd.Series([], dtype="int64")})
+        inter = np.fromiter(
+            (len(np.intersect1d(a, b, assume_unique=True))
+             for a, b in zip(df["tp"], df["th"])),
+            np.int64, len(df))
+        sz = np.fromiter((len(a) for a in df["tp"]), np.int64, len(df))
+        keep = 100 * inter >= tau100 * sz
+        return pd.DataFrame({
+            "probe_id": df["probe_id"].to_numpy()[keep],
+            "host_id": df["host_id"].to_numpy()[keep],
+            "inter": inter[keep],
+            "sz": sz[keep],
+        }).astype("int64")
+
+    return bucketed_group_reduce(cand, ["probe_id", "host_id"], _verify,
+                                 num_buckets=num_buckets)

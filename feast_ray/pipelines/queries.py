@@ -12525,6 +12525,39 @@ cross join tot t
 """
 
 
+# --------------------------------------------------------------------- q194
+
+def q194_containment_join(sf_dir: str):
+    """Directed token-set containment ≥ 0.9 self-join (the
+    quote/subset detector — a paragraph embedded in a 10× larger page
+    scores near-zero Jaccard but full containment; the asymmetric
+    sibling of q127): asymmetric prefix filter, probe prefixes vs
+    full host postings under one rarest-first order, exact integer
+    verify 100·|P∩H| ≥ 90·|P| with |P| ≥ 10
+    (``functions/setjoin.py containment_self_join``). The oracle is
+    the directed n² cross product the filter avoids."""
+    from feast_ray.functions.setjoin import containment_self_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_self_join(docs, 90, min_tokens=10)
+
+
+_Q194_SQL = r"""
+with s as (
+  select doc_id,
+         list_sort(list_distinct(regexp_extract_all(lower(text), '\S+')))
+           as toks
+  from documents)
+select a.doc_id as probe_id, b.doc_id as host_id,
+       cast(len(list_intersect(a.toks, b.toks)) as bigint) as inter,
+       cast(len(a.toks) as bigint) as sz
+from s a, s b
+where a.doc_id != b.doc_id
+  and len(a.toks) >= 10
+  and 100 * len(list_intersect(a.toks, b.toks)) >= 90 * len(a.toks)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12719,6 +12752,7 @@ QUERIES = {
     "q191_welch_ttest": q191_welch_ttest,
     "q192_lexical_diversity": q192_lexical_diversity,
     "q193_assoc_rules": q193_assoc_rules,
+    "q194_containment_join": q194_containment_join,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12902,6 +12936,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_welch_ttest": _Q191_SQL,
         "q192_lexical_diversity": _Q192_SQL,
         "q193_assoc_rules": _Q193_SQL,
+        "q194_containment_join": _Q194_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

@@ -372,3 +372,34 @@ def test_ipc_round_trip_and_batch_parallelism(tmp_path):
     assert full.equals(t.slice(0, 100).to_pandas())
     with pytest.raises(FileNotFoundError):
         read_ipc(str(tmp_path / "missing.arrow"))
+
+
+def test_containment_join_matches_brute_force():
+    from feast_ray.functions.setjoin import containment_self_join
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(24)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, int(rng.integers(3, 20))))
+                 for _ in range(100)],
+    })
+    sets = [set(t.lower().split()) for t in docs["text"]]
+    for tau, mn in ((60, 1), (80, 5), (100, 3)):
+        ref = pd.DataFrame(
+            [(i, j, len(sets[i] & sets[j]), len(sets[i]))
+             for i in range(100) for j in range(100)
+             if i != j and len(sets[i]) >= mn
+             and 100 * len(sets[i] & sets[j]) >= tau * len(sets[i])],
+            columns=["probe_id", "host_id", "inter", "sz"]).astype("int64")
+        ref = ref.sort_values(["probe_id", "host_id"]).reset_index(drop=True)
+        out = containment_self_join(
+            rd.from_pandas(docs).repartition(5), tau,
+            min_tokens=mn, num_buckets=4).to_pandas()
+        if not len(ref):
+            assert len(out) == 0, f"tau={tau}"
+            continue
+        out = out.sort_values(["probe_id", "host_id"]).reset_index(drop=True)
+        assert out.equals(ref), f"tau={tau} mn={mn}"
+    with pytest.raises(ValueError):
+        containment_self_join(rd.from_pandas(docs), 101)
