@@ -12558,6 +12558,115 @@ where a.doc_id != b.doc_id
 """
 
 
+# --------------------------------------------------------------------- q195
+
+def q195_incremental_view(sf_dir: str):
+    """Incremental materialized-view maintenance (the ΔV doctrine of
+    incremental view maintenance literature — apply signed deltas to
+    a materialized aggregate, never re-aggregate the base): the
+    maintained view is per-user (count, Σcents) over the early half
+    of the stream (split at the q191 epoch-µs midpoint); the CDC tail
+    is the late half as +1 inserts PLUS −1 retractions for rows with
+    event_id % 5 == 0 (an insert-then-delete pair, net zero). The
+    engine merges ONE signed-delta partial aggregate into the view
+    through a full-outer co-partitioned join, coalesces, and drops
+    keys whose maintained count reaches zero — O(|Δ| + |V|) work,
+    independent of the base size. The oracle recomputes the final
+    state from the full definition, which is exactly what maintenance
+    must agree with. Integer core throughout (the q73 dtype lesson:
+    counts re-cast to int64 after the outer join's null fill)."""
+    from feast_ray.stages.join import hash_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_id", "value"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64())})
+
+    rng = grouped_agg(
+        ev.map_batches(_us, batch_format="pyarrow"), [],
+        [AggSpec("us", "min", "lo"), AggSpec("us", "max", "hi")],
+    ).to_pandas()
+    cut = (int(rng["lo"].iloc[0]) + int(rng["hi"].iloc[0])) // 2
+
+    def _split(late: bool):
+        def _fn(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            cents = np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            keep = us > cut if late else us <= cut
+            return pa.table({
+                "user_id": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False)[keep]),
+                "event_id": pa.array(
+                    t["event_id"].to_numpy(zero_copy_only=False)[keep]),
+                "cents": pa.array(cents[keep]),
+            })
+        return _fn
+
+    view0 = grouped_agg(
+        ev.map_batches(_split(False), batch_format="pyarrow"),
+        ["user_id"],
+        [AggSpec(None, "count", "n0"), AggSpec("cents", "sum", "s0")])
+
+    def _signed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        retract = eid % 5 == 0
+        sign = np.concatenate([np.ones(len(eid), dtype=np.int64),
+                               -np.ones(int(retract.sum()), dtype=np.int64)])
+        return pa.table({
+            "user_id": pa.array(np.concatenate([uid, uid[retract]])),
+            "dn": pa.array(sign),
+            "dc": pa.array(np.concatenate([cents, cents[retract]]) * sign),
+        })
+
+    dagg = grouped_agg(
+        ev.map_batches(_split(True), batch_format="pyarrow")
+          .map_batches(_signed, batch_format="pyarrow"),
+        ["user_id"],
+        [AggSpec("dn", "sum", "dn"), AggSpec("dc", "sum", "dc")])
+
+    merged = hash_join(view0, dagg, on="user_id", how="full")
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n0", "s0", "dn", "dc"):
+            if c not in df.columns:
+                df[c] = 0
+            df[c] = df[c].fillna(0).astype("int64")
+        n = df["n0"] + df["dn"]
+        s = df["s0"] + df["dc"]
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "n_events": n.astype("int64"),
+            "sum_cents": s.astype("int64")})
+        return out[out["n_events"] > 0]
+
+    return merged.map_batches(_apply, batch_format="pandas")
+
+
+_Q195_SQL = """
+with r as (
+  select (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 as cut
+  from events),
+base as (
+  select user_id, event_id, epoch_us(ts) as us,
+         cast(round(value * 100) as bigint) as cents
+  from events)
+select user_id,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cents) as bigint) as sum_cents
+from base
+where us <= (select cut from r) or event_id % 5 != 0
+group by user_id
+having count(*) > 0
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12753,6 +12862,7 @@ QUERIES = {
     "q192_lexical_diversity": q192_lexical_diversity,
     "q193_assoc_rules": q193_assoc_rules,
     "q194_containment_join": q194_containment_join,
+    "q195_incremental_view": q195_incremental_view,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -12937,6 +13047,7 @@ def oracle_sql() -> dict[str, str]:
         "q192_lexical_diversity": _Q192_SQL,
         "q193_assoc_rules": _Q193_SQL,
         "q194_containment_join": _Q194_SQL,
+        "q195_incremental_view": _Q195_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
