@@ -12667,6 +12667,81 @@ having count(*) > 0
 """
 
 
+# --------------------------------------------------------------------- q196
+
+def q196_benford(sf_dir: str):
+    """Benford first-significant-digit audit over order totals (the
+    forensic-accounting screen; Newcomb 1881 / Benford 1938): per
+    first digit 1–9 of o_totalprice cents, the observed count, the
+    observed per-mille share (exact integer division), and the
+    chi-square cell against the Benford expectation. The expectation
+    constants e_d = round(1e6·log10(1+1/d)) are a fixed integer table
+    (no runtime transcendental — the q137 libm lesson) and the float
+    cell (o − n·p_d)²/(n·p_d) with p_d = e_d/1e6 is restated verbatim
+    in SQL from the same integers. One grouped
+    count exchange; the digit extraction is a vectorized
+    string-length/power trick identical in both engines."""
+    ord_ = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _digit(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        ndig = np.char.str_len(cents.astype("U"))
+        first = cents // np.power(10, ndig - 1).astype(np.int64)
+        return pa.table({"digit": pa.array(first.astype(np.int64))})
+
+    g = grouped_agg(
+        ord_.map_batches(_digit, batch_format="pyarrow"),
+        ["digit"], [AggSpec(None, "count", "o")]).to_pandas()
+    g = g.sort_values("digit").reset_index(drop=True)
+    n = int(g["o"].sum())
+    # e_d = round(1e6*log10(1+1/d)) precomputed constants (no runtime log)
+    e = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+         6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    o = g["o"].to_numpy(np.int64)
+    d = g["digit"].to_numpy(np.int64)
+    ed = np.array([e[int(x)] for x in d], dtype=np.int64)
+    share_pm = o * 1000 // n
+    exp = float(n) * (ed.astype(np.float64) / 1e6)
+    chi = (o.astype(np.float64) - exp) * (o.astype(np.float64) - exp) / exp
+    return pa.table({
+        "digit": pa.array(d), "o": pa.array(o),
+        "share_pm": pa.array(share_pm.astype(np.int64)),
+        "e_ppm": pa.array(ed),
+        "chi_cell": pa.array(chi),
+    })
+
+
+_Q196_SQL = """
+with e(digit, e_ppm) as (values
+  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+c as (
+  select cast(round(o_totalprice * 100) as bigint) as cents
+  from orders where round(o_totalprice * 100) > 0),
+d as (
+  select cents // cast(power(10, length(cast(cents as varchar)) - 1)
+                       as bigint) as digit
+  from c),
+g as (
+  select digit, cast(count(*) as bigint) as o
+  from d group by digit),
+n as (select cast(sum(o) as bigint) as n from g)
+select g.digit, g.o,
+       cast(g.o * 1000 // n.n as bigint) as share_pm,
+       cast(e.e_ppm as bigint) as e_ppm,
+       (cast(g.o as double)
+          - cast(n.n as double) * (cast(e.e_ppm as double) / 1000000.0))
+       * (cast(g.o as double)
+          - cast(n.n as double) * (cast(e.e_ppm as double) / 1000000.0))
+       / (cast(n.n as double) * (cast(e.e_ppm as double) / 1000000.0))
+         as chi_cell
+from g join e using (digit) cross join n
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12863,6 +12938,7 @@ QUERIES = {
     "q193_assoc_rules": q193_assoc_rules,
     "q194_containment_join": q194_containment_join,
     "q195_incremental_view": q195_incremental_view,
+    "q196_benford": q196_benford,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13048,6 +13124,7 @@ def oracle_sql() -> dict[str, str]:
         "q193_assoc_rules": _Q193_SQL,
         "q194_containment_join": _Q194_SQL,
         "q195_incremental_view": _Q195_SQL,
+        "q196_benford": _Q196_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
