@@ -12742,6 +12742,111 @@ from g join e using (digit) cross join n
 """
 
 
+# --------------------------------------------------------------------- q197
+
+def q197_ann_recall_eval(sf_dir: str):
+    """ANN quality-evaluation harness (the recall@k / MRR report every
+    vector-index deployment runs before trusting an approximate
+    index): the approximate arm is q29's cell-pruned IVF search (run
+    here, its ranked list dumped per the q29/q81 state doctrine), the
+    ground truth is the exact brute-force top-10, and the metrics are
+    per-query overlap (int), the approx rank of the TRUE nearest
+    neighbor (0 = missed), recall@10 and the reciprocal rank — the
+    floats single divisions over those ints. The oracle RECOMPUTES the
+    ground truth from raw cosines in SQL and re-derives every metric
+    against the dumped approximate list, so the eval operator (not
+    just the search) is value-checked."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.similarity import ann_topk_bruteforce
+
+    approx = q29_ann_ivf(sf_dir).to_pandas()
+    approx = approx.sort_values("query_id", kind="stable")
+    approx["arank"] = approx.groupby(
+        "query_id", sort=False).cumcount() + 1
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "query_id": pa.array(approx["query_id"].to_numpy(np.int64)),
+            "vec_id": pa.array(approx["vec_id"].to_numpy(np.int64)),
+            "arank": pa.array(approx["arank"].to_numpy(np.int64)),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "annrecall_approx.parquet"))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 5)),
+        batch_format="pyarrow")
+    ex = ann_topk_bruteforce(
+        corpus, queries, k=10,
+        query_ids=qdf["vec_id"].to_numpy(), round_to=None).to_pandas()
+    ex = ex.sort_values("query_id", kind="stable")
+    ex["erank"] = ex.groupby("query_id", sort=False).cumcount() + 1
+
+    ov = ex.merge(approx, on=["query_id", "vec_id"]).groupby(
+        "query_id").size().to_dict()
+    nn = ex[ex["erank"] == 1][["query_id", "vec_id"]]
+    nnr = nn.merge(approx, on=["query_id", "vec_id"], how="left")
+    nnr["arank"] = nnr["arank"].fillna(0).astype("int64")
+    qids = sorted(nnr["query_id"])
+    nn_rank = dict(zip(nnr["query_id"], nnr["arank"]))
+    rows = {
+        "query_id": [int(q) for q in qids],
+        "n_overlap": [int(ov.get(q, 0)) for q in qids],
+        "nn_rank": [int(nn_rank[q]) for q in qids],
+        "recall": [ov.get(q, 0) / 10.0 for q in qids],
+        "rr": [0.0 if nn_rank[q] == 0 else 1.0 / nn_rank[q]
+               for q in qids],
+    }
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "n_overlap": pa.array(rows["n_overlap"], pa.int64()),
+        "nn_rank": pa.array(rows["nn_rank"], pa.int64()),
+        "recall": pa.array(rows["recall"], pa.float64()),
+        "rr": pa.array(rows["rr"], pa.float64()),
+    })
+
+
+def _q197_sql() -> str:
+    return f"""
+with ap as (
+  select query_id, vec_id, arank
+  from read_parquet('{_PPL_ORACLE_DIR}/annrecall_approx.parquet')),
+q as (select vec_id as qid, cast(embedding as double[]) as qe
+      from embeddings where vec_id < 5),
+c as (select vec_id, cast(embedding as double[]) as e
+      from embeddings where vec_id >= 5),
+ex as (
+  select q.qid as query_id, c.vec_id,
+         row_number() over (partition by q.qid
+             order by list_cosine_similarity(c.e, q.qe) desc,
+                      c.vec_id asc) as erank
+  from q cross join c),
+ex10 as (select * from ex where erank <= 10),
+ov as (
+  select e.query_id, cast(count(*) as bigint) as n_overlap
+  from ex10 e join ap a using (query_id, vec_id)
+  group by e.query_id),
+nn as (select query_id, vec_id from ex where erank = 1),
+nr as (
+  select nn.query_id,
+         cast(coalesce(a.arank, 0) as bigint) as nn_rank
+  from nn left join ap a
+    on a.query_id = nn.query_id and a.vec_id = nn.vec_id)
+select nr.query_id,
+       cast(coalesce(ov.n_overlap, 0) as bigint) as n_overlap,
+       nr.nn_rank,
+       cast(coalesce(ov.n_overlap, 0) as double) / 10.0 as recall,
+       case when nr.nn_rank = 0 then 0.0
+            else 1.0 / cast(nr.nn_rank as double) end as rr
+from nr left join ov on ov.query_id = nr.query_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -12939,6 +13044,7 @@ QUERIES = {
     "q194_containment_join": q194_containment_join,
     "q195_incremental_view": q195_incremental_view,
     "q196_benford": q196_benford,
+    "q197_ann_recall_eval": q197_ann_recall_eval,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13125,6 +13231,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_containment_join": _Q194_SQL,
         "q195_incremental_view": _Q195_SQL,
         "q196_benford": _Q196_SQL,
+        "q197_ann_recall_eval": _q197_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
