@@ -34,6 +34,25 @@ import ray.data
 from feast_ray.functions.tfidf import _doc_terms
 
 
+def _doc_shingles(tbl: pa.Table, id_col: str, text_col: str,
+                  k: int) -> pd.DataFrame:
+    """(doc_id, term) rows of DISTINCT word k-shingles (raw
+    whitespace split, NOT lowercased — the MinHash feature space of
+    ``neardup._shingle_hashes``); a doc with < k words contributes its
+    whole text as its single shingle, mirroring the same fallback."""
+    ids = tbl[id_col].to_pylist()
+    texts = tbl[text_col].to_pylist()
+    out_ids: list = []
+    out_terms: list = []
+    for i, t in zip(ids, texts):
+        words = t.split()
+        sh = ({t} if len(words) < k else
+              {" ".join(words[j:j + k]) for j in range(len(words) - k + 1)})
+        out_ids.extend([i] * len(sh))
+        out_terms.extend(sh)
+    return pd.DataFrame({"doc_id": out_ids, "term": out_terms})
+
+
 def jaccard_self_join(
     ds: ray.data.Dataset,
     tau100: int,
@@ -41,18 +60,23 @@ def jaccard_self_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: "int | None" = None,
+    shingle_k: "int | None" = None,
 ) -> ray.data.Dataset:
     """Dataset(id1, id2, inter, uni) for pairs id1 < id2 with
     100·inter ≥ tau100·uni over distinct lowercase whitespace tokens
     (the q59 tokenization doctrine). ``tau100`` is the threshold in
-    integer percent (85 = 0.85)."""
+    integer percent (85 = 0.85). ``shingle_k`` switches the feature
+    space to raw word k-shingles (``_doc_shingles``) — the exact
+    companion of the MinHash signature space, used by the q198
+    detector-evaluation harness."""
     if not (0 < tau100 <= 100):
         raise ValueError("tau100 in (0, 100]")
     from feast_ray.stages.aggregate import AggSpec, grouped_agg
     from feast_ray.stages.dedup import bucketed_group_reduce
 
     def _pairs_tbl(tbl: pa.Table) -> pa.Table:
-        d = _doc_terms(tbl, id_col, text_col)
+        d = (_doc_terms(tbl, id_col, text_col) if shingle_k is None
+             else _doc_shingles(tbl, id_col, text_col, shingle_k))
         return pa.table({
             "term": pa.array(d["term"].to_numpy(dtype=object), pa.string()),
             "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),

@@ -12847,6 +12847,90 @@ from nr left join ov on ov.query_id = nr.query_id
 """
 
 
+# --------------------------------------------------------------------- q198
+
+def q198_neardup_eval(sf_dir: str):
+    """Near-dup detector evaluation harness (the q197 doctrine turned
+    on the dedup family): MinHash+LSH verified pairs at est-Jaccard
+    ≥ 0.8 (q25's operator — its pair list dumped as oracle state) are
+    scored against the EXACT Jaccard ≥ 0.8 pair set over the SAME
+    feature space the signatures approximate — distinct word
+    3-shingles — computed by q127's prefix-filter join in shingle
+    mode and re-derived by the oracle from the n² cross product.
+    Output: one row of exact integer tp/fp/fn plus precision/recall
+    as single divisions. At corpus scale the set intersection is a
+    pair-keyed hash join; at gate scale the lists are report-sized."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.neardup import minhash_candidate_pairs
+    from feast_ray.functions.setjoin import jaccard_self_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ap = minhash_candidate_pairs(
+        docs, "doc_id", threshold=0.8).to_pandas()
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "id_a": pa.array(ap["id_a"].to_numpy(np.int64)),
+            "id_b": pa.array(ap["id_b"].to_numpy(np.int64)),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "neardupeval_approx.parquet"))
+
+    ex = jaccard_self_join(docs, 80, shingle_k=3).to_pandas()
+    a_pairs = set(zip(ap["id_a"], ap["id_b"]))
+    e_pairs = set(zip(ex["id1"], ex["id2"])) if len(ex) else set()
+    tp = len(a_pairs & e_pairs)
+    na, ne = len(a_pairs), len(e_pairs)
+    return pa.table({
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([na - tp], pa.int64()),
+        "fn": pa.array([ne - tp], pa.int64()),
+        "prec": pa.array(
+            [0.0 if na == 0 else tp / na], pa.float64()),
+        "rec": pa.array(
+            [0.0 if ne == 0 else tp / ne], pa.float64()),
+    })
+
+
+def _q198_sql() -> str:
+    return rf"""
+with ap as (
+  select id_a, id_b
+  from read_parquet('{_PPL_ORACLE_DIR}/neardupeval_approx.parquet')),
+w as (
+  select doc_id, text, regexp_extract_all(text, '\S+') as w
+  from documents),
+s as (
+  select doc_id,
+         list_sort(list_distinct(
+           case when len(w) < 3 then [text]
+                else list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+           end)) as toks
+  from w),
+ex as (
+  select a.doc_id as id1, b.doc_id as id2
+  from s a, s b
+  where a.doc_id < b.doc_id
+    and 100 * len(list_intersect(a.toks, b.toks))
+        >= 80 * (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)))),
+tp as (select count(*) as c from ap
+       join ex on ap.id_a = ex.id1 and ap.id_b = ex.id2),
+na as (select count(*) as c from ap),
+ne as (select count(*) as c from ex)
+select cast(tp.c as bigint) as tp,
+       cast(na.c - tp.c as bigint) as fp,
+       cast(ne.c - tp.c as bigint) as fn,
+       case when na.c = 0 then 0.0
+            else cast(tp.c as double) / cast(na.c as double) end as prec,
+       case when ne.c = 0 then 0.0
+            else cast(tp.c as double) / cast(ne.c as double) end as rec
+from tp, na, ne
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13045,6 +13129,7 @@ QUERIES = {
     "q195_incremental_view": q195_incremental_view,
     "q196_benford": q196_benford,
     "q197_ann_recall_eval": q197_ann_recall_eval,
+    "q198_neardup_eval": q198_neardup_eval,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13232,6 +13317,7 @@ def oracle_sql() -> dict[str, str]:
         "q195_incremental_view": _Q195_SQL,
         "q196_benford": _Q196_SQL,
         "q197_ann_recall_eval": _q197_sql(),
+        "q198_neardup_eval": _q198_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
