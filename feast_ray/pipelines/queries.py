@@ -12931,6 +12931,94 @@ from tp, na, ne
 """
 
 
+# --------------------------------------------------------------------- q199
+
+def q199_cusum_changepoint(sf_dir: str):
+    """CUSUM mean-shift changepoint detection per event_type (Page
+    1954 — the monitoring sibling of q156's KS and q191's t-test,
+    localizing WHERE the distribution moved): daily value-cents
+    totals x_d, the centered cumulative sum scaled to stay integral
+    S_t = Σ_{d≤t} (x_d·D − T) with D = day count and T = Σx_d (no
+    rational mean ever materializes), changepoint = earliest day
+    maximizing |S_t|. All-int64 under any partitioning; one grouped
+    (event_type, day) exchange then a per-key sweep over ~30 rows.
+    The oracle restates the sweep as a window cumsum + rank."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(us // 86_400_000_000),
+            "cents": pa.array(cents),
+        })
+
+    g = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type", "day"], [AggSpec("cents", "sum", "x")])
+
+    def _sweep(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "cp_day", "s_max_abs", "n_days"]
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            grp = grp.sort_values("day")
+            x = grp["x"].to_numpy(np.int64)
+            day = grp["day"].to_numpy(np.int64)
+            nd, tot = np.int64(len(x)), x.sum()
+            s = np.cumsum(x * nd - tot)
+            a = np.abs(s)
+            i = int(np.argmax(a))
+            rows.append({"event_type": et, "cp_day": int(day[i]),
+                         "s_max_abs": int(a[i]), "n_days": int(nd)})
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype="int64")
+                   for c in cols[1:]}})[cols]
+        return pd.DataFrame(rows)[cols]
+
+    return bucketed_group_reduce(g, ["event_type"], _sweep)
+
+
+_Q199_SQL = """
+with d as (
+  select event_type,
+         epoch_us(ts) // 86400000000 as day,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+g as (
+  select event_type, day, cast(sum(cents) as bigint) as x
+  from d group by event_type, day),
+t as (
+  select event_type, cast(sum(x) as bigint) as tot,
+         cast(count(*) as bigint) as nd
+  from g group by event_type),
+c as (
+  select g.event_type, g.day,
+         sum(g.x * t.nd - t.tot)
+           over (partition by g.event_type order by g.day) as s
+  from g join t using (event_type)),
+m as (
+  select event_type, day, abs(s) as a,
+         row_number() over (partition by event_type
+                            order by abs(s) desc, day asc) as rn
+  from c)
+select m.event_type,
+       cast(m.day as bigint) as cp_day,
+       cast(m.a as bigint) as s_max_abs,
+       t.nd as n_days
+from m join t using (event_type)
+where m.rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13130,6 +13218,7 @@ QUERIES = {
     "q196_benford": q196_benford,
     "q197_ann_recall_eval": q197_ann_recall_eval,
     "q198_neardup_eval": q198_neardup_eval,
+    "q199_cusum_changepoint": q199_cusum_changepoint,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13318,6 +13407,7 @@ def oracle_sql() -> dict[str, str]:
         "q196_benford": _Q196_SQL,
         "q197_ann_recall_eval": _q197_sql(),
         "q198_neardup_eval": _q198_sql(),
+        "q199_cusum_changepoint": _Q199_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
