@@ -13019,6 +13019,100 @@ where m.rn = 1
 """
 
 
+# --------------------------------------------------------------------- q200
+
+def q200_curation_funnel(sf_dir: str):
+    """Per-source corpus-curation funnel report (the composition
+    capstone: the numbers a data-curation run publishes — how much
+    survived each gate): pages in → kept by the q16 heuristic quality
+    rules → unique after exact dedup (min-doc_id per text, q19's
+    rule, applied WITHIN the kept set) → final token budget. Three
+    small per-source aggregates off one shared scored stream; the
+    funnel merge is report-sized (≤ #sources rows). Every stage
+    reuses the already-oracled operator (textstats/quality rules,
+    exact_dedup, grouped counts) so the SQL is their composition."""
+    from feast_ray.functions.neardup import exact_dedup
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    st = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow")
+    st = st.map_batches(apply_quality_rules, batch_format="pyarrow")
+
+    def _kept(t: pa.Table) -> pa.Table:
+        return t.filter(t["keep"]).select(
+            ["doc_id", "source", "text", "n_words"])
+
+    kept = st.map_batches(_kept, batch_format="pyarrow").materialize()
+
+    a = grouped_agg(docs, ["source"],
+                    [AggSpec(None, "count", "n_pages")]).to_pandas()
+    b = grouped_agg(kept, ["source"],
+                    [AggSpec(None, "count", "n_kept")]).to_pandas()
+    ded = exact_dedup(kept, "text", "doc_id")
+    c = grouped_agg(
+        ded.map_batches(lambda t: t.select(["source", "n_words"]),
+                        batch_format="pyarrow"),
+        ["source"],
+        [AggSpec(None, "count", "n_unique"),
+         AggSpec("n_words", "sum", "n_tokens_final")]).to_pandas()
+
+    out = a.merge(b, on="source", how="left").merge(
+        c, on="source", how="left")
+    for col in ("n_pages", "n_kept", "n_unique", "n_tokens_final"):
+        out[col] = out[col].fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out[["source", "n_pages", "n_kept", "n_unique",
+             "n_tokens_final"]], preserve_index=False)
+
+
+_Q200_SQL = rf"""
+with s as (
+  select doc_id, source, text,
+    len(regexp_extract_all(text, '\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double)
+        as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}'))
+      as stop_count
+  from documents),
+kept as (
+  select doc_id, source, text, n_words from s
+  where (case
+    when n_words < {MIN_WORDS} then 'too_short'
+    when n_words > {MAX_WORDS} then 'too_long'
+    when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN}
+      then 'word_len'
+    when stop_count < {MIN_STOPWORDS} then 'no_stopwords'
+    when digit_frac > {MAX_DIGIT_FRAC} then 'too_many_digits'
+    when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
+  end) is null),
+ded as (
+  select source, n_words from (
+    select source, n_words,
+           row_number() over (partition by text order by doc_id) as rn
+    from kept) where rn = 1),
+a as (select source, cast(count(*) as bigint) as n_pages
+      from documents group by source),
+b as (select source, cast(count(*) as bigint) as n_kept
+      from kept group by source),
+c as (select source, cast(count(*) as bigint) as n_unique,
+             cast(sum(n_words) as bigint) as n_tokens_final
+      from ded group by source)
+select a.source, a.n_pages,
+       cast(coalesce(b.n_kept, 0) as bigint) as n_kept,
+       cast(coalesce(c.n_unique, 0) as bigint) as n_unique,
+       cast(coalesce(c.n_tokens_final, 0) as bigint) as n_tokens_final
+from a
+left join b using (source)
+left join c using (source)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13219,6 +13313,7 @@ QUERIES = {
     "q197_ann_recall_eval": q197_ann_recall_eval,
     "q198_neardup_eval": q198_neardup_eval,
     "q199_cusum_changepoint": q199_cusum_changepoint,
+    "q200_curation_funnel": q200_curation_funnel,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13408,6 +13503,7 @@ def oracle_sql() -> dict[str, str]:
         "q197_ann_recall_eval": _q197_sql(),
         "q198_neardup_eval": _q198_sql(),
         "q199_cusum_changepoint": _Q199_SQL,
+        "q200_curation_funnel": _Q200_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
