@@ -13113,6 +13113,119 @@ left join c using (source)
 """
 
 
+# --------------------------------------------------------------------- q201
+
+def q201_multi_ols(sf_dir: str):
+    """Grouped MULTIPLE linear regression (the 2-feature extension of
+    q153's trend slope — the normal-equations / Cramer solve every
+    feature-importance report runs): per l_returnflag, regress
+    extendedprice cents on (quantity units, discount per-mille). The
+    nine raw moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y)
+    are exact int64 under any partitioning; the centered S-terms and
+    the 2×2 Cramer solve run in double from those identical ints, the
+    chain restated verbatim in SQL (S-terms leave int64 range at
+    sf ≥ 0.1, so the n·Σ products are formed in double BY DESIGN —
+    both engines convert the same ints, hence bit-equal)."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_discount",
+                 "l_extendedprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        x1 = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        x2 = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        y = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "x1": pa.array(x1), "x2": pa.array(x2), "y": pa.array(y),
+            "x11": pa.array(x1 * x1), "x22": pa.array(x2 * x2),
+            "x12": pa.array(x1 * x2), "x1y": pa.array(x1 * y),
+            "x2y": pa.array(x2 * y),
+        })
+
+    g = grouped_agg(
+        li.map_batches(_prep, batch_format="pyarrow"), ["flag"],
+        [AggSpec(None, "count", "n"), AggSpec("x1", "sum", "s1"),
+         AggSpec("x2", "sum", "s2"), AggSpec("y", "sum", "sy"),
+         AggSpec("x11", "sum", "s11"), AggSpec("x22", "sum", "s22"),
+         AggSpec("x12", "sum", "s12"), AggSpec("x1y", "sum", "s1y"),
+         AggSpec("x2y", "sum", "s2y")]).to_pandas()
+
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = g["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = g["s2"].to_numpy(np.int64).astype(np.float64)
+    sy = g["sy"].to_numpy(np.int64).astype(np.float64)
+    c11 = n * g["s11"].to_numpy(np.int64).astype(np.float64) - s1 * s1
+    c22 = n * g["s22"].to_numpy(np.int64).astype(np.float64) - s2 * s2
+    c12 = n * g["s12"].to_numpy(np.int64).astype(np.float64) - s1 * s2
+    c1y = n * g["s1y"].to_numpy(np.int64).astype(np.float64) - s1 * sy
+    c2y = n * g["s2y"].to_numpy(np.int64).astype(np.float64) - s2 * sy
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    b0 = (sy - b1 * s1 - b2 * s2) / n
+    return pa.table({
+        "flag": g["flag"].to_numpy(dtype=object),
+        "n": pa.array(g["n"].to_numpy(np.int64)),
+        "s1y": pa.array(g["s1y"].to_numpy(np.int64)),
+        "s2y": pa.array(g["s2y"].to_numpy(np.int64)),
+        "b0": pa.array(b0, pa.float64()),
+        "b1": pa.array(b1, pa.float64()),
+        "b2": pa.array(b2, pa.float64()),
+    })
+
+
+_Q201_SQL = """
+with p as (
+  select l_returnflag as flag,
+         cast(round(l_quantity) as bigint) as x1,
+         cast(round(l_discount * 1000) as bigint) as x2,
+         cast(round(l_extendedprice * 100) as bigint) as y
+  from lineitem),
+m as (
+  select flag,
+         cast(count(*) as bigint) as n,
+         cast(sum(x1) as bigint) as s1,
+         cast(sum(x2) as bigint) as s2,
+         cast(sum(y) as bigint) as sy,
+         cast(sum(x1 * x1) as bigint) as s11,
+         cast(sum(x2 * x2) as bigint) as s22,
+         cast(sum(x1 * x2) as bigint) as s12,
+         cast(sum(x1 * y) as bigint) as s1y,
+         cast(sum(x2 * y) as bigint) as s2y
+  from p group by flag),
+c as (
+  select *,
+    cast(n as double) * cast(s11 as double)
+      - cast(s1 as double) * cast(s1 as double) as c11,
+    cast(n as double) * cast(s22 as double)
+      - cast(s2 as double) * cast(s2 as double) as c22,
+    cast(n as double) * cast(s12 as double)
+      - cast(s1 as double) * cast(s2 as double) as c12,
+    cast(n as double) * cast(s1y as double)
+      - cast(s1 as double) * cast(sy as double) as c1y,
+    cast(n as double) * cast(s2y as double)
+      - cast(s2 as double) * cast(sy as double) as c2y
+  from m),
+d as (select *, c11 * c22 - c12 * c12 as det from c),
+b as (
+  select *,
+    (c22 * c1y - c12 * c2y) / det as b1,
+    (c11 * c2y - c12 * c1y) / det as b2
+  from d)
+select flag, n, s1y, s2y,
+       (cast(sy as double) - b1 * cast(s1 as double)
+          - b2 * cast(s2 as double)) / cast(n as double) as b0,
+       b1, b2
+from b
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13314,6 +13427,7 @@ QUERIES = {
     "q198_neardup_eval": q198_neardup_eval,
     "q199_cusum_changepoint": q199_cusum_changepoint,
     "q200_curation_funnel": q200_curation_funnel,
+    "q201_multi_ols": q201_multi_ols,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13504,6 +13618,7 @@ def oracle_sql() -> dict[str, str]:
         "q198_neardup_eval": _q198_sql(),
         "q199_cusum_changepoint": _Q199_SQL,
         "q200_curation_funnel": _Q200_SQL,
+        "q201_multi_ols": _Q201_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
