@@ -13226,6 +13226,82 @@ from b
 """
 
 
+# --------------------------------------------------------------------- q202
+
+def q202_rows_frame_window(sf_dir: str):
+    """ROWS-frame moving aggregate (the ORDER BY … ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW form — the row-count sibling of the
+    time-based sliding windows in q13/q73/q85): per user over the
+    (ts, event_id) total order, the 4-row moving sum of value cents
+    and its average. One user-keyed exchange; inside each bucket the
+    frame is a vectorized prefix-sum difference per user (no per-row
+    loop, no row explosion). Sum exact int64; avg = sum/frame_n
+    restated verbatim."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "us": pa.array(us), "cents": pa.array(cents)})
+
+    W = 4  # current row + 3 preceding
+
+    def _frames(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "mv_sum", "mv_n", "mv_avg"]
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "mv_sum": pd.Series([], dtype="int64"),
+                "mv_n": pd.Series([], dtype="int64"),
+                "mv_avg": pd.Series([], dtype="float64")})[cols]
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        c = df["cents"].to_numpy(np.int64)
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        cs = np.concatenate([[0], np.cumsum(c)])
+        back = np.minimum(pos, W - 1)
+        idx = np.arange(len(c))
+        mv_sum = cs[idx + 1] - cs[idx - back]
+        mv_n = back + 1
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "mv_sum": mv_sum.astype(np.int64),
+            "mv_n": mv_n.astype(np.int64),
+            "mv_avg": mv_sum.astype(np.float64)
+                      / mv_n.astype(np.float64),
+        })[cols]
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _frames)
+
+
+_Q202_SQL = """
+with p as (
+  select user_id, event_id, ts,
+         cast(round(value * 100) as bigint) as cents
+  from events)
+select user_id, event_id,
+       cast(sum(cents) over w as bigint) as mv_sum,
+       cast(count(*) over w as bigint) as mv_n,
+       cast(sum(cents) over w as double)
+         / cast(count(*) over w as double) as mv_avg
+from p
+window w as (partition by user_id order by ts, event_id
+             rows between 3 preceding and current row)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13428,6 +13504,7 @@ QUERIES = {
     "q199_cusum_changepoint": q199_cusum_changepoint,
     "q200_curation_funnel": q200_curation_funnel,
     "q201_multi_ols": q201_multi_ols,
+    "q202_rows_frame_window": q202_rows_frame_window,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13619,6 +13696,7 @@ def oracle_sql() -> dict[str, str]:
         "q199_cusum_changepoint": _Q199_SQL,
         "q200_curation_funnel": _Q200_SQL,
         "q201_multi_ols": _Q201_SQL,
+        "q202_rows_frame_window": _Q202_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
