@@ -13302,6 +13302,104 @@ window w as (partition by user_id order by ts, event_id
 """
 
 
+# --------------------------------------------------------------------- q203
+
+def q203_range_frame_window(sf_dir: str):
+    """Time-based RANGE-frame moving aggregate (ORDER BY ts RANGE
+    BETWEEN '1 hour' PRECEDING AND CURRENT ROW — the value-based
+    sibling of q202's ROWS frame): per user, the sum/count/avg of
+    value cents over every event in the trailing hour INCLUDING
+    peers at the current timestamp (RANGE semantics — the frame ends
+    at the last peer, not the current row index).
+
+    One user-keyed exchange; inside each bucket the frame bounds are
+    two vectorized ``np.searchsorted`` calls over a composite
+    ``group*stride + rel_ts`` key (stride > max span + window keeps
+    every probe inside its own user's segment — the q85 composite-
+    bounds trick), and sums are prefix-sum differences. No per-row
+    loop, no row explosion; cost O(n log n) per bucket.
+
+    Reference parity: the reference expresses trailing-window
+    features as materialization-time aggregations over event rows
+    (feature_view TTL windows); this is the per-event continuous
+    form."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "us": pa.array(us), "cents": pa.array(cents)})
+
+    WIN_US = 3_600_000_000  # 1 hour, inclusive lower bound
+
+    def _frames(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "rg_sum", "rg_n", "rg_avg"]
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "rg_sum": pd.Series([], dtype="int64"),
+                "rg_n": pd.Series([], dtype="int64"),
+                "rg_avg": pd.Series([], dtype="float64")})[cols]
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        us = df["us"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        # per-user run starts (sorted by user) -> relative timestamps
+        new_run = np.empty(len(df), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid[1:] != uid[:-1]
+        grp = np.cumsum(new_run) - 1
+        base = us[new_run][grp]          # first ts of each user's run
+        rel = us - base
+        stride = int(rel.max()) + WIN_US + 2
+        if (int(grp.max()) + 1) * stride >= 2**62:
+            raise ValueError("composite key overflow: span too large")
+        comp = grp * stride + rel
+        left = np.searchsorted(comp, comp - WIN_US, side="left")
+        right = np.searchsorted(comp, comp, side="right")
+        cs = np.concatenate([[0], np.cumsum(c)])
+        rg_sum = cs[right] - cs[left]
+        rg_n = right - left
+        return pd.DataFrame({
+            "user_id": uid,
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "rg_sum": rg_sum.astype(np.int64),
+            "rg_n": rg_n.astype(np.int64),
+            "rg_avg": rg_sum.astype(np.float64)
+                      / rg_n.astype(np.float64),
+        })[cols]
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _frames)
+
+
+_Q203_SQL = """
+with p as (
+  select user_id, event_id, epoch_us(ts) as us,
+         cast(round(value * 100) as bigint) as cents
+  from events)
+select user_id, event_id,
+       cast(sum(cents) over w as bigint) as rg_sum,
+       cast(count(*) over w as bigint) as rg_n,
+       cast(sum(cents) over w as double)
+         / cast(count(*) over w as double) as rg_avg
+from p
+window w as (partition by user_id order by us
+             range between 3600000000 preceding and current row)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13505,6 +13603,7 @@ QUERIES = {
     "q200_curation_funnel": q200_curation_funnel,
     "q201_multi_ols": q201_multi_ols,
     "q202_rows_frame_window": q202_rows_frame_window,
+    "q203_range_frame_window": q203_range_frame_window,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13697,6 +13796,7 @@ def oracle_sql() -> dict[str, str]:
         "q200_curation_funnel": _Q200_SQL,
         "q201_multi_ols": _Q201_SQL,
         "q202_rows_frame_window": _Q202_SQL,
+        "q203_range_frame_window": _Q203_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
