@@ -13400,6 +13400,94 @@ window w as (partition by user_id order by us
 """
 
 
+# --------------------------------------------------------------------- q204
+
+def q204_value_window_funcs(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE window functions over the
+    full-partition frame (ROWS BETWEEN UNBOUNDED PRECEDING AND
+    UNBOUNDED FOLLOWING) — completing the window-function family
+    (q111 ROW_NUMBER/LAG/SUM, q118 LEAD/DENSE_RANK/NTILE, q144
+    PERCENT_RANK/CUME_DIST): per user over the (ts, event_id) total
+    order, each event row carries the user's first event_type, last
+    value cents, and 2nd event_id (−1 when the user has one event —
+    both sides coalesce, keeping the column int64-clean).
+
+    One user-keyed exchange; per bucket one stable sort, run-start /
+    run-end indices computed once and gather-broadcast to every row —
+    no per-group Python."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts",
+                             "event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "us": pa.array(us), "cents": pa.array(cents)})
+
+    def _vals(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "event_id", "first_et", "last_cents",
+                "second_event_id"]
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "first_et": pd.Series([], dtype=object),
+                "last_cents": pd.Series([], dtype="int64"),
+                "second_event_id": pd.Series([], dtype="int64")})[cols]
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        n = len(df)
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid[1:] != uid[:-1]
+        grp = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        has2 = ends > starts
+        second = np.where(
+            has2, eid[np.minimum(starts + 1, n - 1)], -1)
+        return pd.DataFrame({
+            "user_id": uid,
+            "event_id": eid,
+            "first_et": et[starts][grp],
+            "last_cents": cents[ends][grp],
+            "second_event_id": second[grp].astype(np.int64),
+        })[cols]
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _vals)
+
+
+_Q204_SQL = """
+with p as (
+  select user_id, event_id, ts, event_type,
+         cast(round(value * 100) as bigint) as cents
+  from events)
+select user_id, event_id,
+       first_value(event_type) over w as first_et,
+       cast(last_value(cents) over w as bigint) as last_cents,
+       cast(coalesce(nth_value(event_id, 2) over w, -1) as bigint)
+         as second_event_id
+from p
+window w as (partition by user_id order by ts, event_id
+             rows between unbounded preceding
+                      and unbounded following)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13604,6 +13692,7 @@ QUERIES = {
     "q201_multi_ols": q201_multi_ols,
     "q202_rows_frame_window": q202_rows_frame_window,
     "q203_range_frame_window": q203_range_frame_window,
+    "q204_value_window_funcs": q204_value_window_funcs,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13797,6 +13886,7 @@ def oracle_sql() -> dict[str, str]:
         "q201_multi_ols": _Q201_SQL,
         "q202_rows_frame_window": _Q202_SQL,
         "q203_range_frame_window": _Q203_SQL,
+        "q204_value_window_funcs": _Q204_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
