@@ -13488,6 +13488,98 @@ window w as (partition by user_id order by ts, event_id
 """
 
 
+# --------------------------------------------------------------------- q205
+
+def q205_anova_f(sf_dir: str):
+    """One-way ANOVA F-test across event_type groups on value cents
+    (the k-sample sibling of q191's two-sample Welch t): between- and
+    within-group sums of squares from ONE distributed pass of exact
+    int64 moments (n, Σc, Σc²) per group, then each group's SSB/SSW
+    term evaluates as a float chain the SQL restates verbatim and
+    quantizes to milli-units PER GROUP before the order-free integer
+    sum (the q155 per-cell doctrine — float addition order never
+    crosses engines). F = (SSB/(k−1)) / (SSW/(N−k)) from the identical
+    integer sums. Overflow headroom: cents ≤ ~5e4 so Σc² ≤ ~2.4e14 at
+    sf0.1 and each quantized term ≤ ~2.4e17 — inside int64 by 38×."""
+    from feast_ray.stages.aggregate import AggSpec, grouped_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(c), "c2": pa.array(c * c)})
+
+    m = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"],
+        [AggSpec(None, "count", "n"), AggSpec("c", "sum", "s"),
+         AggSpec("c2", "sum", "q")]).to_pandas()
+    n_g = m["n"].to_numpy(np.int64)
+    s_g = m["s"].to_numpy(np.int64)
+    q_g = m["q"].to_numpy(np.int64)
+    k = len(m)
+    nn = int(n_g.sum())
+    ss = int(s_g.sum())
+    grand = float(ss) / float(nn)
+    mean_g = s_g.astype(np.float64) / n_g.astype(np.float64)
+    d = mean_g - grand
+    ssb_cells = np.floor(
+        n_g.astype(np.float64) * d * d * 1e3 + 0.5).astype(np.int64)
+    ssw_cells = np.floor(
+        (q_g.astype(np.float64)
+         - s_g.astype(np.float64) * s_g.astype(np.float64)
+           / n_g.astype(np.float64)) * 1e3 + 0.5).astype(np.int64)
+    ssb_n = int(ssb_cells.sum())
+    ssw_n = int(ssw_cells.sum())
+    f = ((float(ssb_n) / 1e3 / float(k - 1))
+         / (float(ssw_n) / 1e3 / float(nn - k)))
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([nn], pa.int64()),
+        "ssb_n": pa.array([ssb_n], pa.int64()),
+        "ssw_n": pa.array([ssw_n], pa.int64()),
+        "f_stat": pa.array([f], pa.float64())})
+
+
+_Q205_SQL = """
+with p as (
+  select event_type, cast(round(value * 100) as bigint) as c
+  from events),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(c) as bigint) as s,
+         cast(sum(c * c) as bigint) as q
+  from p group by 1),
+g as (select cast(sum(n) as bigint) as nn,
+             cast(sum(s) as bigint) as ss,
+             cast(count(*) as bigint) as k
+      from m),
+cells as (
+  select
+    cast(floor(cast(m.n as double)
+      * (cast(m.s as double) / cast(m.n as double)
+         - cast(g.ss as double) / cast(g.nn as double))
+      * (cast(m.s as double) / cast(m.n as double)
+         - cast(g.ss as double) / cast(g.nn as double))
+      * 1e3 + 0.5) as bigint) as ssb_cell,
+    cast(floor((cast(m.q as double)
+      - cast(m.s as double) * cast(m.s as double)
+        / cast(m.n as double)) * 1e3 + 0.5) as bigint) as ssw_cell
+  from m, g),
+t as (select cast(sum(ssb_cell) as bigint) as ssb_n,
+             cast(sum(ssw_cell) as bigint) as ssw_n
+      from cells)
+select g.k, g.nn as n, t.ssb_n, t.ssw_n,
+       (cast(t.ssb_n as double) / 1e3 / cast(g.k - 1 as double))
+       / (cast(t.ssw_n as double) / 1e3 / cast(g.nn - g.k as double))
+         as f_stat
+from g, t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13693,6 +13785,7 @@ QUERIES = {
     "q202_rows_frame_window": q202_rows_frame_window,
     "q203_range_frame_window": q203_range_frame_window,
     "q204_value_window_funcs": q204_value_window_funcs,
+    "q205_anova_f": q205_anova_f,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13887,6 +13980,7 @@ def oracle_sql() -> dict[str, str]:
         "q202_rows_frame_window": _Q202_SQL,
         "q203_range_frame_window": _Q203_SQL,
         "q204_value_window_funcs": _Q204_SQL,
+        "q205_anova_f": _Q205_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
