@@ -13580,6 +13580,110 @@ from g, t
 """
 
 
+# --------------------------------------------------------------------- q206
+
+def q206_hellinger_sources(sf_dir: str):
+    """Per-source Hellinger affinity vs the corpus unigram
+    distribution (the domain-mix drift audit data-mixing recipes run
+    before reweighting — DoReMi/mT5-style): Bhattacharyya coefficient
+    BC_s = Σ_t sqrt(p_s(t)·p_corpus(t)) and H² = 1 − BC per source.
+    Terms absent from a source contribute exactly 0, so the sum runs
+    over the source's own (source, term) rows only.
+
+    No logs anywhere (the q137 libm lesson): sqrt / division /
+    multiplication are IEEE correctly-rounded, so each term is
+    bit-stable across engines; terms quantize to nano-units PER
+    (source, term) ROW before the order-free integer sum. Shape: one
+    (source, term) count exchange, one term-keyed global-count
+    exchange, one term-keyed hash join (term cardinality, not token
+    cardinality), one per-source reduce; per-source totals are
+    report-sized and broadcast."""
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        src = np.repeat(
+            t["source"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        return pa.table({"source": pa.array(src[keep]),
+                         "term": pa.array(flat[keep], pa.string())})
+
+    tc = grouped_agg(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["source", "term"], [AggSpec(None, "count", "c")])
+    gc = grouped_agg(tc, ["term"], [AggSpec("c", "sum", "gc")])
+    # per-source token totals: report-sized (one row per source)
+    totals = grouped_agg(
+        tc, ["source"], [AggSpec("c", "sum", "ns")]).to_pandas()
+    ns_map = dict(zip(totals["source"], totals["ns"].astype(np.int64)))
+    ng = int(totals["ns"].sum())
+
+    joined = hash_join(tc, gc, on="term")
+
+    def _cells(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "cell_n": pa.array([], pa.int64())})
+        src = t["source"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t["gc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns_full = pd.Series(src).map(
+            {s: float(v) for s, v in ns_map.items()}
+        ).to_numpy(np.float64)
+        term = np.sqrt((c / ns_full) * (g / float(ng)))
+        cell = np.floor(term * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "cell_n": pa.array(cell)})
+
+    bc = grouped_agg(
+        joined.map_batches(_cells, batch_format="pyarrow"),
+        ["source"],
+        [AggSpec("cell_n", "sum", "bc_n"),
+         AggSpec(None, "count", "n_terms")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        b = t["bc_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t["source"], "bc_n": t["bc_n"],
+            "n_terms": t["n_terms"],
+            "h2": pa.array(1.0 - b / 1e9)})
+
+    return bc.map_batches(_final, batch_format="pyarrow")
+
+
+_Q206_SQL = r"""
+with tok as (
+  select source, unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tc as (
+  select source, term, cast(count(*) as bigint) as c
+  from tok group by source, term),
+g as (select term, cast(sum(c) as bigint) as gc from tc group by term),
+s as (select source, cast(sum(c) as bigint) as ns from tc group by source),
+n as (select cast(sum(c) as bigint) as ng from tc),
+cells as (
+  select tc.source,
+         cast(floor(sqrt((cast(tc.c as double) / cast(s.ns as double))
+                         * (cast(g.gc as double) / cast(n.ng as double)))
+                    * 1e9 + 0.5) as bigint) as cell_n
+  from tc
+  join g using (term)
+  join s on tc.source = s.source
+  cross join n)
+select source, cast(sum(cell_n) as bigint) as bc_n,
+       cast(count(*) as bigint) as n_terms,
+       1.0 - cast(sum(cell_n) as double) / 1e9 as h2
+from cells group by source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13786,6 +13890,7 @@ QUERIES = {
     "q203_range_frame_window": q203_range_frame_window,
     "q204_value_window_funcs": q204_value_window_funcs,
     "q205_anova_f": q205_anova_f,
+    "q206_hellinger_sources": q206_hellinger_sources,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -13981,6 +14086,7 @@ def oracle_sql() -> dict[str, str]:
         "q203_range_frame_window": _Q203_SQL,
         "q204_value_window_funcs": _Q204_SQL,
         "q205_anova_f": _Q205_SQL,
+        "q206_hellinger_sources": _Q206_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
