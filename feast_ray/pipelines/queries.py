@@ -13684,6 +13684,97 @@ from cells group by source
 """
 
 
+# --------------------------------------------------------------------- q207
+
+def q207_wilson_keep_rate(sf_dir: str):
+    """Per-source quality keep-rate with a Wilson score 95% interval —
+    the uncertainty-aware version of the keep/drop report a curation
+    run publishes per domain (small sources get honest wide bands
+    instead of a bare ratio). Counts are ONE distributed exact pass
+    (q16's heuristic rules feeding a grouped (n, k)); the Wilson chain
+    (z = 1.96) uses only division / multiplication / sqrt — all IEEE
+    correctly-rounded, no libm transcendentals (the q137 doctrine) —
+    and is restated token-for-token in SQL, so the doubles are
+    bit-identical without quantization."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    st = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow")
+    st = st.map_batches(apply_quality_rules, batch_format="pyarrow")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "k": pc.cast(t["keep"], pa.int64())})
+
+    agg = grouped_agg(
+        st.map_batches(_flag, batch_format="pyarrow"),
+        ["source"],
+        [AggSpec(None, "count", "n_docs"), AggSpec("k", "sum", "n_keep")])
+
+    def _wilson(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["n_keep"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = k / n
+        zz = 1.96 * 1.96
+        denom = 1.0 + zz / n
+        center = (p + zz / (2.0 * n)) / denom
+        half = (1.96 * np.sqrt(p * (1.0 - p) / n
+                               + zz / (4.0 * n * n))) / denom
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"], "n_keep": t["n_keep"],
+            "keep_rate": pa.array(p),
+            "wilson_lo": pa.array(center - half),
+            "wilson_hi": pa.array(center + half)})
+
+    return agg.map_batches(_wilson, batch_format="pyarrow")
+
+
+_Q207_SQL = rf"""
+with s as (
+  select source,
+    len(regexp_extract_all(text, '\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+  from documents),
+f as (
+  select source,
+    case when (case
+      when n_words < {MIN_WORDS} then 'too_short'
+      when n_words > {MAX_WORDS} then 'too_long'
+      when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'word_len'
+      when stop_count < {MIN_STOPWORDS} then 'no_stopwords'
+      when digit_frac > {MAX_DIGIT_FRAC} then 'too_many_digits'
+      when symbol_frac > {MAX_SYMBOL_FRAC} then 'too_many_symbols'
+    end) is null then 1 else 0 end as k
+  from s),
+a as (
+  select source, cast(count(*) as bigint) as n_docs,
+         cast(sum(k) as bigint) as n_keep
+  from f group by source),
+w as (
+  select source, n_docs, n_keep,
+         cast(n_docs as double) as n, cast(n_keep as double) as kk
+  from a)
+select source, n_docs, n_keep,
+       kk / n as keep_rate,
+       ((kk / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+         - (1.96 * sqrt((kk / n) * (1.0 - (kk / n)) / n
+                        + (1.96 * 1.96) / (4.0 * n * n)))
+           / (1.0 + (1.96 * 1.96) / n) as wilson_lo,
+       ((kk / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+         + (1.96 * sqrt((kk / n) * (1.0 - (kk / n)) / n
+                        + (1.96 * 1.96) / (4.0 * n * n)))
+           / (1.0 + (1.96 * 1.96) / n) as wilson_hi
+from w
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13891,6 +13982,7 @@ QUERIES = {
     "q204_value_window_funcs": q204_value_window_funcs,
     "q205_anova_f": q205_anova_f,
     "q206_hellinger_sources": q206_hellinger_sources,
+    "q207_wilson_keep_rate": q207_wilson_keep_rate,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14087,6 +14179,7 @@ def oracle_sql() -> dict[str, str]:
         "q204_value_window_funcs": _Q204_SQL,
         "q205_anova_f": _Q205_SQL,
         "q206_hellinger_sources": _Q206_SQL,
+        "q207_wilson_keep_rate": _Q207_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
