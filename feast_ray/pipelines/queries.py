@@ -13775,6 +13775,135 @@ from w
 """
 
 
+# --------------------------------------------------------------------- q208
+
+# Poisson(1) CDF thresholds scaled to 2^64 (computed once from
+# math.exp/factorial and FROZEN as integer constants — the q196
+# fixed-constant doctrine, so no runtime libm on either side).
+_Q208_B = 100
+_Q208_TH = (6786177901268885504, 13572355802537771008,
+            16965444753172213760, 18096474403383695360,
+            18379231815936565248, 18435783298447138816,
+            18445208545532233728, 18446555009401532416)
+
+
+def q208_bootstrap_ci(sf_dir: str):
+    """Distributed Poisson bootstrap (Chamandy et al. 2012 — the
+    resampling scheme that works in one streaming pass because each
+    row draws an independent Poisson(1) replicate weight instead of
+    requiring a global multinomial): 95% percentile CI for the mean
+    value cents per event_type over B=100 replicates.
+
+    Weights come from splitmix64(event_id·128 + b) against FROZEN
+    integer CDF thresholds — every draw is a pure function of the row
+    key, so the estimate is bit-reproducible under any partitioning
+    and the SQL oracle replays the identical stream. Per batch the
+    (rows × B) weight matrix collapses to per-type combiner partials
+    (one dot product per type); only (type × B) rows cross the
+    exchange; the replicate-mean sort is report-sized. The real-mean
+    arm rides the same exchange as b = −1."""
+    from feast_ray.functions.neardup import _splitmix64
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    TH = np.array(_Q208_TH, dtype=np.uint64)
+    B = _Q208_B
+
+    def _partials(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "sw": pa.array([], pa.int64()),
+                "nw": pa.array([], pa.int64())})
+        eid = t["event_id"].to_numpy(zero_copy_only=False
+                                     ).astype(np.uint64)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        u = _splitmix64(eid[:, None] * np.uint64(B + 28)
+                        + np.arange(B, dtype=np.uint64)[None, :])
+        w = np.searchsorted(TH, u, side="right").astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        out_t, out_b, out_sw, out_nw = [], [], [], []
+        for i, ty in enumerate(types):
+            m = inv == i
+            out_t.extend([ty] * (B + 1))
+            out_b.extend(range(-1, B))
+            out_sw.append(int(cents[m].sum()))
+            out_nw.append(int(m.sum()))
+            out_sw.extend((cents[m] @ w[m]).tolist())
+            out_nw.extend(w[m].sum(axis=0).tolist())
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "b": pa.array(out_b, pa.int64()),
+            "sw": pa.array(out_sw, pa.int64()),
+            "nw": pa.array(out_nw, pa.int64())})
+
+    rep = grouped_agg(
+        ev.map_batches(_partials, batch_format="pyarrow"),
+        ["event_type", "b"],
+        [AggSpec("sw", "sum", "sw"), AggSpec("nw", "sum", "nw")]
+    ).to_pandas()  # report-sized: types x (B+1)
+    rows = []
+    for ty, g in rep.groupby("event_type"):
+        real = g[g["b"] == -1].iloc[0]
+        mean = float(real["sw"]) / float(real["nw"])
+        r = g[g["b"] >= 0]
+        m = r["sw"].to_numpy(np.float64) / r["nw"].to_numpy(np.float64)
+        order = np.lexsort((r["b"].to_numpy(np.int64), m))
+        rows.append((ty, mean, m[order[2]], m[order[97]]))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "mean_cents": pa.array([r[1] for r in rows], pa.float64()),
+        "ci_lo": pa.array([r[2] for r in rows], pa.float64()),
+        "ci_hi": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def _q208_sql() -> str:
+    th = _Q208_TH
+    u_expr = _splitmix64_sql(
+        f"(cast(event_id as hugeint) * {_Q208_B + 28} + b)")
+    w_case = "case " + " ".join(
+        f"when u < {t}::HUGEINT then {k}" for k, t in enumerate(th)
+    ) + " else 8 end"
+    return f"""
+with p as (
+  select event_id, event_type,
+         cast(round(value * 100) as bigint) as cents
+  from events),
+d as (
+  select p.event_type, g.b, p.cents, {u_expr} as u
+  from p cross join (select unnest(generate_series(0, {_Q208_B - 1}))
+                     as b) g),
+wtab as (
+  select event_type, b, cents, ({w_case}) as w from d),
+rep as (
+  select event_type, b, cast(sum(w * cents) as bigint) as sw,
+         cast(sum(w) as bigint) as nw
+  from wtab group by event_type, b),
+realagg as (
+  select event_type, cast(sum(cents) as bigint) as sw,
+         cast(count(*) as bigint) as nw
+  from p group by event_type),
+rm as (select event_type, b,
+              cast(sw as double) / cast(nw as double) as m from rep),
+rk as (select event_type, b, m,
+              row_number() over (partition by event_type
+                                 order by m, b) as r from rm),
+ci as (select event_type,
+              max(case when r = 3 then m end) as ci_lo,
+              max(case when r = 98 then m end) as ci_hi
+       from rk group by event_type)
+select a.event_type,
+       cast(a.sw as double) / cast(a.nw as double) as mean_cents,
+       ci.ci_lo, ci.ci_hi
+from realagg a join ci using (event_type)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -13983,6 +14112,7 @@ QUERIES = {
     "q205_anova_f": q205_anova_f,
     "q206_hellinger_sources": q206_hellinger_sources,
     "q207_wilson_keep_rate": q207_wilson_keep_rate,
+    "q208_bootstrap_ci": q208_bootstrap_ci,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14180,6 +14310,7 @@ def oracle_sql() -> dict[str, str]:
         "q205_anova_f": _Q205_SQL,
         "q206_hellinger_sources": _Q206_SQL,
         "q207_wilson_keep_rate": _Q207_SQL,
+        "q208_bootstrap_ci": _q208_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
