@@ -13904,6 +13904,83 @@ from realagg a join ci using (event_type)
 """
 
 
+# --------------------------------------------------------------------- q209
+
+def q209_token_budget_select(sf_dir: str):
+    """Token-budget curation cut (the final step of every data-mix
+    recipe: spend exactly half the corpus token budget on the
+    highest-quality documents): documents ordered globally by
+    (stopword count desc, doc_id asc) are kept while the EXCLUSIVE
+    running token total stays under T = total_tokens // 2 — the doc
+    whose first token crosses the budget is the last one in.
+
+    Distributed shape: ``global_rank_prefix_int`` — the sample-sort
+    range exchange now carrying a value column, per-bucket local
+    cumsum, and a DRIVER prefix over the B bucket (count, token)
+    totals — so the global ORDER BY ... ROWS UNBOUNDED PRECEDING
+    running sum costs ONE payload shuffle, no global re-sort. The
+    total-token pre-pass is one cheap exact aggregate. Oracle:
+    DuckDB's window running sum over the same order."""
+    from feast_ray.stages.relational import global_rank_prefix_int
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        stop = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), STOPWORD_PATTERN),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if stop.max(initial=0) >= (1 << 21) or did.max(initial=0) >= (1 << 22):
+            raise ValueError("q209 composite key bounds exceeded")
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_tokens": pa.array(nt),
+            "k": pa.array(((1 << 21) - stop) * (1 << 22) + did)})
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    total = int(keyed.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [t["n_tokens"].to_numpy(zero_copy_only=False).sum()],
+            pa.int64())}), batch_format="pyarrow")
+        .sum("s"))
+    budget = total // 2
+
+    ranked = global_rank_prefix_int(
+        keyed, "k", "n_tokens", rank_as="rnk", prefix_as="tok_before",
+        keep_cols=["doc_id"])
+
+    def _cut(t: pa.Table) -> pa.Table:
+        m = pc.less(t["tok_before"], pa.scalar(budget, pa.int64()))
+        return t.filter(m).select(
+            ["doc_id", "n_tokens", "rnk", "tok_before"])
+
+    return ranked.map_batches(_cut, batch_format="pyarrow")
+
+
+_Q209_SQL = rf"""
+with s as (
+  select doc_id,
+         len(regexp_extract_all(text, '\S+')) as n_tokens,
+         len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}'))
+           as stop_count
+  from documents),
+r as (
+  select doc_id, cast(n_tokens as bigint) as n_tokens,
+         row_number() over w as rnk,
+         cast(coalesce(sum(n_tokens) over
+           (order by stop_count desc, doc_id
+            rows between unbounded preceding and 1 preceding), 0)
+           as bigint) as tok_before
+  from s
+  window w as (order by stop_count desc, doc_id))
+select doc_id, n_tokens, rnk, tok_before
+from r
+where tok_before < (select cast(sum(n_tokens) as bigint) // 2 from s)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14113,6 +14190,7 @@ QUERIES = {
     "q206_hellinger_sources": q206_hellinger_sources,
     "q207_wilson_keep_rate": q207_wilson_keep_rate,
     "q208_bootstrap_ci": q208_bootstrap_ci,
+    "q209_token_budget_select": q209_token_budget_select,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14311,6 +14389,7 @@ def oracle_sql() -> dict[str, str]:
         "q206_hellinger_sources": _Q206_SQL,
         "q207_wilson_keep_rate": _Q207_SQL,
         "q208_bootstrap_ci": _q208_sql(),
+        "q209_token_budget_select": _Q209_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

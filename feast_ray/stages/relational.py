@@ -460,3 +460,123 @@ def global_rank_int(
         return pa.table(cols)
 
     return local.map_batches(_rank, batch_format="pyarrow")
+
+
+def global_rank_prefix_int(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    *,
+    rank_as: str = "rank",
+    prefix_as: str = "prefix",
+    keep_cols: "list[str] | None" = None,
+    num_buckets: int = 64,
+    sample_per_block: int = 256,
+) -> ray.data.Dataset:
+    """EXACT global rank AND exclusive running int64 sum of ``val_col``
+    in key order — the distributed ``SUM(v) OVER (ORDER BY k ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` (the global cumulative
+    aggregate; ``global_rank_int`` is the val==1 special case kept
+    separate to stay allocation-free). Same sample-sort shape: one
+    range exchange, per-bucket vectorized sort + local cumsum, and a
+    DRIVER prefix-sum over the B bucket (count, val-total) pairs —
+    payload rows shuffle exactly once. The budget-selection /
+    quantile-cut primitive: ``prefix < T`` picks the exact key-ordered
+    head whose values fit a budget T, independent of partitioning."""
+    keep_cols = keep_cols or []
+
+    def _sample(tbl: pa.Table) -> pa.Table:
+        k = tbl[key_col].to_numpy(zero_copy_only=False)
+        if not len(k):
+            return pa.table({"s": pa.array([], pa.int64())})
+        step = max(1, len(k) // sample_per_block)
+        return pa.table({"s": pa.array(np.sort(k)[::step][:sample_per_block]
+                                       .astype(np.int64))})
+
+    samp = np.sort(np.concatenate([
+        b["s"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(_sample, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ] or [np.array([], np.int64)]))
+    if len(samp):
+        cuts = samp[np.linspace(0, len(samp) - 1, num_buckets + 1)
+                    .astype(int)][1:-1]
+        bounds = np.unique(cuts).astype(np.int64)
+    else:
+        bounds = np.array([], np.int64)
+    bref = ray.put(bounds)
+
+    def _tag(tbl: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        k = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {key_col: pa.array(k),
+                val_col: pa.array(
+                    tbl[val_col].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)),
+                "__rb": pa.array(np.searchsorted(b, k, side="left")
+                                 .astype(np.int64))}
+        for c in keep_cols:
+            cols[c] = tbl[c]
+        return pa.table(cols)
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.drop(columns=["__rb"], errors="ignore").copy()
+            out["__loc"] = pd.Series([], dtype="int64")
+            out["__lpre"] = pd.Series([], dtype="int64")
+            out["__b"] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(["__rb", key_col],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("__rb", sort=False)
+        df["__loc"] = g.cumcount().astype("int64")
+        # exclusive per-range-bucket running sum of val
+        df["__lpre"] = (g[val_col].cumsum()
+                        - df[val_col]).astype("int64")
+        df = df.rename(columns={"__rb": "__b"})
+        return df
+
+    local = bucketed_group_reduce(
+        tagged, ["__rb"], _local_sort,
+        num_buckets=len(bounds) + 1,
+    ).materialize()
+
+    sizes = (
+        local.map_batches(
+            lambda t: pa.table({
+                "__b": t["__b"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "v": t[val_col]}),
+            batch_format="pyarrow")
+        .groupby("__b").sum(["one", "v"]).to_pandas()
+    )
+    ccol = [c for c in sizes.columns if c.startswith("sum(one")][0]
+    vcol = [c for c in sizes.columns if c.startswith("sum(v")][0]
+    sizes = sizes.sort_values("__b")
+    offs = dict(zip(
+        sizes["__b"],
+        np.concatenate([[0], np.cumsum(sizes[ccol].to_numpy())[:-1]])))
+    voffs = dict(zip(
+        sizes["__b"],
+        np.concatenate([[0], np.cumsum(sizes[vcol].to_numpy())[:-1]])))
+    oref = ray.put((offs, voffs))
+
+    def _rank(tbl: pa.Table) -> pa.Table:
+        o, vo = ray.get(oref)
+        b = tbl["__b"].to_numpy(zero_copy_only=False)
+        loc = tbl["__loc"].to_numpy(zero_copy_only=False)
+        lpre = tbl["__lpre"].to_numpy(zero_copy_only=False)
+        base = pd.Series(b).map(o).to_numpy(np.int64)
+        vbase = pd.Series(b).map(vo).to_numpy(np.int64)
+        cols = {c: tbl[c] for c in tbl.column_names
+                if c not in ("__b", "__loc", "__lpre")}
+        cols[rank_as] = pa.array(base + loc + 1)
+        cols[prefix_as] = pa.array(vbase + lpre)
+        return pa.table(cols)
+
+    return local.map_batches(_rank, batch_format="pyarrow")

@@ -346,3 +346,26 @@ def test_window_percent_rank_cume_dist_match_duckdb():
     ).df()
     assert (out["pr"].to_numpy() == ref["pr"].to_numpy()).all()
     assert (out["cd"].to_numpy() == ref["cd"].to_numpy()).all()
+
+
+def test_global_rank_prefix_matches_cumsum():
+    from feast_ray.stages.relational import global_rank_prefix_int
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    keys = rng.permutation(n).astype(np.int64) * 3 - 500
+    vals = rng.integers(0, 900, n).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals,
+                       "tag": np.arange(n, dtype=np.int64)})
+    for parts in (1, 9):
+        out = (global_rank_prefix_int(
+            rd.from_pandas(df).repartition(parts), "k", "v",
+            rank_as="r", prefix_as="p", keep_cols=["tag"],
+            num_buckets=16)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        ref = df.sort_values("k").reset_index(drop=True)
+        assert list(out["r"]) == list(range(1, n + 1))
+        # exclusive running sum in key order, any partitioning
+        expect = np.concatenate([[0], np.cumsum(ref["v"].to_numpy())[:-1]])
+        assert (out["p"].to_numpy() == expect).all()
+        assert (out["tag"].to_numpy() == ref["tag"].to_numpy()).all()
