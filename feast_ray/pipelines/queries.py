@@ -13981,6 +13981,76 @@ where tok_before < (select cast(sum(n_tokens) as bigint) // 2 from s)
 """
 
 
+# --------------------------------------------------------------------- q210
+
+def q210_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over q105's
+    deterministic synthetic link graph — the second link-analysis
+    prior (authorities = pages good hubs endorse; mirrors/link-farm
+    structure shows up here before it shows up in PageRank). Integer
+    fixed-point with exact MAX-normalization per half-iteration
+    (``functions/graphrank.py hits`` — max of ints and integer
+    division are order-free, so the size-gated driver path, the
+    distributed join+sum path and the UNROLLED pure-SQL 3-iteration
+    oracle below agree bit-exactly; no dump tables)."""
+    from feast_ray.functions.graphrank import hits
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate([(d * d + p * d) % n for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    return hits(edges, n, iters=3)
+
+
+def _q210_sql() -> str:
+    iters, scale = 3, 10**6
+    # every CTE that is referenced more than once is MATERIALIZED —
+    # plain CTEs inline per reference, which re-expands the whole
+    # iteration chain exponentially (measured: sf0.01 ran >90 s
+    # inlined, <1 s materialized)
+    head = f"""
+with n as materialized (select count(*) as cnt from documents),
+e as materialized (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+h0 as materialized (select doc_id as node, cast({scale} as bigint) as h
+       from documents)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+ar{i} as materialized (
+  select e.dst as node, cast(sum(h{i-1}.h) as bigint) as s
+  from e join h{i-1} on h{i-1}.node = e.src group by e.dst),
+af{i} as materialized (
+  select d.doc_id as node, cast(coalesce(ar{i}.s, 0) as bigint) as s
+  from documents d left join ar{i} on ar{i}.node = d.doc_id),
+a{i} as materialized (
+  select node, cast(case when (select max(s) from af{i}) > 0
+    then (s * {scale}) // (select max(s) from af{i}) else s end
+    as bigint) as a from af{i}),
+hr{i} as materialized (
+  select e.src as node, cast(sum(a{i}.a) as bigint) as s
+  from e join a{i} on a{i}.node = e.dst group by e.src),
+hf{i} as materialized (
+  select d.doc_id as node, cast(coalesce(hr{i}.s, 0) as bigint) as s
+  from documents d left join hr{i} on hr{i}.node = d.doc_id),
+h{i} as materialized (
+  select node, cast(case when (select max(s) from hf{i}) > 0
+    then (s * {scale}) // (select max(s) from hf{i}) else s end
+    as bigint) as h from hf{i})""")
+    return (head + "," + ",".join(steps) + f"""
+select h{iters}.node, h{iters}.h as hub_q, a{iters}.a as auth_q
+from h{iters} join a{iters} on a{iters}.node = h{iters}.node
+""")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14191,6 +14261,7 @@ QUERIES = {
     "q207_wilson_keep_rate": q207_wilson_keep_rate,
     "q208_bootstrap_ci": q208_bootstrap_ci,
     "q209_token_budget_select": q209_token_budget_select,
+    "q210_hits": q210_hits,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14390,6 +14461,7 @@ def oracle_sql() -> dict[str, str]:
         "q207_wilson_keep_rate": _Q207_SQL,
         "q208_bootstrap_ci": _q208_sql(),
         "q209_token_budget_select": _Q209_SQL,
+        "q210_hits": _q210_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

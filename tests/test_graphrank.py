@@ -129,3 +129,47 @@ def test_bfs_levels_isolated_source():
                           "dst": np.array([2, 3], np.int64)})
     out = bfs_levels(rd.from_pandas(edges), 99, 3).to_pandas()
     assert list(out["node"]) == [99] and list(out["level"]) == [0]
+
+
+def test_hits_driver_distributed_parity():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.functions.graphrank import hits
+
+    rng = np.random.default_rng(31)
+    n = 80
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n, 400).astype(np.int64),
+        "dst": rng.integers(0, n, 400).astype(np.int64),
+    })
+    drv = (hits(rd.from_pandas(edges).repartition(3), n, iters=3,
+                mode="driver")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    dist = (hits(rd.from_pandas(edges).repartition(3), n, iters=3,
+                 mode="distributed")
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert (drv["hub_q"].to_numpy() == dist["hub_q"].to_numpy()).all()
+    assert (drv["auth_q"].to_numpy() == dist["auth_q"].to_numpy()).all()
+    # max-normalized: top score is exactly scale
+    assert drv["hub_q"].max() == 10**6 and drv["auth_q"].max() == 10**6
+
+
+def test_hits_overflow_guard():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from feast_ray.functions.graphrank import hits
+
+    # a star graph: node 0 receives from everyone; huge scale trips
+    # the documented in-degree * scale^2 < 2^63 bound
+    n = 50
+    edges = pd.DataFrame({
+        "src": np.arange(1, n, dtype=np.int64),
+        "dst": np.zeros(n - 1, np.int64)})
+    with pytest.raises(ValueError, match="overflow"):
+        hits(rd.from_pandas(edges), n, iters=2, scale=10**10,
+             mode="driver").to_pandas()
