@@ -14051,6 +14051,164 @@ from h{iters} join a{iters} on a{iters}.node = h{iters}.node
 """)
 
 
+# --------------------------------------------------------------------- q211
+
+def q211_clf_calibration(sf_dir: str):
+    """Calibration / reliability table for the q93 learned quality
+    classifier (the eval every production scorer ships with: does a
+    higher logit actually mean a higher keep probability?): documents
+    bin by predicted logit (integer bins of 1.0 logit over [−8, 8),
+    clipped — score is int64 at 2^20 fixed point, so the bin is pure
+    integer arithmetic; trunc-vs-floor division drift on negatives is
+    clipped away by construction) and each bin reports n_docs, the
+    exact summed logit, and the ACTUAL q16 keep count. Monotone
+    keep_rate across bins = calibrated ranking.
+
+    Same dump doctrine as q93 (its own ``calib_lam.parquet``): the
+    oracle re-derives every gram bucket, every doc score, every bin
+    and both rates from the dumped integer weight table — bit-exact,
+    one hash join (scores ⋈ labels) engine-side."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.quality_clf import (
+        clf_features,
+        clf_fit,
+        clf_quantize,
+        clf_score,
+    )
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    labeled = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow"
+    ).map_batches(apply_quality_rules, batch_format="pyarrow")
+    labeled = labeled.map_batches(
+        lambda t: t.select(["doc_id", "text"]).append_column(
+            "label", t["keep"].cast(pa.int8())),
+        batch_format="pyarrow")
+    feats = clf_features(labeled, buckets=_DSIR_BUCKETS)
+    w, b = clf_fit(feats, buckets=_DSIR_BUCKETS, iters=40, lr=4.0)
+    lam, beta = clf_quantize(w, b)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([[-1], np.arange(_DSIR_BUCKETS)]), pa.int64()),
+            "lam": pa.array(
+                np.concatenate([[beta], lam]).astype(np.int64), pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "calib_lam.parquet"))
+
+    scored = clf_score(docs, lam, beta)
+    lab = labeled.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "k": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    both = hash_join(scored, lab, on="doc_id")
+
+    STEP, SHIFT, NB = 1 << 20, 8 << 20, 16
+
+    def _bin(t: pa.Table) -> pa.Table:
+        s = t["clf_score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = np.clip((s + SHIFT) // STEP, 0, NB - 1)
+        return pa.table({
+            "bin": pa.array(bn),
+            "s": pa.array(s),
+            "k": t["k"]})
+
+    agg = grouped_agg(
+        both.map_batches(_bin, batch_format="pyarrow"),
+        ["bin"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("s", "sum", "sum_score"),
+         AggSpec("k", "sum", "n_keep")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["n_keep"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "bin": t["bin"], "n_docs": t["n_docs"],
+            "sum_score": t["sum_score"], "n_keep": t["n_keep"],
+            "mean_logit": pa.array(s / n / 1048576.0),
+            "keep_rate": pa.array(k / n)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _q211_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    h0 = _HORNER_SQL.format(s="gram")
+    sm = _splitmix64_sql("h0")
+    return f"""
+with lam as materialized (
+  select bucket, lam from read_parquet('{d}/calib_lam.parquet')
+  where bucket >= 0),
+bias as (
+  select lam as beta from read_parquet('{d}/calib_lam.parquet')
+  where bucket = -1),
+dw as materialized (
+  select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+uni as (select doc_id, unnest(w) as gram from dw),
+bi as (
+  select doc_id, w[i] || ' ' || w[i + 1] as gram
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+        from dw where len(w) >= 2)),
+grams as (select * from uni union all select * from bi),
+h0s as (select doc_id, gram, {h0} as h0 from grams),
+hb as (select doc_id,
+         cast({sm} % {_DSIR_BUCKETS}::HUGEINT as bigint) as bucket
+       from h0s),
+wsum as (
+  select hb.doc_id, cast(sum(l.lam) as bigint) as s
+  from hb join lam l on l.bucket = hb.bucket
+  group by hb.doc_id),
+sc as materialized (
+  select d.doc_id,
+         cast((select beta from bias) + coalesce(ws.s, 0) as bigint)
+           as clf_score
+  from (select doc_id from documents) d
+  left join wsum ws on ws.doc_id = d.doc_id),
+st as (
+  select doc_id,
+    len(regexp_extract_all(text, '\\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+  from documents),
+kl as (
+  select doc_id,
+    case when (case
+      when n_words < {MIN_WORDS} then 'x' when n_words > {MAX_WORDS} then 'x'
+      when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'x'
+      when stop_count < {MIN_STOPWORDS} then 'x'
+      when digit_frac > {MAX_DIGIT_FRAC} then 'x'
+      when symbol_frac > {MAX_SYMBOL_FRAC} then 'x'
+    end) is null then 1 else 0 end as k
+  from st),
+binned as (
+  select greatest(least((sc.clf_score + {8 << 20}) // {1 << 20},
+                        15), 0) as bin,
+         sc.clf_score as s, kl.k
+  from sc join kl on kl.doc_id = sc.doc_id),
+a as (
+  select bin, cast(count(*) as bigint) as n_docs,
+         cast(sum(s) as bigint) as sum_score,
+         cast(sum(k) as bigint) as n_keep
+  from binned group by bin)
+select bin, n_docs, sum_score, n_keep,
+       cast(sum_score as double) / cast(n_docs as double) / 1048576.0
+         as mean_logit,
+       cast(n_keep as double) / cast(n_docs as double) as keep_rate
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14262,6 +14420,7 @@ QUERIES = {
     "q208_bootstrap_ci": q208_bootstrap_ci,
     "q209_token_budget_select": q209_token_budget_select,
     "q210_hits": q210_hits,
+    "q211_clf_calibration": q211_clf_calibration,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14462,6 +14621,7 @@ def oracle_sql() -> dict[str, str]:
         "q208_bootstrap_ci": _q208_sql(),
         "q209_token_budget_select": _Q209_SQL,
         "q210_hits": _q210_sql(),
+        "q211_clf_calibration": _q211_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
