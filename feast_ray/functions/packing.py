@@ -31,6 +31,7 @@ construction, which is why production pretraining pipelines use it.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -64,3 +65,76 @@ def pack_sequences(
         return df
 
     return bucketed_group_reduce(ds, [group_col], _pack, num_buckets=num_buckets)
+
+
+def pack_ffd(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    *,
+    num_buckets: "int | None" = None,
+    bin_col: str = "bin_id",
+) -> ray.data.Dataset:
+    """First-fit-decreasing bin packing per group — the
+    padding-minimizing alternative to ``pack_sequences``' concat-chop
+    (FFD wastes ≤ 22% of OPT bins worst-case, Johnson 1973; use it
+    when documents must stay WHOLE inside a context window, e.g.
+    instruction-tuning examples that cannot straddle windows).
+
+    Deterministic: items sort by (tokens desc, id asc) and each takes
+    the LOWEST-numbered bin with enough remaining capacity, so the
+    assignment is a pure function of the group's (id, tokens) set —
+    partition-invariant by construction (the whole group co-locates
+    through one hash exchange, the q56 contract). Rows with tokens >
+    budget raise — pre-chunk oversize docs (q33) first.
+
+    The per-group first-fit scan is inherently sequential (documented
+    loop boundary, like ADPCM/BPE): O(n·bins) per group with n =
+    group size bounded by the stream-shard contract. A capacity-
+    indexed tree would make it O(n log n); not needed at shard sizes.
+    """
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def _ffd(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [group_col, id_col, tokens_col, bin_col]
+        if not len(df):
+            out = df.copy()
+            out[bin_col] = pd.Series([], dtype="int64")
+            return out[[c for c in cols if c in out.columns or c == bin_col]]
+        if int(df[tokens_col].max()) > budget:
+            raise ValueError(
+                f"pack_ffd: item exceeds budget {budget}; pre-chunk it")
+        df = df.sort_values([group_col, tokens_col, id_col],
+                            ascending=[True, False, True],
+                            kind="stable").reset_index(drop=True)
+        bins_out = np.empty(len(df), dtype=np.int64)
+        grp = df[group_col].to_numpy()
+        tok = df[tokens_col].to_numpy(np.int64)
+        start = 0
+        while start < len(df):
+            end = start
+            while end < len(df) and grp[end] == grp[start]:
+                end += 1
+            caps: list[int] = []  # remaining capacity per bin id
+            for i in range(start, end):
+                t = int(tok[i])
+                for j, c in enumerate(caps):
+                    if c >= t:
+                        caps[j] = c - t
+                        bins_out[i] = j
+                        break
+                else:
+                    bins_out[i] = len(caps)
+                    caps.append(budget - t)
+            start = end
+        df = df.copy()
+        df[bin_col] = bins_out
+        return df[cols]
+
+    return bucketed_group_reduce(ds, [group_col], _ffd,
+                                 num_buckets=num_buckets)

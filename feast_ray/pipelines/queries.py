@@ -14209,6 +14209,124 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q212
+
+_Q212_BUDGET = 1024
+
+
+def q212_ffd_packing(sf_dir: str):
+    """First-fit-decreasing context-window packing per source
+    (functions/packing.py ``pack_ffd``) — the whole-document packer
+    for instruction-tuning-style data where an example may not
+    straddle windows (q56's concat-chop is the zero-padding
+    pretraining layout; FFD ≤ 1.22·OPT bins, Johnson 1973). Items
+    sort (tokens desc, doc_id asc); each takes the lowest-numbered
+    bin that fits; oversize docs (> budget tokens) are excluded by
+    rule on both sides. Output: per (source, bin) doc count, tokens
+    used, waste.
+
+    Oracle = the q80/q94 distributed==sequential doctrine: a single
+    process recomputes the identical deterministic packing and dumps
+    (doc_id, bin_id); the SQL re-derives every per-bin sum FROM THE
+    DOCUMENTS TABLE (regexp token counts), so a wrong dump or a
+    drifted distributed assignment both fail the gate."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.packing import pack_ffd
+
+    budget = _Q212_BUDGET
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                     pa.int64())
+        out = pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_tokens": nt})
+        return out.filter(pc.less_equal(out["n_tokens"],
+                                        pa.scalar(budget, pa.int64())))
+
+    sized = docs.map_batches(_tok, batch_format="pyarrow")
+    packed = pack_ffd(sized, "source", "doc_id", "n_tokens", budget)
+
+    # ---- sequential reference dump (fingerprint-cached)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st_ = os.stat(src)
+    fingerprint = f"{src}_{st_.st_size}_{int(st_.st_mtime)}_ffd_{budget}"
+    ref_path = os.path.join(_PPL_ORACLE_DIR, "ffd_ref.parquet")
+    marker = os.path.join(_PPL_ORACLE_DIR, "ffd_ref_fingerprint.txt")
+    fresh = (os.path.exists(ref_path) and os.path.exists(marker)
+             and open(marker).read() == fingerprint)
+    if not fresh:
+        tbl = _pq.read_table(src, columns=["doc_id", "source", "text"])
+        nt = pc.cast(pc.count_substring_regex(tbl["text"], r"\S+"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = tbl["source"].to_numpy(zero_copy_only=False)
+        keep = nt <= budget
+        df = pd.DataFrame({"doc_id": did[keep], "source": srcs[keep],
+                           "n": nt[keep]})
+        df = df.sort_values(["source", "n", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="stable").reset_index(drop=True)
+        out_ids, out_bins = [], []
+        for _, g in df.groupby("source", sort=False):
+            caps: list[int] = []
+            for did_, t in zip(g["doc_id"], g["n"]):
+                t = int(t)
+                for j, c in enumerate(caps):
+                    if c >= t:
+                        caps[j] = c - t
+                        out_bins.append(j)
+                        break
+                else:
+                    out_bins.append(len(caps))
+                    caps.append(budget - t)
+                out_ids.append(int(did_))
+        os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+        _pq.write_table(
+            pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                      "bin_id": pa.array(out_bins, pa.int64())}),
+            ref_path)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+
+    agg = grouped_agg(
+        packed, ["source", "bin_id"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("n_tokens", "sum", "tokens_used")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        used = t["tokens_used"].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        return pa.table({
+            "source": t["source"], "bin_id": t["bin_id"],
+            "n_docs": t["n_docs"], "tokens_used": t["tokens_used"],
+            "waste": pa.array(budget - used)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _q212_sql() -> str:
+    return rf"""
+with asg as (
+  select doc_id, bin_id
+  from read_parquet('{_PPL_ORACLE_DIR}/ffd_ref.parquet')),
+tok as (
+  select doc_id, source,
+         cast(len(regexp_extract_all(text, '\S+')) as bigint) as n_tokens
+  from documents
+  where len(regexp_extract_all(text, '\S+')) <= {_Q212_BUDGET})
+select t.source, a.bin_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(t.n_tokens) as bigint) as tokens_used,
+       cast({_Q212_BUDGET} - sum(t.n_tokens) as bigint) as waste
+from asg a join tok t on t.doc_id = a.doc_id
+group by t.source, a.bin_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14421,6 +14539,7 @@ QUERIES = {
     "q209_token_budget_select": q209_token_budget_select,
     "q210_hits": q210_hits,
     "q211_clf_calibration": q211_clf_calibration,
+    "q212_ffd_packing": q212_ffd_packing,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14622,6 +14741,7 @@ def oracle_sql() -> dict[str, str]:
         "q209_token_budget_select": _Q209_SQL,
         "q210_hits": _q210_sql(),
         "q211_clf_calibration": _q211_sql(),
+        "q212_ffd_packing": _q212_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,

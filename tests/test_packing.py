@@ -41,3 +41,53 @@ def test_pack_sequences_rejects_bad_budget():
     ds = ray.data.from_pandas(pd.DataFrame({"s": ["a"], "i": [1], "t": [5]}))
     with pytest.raises(ValueError):
         pack_sequences(ds, "s", "i", "t", budget=0)
+
+
+def test_pack_ffd_valid_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feast_ray.functions.packing import pack_ffd
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, n).astype(np.int64).astype(str),
+        "id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(1, 300, n).astype(np.int64),
+    })
+    budget = 512
+    outs = []
+    for parts in (1, 7):
+        out = (pack_ffd(rd.from_pandas(df).repartition(parts),
+                        "g", "id", "t", budget)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(out)
+        # validity: every bin's load fits the budget
+        load = out.groupby(["g", "bin_id"])["t"].sum()
+        assert (load <= budget).all()
+        # every item assigned exactly once
+        assert len(out) == n and out["id"].is_unique
+    # partition invariance: identical assignment
+    assert outs[0].equals(outs[1])
+    # FFD uses no more bins than naive one-per-item, and at least
+    # ceil(total/budget)
+    for g, gg in outs[0].groupby("g"):
+        nb = gg["bin_id"].nunique()
+        assert nb >= -(-int(gg["t"].sum()) // budget)
+        assert nb <= len(gg)
+
+
+def test_pack_ffd_oversize_raises():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from feast_ray.functions.packing import pack_ffd
+
+    df = pd.DataFrame({"g": ["a"], "id": np.array([1], np.int64),
+                       "t": np.array([600], np.int64)})
+    with pytest.raises(Exception, match="exceeds budget"):
+        pack_ffd(rd.from_pandas(df), "g", "id", "t", 512).to_pandas()
