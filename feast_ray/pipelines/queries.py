@@ -14327,6 +14327,69 @@ group by t.source, a.bin_id
 """
 
 
+# --------------------------------------------------------------------- q213
+
+def q213_partition_balance(sf_dir: str):
+    """Partition-balance / skew audit (the pre-flight check every
+    wide operation at 100 TB deserves: will hash(key) % B actually
+    spread this key set?): events keyed by user hash into 32
+    splitmix64 buckets; per bucket the audit reports row count,
+    distinct-key count, the single heaviest key's row count (the
+    salting candidate) and the load factor n·B/total. Two combiner-
+    shape exchanges (per-user count, then per-bucket reduce) — the
+    audit never moves payload rows. The splitmix64 bucket function is
+    the engine's documented SQL-restatable salting hash (q106/q150),
+    so the oracle replays it bucket-for-bucket."""
+    from feast_ray.functions.hnsw import _splitmix64
+
+    NB = 32
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    per_key = grouped_agg(ev, ["user_id"],
+                          [AggSpec(None, "count", "c")])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (_splitmix64(u) % np.uint64(NB)).astype(np.int64)
+        return pa.table({"bucket": pa.array(b), "c": t["c"]})
+
+    agg = grouped_agg(
+        per_key.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"],
+        [AggSpec("c", "sum", "n_rows"),
+         AggSpec(None, "count", "n_keys"),
+         AggSpec("c", "max", "max_key_rows")]).to_pandas()
+    total = int(agg["n_rows"].sum())
+    n = agg["n_rows"].to_numpy(np.int64)
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].to_numpy(np.int64)),
+        "n_rows": pa.array(n),
+        "n_keys": pa.array(agg["n_keys"].to_numpy(np.int64)),
+        "max_key_rows": pa.array(agg["max_key_rows"].to_numpy(np.int64)),
+        "load_factor": pa.array(
+            n.astype(np.float64) * float(NB) / float(total)),
+    })
+
+
+def _q213_sql() -> str:
+    sm = _splitmix64_sql("(user_id % 18446744073709551616::HUGEINT)")
+    return f"""
+with pk as (
+  select user_id, cast(count(*) as bigint) as c
+  from events group by user_id),
+b as (
+  select cast(({sm}) % 32 as bigint) as bucket, c from pk),
+a as (
+  select bucket, cast(sum(c) as bigint) as n_rows,
+         cast(count(*) as bigint) as n_keys,
+         cast(max(c) as bigint) as max_key_rows
+  from b group by bucket)
+select bucket, n_rows, n_keys, max_key_rows,
+       cast(n_rows as double) * 32.0
+         / cast((select sum(n_rows) from a) as double) as load_factor
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14540,6 +14603,7 @@ QUERIES = {
     "q210_hits": q210_hits,
     "q211_clf_calibration": q211_clf_calibration,
     "q212_ffd_packing": q212_ffd_packing,
+    "q213_partition_balance": q213_partition_balance,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14742,6 +14806,7 @@ def oracle_sql() -> dict[str, str]:
         "q210_hits": _q210_sql(),
         "q211_clf_calibration": _q211_sql(),
         "q212_ffd_packing": _q212_sql(),
+        "q213_partition_balance": _q213_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
