@@ -14390,6 +14390,94 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q214
+
+_Q214_K = 10_000  # total sample budget to allocate
+
+
+def q214_neyman_allocation(sf_dir: str):
+    """Neyman optimal stratified-sample allocation (the
+    survey-sampling answer to "how many rows should each stratum
+    contribute to a 10k-row audit sample?" — allocate ∝ N_h·σ_h, so
+    high-variance strata get more): per event_type the exact int64
+    moments (N, Σc, Σc²) give the population σ_h as one IEEE
+    sqrt/division chain, weights w_h = N_h·σ_h quantize to
+    micro-units PER STRATUM (the q155 cell doctrine — no cross-engine
+    float sum), and the integer weights apportion by q177's Hamilton
+    largest-remainder rule to sum to K exactly. One corpus exchange;
+    the allocation is k strata of integer arithmetic."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(c), "c2": pa.array(c * c)})
+
+    m = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type"],
+        [AggSpec(None, "count", "n"), AggSpec("c", "sum", "s"),
+         AggSpec("c2", "sum", "q")]).to_pandas()
+    m = m.sort_values("event_type", kind="stable").reset_index(drop=True)
+    n = m["n"].to_numpy(np.int64)
+    s = m["s"].to_numpy(np.int64)
+    q = m["q"].to_numpy(np.int64)
+    nf = n.astype(np.float64)
+    var = (q.astype(np.float64)
+           - s.astype(np.float64) * s.astype(np.float64) / nf) / nf
+    w = nf * np.sqrt(var)
+    w_n = np.floor(w * 1e6 + 0.5).astype(np.int64)
+    T = int(w_n.sum())
+    base = (_Q214_K * w_n) // T
+    rem = (_Q214_K * w_n) % T
+    extra = _Q214_K - int(base.sum())
+    order = (pd.DataFrame({"r": rem, "s2": m["event_type"]})
+             .sort_values(["r", "s2"], ascending=[False, True],
+                          kind="stable").index.to_numpy())
+    bump = np.zeros(len(n), np.int64)
+    bump[order[:extra]] = 1
+    return pa.table({
+        "event_type": pa.array(m["event_type"].to_numpy(dtype=object),
+                               pa.string()),
+        "n": pa.array(n),
+        "w_n": pa.array(w_n),
+        "alloc": pa.array(base + bump)})
+
+
+_Q214_SQL = f"""
+with p as (
+  select event_type, cast(round(value * 100) as bigint) as c
+  from events),
+m as (
+  select event_type, cast(count(*) as bigint) as n,
+         cast(sum(c) as bigint) as s,
+         cast(sum(c * c) as bigint) as q
+  from p group by 1),
+w as (
+  select event_type, n,
+         cast(floor(cast(n as double) * sqrt(
+           (cast(q as double)
+            - cast(s as double) * cast(s as double) / cast(n as double))
+           / cast(n as double)) * 1e6 + 0.5) as bigint) as w_n
+  from m),
+base as (
+  select event_type, n, w_n,
+         {_Q214_K} * w_n // (select sum(w_n) from w) as b,
+         {_Q214_K} * w_n % (select sum(w_n) from w) as r
+  from w),
+ranked as (
+  select event_type, n, w_n, b, r,
+         row_number() over (order by r desc, event_type asc) as rk
+  from base)
+select event_type, n, w_n,
+       cast(b + case when rk <= {_Q214_K} - (select sum(b) from base)
+                     then 1 else 0 end as bigint) as alloc
+from ranked
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14604,6 +14692,7 @@ QUERIES = {
     "q211_clf_calibration": q211_clf_calibration,
     "q212_ffd_packing": q212_ffd_packing,
     "q213_partition_balance": q213_partition_balance,
+    "q214_neyman_allocation": q214_neyman_allocation,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14807,6 +14896,7 @@ def oracle_sql() -> dict[str, str]:
         "q211_clf_calibration": _q211_sql(),
         "q212_ffd_packing": _q212_sql(),
         "q213_partition_balance": _q213_sql(),
+        "q214_neyman_allocation": _Q214_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
