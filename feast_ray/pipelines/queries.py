@@ -14478,6 +14478,120 @@ from ranked
 """
 
 
+# --------------------------------------------------------------------- q215
+
+def q215_linear_attribution(sf_dir: str):
+    """Multi-touch LINEAR attribution (the marketing-analytics sibling
+    of q171's last-touch as-of): every purchase splits its value
+    EQUALLY across the user's clicks in the preceding hour (strictly
+    before the purchase), credit in micro-cents by integer division
+    (cents·10⁶ // n_clicks — the q134 integer-credit doctrine, so the
+    order-free sums match SQL bit-exactly; the sub-micro remainder is
+    deterministically dropped on both sides). Output per click: how
+    many purchases it touched and its total credit.
+
+    One user-keyed exchange; per bucket the purchase→click window
+    joins resolve as two vectorized searchsorteds over a composite
+    (user_rank·stride + rel_ts) key (the q203 trick) and ONE bounded
+    range explode (Σ window sizes rows, never |clicks|×|purchases|);
+    the per-click aggregate completes inside the bucket because both
+    sides share the user key."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    WIN = 3_600_000_000
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts",
+                             "event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "us": pa.array(us), "cents": pa.array(cents)})
+
+    def _attr(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["click_id", "n_purchases", "credit_n"]
+        empty = pd.DataFrame({
+            "click_id": pd.Series([], dtype="int64"),
+            "n_purchases": pd.Series([], dtype="int64"),
+            "credit_n": pd.Series([], dtype="int64")})[cols]
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        urank = pd.factorize(uid)[0].astype(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        rel = us - us.min()
+        stride = int(rel.max()) + WIN + 2
+        comp = urank * stride + rel
+        is_c = (df["event_type"] == "click").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        c_comp = comp[is_c]
+        c_ids = df["event_id"].to_numpy(np.int64)[is_c]
+        p_comp = comp[is_p]
+        p_cents = df["cents"].to_numpy(np.int64)[is_p]
+        if not is_c.any() or not is_p.any():
+            return empty
+        l = np.searchsorted(c_comp, p_comp - WIN, side="left")
+        r = np.searchsorted(c_comp, p_comp, side="left")
+        n = r - l
+        keep = n > 0
+        l, n = l[keep], n[keep]
+        if not len(l):
+            return empty
+        credit = (p_cents[keep] * 1_000_000) // n
+        total = int(n.sum())
+        flat = (np.repeat(l, n)
+                + np.arange(total)
+                - np.repeat(np.concatenate([[0], np.cumsum(n)[:-1]]), n))
+        out = pd.DataFrame({
+            "click_id": c_ids[flat],
+            "credit_n": np.repeat(credit, n)})
+        g = out.groupby("click_id", sort=False)
+        res = pd.DataFrame({
+            "click_id": np.fromiter(g.groups.keys(), dtype=np.int64),
+            "n_purchases": g.size().to_numpy(np.int64),
+            "credit_n": g["credit_n"].sum().to_numpy(np.int64)})
+        return res[cols]
+
+    return bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _attr)
+
+
+_Q215_SQL = """
+with p as (
+  select user_id, event_id, epoch_us(ts) as us,
+         cast(round(value * 100) as bigint) as cents
+  from events where event_type = 'purchase'),
+c as (
+  select user_id, event_id, epoch_us(ts) as us
+  from events where event_type = 'click'),
+j as (
+  select p.event_id as pid, c.event_id as cid, p.cents
+  from p join c on c.user_id = p.user_id
+   and c.us >= p.us - 3600000000 and c.us < p.us),
+n as (select pid, cast(count(*) as bigint) as nc from j group by pid),
+cr as (
+  select j.cid, j.pid, (j.cents * 1000000) // n.nc as credit
+  from j join n on n.pid = j.pid)
+select cid as click_id,
+       cast(count(*) as bigint) as n_purchases,
+       cast(sum(credit) as bigint) as credit_n
+from cr group by cid
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14693,6 +14807,7 @@ QUERIES = {
     "q212_ffd_packing": q212_ffd_packing,
     "q213_partition_balance": q213_partition_balance,
     "q214_neyman_allocation": q214_neyman_allocation,
+    "q215_linear_attribution": q215_linear_attribution,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -14897,6 +15012,7 @@ def oracle_sql() -> dict[str, str]:
         "q212_ffd_packing": _q212_sql(),
         "q213_partition_balance": _q213_sql(),
         "q214_neyman_allocation": _Q214_SQL,
+        "q215_linear_attribution": _Q215_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
