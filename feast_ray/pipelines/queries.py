@@ -14592,6 +14592,83 @@ from cr group by cid
 """
 
 
+# --------------------------------------------------------------------- q216
+
+def q216_neighbor_smoothing(sf_dir: str):
+    """Link-neighborhood feature propagation (one smoothing step of
+    graph label propagation — the "a page is as good as the pages
+    that link to it" prior used to transfer quality labels onto
+    unlabeled crawl pages): over q105's deterministic link graph,
+    each document aggregates its IN-NEIGHBORS' stopword-count quality
+    signal — n_in, exact summed quality, and the mean as one restated
+    float division. Shape: one partitioned hash join (edges ⋈ source
+    quality) + one combiner-shape grouped sum by destination — the
+    single PageRank half-step, reused as a feature stage."""
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _qual(t: pa.Table) -> pa.Table:
+        stop = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), STOPWORD_PATTERN), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "quality": stop})
+
+    qual = docs.map_batches(_qual, batch_format="pyarrow")
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate(
+            [(d * d + p * d) % n_docs for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow")
+    srcq = qual.map_batches(
+        lambda t: pa.table({"src": t["doc_id"], "quality": t["quality"]}),
+        batch_format="pyarrow")
+    joined = hash_join(edges, srcq, on="src")
+    agg = grouped_agg(
+        joined.map_batches(
+            lambda t: pa.table({"doc_id": t["dst"], "q": t["quality"]}),
+            batch_format="pyarrow"),
+        ["doc_id"],
+        [AggSpec(None, "count", "n_in"), AggSpec("q", "sum", "sum_q")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_in"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_in": t["n_in"],
+            "sum_q": t["sum_q"],
+            "mean_neighbor_quality": pa.array(s / n)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_Q216_SQL = rf"""
+with n as (select count(*) as cnt from documents),
+q as (
+  select doc_id,
+         cast(len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}'))
+              as bigint) as quality
+  from documents),
+e as (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+a as (
+  select e.dst as doc_id, cast(count(*) as bigint) as n_in,
+         cast(sum(q.quality) as bigint) as sum_q
+  from e join q on q.doc_id = e.src
+  group by e.dst)
+select doc_id, n_in, sum_q,
+       cast(sum_q as double) / cast(n_in as double)
+         as mean_neighbor_quality
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14808,6 +14885,7 @@ QUERIES = {
     "q213_partition_balance": q213_partition_balance,
     "q214_neyman_allocation": q214_neyman_allocation,
     "q215_linear_attribution": q215_linear_attribution,
+    "q216_neighbor_smoothing": q216_neighbor_smoothing,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15013,6 +15091,7 @@ def oracle_sql() -> dict[str, str]:
         "q213_partition_balance": _q213_sql(),
         "q214_neyman_allocation": _Q214_SQL,
         "q215_linear_attribution": _Q215_SQL,
+        "q216_neighbor_smoothing": _Q216_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
