@@ -14669,6 +14669,68 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q217
+
+def q217_jl_projection(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003 —
+    the database-friendly sign projection that shrinks 64-dim
+    embeddings to 8 sketch coordinates for cheap distance screening):
+    coordinates quantize once to micro-units (floor(x·10⁶ + 0.5), the
+    repo cents rule), the sign matrix is splitmix64(d·8 + j) parity —
+    a pure function of (dim, output dim), never shipped — and each
+    projection is an exact int64 matmul per block (zero-copy list →
+    (rows, 64) reshape, one (64, 8) sign-matrix multiply). Long-form
+    output (vec_id, j, proj_n); the SQL replays quantization, signs
+    and sums with the shared splitmix expression."""
+    from feast_ray.functions.hnsw import _splitmix64
+
+    D, K = 64, 8
+    dj = np.arange(D, dtype=np.uint64)[:, None] * np.uint64(K) \
+        + np.arange(K, dtype=np.uint64)[None, :]
+    S = (1 - 2 * (_splitmix64(dj) % np.uint64(2)).astype(np.int64))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "proj_n": pa.array([], pa.int64())})
+        la = t["embedding"].combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False
+                                     ).astype(np.float64)
+        e = flat.reshape(-1, D)
+        en = np.floor(e * 1e6 + 0.5).astype(np.int64)
+        proj = en @ S  # (rows, K) exact int64
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, K)),
+            "j": pa.array(np.tile(np.arange(K, dtype=np.int64),
+                                  len(vid))),
+            "proj_n": pa.array(proj.ravel())})
+
+    return emb.map_batches(_proj, batch_format="pyarrow")
+
+
+def _q217_sql() -> str:
+    sm = _splitmix64_sql("(cast((d - 1) * 8 + j as hugeint))")
+    return f"""
+with v as (
+  select vec_id, cast(embedding as double[]) as e from embeddings),
+cells as (
+  select vec_id, d, j,
+         cast(floor(e[d] * 1e6 + 0.5) as bigint) as en,
+         cast(1 - 2 * (({sm}) % 2) as bigint) as sgn
+  from v,
+       (select unnest(generate_series(1, 64)) as d),
+       (select unnest(generate_series(0, 7)) as j))
+select vec_id, cast(j as bigint) as j,
+       cast(sum(sgn * en) as bigint) as proj_n
+from cells group by vec_id, j
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14886,6 +14948,7 @@ QUERIES = {
     "q214_neyman_allocation": q214_neyman_allocation,
     "q215_linear_attribution": q215_linear_attribution,
     "q216_neighbor_smoothing": q216_neighbor_smoothing,
+    "q217_jl_projection": q217_jl_projection,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15092,6 +15155,7 @@ def oracle_sql() -> dict[str, str]:
         "q214_neyman_allocation": _Q214_SQL,
         "q215_linear_attribution": _Q215_SQL,
         "q216_neighbor_smoothing": _Q216_SQL,
+        "q217_jl_projection": _q217_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
