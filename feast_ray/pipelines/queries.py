@@ -14731,6 +14731,70 @@ from cells group by vec_id, j
 """
 
 
+# --------------------------------------------------------------------- q218
+
+def q218_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (the tokenizer-budget question: what
+    fraction of corpus token MASS do the top-k terms cover? — the
+    Zipf curve every vocab-size decision reads): distributed term
+    counts (combiner partials, one term-keyed exchange), bounded
+    top-1000 by (count desc, term asc), then one report row per
+    cutoff k in (10, 100, 1000) with covered tokens, total tokens
+    and the coverage ratio as one restated division. The corpus pass
+    never sorts globally — only the 1000-row survivor set orders."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        keep = flat != ""
+        return pa.table({"term": pa.array(flat[keep], pa.string())})
+
+    tc = grouped_agg(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["term"], [AggSpec(None, "count", "c")])
+    total = int(tc.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [t["c"].to_numpy(zero_copy_only=False).sum()], pa.int64())}),
+        batch_format="pyarrow").sum("s"))
+    top = topk(tc, ["c", "term"], 1000,
+               descending=[True, False]).to_pandas()
+    top = top.sort_values(["c", "term"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    cs = np.cumsum(top["c"].to_numpy(np.int64))
+    rows = []
+    for k in (10, 100, 1000):
+        cov = int(cs[min(k, len(cs)) - 1]) if len(cs) else 0
+        rows.append((k, cov))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "covered": pa.array([r[1] for r in rows], pa.int64()),
+        "total": pa.array([total] * len(rows), pa.int64()),
+        "coverage": pa.array(
+            [float(r[1]) / float(total) for r in rows], pa.float64())})
+
+
+_Q218_SQL = r"""
+with tok as (
+  select unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tc as (select term, cast(count(*) as bigint) as c
+       from tok group by term),
+r as (select c, row_number() over (order by c desc, term asc) as rk
+      from tc),
+t as (select cast(sum(c) as bigint) as total from tc)
+select k, covered, total,
+       cast(covered as double) / cast(total as double) as coverage
+from (
+  select ks.k,
+         cast((select sum(c) from r where rk <= ks.k) as bigint)
+           as covered
+  from (select unnest([10, 100, 1000]) as k) ks), t
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -14949,6 +15013,7 @@ QUERIES = {
     "q215_linear_attribution": q215_linear_attribution,
     "q216_neighbor_smoothing": q216_neighbor_smoothing,
     "q217_jl_projection": q217_jl_projection,
+    "q218_vocab_coverage": q218_vocab_coverage,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15156,6 +15221,7 @@ def oracle_sql() -> dict[str, str]:
         "q215_linear_attribution": _Q215_SQL,
         "q216_neighbor_smoothing": _Q216_SQL,
         "q217_jl_projection": _q217_sql(),
+        "q218_vocab_coverage": _Q218_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
