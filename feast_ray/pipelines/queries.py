@@ -14795,6 +14795,83 @@ from (
 """
 
 
+# --------------------------------------------------------------------- q219
+
+def q219_oov_rate(sf_dir: str):
+    """Out-of-vocabulary rate per source against the corpus top-1000
+    vocabulary (the tokenizer-eval metric that tells you which domains
+    a fixed vocab underserves — q218 asks how big the vocab must be,
+    this asks WHO pays for it being small): the vocab is the bounded
+    top-k of one distributed term count (count desc, term asc
+    tie-break), broadcast once via ``ray.put`` as a sorted array;
+    every block then scores its tokens with one vectorized
+    ``np.isin`` — zero additional shuffles beyond the per-source
+    count reduce. Exact integer (oov, total) per source; the rate is
+    one restated division."""
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        src = np.repeat(t["source"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        return pa.table({"source": pa.array(src[keep]),
+                         "term": pa.array(flat[keep], pa.string())})
+
+    toks = docs.map_batches(_explode, batch_format="pyarrow")
+    tc = grouped_agg(
+        toks.map_batches(lambda t: t.select(["term"]),
+                         batch_format="pyarrow"),
+        ["term"], [AggSpec(None, "count", "c")])
+    vocab = topk(tc, ["c", "term"], 1000,
+                 descending=[True, False]).to_pandas()
+    vref = ray.put(np.sort(vocab["term"].to_numpy(dtype=object)))
+
+    def _score(t: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        oov = (~np.isin(terms, v)).astype(np.int64)
+        return pa.table({"source": t["source"], "oov": pa.array(oov)})
+
+    agg = grouped_agg(
+        toks.map_batches(_score, batch_format="pyarrow"),
+        ["source"],
+        [AggSpec(None, "count", "n_tokens"),
+         AggSpec("oov", "sum", "n_oov")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = t["n_oov"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t["source"], "n_tokens": t["n_tokens"],
+            "n_oov": t["n_oov"], "oov_rate": pa.array(o / n)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_Q219_SQL = r"""
+with tok as (
+  select source,
+         unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tc as (select term, cast(count(*) as bigint) as c
+       from tok group by term),
+vocab as (
+  select term from tc order by c desc, term asc limit 1000),
+sc as (
+  select tok.source,
+         case when vocab.term is null then 1 else 0 end as oov
+  from tok left join vocab on vocab.term = tok.term)
+select source, cast(count(*) as bigint) as n_tokens,
+       cast(sum(oov) as bigint) as n_oov,
+       cast(sum(oov) as double) / cast(count(*) as double) as oov_rate
+from sc group by source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15014,6 +15091,7 @@ QUERIES = {
     "q216_neighbor_smoothing": q216_neighbor_smoothing,
     "q217_jl_projection": q217_jl_projection,
     "q218_vocab_coverage": q218_vocab_coverage,
+    "q219_oov_rate": q219_oov_rate,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15222,6 +15300,7 @@ def oracle_sql() -> dict[str, str]:
         "q216_neighbor_smoothing": _Q216_SQL,
         "q217_jl_projection": _q217_sql(),
         "q218_vocab_coverage": _Q218_SQL,
+        "q219_oov_rate": _Q219_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
