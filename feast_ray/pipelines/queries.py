@@ -14872,6 +14872,92 @@ from sc group by source
 """
 
 
+# --------------------------------------------------------------------- q220
+
+def q220_interarrival(sf_dir: str):
+    """Per-event-type inter-arrival time profile (the stream-health /
+    burstiness audit: how long between consecutive events of a type?):
+    per (user, type) the LAG diff in exact int64 microseconds (one
+    user-keyed exchange, vectorized shift inside the bucket), then
+    per type the exact median and p90 gap via ``grouped_quantile``
+    (q119's PERCENTILE_DISC boundary rule) plus count and exact mean
+    — integer core, one restated float division."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"], "us": pa.array(us)})
+
+    def _gaps(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "gap_us"]
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "gap_us": pd.Series([], dtype="int64")})[cols]
+        df = df.sort_values(["user_id", "event_type", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby(["user_id", "event_type"], sort=False)
+        prev = g["us"].shift(1)
+        m = prev.notna()
+        return pd.DataFrame({
+            "event_type": df["event_type"][m],
+            "gap_us": (df["us"][m] - prev[m]).astype("int64")})[cols]
+
+    gaps = bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _gaps)
+
+    gaps = gaps.materialize()
+    agg = grouped_agg(
+        gaps, ["event_type"],
+        [AggSpec(None, "count", "n_gaps"),
+         AggSpec("gap_us", "sum", "sum_gap")]).to_pandas()
+    from feast_ray.stages.aggregate import grouped_quantile
+    qs = grouped_quantile(
+        gaps, ["event_type"], "gap_us",
+        {"median_gap_us": 0.5, "p90_gap_us": 0.9}).to_pandas()
+    a = (agg.merge(qs, on="event_type")
+         .sort_values("event_type").reset_index(drop=True))
+    n = a["n_gaps"].to_numpy(np.int64)
+    s = a["sum_gap"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(a["event_type"].to_numpy(dtype=object),
+                               pa.string()),
+        "n_gaps": pa.array(n),
+        "mean_gap_us": pa.array(s.astype(np.float64)
+                                / n.astype(np.float64)),
+        "median_gap_us": pa.array(a["median_gap_us"]
+                                  .to_numpy(np.int64)),
+        "p90_gap_us": pa.array(a["p90_gap_us"].to_numpy(np.int64))})
+
+
+_Q220_SQL = """
+with p as (
+  select user_id, event_id, event_type, epoch_us(ts) as us
+  from events),
+g as (
+  select event_type,
+         us - lag(us) over (partition by user_id, event_type
+                            order by us, event_id) as gap_us
+  from p),
+gg as (select event_type, cast(gap_us as bigint) as gap_us
+       from g where gap_us is not null)
+select event_type,
+       cast(count(*) as bigint) as n_gaps,
+       cast(sum(gap_us) as double) / cast(count(*) as double)
+         as mean_gap_us,
+       cast(quantile_disc(gap_us, 0.5) as bigint) as median_gap_us,
+       cast(quantile_disc(gap_us, 0.9) as bigint) as p90_gap_us
+from gg group by event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15092,6 +15178,7 @@ QUERIES = {
     "q217_jl_projection": q217_jl_projection,
     "q218_vocab_coverage": q218_vocab_coverage,
     "q219_oov_rate": q219_oov_rate,
+    "q220_interarrival": q220_interarrival,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15301,6 +15388,7 @@ def oracle_sql() -> dict[str, str]:
         "q217_jl_projection": _q217_sql(),
         "q218_vocab_coverage": _Q218_SQL,
         "q219_oov_rate": _Q219_SQL,
+        "q220_interarrival": _Q220_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
