@@ -614,6 +614,53 @@ def run_bench() -> dict:
             timings["knlm_score_corpus"] = round(dt, 3)
             extras["knlm_docs_per_sec"] = round(n / dt, 1)
 
+        def _budget() -> None:
+            # global running-sum selection at corpus scale (session
+            # 11, q209): rank 360k pages by (token count desc, url
+            # hash) through the sample-sort range exchange carrying
+            # the token column, keep the head under half the corpus
+            # token mass — ONE payload shuffle for the global ORDER
+            # BY ... ROWS UNBOUNDED PRECEDING running sum.
+            import numpy as _np
+            import pyarrow.compute as _pc3
+
+            from feast_ray.functions.neardup import word_hashes64
+            from feast_ray.stages.relational import global_rank_prefix_int
+
+            def _key(t: _pa.Table) -> _pa.Table:
+                ntok = _pc3.cast(
+                    _pc3.count_substring_regex(t["text"], r"\S+"),
+                    _pa.int64()).to_numpy(zero_copy_only=False)
+                h = word_hashes64(
+                    t["url"].to_numpy(zero_copy_only=False).tolist())
+                tie = (h % _np.uint64(1 << 40)).astype("int64")
+                k = ((1 << 22) - ntok) * (1 << 40) + tie
+                return _pa.table({"k": _pa.array(k),
+                                  "ntok": _pa.array(ntok)})
+
+            def _run() -> None:
+                keyed = (_rd.read_parquet(pages_dir,
+                                          columns=["url", "text"])
+                         .map_batches(_key, batch_format="pyarrow")
+                         .materialize())
+                total = int(keyed.sum("ntok"))
+                budget = total // 2
+                ranked = global_rank_prefix_int(
+                    keyed, "k", "ntok", rank_as="rnk",
+                    prefix_as="tok_before")
+                kept = ranked.map_batches(
+                    lambda t: t.filter(_pc3.less(
+                        t["tok_before"],
+                        _pa.scalar(budget, _pa.int64()))),
+                    batch_format="pyarrow").count()
+                extras["budget_selected_frac"] = round(
+                    kept / max(state["n_pages"], 1), 4)
+
+            dt = _best_of(_run)
+            timings["budget_select_corpus"] = round(dt, 3)
+            extras["budget_pages_per_sec"] = round(
+                state["n_pages"] / dt, 1)
+
         def _bm25() -> None:
             # lexical retrieval at corpus scale (round 5, q120/q121):
             # the inverted-index build is one term-keyed exchange over
@@ -791,6 +838,7 @@ def run_bench() -> dict:
         _stage("ann_hnsw_corpus", _hnsw)
         _stage("quality_clf_corpus", _clf)
         _stage("knlm_corpus", _knlm)
+        _stage("budget_select_corpus", _budget)
 
     out = _snapshot()
     ray.shutdown()
