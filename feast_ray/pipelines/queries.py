@@ -14958,6 +14958,122 @@ from gg group by event_type
 """
 
 
+# --------------------------------------------------------------------- q221
+
+_Q221_STEPS = 8
+
+
+def q221_coverage_select(sf_dir: str):
+    """Greedy coverage-based document selection (the facility-location
+    / maximum-coverage greedy behind diversity-first curation — pick
+    the document adding the most UNSEEN word bigrams, repeat): up to
+    8 steps; ties break to the smallest doc_id; a step with no
+    positive gain ends the selection (saturation). The universe is
+    distinct per-doc word bigrams (the corpus vocabulary is tiny, so
+    unigrams would saturate in two picks).
+
+    Distributed shape per step: the distinct (doc, bigram) pair set
+    materializes ONCE; each step is one vectorized covered-set filter
+    (broadcast sorted array via ray.put) + one combiner-shape grouped
+    count + a bounded top-1 — k passes, no quadratic work, the
+    standard distributed submodular-greedy layout (Mirzasoleiman et
+    al. 2013 scale shape). Oracle: the SAME greedy unrolled as 8
+    MATERIALIZED SQL steps (anti-join per step), dump-free."""
+    from feast_ray.stages.relational import topk as _topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        did = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        # bigrams within each doc: w[i] + ' ' + w[i+1]
+        keep = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(lens) - 1
+        keep[ends[lens > 0]] = False  # last word of each doc
+        keep &= flat != ""
+        nxt = np.roll(flat, -1)
+        keep &= nxt != ""
+        big = np.array([f"{a} {b}" for a, b in
+                        zip(flat[keep], nxt[keep])], dtype=object)
+        return pa.table({"doc_id": pa.array(did[keep].astype(np.int64)),
+                         "term": pa.array(big, pa.string())})
+
+    pairs = distinct(
+        docs.map_batches(_pairs, batch_format="pyarrow"),
+        ["doc_id", "term"]).materialize()
+
+    covered: set = set()
+    rows = []
+    for step in range(1, _Q221_STEPS + 1):
+        cref = ray.put(np.sort(np.array(sorted(covered), dtype=object)))
+
+        def _gain(t: pa.Table) -> pa.Table:
+            cov = ray.get(cref)
+            terms = t["term"].to_numpy(zero_copy_only=False)
+            new = (~np.isin(terms, cov))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "g": pa.array(new.astype(np.int64))})
+
+        gains = grouped_agg(
+            pairs.map_batches(_gain, batch_format="pyarrow"),
+            ["doc_id"], [AggSpec("g", "sum", "gain")])
+        best = _topk(gains, ["gain", "doc_id"], 1,
+                     descending=[True, False]).to_pandas()
+        if not len(best) or int(best["gain"].iloc[0]) <= 0:
+            break
+        sel = int(best["doc_id"].iloc[0])
+        gain = int(best["gain"].iloc[0])
+        sel_terms = pairs.map_batches(
+            lambda t, _s=sel: t.filter(pc.equal(t["doc_id"],
+                                                pa.scalar(_s))),
+            batch_format="pyarrow").to_pandas()["term"].tolist()
+        covered.update(sel_terms)
+        rows.append((step, sel, gain, len(covered)))
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "gain": pa.array([r[2] for r in rows], pa.int64()),
+        "covered_after": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def _q221_sql() -> str:
+    head = r"""
+with dw as materialized (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as w
+  from documents),
+pairs as materialized (
+  select distinct doc_id, w[i] || ' ' || w[i + 1] as term
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+        from dw where len(w) >= 2)),
+cov0 as materialized (select null::varchar as term where false)"""
+    steps = []
+    for i in range(1, _Q221_STEPS + 1):
+        steps.append(f"""
+g{i} as materialized (
+  select p.doc_id, cast(count(*) as bigint) as gain
+  from pairs p
+  where not exists (select 1 from cov{i-1} c where c.term = p.term)
+  group by p.doc_id),
+s{i} as materialized (
+  select {i}::bigint as step, doc_id, gain
+  from g{i} order by gain desc, doc_id asc limit 1),
+cov{i} as materialized (
+  select term from cov{i-1}
+  union
+  select p.term from pairs p join s{i} on s{i}.doc_id = p.doc_id)""")
+    sel_union = " union all ".join(
+        f"select step, doc_id, gain, "
+        f"(select count(*) from cov{i}) as covered_after from s{i}"
+        for i in range(1, _Q221_STEPS + 1))
+    return (head + "," + ",".join(steps)
+            + f" select * from ({sel_union}) order by step")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15179,6 +15295,7 @@ QUERIES = {
     "q218_vocab_coverage": q218_vocab_coverage,
     "q219_oov_rate": q219_oov_rate,
     "q220_interarrival": q220_interarrival,
+    "q221_coverage_select": q221_coverage_select,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15389,6 +15506,7 @@ def oracle_sql() -> dict[str, str]:
         "q218_vocab_coverage": _Q218_SQL,
         "q219_oov_rate": _Q219_SQL,
         "q220_interarrival": _Q220_SQL,
+        "q221_coverage_select": _q221_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
