@@ -15074,6 +15074,89 @@ cov{i} as materialized (
             + f" select * from ({sel_union}) order by step")
 
 
+# --------------------------------------------------------------------- q222
+
+def q222_source_minhash_sim(sf_dir: str):
+    """Source-level MinHash similarity matrix (the corpus-mix overlap
+    estimate data-mixing recipes want BEFORE exact q170 Jaccard is
+    affordable — sketch first, verify candidates): each source's
+    64-perm signature is the elementwise MIN of its documents' q25
+    signatures (min is associative + commutative, so per-block
+    partial mins → one grouped min reduce is exact, the perfect
+    combiner shape), and the estimated Jaccard of two sources is the
+    fraction of agreeing coordinates. Output: all source pairs
+    (s1 < s2) with n_eq and est_j.
+
+    Oracle: q25's shared CTE chain (crc32 shingles → the same 64
+    permutations in wraparound HUGEINT arithmetic) grouped to source
+    level — min over docs of per-doc mins ≡ min over the source's
+    shingles."""
+    from feast_ray.functions.neardup import NUM_PERM, minhash_signature
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        acc: dict = {}
+        for s, txt in zip(srcs, texts):
+            sig = minhash_signature(txt)
+            cur = acc.get(s)
+            acc[s] = sig if cur is None else np.minimum(cur, sig)
+        if not acc:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "j": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64())})
+        out_s, out_j, out_v = [], [], []
+        for s, sig in acc.items():
+            out_s.extend([s] * NUM_PERM)
+            out_j.extend(range(1, NUM_PERM + 1))
+            out_v.extend(sig.astype(np.int64).tolist())
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "j": pa.array(out_j, pa.int64()),
+            "v": pa.array(out_v, pa.int64())})
+
+    sigs = grouped_agg(
+        docs.map_batches(_partial, batch_format="pyarrow"),
+        ["source", "j"], [AggSpec("v", "min", "v")]).to_pandas()
+    # report-sized pivot: n_sources x 64
+    piv = sigs.pivot(index="source", columns="j", values="v")
+    srcs = sorted(piv.index)
+    m = piv.loc[srcs].to_numpy()
+    rows = []
+    for i in range(len(srcs)):
+        for k in range(i + 1, len(srcs)):
+            neq = int((m[i] == m[k]).sum())
+            rows.append((srcs[i], srcs[k], neq,
+                         float(neq) / float(NUM_PERM)))
+    return pa.table({
+        "s1": pa.array([r[0] for r in rows], pa.string()),
+        "s2": pa.array([r[1] for r in rows], pa.string()),
+        "n_eq": pa.array([r[2] for r in rows], pa.int64()),
+        "est_j": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def _q222_sql() -> str:
+    from feast_ray.functions.neardup import NUM_PERM
+
+    return f"""
+with {_minhash_common_ctes()},
+srcsig as materialized (
+  select d.source, sigv.j, min(sigv.v) as v
+  from sigv join documents d on d.doc_id = sigv.doc_id
+  group by d.source, sigv.j)
+select a.source as s1, b.source as s2,
+       cast(sum(case when a.v = b.v then 1 else 0 end) as bigint)
+         as n_eq,
+       cast(sum(case when a.v = b.v then 1 else 0 end) as double)
+         / {float(NUM_PERM)} as est_j
+from srcsig a join srcsig b on a.j = b.j and a.source < b.source
+group by a.source, b.source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15296,6 +15379,7 @@ QUERIES = {
     "q219_oov_rate": q219_oov_rate,
     "q220_interarrival": q220_interarrival,
     "q221_coverage_select": q221_coverage_select,
+    "q222_source_minhash_sim": q222_source_minhash_sim,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15507,6 +15591,7 @@ def oracle_sql() -> dict[str, str]:
         "q219_oov_rate": _Q219_SQL,
         "q220_interarrival": _Q220_SQL,
         "q221_coverage_select": _q221_sql(),
+        "q222_source_minhash_sim": _q222_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
