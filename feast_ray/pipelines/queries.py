@@ -15157,6 +15157,73 @@ group by a.source, b.source
 """
 
 
+# --------------------------------------------------------------------- q223
+
+def q223_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across the relational schema (the
+    data-quality sweep every warehouse load runs: how many child rows
+    point at missing parents?): lineitem→orders, orders→customer and
+    customer→nation orphan counts via the size-gated distributed
+    semi/anti join (``stages/join.py semi_join`` — broadcast key set
+    below the gate, marker hash-join above), plus each child's total
+    for the orphan rate. One report row per relationship."""
+    from feast_ray.stages.join import semi_join
+
+    checks = [
+        ("lineitem_orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    names, totals, orphans = [], [], []
+    for name, child, ck, parent, pk in checks:
+        c = read_table(sf_dir, child, columns=[ck])
+        p = read_table(sf_dir, parent, columns=[pk])
+        pk_ds = p.map_batches(
+            lambda t, _pk=pk, _ck=ck: pa.table({_ck: t[_pk]}),
+            batch_format="pyarrow")
+        total = c.count()
+        orphan = semi_join(c, pk_ds, on=ck, anti=True).count()
+        names.append(name)
+        totals.append(total)
+        orphans.append(orphan)
+    t = np.array(totals, np.int64)
+    o = np.array(orphans, np.int64)
+    return pa.table({
+        "relationship": pa.array(names, pa.string()),
+        "n_child": pa.array(t),
+        "n_orphan": pa.array(o),
+        "orphan_rate": pa.array(o.astype(np.float64)
+                                / t.astype(np.float64))})
+
+
+_Q223_SQL = """
+with c1 as (
+  select cast(count(*) as bigint) as n_child,
+         cast(sum(case when o.o_orderkey is null then 1 else 0 end)
+              as bigint) as n_orphan
+  from lineitem l left join orders o on o.o_orderkey = l.l_orderkey),
+c2 as (
+  select cast(count(*) as bigint) as n_child,
+         cast(sum(case when c.c_custkey is null then 1 else 0 end)
+              as bigint) as n_orphan
+  from orders o left join customer c on c.c_custkey = o.o_custkey),
+c3 as (
+  select cast(count(*) as bigint) as n_child,
+         cast(sum(case when n.n_nationkey is null then 1 else 0 end)
+              as bigint) as n_orphan
+  from customer c left join nation n on n.n_nationkey = c.c_nationkey)
+select relationship, n_child, n_orphan,
+       cast(n_orphan as double) / cast(n_child as double) as orphan_rate
+from (
+  select 'lineitem_orders' as relationship, * from c1
+  union all select 'orders_customer', * from c2
+  union all select 'customer_nation', * from c3)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15380,6 +15447,7 @@ QUERIES = {
     "q220_interarrival": q220_interarrival,
     "q221_coverage_select": q221_coverage_select,
     "q222_source_minhash_sim": q222_source_minhash_sim,
+    "q223_fk_integrity": q223_fk_integrity,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15592,6 +15660,7 @@ def oracle_sql() -> dict[str, str]:
         "q220_interarrival": _Q220_SQL,
         "q221_coverage_select": _q221_sql(),
         "q222_source_minhash_sim": _q222_sql(),
+        "q223_fk_integrity": _Q223_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
