@@ -15224,6 +15224,57 @@ from (
 """
 
 
+# --------------------------------------------------------------------- q224
+
+def q224_cumulative_users(sf_dir: str):
+    """Cumulative-user growth accounting (the DAU/WAU onboarding curve:
+    how many DISTINCT users has the stream ever seen, by hour?): each
+    user's FIRST event hour via one grouped min (exact int
+    epoch-hour), new-user counts per hour via a second combiner-shape
+    count, and the running total as a driver prefix over the
+    report-sized hour domain. The corpus is never sorted;
+    distinct-first-then-count keeps the exchange at user cardinality,
+    the cumsum at hour cardinality."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        return pa.table({"user_id": t["user_id"],
+                         "hour": pa.array(hour)})
+
+    first = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], [AggSpec("hour", "min", "first_hour")])
+    per_hour = grouped_agg(
+        first.map_batches(
+            lambda t: pa.table({"hour": t["first_hour"]}),
+            batch_format="pyarrow"),
+        ["hour"], [AggSpec(None, "count", "new_users")]).to_pandas()
+    per_hour = per_hour.sort_values("hour").reset_index(drop=True)
+    new = per_hour["new_users"].to_numpy(np.int64)
+    return pa.table({
+        "hour": pa.array(per_hour["hour"].to_numpy(np.int64)),
+        "new_users": pa.array(new),
+        "cum_users": pa.array(np.cumsum(new))})
+
+
+_Q224_SQL = """
+with p as (
+  select user_id, epoch_us(ts) // 3600000000 as hour from events),
+f as (select user_id, cast(min(hour) as bigint) as first_hour
+      from p group by user_id),
+d as (select first_hour as hour, cast(count(*) as bigint) as new_users
+      from f group by first_hour)
+select hour, new_users,
+       cast(sum(new_users) over (order by hour
+         rows between unbounded preceding and current row) as bigint)
+         as cum_users
+from d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15448,6 +15499,7 @@ QUERIES = {
     "q221_coverage_select": q221_coverage_select,
     "q222_source_minhash_sim": q222_source_minhash_sim,
     "q223_fk_integrity": q223_fk_integrity,
+    "q224_cumulative_users": q224_cumulative_users,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15661,6 +15713,7 @@ def oracle_sql() -> dict[str, str]:
         "q221_coverage_select": _q221_sql(),
         "q222_source_minhash_sim": _q222_sql(),
         "q223_fk_integrity": _Q223_SQL,
+        "q224_cumulative_users": _Q224_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
