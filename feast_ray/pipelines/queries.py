@@ -15275,6 +15275,168 @@ from d
 """
 
 
+# --------------------------------------------------------------------- q225
+
+def q225_rule_clf_agreement(sf_dir: str):
+    """Inter-rater agreement between the q16 heuristic rules and the
+    q93 learned classifier (Cohen's κ — the standard "is the learned
+    scorer actually reproducing the labeler, beyond chance?" number):
+    the 2×2 confusion matrix is exact integers from ONE hash join of
+    the two streaming keep decisions; κ = (p_o − p_e)/(1 − p_e) is a
+    single verbatim float chain over those four counts. Reuses q211's
+    calib_lam dump doctrine for the classifier side of the oracle."""
+    import pyarrow.parquet as _pq
+
+    from feast_ray.functions.quality_clf import (
+        clf_features,
+        clf_fit,
+        clf_quantize,
+        clf_score,
+    )
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    labeled = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow"
+    ).map_batches(apply_quality_rules, batch_format="pyarrow")
+    lab = labeled.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "rule_keep": t["keep"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    feats = clf_features(
+        labeled.map_batches(
+            lambda t: t.select(["doc_id", "text"]).append_column(
+                "label", t["keep"].cast(pa.int8())),
+            batch_format="pyarrow"),
+        buckets=_DSIR_BUCKETS)
+    w, b = clf_fit(feats, buckets=_DSIR_BUCKETS, iters=40, lr=4.0)
+    lam, beta = clf_quantize(w, b)
+    os.makedirs(_PPL_ORACLE_DIR, exist_ok=True)
+    _pq.write_table(
+        pa.table({
+            "bucket": pa.array(
+                np.concatenate([[-1], np.arange(_DSIR_BUCKETS)]), pa.int64()),
+            "lam": pa.array(
+                np.concatenate([[beta], lam]).astype(np.int64), pa.int64()),
+        }),
+        os.path.join(_PPL_ORACLE_DIR, "calib_lam.parquet"))
+    scored = clf_score(docs, lam, beta)
+    both = hash_join(
+        scored.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "clf_keep": t["clf_keep"].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        lab, on="doc_id")
+    conf = grouped_agg(
+        both, ["rule_keep", "clf_keep"],
+        [AggSpec(None, "count", "n")]).to_pandas()
+    cells = {(int(r["rule_keep"]), int(r["clf_keep"])): int(r["n"])
+             for _, r in conf.iterrows()}
+    n11 = cells.get((1, 1), 0)
+    n00 = cells.get((0, 0), 0)
+    n10 = cells.get((1, 0), 0)
+    n01 = cells.get((0, 1), 0)
+    n = n11 + n00 + n10 + n01
+    po = (float(n11) + float(n00)) / float(n)
+    pe = ((float(n11 + n10) * float(n11 + n01))
+          + (float(n00 + n01) * float(n00 + n10))) \
+        / (float(n) * float(n))
+    kappa = (po - pe) / (1.0 - pe)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_agree": pa.array([n11 + n00], pa.int64()),
+        "n11": pa.array([n11], pa.int64()),
+        "n00": pa.array([n00], pa.int64()),
+        "n10": pa.array([n10], pa.int64()),
+        "n01": pa.array([n01], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64())})
+
+
+def _q225_sql() -> str:
+    d = _PPL_ORACLE_DIR
+    h0 = _HORNER_SQL.format(s="gram")
+    sm = _splitmix64_sql("h0")
+    return f"""
+with lam as materialized (
+  select bucket, lam from read_parquet('{d}/calib_lam.parquet')
+  where bucket >= 0),
+bias as (
+  select lam as beta from read_parquet('{d}/calib_lam.parquet')
+  where bucket = -1),
+dw as materialized (
+  select doc_id, regexp_extract_all(text, '\\S+') as w from documents),
+uni as (select doc_id, unnest(w) as gram from dw),
+bi as (
+  select doc_id, w[i] || ' ' || w[i + 1] as gram
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 1)) as i
+        from dw where len(w) >= 2)),
+grams as (select * from uni union all select * from bi),
+h0s as (select doc_id, gram, {h0} as h0 from grams),
+hb as (select doc_id,
+         cast({sm} % {_DSIR_BUCKETS}::HUGEINT as bigint) as bucket
+       from h0s),
+wsum as (
+  select hb.doc_id, cast(sum(l.lam) as bigint) as s
+  from hb join lam l on l.bucket = hb.bucket
+  group by hb.doc_id),
+sc as materialized (
+  select d.doc_id,
+         case when (select beta from bias) + coalesce(ws.s, 0) > 0
+              then 1 else 0 end as clf_keep
+  from (select doc_id from documents) d
+  left join wsum ws on ws.doc_id = d.doc_id),
+st as (
+  select doc_id,
+    len(regexp_extract_all(text, '\\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+  from documents),
+kl as (
+  select doc_id,
+    case when (case
+      when n_words < {MIN_WORDS} then 'x' when n_words > {MAX_WORDS} then 'x'
+      when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'x'
+      when stop_count < {MIN_STOPWORDS} then 'x'
+      when digit_frac > {MAX_DIGIT_FRAC} then 'x'
+      when symbol_frac > {MAX_SYMBOL_FRAC} then 'x'
+    end) is null then 1 else 0 end as rule_keep
+  from st),
+conf as (
+  select
+    cast(sum(case when rule_keep = 1 and clf_keep = 1 then 1 else 0 end)
+         as bigint) as n11,
+    cast(sum(case when rule_keep = 0 and clf_keep = 0 then 1 else 0 end)
+         as bigint) as n00,
+    cast(sum(case when rule_keep = 1 and clf_keep = 0 then 1 else 0 end)
+         as bigint) as n10,
+    cast(sum(case when rule_keep = 0 and clf_keep = 1 then 1 else 0 end)
+         as bigint) as n01
+  from kl join sc on sc.doc_id = kl.doc_id)
+select n11 + n00 + n10 + n01 as n,
+       n11 + n00 as n_agree, n11, n00, n10, n01,
+       ((cast(n11 as double) + cast(n00 as double))
+          / cast(n11 + n00 + n10 + n01 as double)
+        - ((cast(n11 + n10 as double) * cast(n11 + n01 as double))
+           + (cast(n00 + n01 as double) * cast(n00 + n10 as double)))
+          / (cast(n11 + n00 + n10 + n01 as double)
+             * cast(n11 + n00 + n10 + n01 as double)))
+       / (1.0
+          - ((cast(n11 + n10 as double) * cast(n11 + n01 as double))
+             + (cast(n00 + n01 as double) * cast(n00 + n10 as double)))
+            / (cast(n11 + n00 + n10 + n01 as double)
+               * cast(n11 + n00 + n10 + n01 as double)))
+         as kappa
+from conf
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15500,6 +15662,7 @@ QUERIES = {
     "q222_source_minhash_sim": q222_source_minhash_sim,
     "q223_fk_integrity": q223_fk_integrity,
     "q224_cumulative_users": q224_cumulative_users,
+    "q225_rule_clf_agreement": q225_rule_clf_agreement,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15714,6 +15877,7 @@ def oracle_sql() -> dict[str, str]:
         "q222_source_minhash_sim": _q222_sql(),
         "q223_fk_integrity": _Q223_SQL,
         "q224_cumulative_users": _Q224_SQL,
+        "q225_rule_clf_agreement": _q225_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
