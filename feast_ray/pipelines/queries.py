@@ -15437,6 +15437,112 @@ from conf
 """
 
 
+# --------------------------------------------------------------------- q226
+
+def q226_time_to_convert(sf_dir: str):
+    """Time-to-convert profile (how long after their latest click do
+    users purchase? — the attribution-window calibration number that
+    justifies q215's one-hour choice): per purchase the delay since
+    the user's most recent STRICTLY-EARLIER click via a per-bucket
+    running max over the (ts, event_id) row order (the
+    last-click-carry-forward window — ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING), then one report row: count, exact
+    mean, and exact PERCENTILE_DISC median/p90 of the delay in µs.
+    One user-keyed exchange + one report-sized quantile pass."""
+    from feast_ray.stages.aggregate import grouped_quantile
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"], "us": pa.array(us)})
+
+    def _delays(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["grp", "delay_us"]
+        if not len(df):
+            return pd.DataFrame({
+                "grp": pd.Series([], dtype="int64"),
+                "delay_us": pd.Series([], dtype="int64")})[cols]
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        rel = us - us.min()
+        is_c = (df["event_type"] == "click").to_numpy()
+        # previous row's click time (rel; -1 = none), reset per user
+        shifted = np.concatenate(
+            [[-1], np.where(is_c, rel, -1)[:-1]]).astype(np.int64)
+        new_run = np.empty(len(df), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = uid[1:] != uid[:-1]
+        shifted[new_run] = -1
+        # segment running max in EXACT int64: offset each user run by
+        # a stride larger than any rel so maxima cannot leak across
+        run_id = np.cumsum(new_run) - 1
+        stride = int(rel.max()) + 2
+        if (int(run_id.max()) + 1) * stride >= 2**62:
+            raise ValueError("q226 stride overflow")
+        acc = np.maximum.accumulate(run_id * stride + shifted) \
+            - run_id * stride
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        valid = is_p & (acc >= 0)
+        delay = (rel - acc)[valid]
+        return pd.DataFrame({
+            "grp": np.zeros(int(valid.sum()), np.int64),
+            "delay_us": delay.astype(np.int64)})[cols]
+
+    delays = bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _delays).materialize()
+    agg = grouped_agg(
+        delays, ["grp"],
+        [AggSpec(None, "count", "n"),
+         AggSpec("delay_us", "sum", "s")]).to_pandas()
+    qs = grouped_quantile(
+        delays, ["grp"], "delay_us",
+        {"median_delay_us": 0.5, "p90_delay_us": 0.9}).to_pandas()
+    n = int(agg["n"].iloc[0])
+    s = int(agg["s"].iloc[0])
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_delay_us": pa.array([float(s) / float(n)], pa.float64()),
+        "median_delay_us": pa.array(
+            [int(qs["median_delay_us"].iloc[0])], pa.int64()),
+        "p90_delay_us": pa.array(
+            [int(qs["p90_delay_us"].iloc[0])], pa.int64())})
+
+
+_Q226_SQL = """
+with p as (
+  select user_id, event_id, event_type, epoch_us(ts) as us
+  from events where event_type in ('click', 'purchase')),
+w as (
+  select user_id, event_id, event_type, us,
+         max(case when event_type = 'click' then us end)
+           over (partition by user_id order by us, event_id
+                 rows between unbounded preceding and 1 preceding)
+           as last_click
+  from p),
+d as (
+  select cast(us - last_click as bigint) as delay_us
+  from w where event_type = 'purchase' and last_click is not null)
+select cast(count(*) as bigint) as n,
+       cast(sum(delay_us) as double) / cast(count(*) as double)
+         as mean_delay_us,
+       cast(quantile_disc(delay_us, 0.5) as bigint) as median_delay_us,
+       cast(quantile_disc(delay_us, 0.9) as bigint) as p90_delay_us
+from d
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15663,6 +15769,7 @@ QUERIES = {
     "q223_fk_integrity": q223_fk_integrity,
     "q224_cumulative_users": q224_cumulative_users,
     "q225_rule_clf_agreement": q225_rule_clf_agreement,
+    "q226_time_to_convert": q226_time_to_convert,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15878,6 +15985,7 @@ def oracle_sql() -> dict[str, str]:
         "q223_fk_integrity": _Q223_SQL,
         "q224_cumulative_users": _Q224_SQL,
         "q225_rule_clf_agreement": _q225_sql(),
+        "q226_time_to_convert": _Q226_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
