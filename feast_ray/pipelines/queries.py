@@ -15543,6 +15543,73 @@ from d
 """
 
 
+# --------------------------------------------------------------------- q227
+
+def q227_dup_cluster_sizes(sf_dir: str):
+    """Near-duplicate cluster-size distribution (the dedup-audit
+    readout that sizes the problem before choosing a keep policy: how
+    many singletons, pairs, giant mirror farms?): q51's verified
+    MinHash component labels (singletons = their own doc_id, the q106
+    convention) → per-cluster size (one label-keyed count) → the
+    count-of-counts histogram (one size-keyed count — the exchange
+    drops to cluster then size cardinality). Output per cluster size:
+    number of clusters and docs covered."""
+    import pyarrow.compute as _pc2
+
+    from feast_ray.functions.components import minhash_components
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    comps = minhash_components(docs, "doc_id", "text", threshold=0.8)
+    base = docs.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    labeled = hash_join(base, comps, on="doc_id", how="left")
+
+    def _label(t: pa.Table) -> pa.Table:
+        comp = _pc2.fill_null(t["component"],
+                              _pc2.cast(t["doc_id"], pa.int64()))
+        return pa.table({"component": comp.cast(pa.int64())})
+
+    sizes = grouped_agg(
+        labeled.map_batches(_label, batch_format="pyarrow"),
+        ["component"], [AggSpec(None, "count", "sz")])
+    hist = grouped_agg(
+        sizes.map_batches(
+            lambda t: pa.table({"cluster_size": t["sz"]}),
+            batch_format="pyarrow"),
+        ["cluster_size"], [AggSpec(None, "count", "n_clusters")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t["cluster_size"].to_numpy(zero_copy_only=False
+                                       ).astype(np.int64)
+        n = t["n_clusters"].to_numpy(zero_copy_only=False
+                                     ).astype(np.int64)
+        return pa.table({
+            "cluster_size": t["cluster_size"],
+            "n_clusters": t["n_clusters"],
+            "n_docs": pa.array(s * n)})
+
+    return hist.map_batches(_final, batch_format="pyarrow")
+
+
+def _q227_sql() -> str:
+    return f"""
+with recursive {_minhash_components_ctes()},
+comps as (select node as doc_id, min(comp) as component
+          from cc group by node),
+lab as (
+  select coalesce(c.component, d.doc_id) as component
+  from documents d left join comps c on c.doc_id = d.doc_id),
+sizes as (
+  select component, cast(count(*) as bigint) as sz
+  from lab group by component)
+select sz as cluster_size,
+       cast(count(*) as bigint) as n_clusters,
+       cast(sz * count(*) as bigint) as n_docs
+from sizes group by sz
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15770,6 +15837,7 @@ QUERIES = {
     "q224_cumulative_users": q224_cumulative_users,
     "q225_rule_clf_agreement": q225_rule_clf_agreement,
     "q226_time_to_convert": q226_time_to_convert,
+    "q227_dup_cluster_sizes": q227_dup_cluster_sizes,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -15986,6 +16054,7 @@ def oracle_sql() -> dict[str, str]:
         "q224_cumulative_users": _Q224_SQL,
         "q225_rule_clf_agreement": _q225_sql(),
         "q226_time_to_convert": _Q226_SQL,
+        "q227_dup_cluster_sizes": _q227_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
