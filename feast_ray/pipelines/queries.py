@@ -15610,6 +15610,61 @@ from sizes group by sz
 """
 
 
+# --------------------------------------------------------------------- q228
+
+def q228_session_length_dist(sf_dir: str):
+    """Session-length distribution (the engagement-shape readout on
+    top of q74's gap sessions: how many 1-event bounces vs long
+    sessions?): q74's 30-minute gap sessions → count-of-counts
+    histogram over events-per-session, plus each bucket's total
+    event mass and its share of all sessions (one restated
+    division). Exchanges drop user → session → length cardinality."""
+    from feast_ray.stages.aggregate import session_agg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    agg = session_agg(
+        ev, ["user_id"], "ts", timedelta(minutes=30),
+        [AggSpec(None, "count", "n_events")])
+    hist = grouped_agg(
+        agg.map_batches(
+            lambda t: pa.table({"session_len": t["n_events"]}),
+            batch_format="pyarrow"),
+        ["session_len"], [AggSpec(None, "count", "n_sessions")]
+    ).to_pandas()
+    hist = hist.sort_values("session_len").reset_index(drop=True)
+    sl = hist["session_len"].to_numpy(np.int64)
+    ns = hist["n_sessions"].to_numpy(np.int64)
+    tot = float(ns.sum())
+    return pa.table({
+        "session_len": pa.array(sl),
+        "n_sessions": pa.array(ns),
+        "n_events": pa.array(sl * ns),
+        "frac_sessions": pa.array(ns.astype(np.float64) / tot)})
+
+
+_Q228_SQL = """
+with m as (
+  select user_id, ts,
+    case when ts - lag(ts) over (partition by user_id order by ts)
+             <= interval '30 minutes' then 0 else 1 end as brk
+  from events),
+g as (
+  select *, sum(brk) over (partition by user_id order by ts
+    rows between unbounded preceding and current row) as sid
+  from m),
+s as (select user_id, sid, cast(count(*) as bigint) as session_len
+      from g group by user_id, sid),
+h as (select session_len, cast(count(*) as bigint) as n_sessions
+      from s group by session_len)
+select session_len, n_sessions,
+       cast(session_len * n_sessions as bigint) as n_events,
+       cast(n_sessions as double)
+         / cast((select sum(n_sessions) from h) as double)
+         as frac_sessions
+from h
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15838,6 +15893,7 @@ QUERIES = {
     "q225_rule_clf_agreement": q225_rule_clf_agreement,
     "q226_time_to_convert": q226_time_to_convert,
     "q227_dup_cluster_sizes": q227_dup_cluster_sizes,
+    "q228_session_length_dist": q228_session_length_dist,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16055,6 +16111,7 @@ def oracle_sql() -> dict[str, str]:
         "q225_rule_clf_agreement": _q225_sql(),
         "q226_time_to_convert": _Q226_SQL,
         "q227_dup_cluster_sizes": _q227_sql(),
+        "q228_session_length_dist": _Q228_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
