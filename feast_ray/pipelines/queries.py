@@ -15665,6 +15665,71 @@ from h
 """
 
 
+# --------------------------------------------------------------------- q229
+
+def q229_churned_users(sf_dir: str):
+    """Churn audit between stream halves (q191's epoch-µs midpoint
+    split reused as a cohort boundary): users active in the first
+    half but absent from the second are churned; the report is one
+    row of exact set cardinalities (|H1|, |H2|, |H1∖H2|, |H1∩H2|)
+    and the churn rate as a restated division. Shape: one grouped
+    min/max pre-pass finds the midpoint; per-user first/last event
+    times come from ONE user-keyed aggregate, so the set ops are
+    integer comparisons on that reduced table — the corpus never
+    re-shuffles for the distinct."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us})
+
+    p = _prep  # alias for clarity
+    prepped = ev.map_batches(p, batch_format="pyarrow").materialize()
+    lo = int(prepped.min("us"))
+    hi = int(prepped.max("us"))
+    mid = lo + (hi - lo) // 2
+    per_user = grouped_agg(
+        prepped, ["user_id"],
+        [AggSpec("us", "min", "first_us"),
+         AggSpec("us", "max", "last_us")]).to_pandas()
+    h1 = per_user["first_us"].to_numpy(np.int64) < mid
+    h2 = per_user["last_us"].to_numpy(np.int64) >= mid
+    n_h1 = int(h1.sum())
+    n_h2 = int(h2.sum())
+    churned = int((h1 & ~h2).sum())
+    retained = int((h1 & h2).sum())
+    return pa.table({
+        "n_h1_users": pa.array([n_h1], pa.int64()),
+        "n_h2_users": pa.array([n_h2], pa.int64()),
+        "n_churned": pa.array([churned], pa.int64()),
+        "n_retained": pa.array([retained], pa.int64()),
+        "churn_rate": pa.array(
+            [float(churned) / float(n_h1)], pa.float64())})
+
+
+_Q229_SQL = """
+with p as (select user_id, epoch_us(ts) as us from events),
+b as (select min(us) as lo, max(us) as hi from p),
+m as (select lo + (hi - lo) // 2 as mid from b),
+u as (select user_id, min(us) as first_us, max(us) as last_us
+      from p group by user_id),
+f as (
+  select case when first_us < m.mid then 1 else 0 end as in_h1,
+         case when last_us >= m.mid then 1 else 0 end as in_h2
+  from u, m)
+select cast(sum(in_h1) as bigint) as n_h1_users,
+       cast(sum(in_h2) as bigint) as n_h2_users,
+       cast(sum(case when in_h1 = 1 and in_h2 = 0 then 1 else 0 end)
+            as bigint) as n_churned,
+       cast(sum(case when in_h1 = 1 and in_h2 = 1 then 1 else 0 end)
+            as bigint) as n_retained,
+       cast(sum(case when in_h1 = 1 and in_h2 = 0 then 1 else 0 end)
+            as double) / cast(sum(in_h1) as double) as churn_rate
+from f
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15894,6 +15959,7 @@ QUERIES = {
     "q226_time_to_convert": q226_time_to_convert,
     "q227_dup_cluster_sizes": q227_dup_cluster_sizes,
     "q228_session_length_dist": q228_session_length_dist,
+    "q229_churned_users": q229_churned_users,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16112,6 +16178,7 @@ def oracle_sql() -> dict[str, str]:
         "q226_time_to_convert": _Q226_SQL,
         "q227_dup_cluster_sizes": _q227_sql(),
         "q228_session_length_dist": _Q228_SQL,
+        "q229_churned_users": _Q229_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
