@@ -15730,6 +15730,92 @@ from f
 """
 
 
+# --------------------------------------------------------------------- q230
+
+def q230_late_fulfilment(sf_dir: str):
+    """Late-fulfilment audit per order priority (the TPC-H Q4 shape
+    re-expressed EXISTS-free): an order is late when ANY of its line
+    items shipped more than 60 days after the order date — computed
+    as one grouped MAX over lineitem ship days (epoch-day ints), one
+    partitioned hash join back to orders, and one priority-keyed
+    count. Exact integer day arithmetic; rates restated."""
+    from feast_ray.stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def _ship(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "ship_day": pa.array(d // 86_400_000_000)})
+
+    maxship = grouped_agg(
+        li.map_batches(_ship, batch_format="pyarrow"),
+        ["o_orderkey"], [AggSpec("ship_day", "max", "max_ship_day")])
+
+    def _ord(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "order_day": pa.array(d // 86_400_000_000)})
+
+    joined = hash_join(
+        orders.map_batches(_ord, batch_format="pyarrow"),
+        maxship, on="o_orderkey")
+
+    def _late(t: pa.Table) -> pa.Table:
+        late = (t["max_ship_day"].to_numpy(zero_copy_only=False)
+                - t["order_day"].to_numpy(zero_copy_only=False)
+                > 60).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "late": pa.array(late)})
+
+    agg = grouped_agg(
+        joined.map_batches(_late, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [AggSpec(None, "count", "n_orders"),
+         AggSpec("late", "sum", "n_late")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy(zero_copy_only=False).astype(np.float64)
+        l = t["n_late"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": t["n_orders"], "n_late": t["n_late"],
+            "late_rate": pa.array(l / n)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_Q230_SQL = """
+with ms as (
+  select l_orderkey as o_orderkey,
+         max(epoch_us(cast(l_shipdate as timestamp)) // 86400000000)
+           as max_ship_day
+  from lineitem group by l_orderkey),
+j as (
+  select o.o_orderpriority,
+         case when ms.max_ship_day
+                   - epoch_us(cast(o.o_orderdate as timestamp))
+                     // 86400000000 > 60
+              then 1 else 0 end as late
+  from orders o join ms on ms.o_orderkey = o.o_orderkey)
+select o_orderpriority,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(late) as bigint) as n_late,
+       cast(sum(late) as double) / cast(count(*) as double) as late_rate
+from j group by o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -15960,6 +16046,7 @@ QUERIES = {
     "q227_dup_cluster_sizes": q227_dup_cluster_sizes,
     "q228_session_length_dist": q228_session_length_dist,
     "q229_churned_users": q229_churned_users,
+    "q230_late_fulfilment": q230_late_fulfilment,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16179,6 +16266,7 @@ def oracle_sql() -> dict[str, str]:
         "q227_dup_cluster_sizes": _q227_sql(),
         "q228_session_length_dist": _Q228_SQL,
         "q229_churned_users": _Q229_SQL,
+        "q230_late_fulfilment": _Q230_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
