@@ -15816,6 +15816,90 @@ from j group by o_orderpriority
 """
 
 
+# --------------------------------------------------------------------- q231
+
+def q231_gini_revenue(sf_dir: str):
+    """Revenue-concentration Gini coefficient over customers (the
+    inequality audit: how concentrated is spend? — the same statistic
+    data-curation uses for host/domain concentration): per-customer
+    order totals in exact cents (one grouped sum), globally ranked
+    ascending by (cents, custkey) through the q132 sample-sort (ONE
+    payload shuffle, no full re-sort), then
+    G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n from two exact int64 sums
+    — Σ i·x_i is the only rank-weighted term and stays under 2^63 for
+    any realistic customer count (documented: n·max_cents·n — assert
+    guards it). The two closing divisions are restated verbatim."""
+    from feast_ray.stages.relational import global_rank_int
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        c = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": pa.array(c)})
+
+    per_cust = grouped_agg(
+        orders.map_batches(_prep, batch_format="pyarrow"),
+        ["o_custkey"], [AggSpec("cents", "sum", "rev")])
+
+    def _key(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False
+                                     ).astype(np.int64)
+        if rev.max(initial=0) >= (1 << 40) or ck.max(initial=0) >= (1 << 22):
+            raise ValueError("q231 composite key bounds exceeded")
+        return pa.table({"k": pa.array(rev * (1 << 22) + ck),
+                         "rev": pa.array(rev)})
+
+    ranked = global_rank_int(
+        per_cust.map_batches(_key, batch_format="pyarrow"),
+        "k", rank_as="i", keep_cols=["rev"])
+
+    def _terms(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "iw": pa.array([int((i * x).sum())], pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "n": pa.array([len(i)], pa.int64())})
+
+    agg = ranked.map_batches(_terms, batch_format="pyarrow").to_pandas()
+    iw = int(agg["iw"].sum())
+    s = int(agg["s"].sum())
+    n = int(agg["n"].sum())
+    gini = (2.0 * float(iw)) / (float(n) * float(s)) \
+        - float(n + 1) / float(n)
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([s], pa.int64()),
+        "rank_weighted": pa.array([iw], pa.int64()),
+        "gini": pa.array([gini], pa.float64())})
+
+
+_Q231_SQL = """
+with pc as (
+  select o_custkey,
+         cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+           as rev
+  from orders group by o_custkey),
+r as (
+  select rev,
+         row_number() over (order by rev asc, o_custkey asc) as i
+  from pc),
+a as (
+  select cast(sum(i * rev) as bigint) as iw,
+         cast(sum(rev) as bigint) as s,
+         cast(count(*) as bigint) as n
+  from r)
+select n as n_customers, s as total_cents, iw as rank_weighted,
+       (2.0 * cast(iw as double)) / (cast(n as double) * cast(s as double))
+         - cast(n + 1 as double) / cast(n as double) as gini
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16047,6 +16131,7 @@ QUERIES = {
     "q228_session_length_dist": q228_session_length_dist,
     "q229_churned_users": q229_churned_users,
     "q230_late_fulfilment": q230_late_fulfilment,
+    "q231_gini_revenue": q231_gini_revenue,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16267,6 +16352,7 @@ def oracle_sql() -> dict[str, str]:
         "q228_session_length_dist": _Q228_SQL,
         "q229_churned_users": _Q229_SQL,
         "q230_late_fulfilment": _Q230_SQL,
+        "q231_gini_revenue": _Q231_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
