@@ -15900,6 +15900,95 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q232
+
+def q232_rolling_anomaly(sf_dir: str):
+    """Rolling z-score anomaly flags WITHOUT floats (the monitoring
+    rule |x−μ| > 2σ over the trailing window, made bit-exact by
+    cross-multiplication): per event_type the hourly cents totals,
+    and for each hour the 6-ROWS-PRECEDING window's (n, S, Q) via
+    prefix-sum differences; the flag is the pure-integer predicate
+    (x·n − S)² > 4·(n·Q − S²) — no division, no sqrt, so distributed
+    and SQL agree exactly (magnitudes stay under 2^60 for hourly
+    cents totals; the q205 overflow-headroom audit applies). Hours
+    with under 3 history rows never flag."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pa.array(us // 3_600_000_000),
+            "c": pa.array(c)})
+
+    hourly = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["event_type", "hour"], [AggSpec("c", "sum", "cents")])
+
+    W = 6
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "hour", "cents", "n_hist", "is_anomaly"]
+        if not len(df):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+                "n_hist": pd.Series([], dtype="int64"),
+                "is_anomaly": pd.Series([], dtype=bool)})[cols]
+        df = df.sort_values(["event_type", "hour"],
+                            kind="stable").reset_index(drop=True)
+        x = df["cents"].to_numpy(np.int64)
+        pos = df.groupby("event_type", sort=False).cumcount().to_numpy()
+        csum = np.concatenate([[0], np.cumsum(x)])
+        csq = np.concatenate([[0], np.cumsum(x * x)])
+        idx = np.arange(len(x))
+        back = np.minimum(pos, W)
+        S = csum[idx] - csum[idx - back]
+        Q = csq[idx] - csq[idx - back]
+        n = back
+        lhs = (x * n - S) ** 2
+        rhs = 4 * (n * Q - S * S)
+        flag = (n >= 3) & (lhs > rhs)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["hour"].to_numpy(np.int64),
+            "cents": x,
+            "n_hist": n.astype(np.int64),
+            "is_anomaly": flag})[cols]
+
+    return bucketed_group_reduce(hourly, ["event_type"], _flags)
+
+
+_Q232_SQL = """
+with p as (
+  select event_type, epoch_us(ts) // 3600000000 as hour,
+         cast(round(value * 100) as bigint) as c
+  from events),
+h as (
+  select event_type, hour, cast(sum(c) as bigint) as cents
+  from p group by event_type, hour),
+w as (
+  select event_type, hour, cents,
+         cast(coalesce(sum(cents) over f, 0) as bigint) as s,
+         cast(coalesce(sum(cents * cents) over f, 0) as bigint) as q,
+         cast(count(*) over f as bigint) as n
+  from h
+  window f as (partition by event_type order by hour
+               rows between 6 preceding and 1 preceding))
+select event_type, hour, cents, n as n_hist,
+       n >= 3 and (cents * n - s) * (cents * n - s)
+                  > 4 * (n * q - s * s) as is_anomaly
+from w
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16132,6 +16221,7 @@ QUERIES = {
     "q229_churned_users": q229_churned_users,
     "q230_late_fulfilment": q230_late_fulfilment,
     "q231_gini_revenue": q231_gini_revenue,
+    "q232_rolling_anomaly": q232_rolling_anomaly,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16353,6 +16443,7 @@ def oracle_sql() -> dict[str, str]:
         "q229_churned_users": _Q229_SQL,
         "q230_late_fulfilment": _Q230_SQL,
         "q231_gini_revenue": _Q231_SQL,
+        "q232_rolling_anomaly": _Q232_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
