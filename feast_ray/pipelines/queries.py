@@ -15989,6 +15989,87 @@ from w
 """
 
 
+# --------------------------------------------------------------------- q233
+
+def q233_heaps_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (how fast does the corpus
+    stop yielding NEW trigrams? — the saturation signal that tells a
+    crawl when more of the same source stops paying): every distinct
+    word trigram is attributed to the FIRST doc_id containing it (one
+    grouped min — order-free), docs bucket into 10 equal-width id
+    deciles, and the curve is new-trigrams-per-decile plus the
+    running total (driver prefix over 10 rows). Exchanges at trigram
+    then decile cardinality; the corpus is never sorted."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _tri(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        did = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        n = len(flat)
+        keep = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        # positions whose trigram would cross a doc boundary
+        for off in (0, 1):
+            e = ends[lens > off] - off
+            keep[e[e >= 0]] = False
+        w1, w2, w3 = flat, np.roll(flat, -1), np.roll(flat, -2)
+        keep &= (w1 != "") & (w2 != "") & (w3 != "")
+        tri = np.array([f"{a} {b} {c}" for a, b, c in
+                        zip(w1[keep], w2[keep], w3[keep])], dtype=object)
+        return pa.table({
+            "doc_id": pa.array(did[keep].astype(np.int64)),
+            "tri": pa.array(tri, pa.string())})
+
+    first = grouped_agg(
+        docs.map_batches(_tri, batch_format="pyarrow"),
+        ["tri"], [AggSpec("doc_id", "min", "first_doc")])
+
+    def _dec(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy(zero_copy_only=False
+                                     ).astype(np.int64)
+        d = np.minimum(fd * 10 // n_docs, 9)
+        return pa.table({"decile": pa.array(d)})
+
+    per_dec = grouped_agg(
+        first.map_batches(_dec, batch_format="pyarrow"),
+        ["decile"], [AggSpec(None, "count", "new_trigrams")]).to_pandas()
+    per_dec = per_dec.sort_values("decile").reset_index(drop=True)
+    new = per_dec["new_trigrams"].to_numpy(np.int64)
+    return pa.table({
+        "decile": pa.array(per_dec["decile"].to_numpy(np.int64)),
+        "new_trigrams": pa.array(new),
+        "cum_trigrams": pa.array(np.cumsum(new))})
+
+
+_Q233_SQL = r"""
+with dw as (
+  select doc_id, regexp_extract_all(lower(text), '\S+') as w
+  from documents),
+tri as (
+  select doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] as tri
+  from (select doc_id, w, unnest(generate_series(1, len(w) - 2)) as i
+        from dw where len(w) >= 3)),
+f as (select tri, cast(min(doc_id) as bigint) as first_doc
+      from tri group by tri),
+d as (
+  select least(first_doc * 10 // (select count(*) from documents), 9)
+           as decile
+  from f),
+h as (select decile, cast(count(*) as bigint) as new_trigrams
+      from d group by decile)
+select decile, new_trigrams,
+       cast(sum(new_trigrams) over (order by decile
+         rows between unbounded preceding and current row) as bigint)
+         as cum_trigrams
+from h
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16222,6 +16303,7 @@ QUERIES = {
     "q230_late_fulfilment": q230_late_fulfilment,
     "q231_gini_revenue": q231_gini_revenue,
     "q232_rolling_anomaly": q232_rolling_anomaly,
+    "q233_heaps_curve": q233_heaps_curve,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16444,6 +16526,7 @@ def oracle_sql() -> dict[str, str]:
         "q230_late_fulfilment": _Q230_SQL,
         "q231_gini_revenue": _Q231_SQL,
         "q232_rolling_anomaly": _Q232_SQL,
+        "q233_heaps_curve": _Q233_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
