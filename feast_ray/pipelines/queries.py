@@ -16070,6 +16070,97 @@ from h
 """
 
 
+# --------------------------------------------------------------------- q234
+
+def q234_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the link graph (Newman 2002 — do
+    high-degree pages link to high-degree pages? positive r = hub
+    clusters / link farms, negative = hub-and-spoke): the Pearson
+    correlation of (out-degree(src), in-degree(dst)) over every edge
+    of q105's deterministic graph, by the q140 integer-moment
+    doctrine — degree tables from two grouped counts, two partitioned
+    joins decorate each edge, exact int64 moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²), one verbatim float chain for r."""
+    from feast_ray.stages.join import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate(
+            [(d * d + p * d) % n_docs for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(_edges, batch_format="pyarrow"
+                             ).materialize()
+    outd = grouped_agg(
+        edges.map_batches(lambda t: pa.table({"src": t["src"]}),
+                          batch_format="pyarrow"),
+        ["src"], [AggSpec(None, "count", "od")])
+    ind = grouped_agg(
+        edges.map_batches(lambda t: pa.table({"dst": t["dst"]}),
+                          batch_format="pyarrow"),
+        ["dst"], [AggSpec(None, "count", "idg")])
+    e1 = hash_join(edges, outd, on="src")
+    e2 = hash_join(e1, ind, on="dst")
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["idg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+    m = e2.map_batches(_moments, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    sx, sy = int(m["sx"].sum()), int(m["sy"].sum())
+    sxy = int(m["sxy"].sum())
+    sxx, syy = int(m["sxx"].sum()), int(m["syy"].sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = np.sqrt(float(n) * float(sxx) - float(sx) * float(sx)) \
+        * np.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([num / den], pa.float64())})
+
+
+_Q234_SQL = """
+with n as (select count(*) as cnt from documents),
+e as (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+od as (select src, cast(count(*) as bigint) as od from e group by src),
+ind as (select dst, cast(count(*) as bigint) as idg from e group by dst),
+d as (
+  select od.od as x, ind.idg as y
+  from e join od on od.src = e.src join ind on ind.dst = e.dst),
+m as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+         cast(sum(x * y) as bigint) as sxy,
+         cast(sum(x * x) as bigint) as sxx,
+         cast(sum(y * y) as bigint) as syy
+  from d)
+select n as n_edges, sxy,
+       (cast(n as double) * cast(sxy as double)
+        - cast(sx as double) * cast(sy as double))
+       / (sqrt(cast(n as double) * cast(sxx as double)
+               - cast(sx as double) * cast(sx as double))
+          * sqrt(cast(n as double) * cast(syy as double)
+                 - cast(sy as double) * cast(sy as double)))
+         as assortativity
+from m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16304,6 +16395,7 @@ QUERIES = {
     "q231_gini_revenue": q231_gini_revenue,
     "q232_rolling_anomaly": q232_rolling_anomaly,
     "q233_heaps_curve": q233_heaps_curve,
+    "q234_degree_assortativity": q234_degree_assortativity,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16527,6 +16619,7 @@ def oracle_sql() -> dict[str, str]:
         "q231_gini_revenue": _Q231_SQL,
         "q232_rolling_anomaly": _Q232_SQL,
         "q233_heaps_curve": _Q233_SQL,
+        "q234_degree_assortativity": _Q234_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
