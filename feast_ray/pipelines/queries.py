@@ -16161,6 +16161,120 @@ from m
 """
 
 
+# --------------------------------------------------------------------- q235
+
+def q235_label_centroids(sf_dir: str):
+    """Per-label embedding centroid quality report (the
+    clustering-evaluation readout over the labeled vector table:
+    how tight is each label's cluster?): coordinates quantize once
+    to micro-units (the q217 rule), per (label, dim) the exact int64
+    (n, Σe, Σe²) moments come from ONE combiner-shape exchange of
+    64-row partials per block, and each dim's within-cluster sum of
+    squares Σe² − (Σe)²/n evaluates as a float chain quantized to
+    PER-CELL int64 milli-units (q155 doctrine) before the order-free
+    per-label sum. Output per label: n_vecs, total inertia, and the
+    mean inertia per vector (restated division)."""
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    D = 64
+
+    def _moments(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "q": pa.array([], pa.int64())})
+        la = t["embedding"].combine_chunks()
+        e = la.flatten().to_numpy(zero_copy_only=False
+                                  ).astype(np.float64).reshape(-1, D)
+        en = np.floor(e * 1e6 + 0.5).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        out_l, out_d, out_n, out_s, out_q = [], [], [], [], []
+        for i, lv in enumerate(labs):
+            m = inv == i
+            sub = en[m]
+            out_l.extend([int(lv)] * D)
+            out_d.extend(range(D))
+            out_n.extend([int(m.sum())] * D)
+            out_s.extend(sub.sum(axis=0).tolist())
+            out_q.extend(np.einsum("ij,ij->j", sub, sub).tolist())
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "dim": pa.array(out_d, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "s": pa.array(out_s, pa.int64()),
+            "q": pa.array(out_q, pa.int64())})
+
+    m = grouped_agg(
+        emb.map_batches(_moments, batch_format="pyarrow"),
+        ["label", "dim"],
+        [AggSpec("n", "sum", "n"), AggSpec("s", "sum", "s"),
+         AggSpec("q", "sum", "q")])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = t["q"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cell = np.floor((q - s * s / n) / 1e12 * 1e3 + 0.5
+                        ).astype(np.int64)
+        return pa.table({
+            "label": t["label"],
+            "n": t["n"],
+            "cell_n": pa.array(cell)})
+
+    agg = grouped_agg(
+        m.map_batches(_cells, batch_format="pyarrow"),
+        ["label"],
+        [AggSpec("n", "max", "n_rows"),
+         AggSpec("cell_n", "sum", "inertia_n")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        n = t["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t["inertia_n"].to_numpy(zero_copy_only=False
+                                    ).astype(np.int64)
+        n_vecs = n
+        return pa.table({
+            "label": t["label"],
+            "n_vecs": pa.array(n_vecs),
+            "inertia_n": pa.array(i),
+            "mean_inertia": pa.array(
+                i.astype(np.float64) / 1e3
+                / n_vecs.astype(np.float64))})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_Q235_SQL = """
+with v as (
+  select vec_id, cast(embedding as double[]) as e, label
+  from embeddings),
+cells0 as (
+  select cast(label as bigint) as label, d,
+         cast(floor(e[d] * 1e6 + 0.5) as bigint) as en
+  from v, (select unnest(generate_series(1, 64)) as d)),
+m as (
+  select label, d, cast(count(*) as bigint) as n,
+         cast(sum(en) as bigint) as s,
+         cast(sum(en * en) as bigint) as q
+  from cells0 group by label, d),
+cells as (
+  select label, n,
+         cast(floor((cast(q as double)
+                     - cast(s as double) * cast(s as double)
+                       / cast(n as double)) / 1e12 * 1e3 + 0.5)
+              as bigint) as cell_n
+  from m)
+select label, cast(max(n) as bigint) as n_vecs,
+       cast(sum(cell_n) as bigint) as inertia_n,
+       cast(sum(cell_n) as double) / 1e3 / cast(max(n) as double)
+         as mean_inertia
+from cells group by label
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16396,6 +16510,7 @@ QUERIES = {
     "q232_rolling_anomaly": q232_rolling_anomaly,
     "q233_heaps_curve": q233_heaps_curve,
     "q234_degree_assortativity": q234_degree_assortativity,
+    "q235_label_centroids": q235_label_centroids,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16620,6 +16735,7 @@ def oracle_sql() -> dict[str, str]:
         "q232_rolling_anomaly": _Q232_SQL,
         "q233_heaps_curve": _Q233_SQL,
         "q234_degree_assortativity": _Q234_SQL,
+        "q235_label_centroids": _Q235_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
