@@ -16275,6 +16275,110 @@ from cells group by label
 """
 
 
+# --------------------------------------------------------------------- q236
+
+def q236_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain (where
+    does user behaviour settle? — the long-run mix the q146
+    transition matrix implies): transition counts are ONE distributed
+    lag + grouped count (the q146 shape), then five power-iteration
+    steps in INT64 FIXED POINT on the driver-side K×K table (K =
+    event types, report-sized): P_n = (C·10⁹) // row_total and
+    π′_j = Σ_i (π_i·P_n[i,j]) // 10⁹ with π scaled 10⁶ — per-term
+    floor then order-free integer sum, so the unrolled SQL replays it
+    bit-exactly (the q105/q210 doctrine; products capped at 10¹⁵)."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"], "us": pa.array(us)})
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b"]
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object)})[cols]
+        df = df.sort_values(["user_id", "us", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        same = np.concatenate([[False], uid[1:] == uid[:-1]])
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "a": np.concatenate([[None], et[:-1]])[same],
+            "b": et[same]})[cols]
+
+    pairs = bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _pairs)
+    counts = grouped_agg(pairs, ["a", "b"],
+                         [AggSpec(None, "count", "c")]).to_pandas()
+    types = sorted(set(counts["a"]) | set(counts["b"]))
+    idx = {t: i for i, t in enumerate(types)}
+    K = len(types)
+    C = np.zeros((K, K), dtype=np.int64)
+    for _, r in counts.iterrows():
+        C[idx[r["a"]], idx[r["b"]]] = int(r["c"])
+    row = C.sum(axis=1)
+    PS, PIS = 10**9, 10**6
+    P = np.zeros((K, K), dtype=np.int64)
+    nz = row > 0
+    P[nz] = (C[nz] * PS) // row[nz][:, None]
+    pi = np.full(K, PIS // K, dtype=np.int64)
+    for _ in range(5):
+        pi = ((pi[:, None] * P) // PS).sum(axis=0)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_n": pa.array(pi)})
+
+
+def _q236_sql() -> str:
+    PS, PIS, iters = 10**9, 10**6, 5
+    head = f"""
+with p0 as (
+  select user_id, event_id, event_type, epoch_us(ts) as us
+  from events),
+lagged as (
+  select event_type as b,
+         lag(event_type) over (partition by user_id
+                               order by us, event_id) as a
+  from p0),
+cnt as materialized (
+  select a, b, cast(count(*) as bigint) as c
+  from lagged where a is not null group by a, b),
+types as materialized (
+  select distinct t from
+    (select a as t from cnt union select b as t from cnt)),
+rt as (select a, cast(sum(c) as bigint) as tot from cnt group by a),
+pm as materialized (
+  select cnt.a, cnt.b, (cnt.c * {PS}) // rt.tot as pn
+  from cnt join rt on rt.a = cnt.a),
+pi0 as materialized (
+  select t as event_type,
+         cast({PIS} // (select count(*) from types) as bigint) as v
+  from types)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pi{i} as materialized (
+  select t.t as event_type,
+         cast(coalesce(sum((pi{i-1}.v * pm.pn) // {PS}), 0) as bigint)
+           as v
+  from types t
+  left join pm on pm.b = t.t
+  left join pi{i-1} on pi{i-1}.event_type = pm.a
+  group by t.t)""")
+    return (head + "," + ",".join(steps) + f"""
+select event_type, v as stationary_n from pi{iters}
+""")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16511,6 +16615,7 @@ QUERIES = {
     "q233_heaps_curve": q233_heaps_curve,
     "q234_degree_assortativity": q234_degree_assortativity,
     "q235_label_centroids": q235_label_centroids,
+    "q236_markov_stationary": q236_markov_stationary,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16736,6 +16841,7 @@ def oracle_sql() -> dict[str, str]:
         "q233_heaps_curve": _Q233_SQL,
         "q234_degree_assortativity": _Q234_SQL,
         "q235_label_centroids": _Q235_SQL,
+        "q236_markov_stationary": _q236_sql(),
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
