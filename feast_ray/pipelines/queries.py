@@ -16379,6 +16379,72 @@ select event_type, v as stationary_n from pi{iters}
 """)
 
 
+# --------------------------------------------------------------------- q237
+
+def q237_cross_source_dups(sf_dir: str):
+    """Cross-source boilerplate provenance matrix (WHERE does shared
+    opening boilerplate come from? — syndication/mirror/template
+    detection between feeds; the corpus has no full-text exact dups,
+    so the content key is the OPENING 3-WORD SHINGLE, the template
+    fingerprint line/paragraph dedup acts on): shingle groups via
+    md5 (one hash-keyed exchange), each group's DISTINCT source
+    set fans out to s1 < s2 pairs (bounded by the source count, the
+    q172 |V|²-bounded shape) plus an (s, s) self-pair when a source
+    holds the same text twice (within-source dups — also the
+    guaranteed-non-empty arm; an all-empty Dataset would drop its
+    schema, the q141-documented driver-compare hazard). Output per
+    pair: the number of shared content groups."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def _h(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(" ".join(x.split()[:3]).encode()).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "source": t["source"]})
+
+    hs = grouped_agg(
+        docs.map_batches(_h, batch_format="pyarrow"),
+        ["h", "source"], [AggSpec(None, "count", "nd")])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["s1", "s2"]
+        out1, out2 = [], []
+        for _, g in df.groupby("h", sort=False):
+            ss = sorted(zip(g["source"], g["nd"].astype(int)))
+            for i in range(len(ss)):
+                if ss[i][1] >= 2:  # within-source duplicate group
+                    out1.append(ss[i][0])
+                    out2.append(ss[i][0])
+                for j in range(i + 1, len(ss)):
+                    out1.append(ss[i][0])
+                    out2.append(ss[j][0])
+        return pd.DataFrame({"s1": pd.Series(out1, dtype=object),
+                             "s2": pd.Series(out2, dtype=object)})[cols]
+
+    from feast_ray.stages.dedup import bucketed_group_reduce
+    pairs = bucketed_group_reduce(hs, ["h"], _pairs)
+    return grouped_agg(pairs, ["s1", "s2"],
+                       [AggSpec(None, "count", "n_shared_groups")])
+
+
+_Q237_SQL = """
+with hs as (
+  select md5(array_to_string(regexp_extract_all(text, '\S+')[1:3],
+                             ' ')) as h,
+         source, cast(count(*) as bigint) as nd
+  from documents group by 1, 2),
+pr as (
+  select a.h, a.source as s1, b.source as s2
+  from hs a join hs b on a.h = b.h and a.source < b.source
+  union all
+  select h, source as s1, source as s2 from hs where nd >= 2)
+select s1, s2, cast(count(*) as bigint) as n_shared_groups
+from pr group by s1, s2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16616,6 +16682,7 @@ QUERIES = {
     "q234_degree_assortativity": q234_degree_assortativity,
     "q235_label_centroids": q235_label_centroids,
     "q236_markov_stationary": q236_markov_stationary,
+    "q237_cross_source_dups": q237_cross_source_dups,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16842,6 +16909,7 @@ def oracle_sql() -> dict[str, str]:
         "q234_degree_assortativity": _Q234_SQL,
         "q235_label_centroids": _Q235_SQL,
         "q236_markov_stationary": _q236_sql(),
+        "q237_cross_source_dups": _Q237_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
