@@ -16445,6 +16445,58 @@ from pr group by s1, s2
 """
 
 
+# --------------------------------------------------------------------- q238
+
+def q238_diurnal_profile(sf_dir: str):
+    """Diurnal activity profile (the cyclic load shape capacity
+    planning and bot-detection both read: which hours of day carry
+    the traffic, and with what value mix?): events fold onto
+    hour-of-day (epoch-hour mod 24 — pure integer), one grouped
+    exchange yields exact event counts and value-cents sums per
+    slot, and each slot's share of total events is a restated
+    division."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({
+            "hour_of_day": pa.array((us // 3_600_000_000) % 24),
+            "c": pa.array(c)})
+
+    agg = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["hour_of_day"],
+        [AggSpec(None, "count", "n_events"),
+         AggSpec("c", "sum", "cents")]).to_pandas()
+    agg = agg.sort_values("hour_of_day").reset_index(drop=True)
+    n = agg["n_events"].to_numpy(np.int64)
+    tot = float(n.sum())
+    return pa.table({
+        "hour_of_day": pa.array(agg["hour_of_day"].to_numpy(np.int64)),
+        "n_events": pa.array(n),
+        "cents": pa.array(agg["cents"].to_numpy(np.int64)),
+        "share": pa.array(n.astype(np.float64) / tot)})
+
+
+_Q238_SQL = """
+with p as (
+  select (epoch_us(ts) // 3600000000) % 24 as hour_of_day,
+         cast(round(value * 100) as bigint) as c
+  from events),
+a as (
+  select hour_of_day, cast(count(*) as bigint) as n_events,
+         cast(sum(c) as bigint) as cents
+  from p group by hour_of_day)
+select hour_of_day, n_events, cents,
+       cast(n_events as double)
+         / cast((select sum(n_events) from a) as double) as share
+from a
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16683,6 +16735,7 @@ QUERIES = {
     "q235_label_centroids": q235_label_centroids,
     "q236_markov_stationary": q236_markov_stationary,
     "q237_cross_source_dups": q237_cross_source_dups,
+    "q238_diurnal_profile": q238_diurnal_profile,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16910,6 +16963,7 @@ def oracle_sql() -> dict[str, str]:
         "q235_label_centroids": _Q235_SQL,
         "q236_markov_stationary": _q236_sql(),
         "q237_cross_source_dups": _Q237_SQL,
+        "q238_diurnal_profile": _Q238_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
