@@ -16497,6 +16497,80 @@ from a
 """
 
 
+# --------------------------------------------------------------------- q239
+
+def q239_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary —
+    the classic behavioural grid): per-user exact (last event µs,
+    event count, value cents) from one grouped exchange, then three
+    NTILE(4) passes through ``window_row_funcs`` (q118's exact
+    standard allocation — first n%4 tiles take the extra row; ties
+    broken by user_id so every tile is a pure function of the data)
+    over the USER-cardinality table, and one (r, f, m) cell count
+    with per-cell monetary mass. The events corpus crosses one
+    exchange; the tiling runs at user cardinality (documented: the
+    entity table is the small side, q36's assumption)."""
+    from feast_ray.stages.relational import window_row_funcs
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100
+                     ).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "us": pa.array(us), "c": pa.array(c)})
+
+    per_user = grouped_agg(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"],
+        [AggSpec("us", "max", "last_us"),
+         AggSpec(None, "count", "n"),
+         AggSpec("c", "sum", "cents")])
+    per_user = per_user.map_batches(
+        lambda t: t.append_column(
+            "grp", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow")
+
+    w = window_row_funcs(per_user, ["grp"], ["last_us", "user_id"],
+                         ntile=(4, "r_tile"))
+    w = window_row_funcs(w, ["grp"], ["n", "user_id"],
+                         ntile=(4, "f_tile"))
+    w = window_row_funcs(w, ["grp"], ["cents", "user_id"],
+                         ntile=(4, "m_tile"))
+    return grouped_agg(
+        w, ["r_tile", "f_tile", "m_tile"],
+        [AggSpec(None, "count", "n_users"),
+         AggSpec("cents", "sum", "cell_cents")])
+
+
+_Q239_SQL = """
+with p as (
+  select user_id, epoch_us(ts) as us,
+         cast(round(value * 100) as bigint) as c
+  from events),
+u as (
+  select user_id, cast(max(us) as bigint) as last_us,
+         cast(count(*) as bigint) as n,
+         cast(sum(c) as bigint) as cents
+  from p group by user_id),
+t as (
+  select cents,
+         ntile(4) over (order by last_us, user_id) as r_tile,
+         ntile(4) over (order by n, user_id) as f_tile,
+         ntile(4) over (order by cents, user_id) as m_tile
+  from u)
+select cast(r_tile as bigint) as r_tile,
+       cast(f_tile as bigint) as f_tile,
+       cast(m_tile as bigint) as m_tile,
+       cast(count(*) as bigint) as n_users,
+       cast(sum(cents) as bigint) as cell_cents
+from t group by r_tile, f_tile, m_tile
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16736,6 +16810,7 @@ QUERIES = {
     "q236_markov_stationary": q236_markov_stationary,
     "q237_cross_source_dups": q237_cross_source_dups,
     "q238_diurnal_profile": q238_diurnal_profile,
+    "q239_rfm_segments": q239_rfm_segments,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -16964,6 +17039,7 @@ def oracle_sql() -> dict[str, str]:
         "q236_markov_stationary": _q236_sql(),
         "q237_cross_source_dups": _Q237_SQL,
         "q238_diurnal_profile": _Q238_SQL,
+        "q239_rfm_segments": _Q239_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
