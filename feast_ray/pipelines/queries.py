@@ -16571,6 +16571,88 @@ from t group by r_tile, f_tile, m_tile
 """
 
 
+# --------------------------------------------------------------------- q240
+
+def q240_term_drift(sf_dir: str):
+    """Top-term drift between corpus halves (did the vocabulary shift
+    between ingestion batches? — the lightweight drift check run
+    before the heavier q131 PSI / q156 KS machinery): the doc_id
+    midpoint splits documents into two halves; each half's top-20
+    terms come from one grouped count + bounded top-k (count desc,
+    term asc); the report is the UNION of both top lists with each
+    term's rank in either half (0 = absent — both sides coalesce)
+    and the count delta. Exchanges at term cardinality; the top
+    lists are report-sized."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    mid = n_docs // 2
+
+    def _explode(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), r"\s+", " "))
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        flat = la.flatten().to_pandas().to_numpy(dtype=object)
+        lens = np.diff(la.offsets.to_numpy())
+        did = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        return pa.table({
+            "half": pa.array((did[keep] >= mid).astype(np.int64)),
+            "term": pa.array(flat[keep], pa.string())})
+
+    tc = grouped_agg(
+        docs.map_batches(_explode, batch_format="pyarrow"),
+        ["half", "term"], [AggSpec(None, "count", "c")])
+    tops = {}
+    for h in (0, 1):
+        t = topk(
+            tc.map_batches(
+                lambda t_, _h=h: t_.filter(
+                    pc.equal(t_["half"], pa.scalar(_h, pa.int64()))),
+                batch_format="pyarrow"),
+            ["c", "term"], 20, descending=[True, False]).to_pandas()
+        t = t.sort_values(["c", "term"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        tops[h] = {row["term"]: (i + 1, int(row["c"]))
+                   for i, (_, row) in enumerate(t.iterrows())}
+    terms = sorted(set(tops[0]) | set(tops[1]))
+    r0 = [tops[0].get(t, (0, 0))[0] for t in terms]
+    r1 = [tops[1].get(t, (0, 0))[0] for t in terms]
+    c0 = [tops[0].get(t, (0, 0))[1] for t in terms]
+    c1 = [tops[1].get(t, (0, 0))[1] for t in terms]
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "rank_h1": pa.array(r0, pa.int64()),
+        "rank_h2": pa.array(r1, pa.int64()),
+        "c_h1": pa.array(c0, pa.int64()),
+        "c_h2": pa.array(c1, pa.int64()),
+        "c_delta": pa.array(np.array(c1, np.int64)
+                            - np.array(c0, np.int64))})
+
+
+_Q240_SQL = r"""
+with tok as (
+  select case when doc_id >= (select count(*) // 2 from documents)
+              then 1 else 0 end as half,
+         unnest(regexp_extract_all(lower(text), '\S+')) as term
+  from documents),
+tc as (select half, term, cast(count(*) as bigint) as c
+       from tok group by half, term),
+r as (select half, term, c,
+             row_number() over (partition by half
+                                order by c desc, term asc) as rk
+      from tc),
+t0 as (select term, rk, c from r where half = 0 and rk <= 20),
+t1 as (select term, rk, c from r where half = 1 and rk <= 20)
+select coalesce(t0.term, t1.term) as term,
+       cast(coalesce(t0.rk, 0) as bigint) as rank_h1,
+       cast(coalesce(t1.rk, 0) as bigint) as rank_h2,
+       cast(coalesce(t0.c, 0) as bigint) as c_h1,
+       cast(coalesce(t1.c, 0) as bigint) as c_h2,
+       cast(coalesce(t1.c, 0) - coalesce(t0.c, 0) as bigint) as c_delta
+from t0 full outer join t1 on t1.term = t0.term
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16811,6 +16893,7 @@ QUERIES = {
     "q237_cross_source_dups": q237_cross_source_dups,
     "q238_diurnal_profile": q238_diurnal_profile,
     "q239_rfm_segments": q239_rfm_segments,
+    "q240_term_drift": q240_term_drift,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17040,6 +17123,7 @@ def oracle_sql() -> dict[str, str]:
         "q237_cross_source_dups": _Q237_SQL,
         "q238_diurnal_profile": _Q238_SQL,
         "q239_rfm_segments": _Q239_SQL,
+        "q240_term_drift": _Q240_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
