@@ -16653,6 +16653,81 @@ from t0 full outer join t1 on t1.term = t0.term
 """
 
 
+# --------------------------------------------------------------------- q241
+
+def q241_brand_return_rates(sf_dir: str):
+    """Per-brand return-rate report with Wilson 95% bands (the
+    supplier-quality audit: which brands get returned, and is the
+    difference significant given volume? — q207's uncertainty
+    doctrine composed over a REAL two-table join instead of a scalar
+    rule): lineitem ⋈ part on partkey (one partitioned hash join),
+    exact (n_lines, n_returned) per brand, and the identical
+    token-for-token Wilson chain (z = 1.96, division / sqrt only)."""
+    from feast_ray.stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_returnflag"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def _flag(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        return pa.table({"p_partkey": t["l_partkey"], "ret": r})
+
+    joined = hash_join(
+        li.map_batches(_flag, batch_format="pyarrow"),
+        part, on="p_partkey")
+    agg = grouped_agg(
+        joined, ["p_brand"],
+        [AggSpec(None, "count", "n_lines"),
+         AggSpec("ret", "sum", "n_returned")])
+
+    def _wilson(t: pa.Table) -> pa.Table:
+        n = t["n_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["n_returned"].to_numpy(zero_copy_only=False
+                                     ).astype(np.float64)
+        p = k / n
+        zz = 1.96 * 1.96
+        denom = 1.0 + zz / n
+        center = (p + zz / (2.0 * n)) / denom
+        half = (1.96 * np.sqrt(p * (1.0 - p) / n
+                               + zz / (4.0 * n * n))) / denom
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "n_lines": t["n_lines"], "n_returned": t["n_returned"],
+            "return_rate": pa.array(p),
+            "wilson_lo": pa.array(center - half),
+            "wilson_hi": pa.array(center + half)})
+
+    return agg.map_batches(_wilson, batch_format="pyarrow")
+
+
+_Q241_SQL = """
+with j as (
+  select p.p_brand,
+         case when l.l_returnflag = 'R' then 1 else 0 end as ret
+  from lineitem l join part p on p.p_partkey = l.l_partkey),
+a as (
+  select p_brand, cast(count(*) as bigint) as n_lines,
+         cast(sum(ret) as bigint) as n_returned
+  from j group by p_brand),
+w as (
+  select p_brand, n_lines, n_returned,
+         cast(n_lines as double) as n, cast(n_returned as double) as kk
+  from a)
+select p_brand, n_lines, n_returned,
+       kk / n as return_rate,
+       ((kk / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+         - (1.96 * sqrt((kk / n) * (1.0 - (kk / n)) / n
+                        + (1.96 * 1.96) / (4.0 * n * n)))
+           / (1.0 + (1.96 * 1.96) / n) as wilson_lo,
+       ((kk / n) + (1.96 * 1.96) / (2.0 * n)) / (1.0 + (1.96 * 1.96) / n)
+         + (1.96 * sqrt((kk / n) * (1.0 - (kk / n)) / n
+                        + (1.96 * 1.96) / (4.0 * n * n)))
+           / (1.0 + (1.96 * 1.96) / n) as wilson_hi
+from w
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16894,6 +16969,7 @@ QUERIES = {
     "q238_diurnal_profile": q238_diurnal_profile,
     "q239_rfm_segments": q239_rfm_segments,
     "q240_term_drift": q240_term_drift,
+    "q241_brand_return_rates": q241_brand_return_rates,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17124,6 +17200,7 @@ def oracle_sql() -> dict[str, str]:
         "q238_diurnal_profile": _Q238_SQL,
         "q239_rfm_segments": _Q239_SQL,
         "q240_term_drift": _Q240_SQL,
+        "q241_brand_return_rates": _Q241_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
