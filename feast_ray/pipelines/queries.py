@@ -16728,6 +16728,131 @@ from w
 """
 
 
+# --------------------------------------------------------------------- q242
+
+def q242_session_type_affinity(sf_dir: str):
+    """Session-level event-type affinity (the sessionized
+    market-basket: which event types co-occur in the SAME 30-minute
+    session beyond what their independent session shares predict?):
+    per user bucket the q74 gap rule assigns session ids, each
+    session's DISTINCT type set fans out to a < b pairs (≤ K²/2 per
+    session, K = 5 types), and three exact counts (sessions, per-type
+    sessions, per-pair sessions) feed lift = n_ab·N / (n_a·n_b) as
+    one restated float chain. One user exchange + report-sized
+    reduces."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "us": pa.array(us)})
+
+    GAP = 1_800_000_000  # 30 min
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["kind", "a", "b", "n"]
+        if not len(df):
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=object),
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})[cols]
+        df = df.sort_values(["user_id", "us"],
+                            kind="stable").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user | (np.concatenate([[GAP + 1], np.diff(us)])
+                          > GAP)
+        sid = np.cumsum(brk)
+        sd = pd.DataFrame({"sid": sid,
+                           "et": df["event_type"].to_numpy()})
+        su = sd.drop_duplicates()
+        rows_k, rows_a, rows_b, rows_n = [], [], [], []
+        # per-session distinct type sets -> pair fan-out
+        n_sessions = int(sd["sid"].nunique())
+        rows_k.append("total"); rows_a.append(""); rows_b.append("")
+        rows_n.append(n_sessions)
+        for et, g in su.groupby("et"):
+            rows_k.append("single"); rows_a.append(et); rows_b.append("")
+            rows_n.append(int(g["sid"].nunique()))
+        for sid_, g in su.groupby("sid", sort=False):
+            ts_ = sorted(g["et"])
+            for i in range(len(ts_)):
+                for j in range(i + 1, len(ts_)):
+                    rows_k.append("pair")
+                    rows_a.append(ts_[i]); rows_b.append(ts_[j])
+                    rows_n.append(1)
+        out = pd.DataFrame({
+            "kind": pd.Series(rows_k, dtype=object),
+            "a": pd.Series(rows_a, dtype=object),
+            "b": pd.Series(rows_b, dtype=object),
+            "n": pd.Series(rows_n, dtype="int64")})
+        return (out.groupby(["kind", "a", "b"], as_index=False)["n"]
+                .sum())[cols]
+
+    parts = bucketed_group_reduce(
+        ev.map_batches(_prep, batch_format="pyarrow"),
+        ["user_id"], _sessions)
+    agg = grouped_agg(parts, ["kind", "a", "b"],
+                      [AggSpec("n", "sum", "n")]).to_pandas()
+    total = int(agg[agg["kind"] == "total"]["n"].sum())
+    singles = {r["a"]: int(r["n"])
+               for _, r in agg[agg["kind"] == "single"].iterrows()}
+    pairs = agg[agg["kind"] == "pair"].sort_values(["a", "b"])
+    a_l, b_l, nab_l, lift_l = [], [], [], []
+    for _, r in pairs.iterrows():
+        a, b, nab = r["a"], r["b"], int(r["n"])
+        lift = (float(nab) * float(total)
+                / (float(singles[a]) * float(singles[b])))
+        a_l.append(a); b_l.append(b); nab_l.append(nab)
+        lift_l.append(lift)
+    return pa.table({
+        "a": pa.array(a_l, pa.string()),
+        "b": pa.array(b_l, pa.string()),
+        "n_both": pa.array(nab_l, pa.int64()),
+        "lift": pa.array(lift_l, pa.float64())})
+
+
+_Q242_SQL = """
+with m as (
+  select user_id, ts, event_type,
+    case when ts - lag(ts) over (partition by user_id order by ts)
+             <= interval '30 minutes' then 0 else 1 end as brk
+  from events),
+g as (
+  select *, sum(brk) over (partition by user_id order by ts
+    rows between unbounded preceding and current row) as sid
+  from m),
+su as (select distinct user_id, sid, event_type from g),
+tot as (select cast(count(*) as bigint) as n
+        from (select distinct user_id, sid from g)),
+sing as (select event_type,
+                cast(count(distinct (user_id, sid)) as bigint) as n
+         from su group by event_type),
+pr as (
+  select x.event_type as a, y.event_type as b,
+         cast(count(*) as bigint) as n_both
+  from su x join su y on x.user_id = y.user_id and x.sid = y.sid
+   and x.event_type < y.event_type
+  group by x.event_type, y.event_type)
+select pr.a, pr.b, pr.n_both,
+       cast(pr.n_both as double) * cast(tot.n as double)
+         / (cast(sa.n as double) * cast(sb.n as double)) as lift
+from pr
+join sing sa on sa.event_type = pr.a
+join sing sb on sb.event_type = pr.b
+cross join tot
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -16970,6 +17095,7 @@ QUERIES = {
     "q239_rfm_segments": q239_rfm_segments,
     "q240_term_drift": q240_term_drift,
     "q241_brand_return_rates": q241_brand_return_rates,
+    "q242_session_type_affinity": q242_session_type_affinity,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17201,6 +17327,7 @@ def oracle_sql() -> dict[str, str]:
         "q239_rfm_segments": _Q239_SQL,
         "q240_term_drift": _Q240_SQL,
         "q241_brand_return_rates": _Q241_SQL,
+        "q242_session_type_affinity": _Q242_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
