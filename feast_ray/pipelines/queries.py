@@ -16853,6 +16853,60 @@ cross join tot
 """
 
 
+# --------------------------------------------------------------------- q243
+
+def q243_cocitation(sf_dir: str):
+    """Co-citation strength (the classic link-prediction / related-
+    pages feature: pages cited together by the same source are
+    related — Small 1973): each source page's out-neighbor set (3
+    per page in q105's graph) fans out to a < b destination pairs —
+    the fan-out is bounded by out-degree², NEVER in-degree² (the safe
+    direction on a skewed web graph) — and one pair-keyed count
+    yields the co-citation matrix; the report keeps pairs cited
+    together at least twice, with the top source count as the
+    tie-shareable max."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = np.stack([(d * d + p * d) % n_docs
+                         for p in (7, 101, 997)], axis=1)
+        dsts.sort(axis=1)
+        x, y, z = dsts[:, 0], dsts[:, 1], dsts[:, 2]
+        # DISTINCT destination pairs per source (a repeated target
+        # must not double-count a pair): with x <= y <= z, emit
+        # (x,y) iff x!=y; (y,z) iff y!=z; (x,z) iff all distinct
+        k1, k2 = x != y, y != z
+        k3 = k1 & k2
+        a = np.concatenate([x[k1], y[k2], x[k3]])
+        b = np.concatenate([y[k1], z[k2], z[k3]])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow")
+    agg = grouped_agg(pairs, ["a", "b"],
+                      [AggSpec(None, "count", "n_cociting")])
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n_cociting"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow")
+
+
+_Q243_SQL = """
+with n as (select count(*) as cnt from documents),
+e as (
+  select doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+ed as (select distinct src, dst from e),
+pr as (
+  select x.dst as a, y.dst as b
+  from ed x join ed y on x.src = y.src and x.dst < y.dst)
+select a, b, cast(count(*) as bigint) as n_cociting
+from pr group by a, b
+having count(*) >= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -17096,6 +17150,7 @@ QUERIES = {
     "q240_term_drift": q240_term_drift,
     "q241_brand_return_rates": q241_brand_return_rates,
     "q242_session_type_affinity": q242_session_type_affinity,
+    "q243_cocitation": q243_cocitation,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17328,6 +17383,7 @@ def oracle_sql() -> dict[str, str]:
         "q240_term_drift": _Q240_SQL,
         "q241_brand_return_rates": _Q241_SQL,
         "q242_session_type_affinity": _Q242_SQL,
+        "q243_cocitation": _Q243_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
