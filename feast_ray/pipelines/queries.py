@@ -16907,6 +16907,85 @@ having count(*) >= 2
 """
 
 
+# --------------------------------------------------------------------- q244
+
+def q244_bib_coupling(sf_dir: str):
+    """Bibliographic coupling with a hub cap (the dual of q243:
+    sources CITING the same target are related — Kessler 1963; the
+    fan-out here is IN-degree-bounded, the dangerous direction on a
+    skewed web graph, so targets with in-degree > 32 are excluded by
+    rule — super-hubs are the stop-words of link analysis, all noise
+    and quadratic cost): one grouped in-degree count gates the
+    targets, each surviving target's citer set fans out to a < b
+    pairs inside its bucket (≤ 32²/2 each), one pair-keyed count.
+    Report: coupled source-page pairs sharing ≥ 2 capped targets."""
+    from feast_ray.stages.dedup import bucketed_group_reduce
+    from feast_ray.stages.join import semi_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+    CAP = 32
+
+    def _edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(d, 3)
+        dst = np.concatenate(
+            [(d * d + p * d) % n_docs for p in (7, 101, 997)])
+        dst = dst.reshape(3, len(d)).T.ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = distinct(
+        docs.map_batches(_edges, batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    ind = grouped_agg(
+        edges.map_batches(lambda t: pa.table({"dst": t["dst"]}),
+                          batch_format="pyarrow"),
+        ["dst"], [AggSpec(None, "count", "c")])
+    small = ind.map_batches(
+        lambda t: t.filter(pc.less_equal(
+            t["c"], pa.scalar(CAP, pa.int64()))).select(["dst"]),
+        batch_format="pyarrow")
+    gated = semi_join(edges, small, on="dst")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["a", "b"]
+        out_a, out_b = [], []
+        for _, g in df.groupby("dst", sort=False):
+            ss = sorted(g["src"].unique())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    out_a.append(ss[i])
+                    out_b.append(ss[j])
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype="int64"),
+            "b": pd.Series(out_b, dtype="int64")})[cols]
+
+    pairs = bucketed_group_reduce(gated, ["dst"], _pairs)
+    agg = grouped_agg(pairs, ["a", "b"],
+                      [AggSpec(None, "count", "n_shared")])
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n_shared"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow")
+
+
+_Q244_SQL = """
+with n as (select count(*) as cnt from documents),
+e as (
+  select distinct doc_id as src, (doc_id*doc_id + p*doc_id) % cnt as dst
+  from documents, n, (select unnest([7, 101, 997]) as p)),
+ind as (select dst, count(*) as c from e group by dst),
+ge as (select e.src, e.dst from e
+       join ind on ind.dst = e.dst where ind.c <= 32),
+pr as (
+  select x.src as a, y.src as b
+  from ge x join ge y on x.dst = y.dst and x.src < y.src)
+select a, b, cast(count(*) as bigint) as n_shared
+from pr group by a, b
+having count(*) >= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -17151,6 +17230,7 @@ QUERIES = {
     "q241_brand_return_rates": q241_brand_return_rates,
     "q242_session_type_affinity": q242_session_type_affinity,
     "q243_cocitation": q243_cocitation,
+    "q244_bib_coupling": q244_bib_coupling,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17384,6 +17464,7 @@ def oracle_sql() -> dict[str, str]:
         "q241_brand_return_rates": _Q241_SQL,
         "q242_session_type_affinity": _Q242_SQL,
         "q243_cocitation": _Q243_SQL,
+        "q244_bib_coupling": _Q244_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
