@@ -16986,6 +16986,86 @@ having count(*) >= 2
 """
 
 
+# --------------------------------------------------------------------- q245
+
+def q245_usable_tokens_by_lang(sf_dir: str):
+    """Usable-token share by language (the number a multilingual data
+    mix is actually planned from: of each language's raw tokens, how
+    many survive the q16 quality rules?): one streaming
+    textstats+rules pass tags every document, exact int64 token sums
+    split kept/total per language in one grouped exchange, and the
+    survival rate is a restated division. The language-mix companion
+    to q207's per-source keep-rate bands."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+    st = docs.map_batches(
+        lambda t: compute_textstats(t, "text"), batch_format="pyarrow")
+    st = st.map_batches(apply_quality_rules, batch_format="pyarrow")
+
+    def _tok(t: pa.Table) -> pa.Table:
+        nt = pc.cast(t["n_words"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": pa.array(nt),
+            "kept_tokens": pa.array(np.where(keep, nt, 0)),
+            "k": pa.array(keep.astype(np.int64))})
+
+    agg = grouped_agg(
+        st.map_batches(_tok, batch_format="pyarrow"),
+        ["lang"],
+        [AggSpec(None, "count", "n_docs"),
+         AggSpec("k", "sum", "n_kept_docs"),
+         AggSpec("n_tokens", "sum", "total_tokens"),
+         AggSpec("kept_tokens", "sum", "usable_tokens")])
+
+    def _final(t: pa.Table) -> pa.Table:
+        tot = t["total_tokens"].to_numpy(zero_copy_only=False
+                                         ).astype(np.float64)
+        use = t["usable_tokens"].to_numpy(zero_copy_only=False
+                                          ).astype(np.float64)
+        return pa.table({
+            "lang": t["lang"], "n_docs": t["n_docs"],
+            "n_kept_docs": t["n_kept_docs"],
+            "total_tokens": t["total_tokens"],
+            "usable_tokens": t["usable_tokens"],
+            "usable_share": pa.array(use / tot)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+_Q245_SQL = rf"""
+with s as (
+  select lang,
+    len(regexp_extract_all(text, '\S+')) as n_words,
+    cast(len(regexp_extract_all(text, '\S')) as double)
+      / cast(greatest(len(regexp_extract_all(text, '\S+')), 1) as double) as mwl,
+    cast(len(regexp_extract_all(text, '[0-9]')) as double)
+      / cast(greatest(length(text), 1) as double) as digit_frac,
+    cast(len(regexp_extract_all(text, '[^0-9A-Za-z\s]')) as double)
+      / cast(greatest(length(text), 1) as double) as symbol_frac,
+    len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) as stop_count
+  from documents),
+f as (
+  select lang, cast(n_words as bigint) as n_words,
+    case when (case
+      when n_words < {MIN_WORDS} then 'x' when n_words > {MAX_WORDS} then 'x'
+      when mwl < {MIN_MEAN_WORD_LEN} or mwl > {MAX_MEAN_WORD_LEN} then 'x'
+      when stop_count < {MIN_STOPWORDS} then 'x'
+      when digit_frac > {MAX_DIGIT_FRAC} then 'x'
+      when symbol_frac > {MAX_SYMBOL_FRAC} then 'x'
+    end) is null then 1 else 0 end as k
+  from s)
+select lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(k) as bigint) as n_kept_docs,
+       cast(sum(n_words) as bigint) as total_tokens,
+       cast(sum(k * n_words) as bigint) as usable_tokens,
+       cast(sum(k * n_words) as double)
+         / cast(sum(n_words) as double) as usable_share
+from f group by lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -17231,6 +17311,7 @@ QUERIES = {
     "q242_session_type_affinity": q242_session_type_affinity,
     "q243_cocitation": q243_cocitation,
     "q244_bib_coupling": q244_bib_coupling,
+    "q245_usable_tokens_by_lang": q245_usable_tokens_by_lang,
 }
 
 # Driver-gate ordering (VERDICT r3 #1, rotated per r4 #3): the
@@ -17465,6 +17546,7 @@ def oracle_sql() -> dict[str, str]:
         "q242_session_type_affinity": _Q242_SQL,
         "q243_cocitation": _Q243_SQL,
         "q244_bib_coupling": _Q244_SQL,
+        "q245_usable_tokens_by_lang": _Q245_SQL,
         "q31_hash_join_lineitem_orders": _Q31_SQL,
         "q32_copartitioned_asof": _Q32_SQL,
         "q33_chunk_docs": _Q33_SQL,
